@@ -1,0 +1,260 @@
+"""Stateless event decode: raw VEvent rows → typed CDC envelope.
+
+This is the Spark-native re-expression of the reference's decode path
+(connection/VStreamOutputMessageDecoder.java:56-377 +
+connection/ReplicationMessageColumnValueResolver.java:24-73 +
+VitessValueConverter.java:81-544): every conversion is a Catalyst column
+expression (whole-stage codegen; no Python UDFs in the hot path). VStream
+delivers all values as UTF-8 bytes; here the transport representation is a
+``map<string,string>`` of raw column values per row image, with binary columns
+base64-encoded by the source.
+
+Raw VEvent frame schema (what the streaming source / replay adapter emits):
+
+    event_kind   string   -- BEGIN|ROW|COMMIT|FIELD|DDL|HEARTBEAT|OTHER (D1)
+    keyspace     string
+    shard        string
+    table_name   string   -- null for BEGIN/COMMIT
+    gtid         string   -- shard-local GTID after this event
+    vgtid        string   -- full VGTID JSON at this point
+    tx_id        string   -- transaction id (the VGTID string in the reference)
+    ts           timestamp
+    row_changes  array<struct<before map<string,string>, after map<string,string>>>
+    statement    string   -- DDL text, else null
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .envelope import OP_CREATE, OP_DELETE, OP_UPDATE, source_struct
+from .types import (
+    BigIntUnsignedHandlingMode,
+    BinaryHandlingMode,
+    ResolvedType,
+    TableSchema,
+)
+
+RAW_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_kind", T.StringType(), False),
+        T.StructField("keyspace", T.StringType(), True),
+        T.StructField("shard", T.StringType(), True),
+        T.StructField("table_name", T.StringType(), True),
+        T.StructField("gtid", T.StringType(), True),
+        T.StructField("vgtid", T.StringType(), True),
+        T.StructField("tx_id", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField(
+            "row_changes",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("before", T.MapType(T.StringType(), T.StringType()), True),
+                        T.StructField("after", T.MapType(T.StringType(), T.StringType()), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        T.StructField("statement", T.StringType(), True),
+    ]
+)
+
+ZERO_DATE = "0000-00-00"
+
+
+def _zero_date_guard(raw: Column, pattern: str, nullable_mode: bool, epoch_expr: Column) -> Column:
+    """MySQL zero-dates are unrepresentable: map to null (nullable mode /
+    override.datetime.to.nullable) or epoch (reference
+    VitessValueConverter.java:410-443,486-511)."""
+    is_zero = raw.startswith(pattern)
+    if nullable_mode:
+        return F.when(is_zero, F.lit(None)).otherwise(raw)
+    return F.when(is_zero, epoch_expr).otherwise(raw)
+
+
+def time_to_micros(raw: Column) -> Column:
+    """MySQL TIME ('[-]HHH:MM:SS[.ffffff]', range ±838:59:59) → micros
+    (io.debezium.time.MicroTime analog; VitessValueConverter.java:365-399).
+    Pure expression: sign split + regexp field extraction."""
+    sign = F.when(raw.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    body = F.regexp_replace(raw, "^-", "")
+    h = F.regexp_extract(body, r"^(\d+):", 1).cast("long")
+    m = F.regexp_extract(body, r"^\d+:(\d+)", 1).cast("long")
+    s = F.regexp_extract(body, r"^\d+:\d+:(\d+)", 1).cast("long")
+    frac = F.regexp_extract(body, r"\.(\d+)$", 1)
+    micros = F.coalesce(
+        (F.rpad(frac, 6, "0").cast("long")), F.lit(0)
+    )
+    return (sign * ((h * 3600 + m * 60 + s) * F.lit(1000000) + micros)).cast("long")
+
+
+def set_bitmask_to_csv(raw: Column, values: tuple[str, ...]) -> Column:
+    """SET 64-bit bitmask → comma-joined member list
+    (VitessValueConverter.java:325-363). ``concat_ws`` skips the null slots."""
+    mask = raw.cast("long")
+    members = [
+        F.when(mask.bitwiseAND(F.lit(1 << i)) != 0, F.lit(v)) for i, v in enumerate(values)
+    ]
+    return F.when(mask.isNotNull(), F.concat_ws(",", *members))
+
+
+def enum_index_to_literal(raw: Column, values: tuple[str, ...]) -> Column:
+    """ENUM 1-based index → literal; a non-numeric raw value (copy phase sends
+    literals) passes through (VitessValueConverter.java:288-313). Index 0 is
+    MySQL's invalid-value sentinel → empty string."""
+    if not values:
+        return raw
+    arr = F.array(*[F.lit(v) for v in values])
+    idx = raw.try_cast("int")  # literals (copy phase) must not trip ANSI cast
+    return (
+        F.when(raw.rlike("^[0-9]+$") & (idx > 0) & (idx <= len(values)), F.element_at(arr, idx))
+        .when(raw.rlike("^[0-9]+$"), F.lit(""))
+        .otherwise(raw)
+    )
+
+
+def convert_raw(
+    raw: Column,
+    resolved: ResolvedType,
+    *,
+    bigint_unsigned_mode: BigIntUnsignedHandlingMode = BigIntUnsignedHandlingMode.STRING,
+    binary_mode: BinaryHandlingMode = BinaryHandlingMode.BYTES,
+    nullable_zero_dates: bool = True,
+) -> Column:
+    """Raw UTF-8 value → typed Spark value for one column (D8/D9).
+
+    Catalyst-native equivalent of ReplicationMessageColumnValueResolver.java:24-73
+    + the converter closures in VitessValueConverter.java:81-544.
+    """
+    fam = resolved.family
+    if fam == "SMALLINT":
+        return raw.cast(T.ShortType())
+    if fam == "INTEGER":
+        return raw.cast(T.IntegerType())
+    if fam == "BIGINT":
+        return raw.cast(T.LongType())
+    if fam == "UINT64":
+        if bigint_unsigned_mode is BigIntUnsignedHandlingMode.PRECISE:
+            return raw.cast(T.DecimalType(20, 0))
+        if bigint_unsigned_mode is BigIntUnsignedHandlingMode.LONG:
+            return raw.cast(T.LongType())
+        return raw  # lossless string (default)
+    if fam in ("FLOAT", "DOUBLE"):
+        return raw.cast(T.DoubleType())
+    if fam in ("VARCHAR", "JSON"):
+        return raw  # DECIMAL also lands here (scale-preserving string)
+    if fam == "ENUM":
+        return enum_index_to_literal(raw, resolved.enum_values)
+    if fam == "SET":
+        return set_bitmask_to_csv(raw, resolved.enum_values)
+    if fam == "YEAR":
+        return raw.cast(T.IntegerType())
+    if fam == "DATE":
+        guarded = _zero_date_guard(raw, ZERO_DATE, nullable_zero_dates, F.lit("1970-01-01"))
+        return F.to_date(guarded)
+    if fam == "TIME":
+        return time_to_micros(raw)
+    if fam == "DATETIME":
+        guarded = _zero_date_guard(
+            raw, ZERO_DATE, nullable_zero_dates, F.lit("1970-01-01 00:00:00")
+        )
+        return guarded.cast(T.TimestampNTZType())
+    if fam == "TIMESTAMP":
+        # VStream sends UTC 'yyyy-MM-dd HH:mm:ss[.f]'; emit ISO-8601 Z string
+        # (io.debezium.time.ZonedTimestamp; VitessValueConverter.java:446-511)
+        guarded = _zero_date_guard(raw, ZERO_DATE, nullable_zero_dates, F.lit("1970-01-01 00:00:00"))
+        return F.when(
+            guarded.isNotNull(), F.concat(F.regexp_replace(guarded, " ", "T"), F.lit("Z"))
+        )
+    if fam in ("BLOB", "BINARY"):
+        # transport is base64 for binary columns
+        if binary_mode is BinaryHandlingMode.BASE64:
+            return raw
+        if binary_mode is BinaryHandlingMode.HEX:
+            return F.lower(F.hex(F.unbase64(raw)))
+        return F.unbase64(raw)
+    if fam == "BIT":
+        if isinstance(resolved.spark_type, T.BooleanType):
+            return raw.cast(T.BooleanType())
+        return F.unbase64(raw)
+    # unknown (OTHER): include as raw bytes if configured, else the caller drops it
+    return F.encode(raw, "utf-8")
+
+
+def typed_row_struct(map_col: Column, schema: TableSchema, **modes) -> Column:
+    """map<string,string> raw image → typed struct in schema column order.
+    Null map ⇒ null struct (missing before/after image)."""
+    fields = [
+        convert_raw(map_col.getItem(c.name), c.resolved, **modes).alias(c.name)
+        for c in schema.columns
+    ]
+    return F.when(map_col.isNotNull(), F.struct(*fields))
+
+
+def dispatch_row_events(raw_df: DataFrame) -> DataFrame:
+    """D1: keep ROW events (BEGIN/COMMIT/FIELD/DDL/HEARTBEAT handled by their
+    own side-channels; see txmeta/, sinks.py heartbeats, transforms DDL)."""
+    return raw_df.filter(F.col("event_kind") == "ROW")
+
+
+def explode_row_changes(raw_df: DataFrame) -> DataFrame:
+    """D2: one output row per row-change; operation derived from image
+    presence: after-only=c, both=u, before-only=d
+    (VStreamOutputMessageDecoder.java:152-290)."""
+    df = dispatch_row_events(raw_df).select(
+        "keyspace",
+        "shard",
+        "table_name",
+        "gtid",
+        "vgtid",
+        "tx_id",
+        "ts",
+        F.posexplode("row_changes").alias("change_idx", "change"),
+    )
+    return df.select(
+        "*",
+        F.when(F.col("change.before").isNull(), F.lit(OP_CREATE))
+        .when(F.col("change.after").isNull(), F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_UPDATE))
+        .alias("op"),
+    )
+
+
+def decode_table(
+    raw_df: DataFrame,
+    schema: TableSchema,
+    *,
+    server_name: str = "vitess",
+    **modes,
+) -> DataFrame:
+    """Full decode for one table: dispatch → explode → typed images → envelope.
+
+    Output: op, before, after, source, ts_ms (FIXTURES.md §1). The plan is a
+    single stage of narrow ops — scan → filter → project — so Catalyst pushes
+    the table filter into the source and the whole thing codegens.
+    """
+    changes = explode_row_changes(raw_df).filter(
+        (F.col("keyspace") == schema.keyspace) & (F.col("table_name") == schema.table)
+    )
+    ts_ms = F.unix_millis(F.col("ts"))
+    return changes.select(
+        F.col("op"),
+        typed_row_struct(F.col("change.before"), schema, **modes).alias("before"),
+        typed_row_struct(F.col("change.after"), schema, **modes).alias("after"),
+        source_struct(
+            server_name,
+            keyspace=F.col("keyspace"),
+            table=F.col("table_name"),
+            shard=F.col("shard"),
+            vgtid=F.col("vgtid"),
+            ts_ms=ts_ms,
+        ).alias("source"),
+        ts_ms.alias("ts_ms"),
+        F.col("tx_id"),
+        F.col("gtid"),
+        F.col("shard"),
+    )

@@ -1,0 +1,150 @@
+"""Value-conversion tests over fabricated raw events — the Spark analog of the
+reference's VitessValueConverterTest / ReplicationMessageColumnValueResolverTest
+(SURVEY.md §5 tier 1)."""
+
+import base64
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from debezium_connector_vitess_spark.decode import (
+    RAW_EVENT_SCHEMA,
+    convert_raw,
+    decode_table,
+    enum_index_to_literal,
+    explode_row_changes,
+    set_bitmask_to_csv,
+    time_to_micros,
+)
+from debezium_connector_vitess_spark.types import (
+    BinaryHandlingMode,
+    ColumnMetaData,
+    TableSchema,
+    resolve,
+)
+
+
+def _one_col(spark, raw_value, expr_fn):
+    df = spark.createDataFrame([Row(raw=raw_value)], "raw string")
+    return df.select(expr_fn(F.col("raw")).alias("out")).collect()[0]["out"]
+
+
+def test_time_to_micros(spark):
+    assert _one_col(spark, "10:59:59", time_to_micros) == (10 * 3600 + 59 * 60 + 59) * 1_000_000
+    assert _one_col(spark, "00:00:01.5", time_to_micros) == 1_500_000
+    assert _one_col(spark, "838:59:59", time_to_micros) == (838 * 3600 + 59 * 60 + 59) * 1_000_000
+    assert _one_col(spark, "-01:00:00", time_to_micros) == -3_600_000_000
+    assert _one_col(spark, "01:02:03.000123", time_to_micros) == (3600 + 120 + 3) * 1_000_000 + 123
+
+
+def test_enum_index_to_literal(spark):
+    vals = ("small", "medium", "large")
+    assert _one_col(spark, "2", lambda c: enum_index_to_literal(c, vals)) == "medium"
+    assert _one_col(spark, "0", lambda c: enum_index_to_literal(c, vals)) == ""  # invalid sentinel
+    # copy phase sends literals through
+    assert _one_col(spark, "large", lambda c: enum_index_to_literal(c, vals)) == "large"
+    # ambiguous numeric enum values: index decode wins (enum_ambiguous_table)
+    amb = ("2", "0", "1")
+    assert _one_col(spark, "1", lambda c: enum_index_to_literal(c, amb)) == "2"
+
+
+def test_set_bitmask_to_csv(spark):
+    vals = ("a", "b", "c", "d")
+    assert _one_col(spark, "5", lambda c: set_bitmask_to_csv(c, vals)) == "a,c"
+    assert _one_col(spark, "0", lambda c: set_bitmask_to_csv(c, vals)) == ""
+    assert _one_col(spark, "15", lambda c: set_bitmask_to_csv(c, vals)) == "a,b,c,d"
+
+
+@pytest.mark.parametrize(
+    "ftype,coltype,raw,expected",
+    [
+        ("INT8", "tinyint", "1", 1),
+        ("INT32", "int", "-2147483648", -2147483648),
+        ("INT64", "bigint", "23", 23),
+        ("UINT64", "bigint unsigned", "18446744073709551615", "18446744073709551615"),
+        ("FLOAT32", "float", "1.5", 1.5),
+        ("DECIMAL", "decimal(10,4)", "12.3400", "12.3400"),
+        ("JSON", "json", '{"a":1}', '{"a":1}'),
+        ("YEAR", "year", "2024", 2024),
+        ("DATE", "date", "2024-03-01", datetime.date(2024, 3, 1)),
+        ("DATE", "date", "0000-00-00", None),  # zero-date nullable mode
+        ("TIMESTAMP", "timestamp", "2024-03-01 10:00:00", "2024-03-01T10:00:00Z"),
+        ("TIMESTAMP", "timestamp", "0000-00-00 00:00:00", None),
+    ],
+)
+def test_convert_raw_families(spark, ftype, coltype, raw, expected):
+    out = _one_col(spark, raw, lambda c: convert_raw(c, resolve(ftype, coltype)))
+    assert out == expected
+
+
+def test_convert_zero_date_epoch_mode(spark):
+    out = _one_col(
+        spark,
+        "0000-00-00",
+        lambda c: convert_raw(c, resolve("DATE"), nullable_zero_dates=False),
+    )
+    assert out == datetime.date(1970, 1, 1)
+
+
+def test_binary_modes(spark):
+    b64 = base64.b64encode(b"\x01\x02").decode()
+    assert _one_col(spark, b64, lambda c: convert_raw(c, resolve("VARBINARY"))) == b"\x01\x02"
+    assert (
+        _one_col(
+            spark, b64,
+            lambda c: convert_raw(c, resolve("VARBINARY", binary_mode=BinaryHandlingMode.HEX),
+                                  binary_mode=BinaryHandlingMode.HEX),
+        )
+        == "0102"
+    )
+
+
+def _raw_events_df(spark):
+    rows = [
+        # one tx: BEGIN, insert+update in one ROW event, delete, COMMIT
+        ("BEGIN", "ks", "-80", None, "g1", "[vg1]", "tx1", datetime.datetime(2024, 1, 1), None, None),
+        (
+            "ROW", "ks", "-80", "t1", "g1", "[vg1]", "tx1",
+            datetime.datetime(2024, 1, 1, 0, 0, 1),
+            [
+                {"before": None, "after": {"id": "1", "v": "x"}},
+                {"before": {"id": "1", "v": "x"}, "after": {"id": "1", "v": "y"}},
+            ],
+            None,
+        ),
+        (
+            "ROW", "ks", "-80", "t1", "g1", "[vg1]", "tx1",
+            datetime.datetime(2024, 1, 1, 0, 0, 2),
+            [{"before": {"id": "2", "v": "z"}, "after": None}],
+            None,
+        ),
+        ("COMMIT", "ks", "-80", None, "g2", "[vg2]", "tx1", datetime.datetime(2024, 1, 1, 0, 0, 3), None, None),
+    ]
+    return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
+def test_explode_row_changes_ops(spark):
+    out = explode_row_changes(_raw_events_df(spark)).select("op", "change_idx").collect()
+    assert sorted((r["op"], r["change_idx"]) for r in out) == [("c", 0), ("d", 0), ("u", 1)]
+
+
+def test_decode_table_envelope(spark):
+    schema = TableSchema(
+        "ks", "-80", "t1",
+        [
+            ColumnMetaData("id", resolve("INT64"), optional=False, is_primary_key=True),
+            ColumnMetaData("v", resolve("VARCHAR")),
+        ],
+    )
+    env = decode_table(_raw_events_df(spark), schema, server_name="test_server")
+    rows = {(r["op"]): r for r in env.collect()}
+    assert set(rows) == {"c", "u", "d"}
+    assert rows["c"]["before"] is None and rows["c"]["after"]["id"] == 1
+    assert rows["u"]["before"]["v"] == "x" and rows["u"]["after"]["v"] == "y"
+    assert rows["d"]["after"] is None and rows["d"]["before"]["id"] == 2
+    src = rows["c"]["source"]
+    assert src["connector"] == "vitess" and src["name"] == "test_server"
+    assert src["db"] == "" and src["shard"] == "-80" and src["vgtid"] == "[vg1]"
+    assert rows["c"]["ts_ms"] == 1704067201000
