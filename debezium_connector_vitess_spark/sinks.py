@@ -1,0 +1,98 @@
+"""Sink shaping: topic routing, CloudEvents, heartbeats, Kafka/parquet writers.
+
+SURVEY.md §2.1 S5-S9.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TopicNamingStrategy:
+    """dataChangeTopic(TableId) = {prefix|override}.{table} with exclude-regex
+    list; schema-change topic override.
+    Reference: TableTopicNamingStrategy.java:110-138, VitessTopicSelector.java.
+    """
+
+    prefix: str
+    overrides: dict[str, str] = field(default_factory=dict)  # table -> topic
+    schema_change_topic: Optional[str] = None
+
+    def data_change_topic(self, table: Column) -> Column:
+        expr = F.concat(F.lit(self.prefix), F.lit("."), table)
+        for tbl, topic in sorted(self.overrides.items()):
+            expr = F.when(table == tbl, F.lit(topic)).otherwise(expr)
+        return expr
+
+    def attach(self, df: DataFrame, table_col: str = "table_name") -> DataFrame:
+        """S6: add the routing ``topic`` column."""
+        return df.withColumn("topic", self.data_change_topic(F.col(table_col)))
+
+
+def cloudevents_wrap(df: DataFrame, server_name: str) -> DataFrame:
+    """S9: CloudEvents output format.
+
+    CE id = ``name:{server};vgtid:{vgtid}``; extension source fields
+    {vgtid, keyspace}. Reference: converters/VitessCloudEventsMaker.java:23-41.
+    Input: envelope frame with source struct. Output adds ce_* columns + a
+    JSON body.
+    """
+    ce_id = F.concat(
+        F.lit("name:"), F.lit(server_name), F.lit(";vgtid:"), F.col("source.vgtid")
+    )
+    return (
+        df.withColumn("ce_id", ce_id)
+        .withColumn("ce_specversion", F.lit("1.0"))
+        .withColumn("ce_source", F.concat(F.lit("/debezium/vitess/"), F.lit(server_name)))
+        .withColumn("ce_type", F.lit("io.debezium.connector.vitess.DataChangeEvent"))
+        .withColumn("ce_vgtid", F.col("source.vgtid"))
+        .withColumn("ce_keyspace", F.col("source.keyspace"))
+    )
+
+
+def heartbeat_records(raw_df: DataFrame, interval_ms: int = 1000) -> DataFrame:
+    """S7: rate-limited heartbeat side-output ``{vgtid, ts_ms}``.
+
+    Reference emits at most one heartbeat per interval when the offset exists
+    (VitessHeartbeatImpl.java:46-79). Batch analog: bucket events by interval
+    per shard, keep the last position in each bucket — same densification
+    guarantee (a position at least every interval while events flow).
+    """
+    return (
+        raw_df.withColumn("ts_ms", F.unix_millis(F.col("ts")))
+        .withColumn("bucket", (F.col("ts_ms") / interval_ms).cast("long"))
+        .groupBy("shard", "bucket")
+        .agg(F.max_by("vgtid", F.col("ts_ms")).alias("vgtid"), F.max("ts_ms").alias("ts_ms"))
+        .drop("bucket")
+    )
+
+
+def write_kafka(df: DataFrame, bootstrap_servers: str, *, key_col: str = "key",
+                topic_col: str = "topic", checkpoint: Optional[str] = None):
+    """S5: Kafka sink (streaming). Requires the spark-sql-kafka package on the
+    classpath; gated so local/test environments without it still import."""
+    out = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[c for c in df.columns if c not in (key_col, topic_col)])).alias("value"),
+        F.col(topic_col).alias("topic"),
+    )
+    writer = out.writeStream.format("kafka").option("kafka.bootstrap.servers", bootstrap_servers)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def write_parquet_stream(df: DataFrame, path: str, checkpoint: str, partition_by: tuple[str, ...] = ()):
+    """Delta-style table sink stand-in: partitioned parquet append with
+    exactly-once via the streaming checkpoint."""
+    writer = df.writeStream.format("parquet").option("path", path).option(
+        "checkpointLocation", checkpoint
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer.start()

@@ -1,0 +1,95 @@
+"""Filter + SMT unit tests (reference Filters/RemoveFieldTest/
+ReplaceFieldValueTest/UseLocalVgtidTest analogs)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from debezium_connector_vitess_spark.filters import ColumnFilter, TableFilter, prune_empty_shards
+from debezium_connector_vitess_spark.sinks import TopicNamingStrategy
+from debezium_connector_vitess_spark.transforms import (
+    ddl_operation_expr,
+    ddl_table_expr,
+    local_vgtid_expr,
+)
+
+
+def test_table_filter_matches():
+    tf = TableFilter(include_list=[r"ks\.t[12]"])
+    assert tf.matches("ks", "t1")
+    assert not tf.matches("ks", "t3")
+    # system schemas always excluded (Filters.java:20-58)
+    assert not tf.matches("mysql", "t1")
+    tf2 = TableFilter(exclude_list=[r"ks\.secret.*"])
+    assert tf2.matches("ks", "t1")
+    assert not tf2.matches("ks", "secret_stuff")
+    # anchored full-match: partial match must not leak through
+    tf3 = TableFilter(include_list=[r"ks\.t"])
+    assert not tf3.matches("ks", "t1")
+
+
+def test_table_filter_predicate(spark):
+    df = spark.createDataFrame(
+        [("ks", "t1"), ("ks", "t2"), ("mysql", "user"), ("ks", "nope")],
+        "keyspace string, table_name string",
+    )
+    tf = TableFilter(include_list=[r"ks\.t[12]"])
+    got = sorted(r["table_name"] for r in tf.apply(df).collect())
+    assert got == ["t1", "t2"]
+
+
+def test_column_filter_flat(spark):
+    df = spark.createDataFrame([Row(a="hello world", b="x", c=1, d="drop me")])
+    cf = ColumnFilter(exclude=["d"], truncate={"a": 5}, mask_const={"b": "***"})
+    out = cf.apply_flat(df).collect()[0]
+    assert out["a"] == "hello"
+    assert out["b"] == "***"
+    assert "d" not in out.asDict()
+
+
+def test_column_filter_images(spark):
+    df = spark.createDataFrame(
+        [Row(op="u", before=Row(v="secret", k=1), after=Row(v="secret2", k=1)),
+         Row(op="c", before=None, after=Row(v="s3", k=2))],
+    )
+    cf = ColumnFilter(mask_hash=["v"])
+    rows = {r["op"]: r for r in cf.apply_images(df).collect()}
+    assert rows["u"]["before"]["v"] != "secret" and len(rows["u"]["before"]["v"]) == 64
+    assert rows["c"]["before"] is None  # null images stay null
+    assert rows["c"]["after"]["k"] == 2
+
+
+def test_prune_empty_shards():
+    assert prune_empty_shards({"-80": True, "80-": False, "0": True}) == ["-80", "0"]
+
+
+def test_local_vgtid_expr(spark):
+    vg = ('[{"keyspace":"ks","shard":"-80","gtid":"g1"},'
+          '{"keyspace":"ks","shard":"80-","gtid":"g2"}]')
+    df = spark.createDataFrame([Row(vgtid=vg, shard="80-")])
+    out = df.select(local_vgtid_expr(F.col("vgtid"), F.col("shard")).alias("lv")).collect()[0]["lv"]
+    assert out == '[{"keyspace":"ks","shard":"80-","gtid":"g2"}]'
+
+
+def test_ddl_extraction(spark):
+    cases = [
+        ("CREATE TABLE `foo` (id INT)", "CREATE", "foo"),
+        ("alter table bar add column c int", "ALTER", "bar"),
+        ("/* comment */ DROP TABLE IF EXISTS baz", "DROP", "baz"),
+        ("RENAME TABLE a1 TO a2", "ALTER", "a1"),
+        ("TRUNCATE TABLE big", "TRUNCATE", "big"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _, _ in cases], "statement string")
+    out = df.select(
+        ddl_operation_expr(F.col("statement")).alias("op"),
+        ddl_table_expr(F.col("statement")).alias("tbl"),
+    ).collect()
+    for (stmt, op, tbl), row in zip(cases, out):
+        assert row["op"] == op, stmt
+        assert row["tbl"] == tbl, stmt
+
+
+def test_topic_naming(spark):
+    df = spark.createDataFrame([("t1",), ("special",)], "table_name string")
+    strat = TopicNamingStrategy(prefix="cdc", overrides={"special": "custom.topic"})
+    got = {r["table_name"]: r["topic"] for r in strat.attach(df).collect()}
+    assert got == {"t1": "cdc.t1", "special": "custom.topic"}
