@@ -1,0 +1,222 @@
+"""File-replay streaming source: recorded VEvent JSONL → raw VEvent frame.
+
+The replay source is the test/bounded stand-in for the live VStream gRPC
+source (SURVEY.md §7.1 step 3: "a file/replay mode that streams recorded
+VEvent JSON replaces the live gRPC dependency"). It exercises the exact
+offset/partition contract the live source uses:
+
+- one input partition per shard (reference: shards round-robined over tasks,
+  VitessConnector.java:87-156; Spark schedules the partitions);
+- offsets are ``{shard: line_position}`` documents that only land on
+  transaction boundaries (O1 rotate/reset protocol: a restart never replays a
+  half transaction because positions between BEGIN and COMMIT are never
+  reported);
+- restart resumes from the checkpointed offset (O2).
+
+Layout: ``{path}/{shard}.jsonl``, one VEvent per line:
+``{"kind": "BEGIN|ROW|COMMIT|DDL|HEARTBEAT|OTHER", "keyspace": str,
+"table": str|null, "seq": int, "ts_ms": int,
+"row_changes": [{"before": {..}|null, "after": {..}|null}]|null,
+"statement": str|null}``. ``seq`` is the per-shard GTID sequence after the
+event.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+from .buffer import TransactionBuffer
+
+FORMAT_NAME = "vitess-replay"
+
+
+def _shard_files(path: str) -> dict[str, str]:
+    return {
+        f[: -len(".jsonl")]: os.path.join(path, f)
+        for f in sorted(os.listdir(path))
+        if f.endswith(".jsonl")
+    }
+
+
+def _committed_length(file_path: str) -> int:
+    """Number of leading lines that end on a transaction boundary — the
+    furthest offset the source may report (O1: only whole transactions)."""
+    n = 0
+    boundary = 0
+    with open(file_path, "r", encoding="utf-8") as fh:
+        depth = 0
+        for line in fh:
+            if not line.strip():
+                continue
+            n += 1
+            kind = json.loads(line).get("kind")
+            if kind == "BEGIN":
+                depth = 1
+            elif kind == "COMMIT":
+                depth = 0
+                boundary = n
+            elif depth == 0:
+                # DDL/HEARTBEAT/OTHER outside a tx are their own boundary
+                boundary = n
+    return boundary
+
+
+def local_vgtid_json(keyspace: str, shard: str, seq: int) -> str:
+    return json.dumps(
+        [{"keyspace": keyspace, "shard": shard, "gtid": f"MySQL56/host0:1-{seq}"}],
+        separators=(",", ":"),
+    )
+
+
+@dataclass
+class ReplayPartition(InputPartition):
+    shard: str
+    file_path: str
+    start_line: int
+    end_line: int
+
+
+class VitessReplayStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("vitess-replay requires a 'path' option")
+        self._files = _shard_files(self._path)
+        if not self._files:
+            raise ValueError(f"no {{shard}}.jsonl replay files under {self._path}")
+
+    def initialOffset(self) -> dict:
+        # start of stream = empty position per shard (snapshot.mode analog:
+        # replay files begin with the copy-phase transactions)
+        return {shard: 0 for shard in self._files}
+
+    def latestOffset(self) -> dict:
+        # re-list so shards added between batches are picked up (reshard, O7)
+        self._files = _shard_files(self._path)
+        return {shard: _committed_length(f) for shard, f in self._files.items()}
+
+    def partitions(self, start: dict, end: dict):
+        parts = [
+            ReplayPartition(
+                shard=s,
+                file_path=self._files[s],
+                start_line=start.get(s, 0),
+                end_line=end_line,
+            )
+            for s, end_line in end.items()
+            if end_line > start.get(s, 0)
+        ]
+        # Spark requires ≥1 partition; emit an empty range when idle
+        if not parts:
+            s = next(iter(self._files))
+            parts = [ReplayPartition(s, self._files[s], 0, 0)]
+        return parts
+
+    def read(self, partition: ReplayPartition) -> Iterator[tuple]:
+        if partition.end_line <= partition.start_line:
+            return
+        events: list[dict] = []
+        with open(partition.file_path, "r", encoding="utf-8") as fh:
+            for i, line in enumerate(fh):
+                if i >= partition.end_line:
+                    break
+                if i < partition.start_line or not line.strip():
+                    continue
+                events.append(json.loads(line))
+        buf = TransactionBuffer()
+        for ev in events:
+            for tx in buf.add(ev):
+                yield from self._tx_rows(partition.shard, tx.events)
+        if buf.pending:
+            raise ValueError(
+                f"offset range did not end on a transaction boundary "
+                f"(shard={partition.shard}, pending={buf.pending})"
+            )
+
+    def _tx_rows(self, shard: str, events: list[dict]) -> Iterator[tuple]:
+        # tx id = the VGTID at COMMIT (reference: entire VGTID string,
+        # VStreamOutputMessageDecoder.java:121-150); per-partition the local one
+        last_seq = max((e.get("seq", 0) for e in events), default=0)
+        keyspace = next((e["keyspace"] for e in events if e.get("keyspace")), "ks")
+        vgtid = local_vgtid_json(keyspace, shard, last_seq)
+        for e in events:
+            ts_ms = e.get("ts_ms", 0)
+            ts = datetime.fromtimestamp(ts_ms / 1000.0, tz=timezone.utc)
+            row_changes = None
+            if e.get("row_changes") is not None:
+                row_changes = [
+                    (rc.get("before"), rc.get("after")) for rc in e["row_changes"]
+                ]
+            yield (
+                e["kind"],
+                e.get("keyspace"),
+                shard,
+                e.get("table"),
+                f"MySQL56/host0:1-{e.get('seq', 0)}",
+                vgtid,
+                vgtid,
+                ts,
+                row_changes,
+                e.get("statement"),
+            )
+
+    def commit(self, end: dict) -> None:
+        # files are immutable; checkpoint WAL is the offset store
+        pass
+
+
+class VitessReplayDataSource(DataSource):
+    """``spark.readStream.format("vitess-replay").option("path", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        from ..decode import RAW_EVENT_SCHEMA
+
+        return RAW_EVENT_SCHEMA
+
+    def streamReader(self, schema) -> VitessReplayStreamReader:
+        return VitessReplayStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source and ship the package to Python workers.
+
+    The DataSource class is cloudpickled into Spark's Python workers (including
+    the driver-side streaming-source planner), which re-import this package
+    there. The package must therefore be importable by those processes: have it
+    on PYTHONPATH before the SparkSession's JVM starts (pip install, or
+    ``PYTHONPATH=/path/to/repo``), or launch from the repo root. addPyFile
+    ships the code to remote executors for task-side reads on a cluster.
+    """
+    _ship_package(spark)
+    spark.dataSource.register(VitessReplayDataSource)
+
+
+def _ship_package(spark) -> None:
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    marker = "_vitess_cdc_pkg_shipped"
+    if getattr(spark, marker, False):
+        return
+    import tempfile
+
+    zpath = os.path.join(tempfile.mkdtemp(), "debezium_connector_vitess_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    setattr(spark, marker, True)

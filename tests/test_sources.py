@@ -1,0 +1,262 @@
+"""Streaming-source tests: transaction buffer, replay source end-to-end with
+checkpoint restart (the §7.2 kill-and-resume guarantee), vstream control plane."""
+
+import json
+import os
+
+import pytest
+
+from debezium_connector_vitess_spark.filters import TableFilter
+from debezium_connector_vitess_spark.sources.buffer import TransactionBuffer
+from debezium_connector_vitess_spark.sources.fixtures import write_replay_fixture
+from debezium_connector_vitess_spark.sources.vstream import (
+    VStreamConfig,
+    assign_shards_to_tasks,
+    build_rules,
+    is_retriable,
+    rules_for_filter,
+)
+
+
+# ---------------------------------------------------------------------------
+# TransactionBuffer (S2)
+# ---------------------------------------------------------------------------
+
+
+def test_buffer_basic_tx():
+    buf = TransactionBuffer()
+    assert buf.add({"kind": "BEGIN", "seq": 1}) == []
+    assert buf.add({"kind": "ROW", "seq": 1}) == []
+    out = buf.add({"kind": "COMMIT", "seq": 2})
+    assert len(out) == 1
+    assert [e["kind"] for e in out[0].events] == ["BEGIN", "ROW", "COMMIT"]
+    assert out[0].end_seq == 2
+
+
+def test_buffer_duplicate_begin_deduped():
+    buf = TransactionBuffer()
+    buf.add({"kind": "BEGIN", "seq": 1})
+    buf.add({"kind": "BEGIN", "seq": 1})  # copy-phase duplicate
+    out = buf.add({"kind": "COMMIT", "seq": 1})
+    assert [e["kind"] for e in out[0].events] == ["BEGIN", "COMMIT"]
+
+
+def test_buffer_commit_without_begin_raises():
+    with pytest.raises(ValueError):
+        TransactionBuffer().add({"kind": "COMMIT", "seq": 1})
+
+
+def test_buffer_row_outside_tx_raises():
+    with pytest.raises(ValueError):
+        TransactionBuffer().add({"kind": "ROW", "seq": 1})
+
+
+def test_buffer_ddl_flushes():
+    buf = TransactionBuffer()
+    buf.add({"kind": "BEGIN", "seq": 1})
+    buf.add({"kind": "ROW", "seq": 1})
+    out = buf.add({"kind": "DDL", "seq": 2, "statement": "ALTER TABLE t ADD c INT"})
+    assert len(out) == 2  # interrupted tx flushed, then the DDL itself
+    assert [e["kind"] for e in out[0].events] == ["BEGIN", "ROW"]
+    assert [e["kind"] for e in out[1].events] == ["DDL"]
+    assert buf.pending == 0
+
+
+# ---------------------------------------------------------------------------
+# VStream control plane (S1/S4/F2/E1/O3/O4)
+# ---------------------------------------------------------------------------
+
+
+def test_build_rules():
+    rules = build_rules(["t1", "t2"])
+    assert rules[0].match == "t1" and rules[0].filter == "select * from t1"
+
+
+def test_rules_for_filter():
+    tf = TableFilter(include_list=[r"ks\.t[12]"])
+    rules = rules_for_filter([("ks", "t1"), ("ks", "t3"), ("mysql", "user")], tf)
+    assert [r.match for r in rules] == ["t1"]
+
+
+def test_assign_shards_round_robin():
+    assert assign_shards_to_tasks(["80-", "-80"], 1) == [["-80", "80-"]]
+    assert assign_shards_to_tasks(["80-", "-80", "x"], 2) == [["-80", "x"], ["80-"]]
+    assert assign_shards_to_tasks(["a"], 8) == [["a"]]
+
+
+def test_resolve_start_vgtid():
+    cfg = VStreamConfig(keyspace="ks", shards=["-80", "80-"], snapshot_mode="initial")
+    assert cfg.resolve_start_vgtid().is_initial()
+    cfg2 = VStreamConfig(keyspace="ks", shards=["-80"], snapshot_mode="never")
+    assert cfg2.resolve_start_vgtid().shard_gtids[0].gtid == "current"
+    explicit = '[{"keyspace":"ks","shard":"-80","gtid":"MySQL56/h:1-5"}]'
+    cfg3 = VStreamConfig(keyspace="ks", shards=["-80"], explicit_vgtid=explicit)
+    assert cfg3.resolve_start_vgtid().shard_gtids[0].gtid == "MySQL56/h:1-5"
+    cfg4 = VStreamConfig(keyspace="ks", shards=["0"], explicit_vgtid=explicit)
+    with pytest.raises(ValueError):
+        cfg4.resolve_start_vgtid()
+
+
+def test_is_retriable():
+    assert is_retriable(ConnectionError("reset"))
+    assert not is_retriable(ValueError("bad data"))
+
+
+# ---------------------------------------------------------------------------
+# Replay source end-to-end (S1 replay mode, O1/O2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def replay_dir(tmp_path, sf_dir):
+    d = str(tmp_path / "replay")
+    write_replay_fixture(sf_dir, d, limit=300)
+    return d
+
+
+def _start_stream(spark, replay_dir, out_name, checkpoint):
+    from debezium_connector_vitess_spark.sources.replay import register
+
+    register(spark)
+    df = spark.readStream.format("vitess-replay").option("path", replay_dir).load()
+    return (
+        df.writeStream.format("memory")
+        .queryName(out_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def test_replay_stream_end_to_end(spark, replay_dir, tmp_path):
+    q = _start_stream(spark, replay_dir, "replay_out", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_kind, count(*) AS n FROM replay_out GROUP BY 1").collect()
+    counts = {r["event_kind"]: r["n"] for r in rows}
+    assert counts.get("ROW", 0) == 300
+    assert counts.get("BEGIN", 0) == counts.get("COMMIT", 0) > 0
+    # every ROW row carries shard/table/vgtid
+    bad = spark.sql(
+        "SELECT count(*) AS n FROM replay_out WHERE event_kind='ROW' AND "
+        "(shard IS NULL OR table_name IS NULL OR vgtid IS NULL)"
+    ).collect()[0]["n"]
+    assert bad == 0
+
+
+def test_replay_restart_no_loss_no_dup(spark, sf_dir, tmp_path):
+    """Kill the stream, grow the recorded stream, restart from the same
+    checkpoint: every ROW event appears exactly once (O1/O2)."""
+    from debezium_connector_vitess_spark.sources.replay import register
+
+    register(spark)
+    d = str(tmp_path / "replay2")
+    ckpt = str(tmp_path / "ckpt2")
+    out = str(tmp_path / "out2")
+    write_replay_fixture(sf_dir, d, limit=120)
+
+    def run_once():
+        df = spark.readStream.format("vitess-replay").option("path", d).load()
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).filter("event_kind='ROW'").count()
+    assert n1 == 120
+
+    # stream grows while stopped; restart resumes from checkpointed offset
+    write_replay_fixture(sf_dir, d, limit=120, start_event=120)
+    run_once()
+    rows = spark.read.parquet(out).filter("event_kind='ROW'")
+    assert rows.count() == 240  # no loss
+    # no duplicates: each (shard, gtid) row-event position seen exactly once
+    dups = (
+        rows.groupBy("shard", "gtid").count().filter("count > 1").count()
+    )
+    assert dups == 0
+
+
+def test_replay_decode_integration(spark, replay_dir, tmp_path):
+    """Streamed raw events → decode_table → envelope, as a streaming query."""
+    from debezium_connector_vitess_spark import changelog
+    from debezium_connector_vitess_spark.decode import decode_table
+    from debezium_connector_vitess_spark.sources.replay import register
+
+    register(spark)
+    raw = spark.readStream.format("vitess-replay").option("path", replay_dir).load()
+    env = decode_table(raw, changelog.change_table_schema("tbl1"))
+    q = (
+        env.writeStream.format("memory")
+        .queryName("replay_env")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql(
+        "SELECT op, count(*) n, sum(CASE WHEN after.user_id IS NULL THEN 1 ELSE 0 END) null_after "
+        "FROM replay_env GROUP BY op ORDER BY op"
+    ).collect()
+    by_op = {r["op"]: r for r in out}
+    assert set(by_op) <= {"c", "u", "d"} and len(by_op) > 0
+    if "d" in by_op:
+        assert by_op["d"]["null_after"] == by_op["d"]["n"]
+
+
+def test_stateful_tx_metadata_stream(spark, replay_dir, tmp_path):
+    """T4/T7 streaming: per-shard epoch/rank via applyInPandasWithState,
+    state persisted in the checkpoint."""
+    from debezium_connector_vitess_spark.sources.replay import register
+    from debezium_connector_vitess_spark.txmeta.streaming import ordered_tx_metadata_stream
+
+    register(spark)
+    raw = spark.readStream.format("vitess-replay").option("path", replay_dir).load()
+    meta = ordered_tx_metadata_stream(raw)
+    q = (
+        meta.writeStream.format("memory")
+        .queryName("txmeta_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tx"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM txmeta_out").collect()
+    assert len(rows) > 0
+    # constant host in fixtures: overridden start bumps epoch to 1, then flat
+    assert all(r["transaction_epoch"] == 1 for r in rows)
+    # rank equals the gtid max sequence (single host, range 1-N)
+    for r in rows[:10]:
+        assert r["transaction_rank"] == r["gtid"].rsplit("-", 1)[-1]
+
+
+def test_snapshot_keyset_pagination(spark, sf_dir):
+    """S3/O6: chunked copy with resumable keyset cursor."""
+    from debezium_connector_vitess_spark.snapshot import (
+        CopyCursor,
+        initial_offset_with_copy,
+        snapshot_chunk,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    total = df.count()
+    cursor = CopyCursor(table="customer", pk_column="c_custkey")
+    seen = 0
+    pages = 0
+    while not cursor.done:
+        page, cursor = snapshot_chunk(df, cursor, chunk_size=400)
+        seen += page.count()
+        pages += 1
+        assert pages < 100
+    assert seen == total
+    # interrupted copy is recorded in the offset document
+    mid = CopyCursor(table="customer", pk_column="c_custkey", last_pk=123)
+    v = initial_offset_with_copy("ks0", ["-80", "80-"], [mid])
+    assert v.is_initial()
+    assert v.shard_gtids[0].table_p_ks[0].table_name == "customer"
+    assert v.shard_gtids[0].table_p_ks[0].lastpk["rows"] == ["123"]
