@@ -1,0 +1,258 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine.
+
+Scale strategy (100 TB):
+- **exact**: one shuffle on the content hash (map-side partial agg first);
+  survivors = min-id per hash. No driver state.
+- **MinHash+LSH**: per-row signature (narrow), explode to (band, band_hash)
+  keys, self-join per bucket — the join key space is bands × buckets, so the
+  shuffle is bounded by candidate pairs, not n². Skewed buckets (boilerplate
+  shingles) are broken by AQE skew-join; verification is per-pair (narrow).
+- **SimHash**: per-row 64-bit signature; candidate pairs via band rotation
+  (here: exact-signature buckets + verify hamming), same bounded-join shape.
+- **n-gram Jaccard**: exact pairwise — only for candidate verification or
+  small frames; the LSH variants are the scale path.
+- **embedding cosine**: normalized vectors, candidate buckets via
+  hyperplane LSH (similarity.py); brute-force pairwise only below ~10⁵ rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text_expr, simhash_expr, tokens_expr
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles."""
+    toks = tokens_expr(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature as ``num_perm`` flat long columns ``h0..h{p-1}``.
+
+    Shape chosen for scale AND for Catalyst: explode shingles → per-shingle
+    ``xxhash64(i, shingle)`` → groupBy(id) min-agg. The aggregation is an
+    optimizer barrier (downstream band hashing references plain attributes, so
+    projection-collapse can't inline the signature expression 64×), partial
+    aggregation combines map-side, and the shuffle carries only
+    8·num_perm bytes/doc — not the document. Rows with zero shingles drop out
+    (they cannot reach any Jaccard threshold > 0).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per normalized-content hash.
+
+    groupBy on the hash = single shuffle with map-side combine; at 100 TB the
+    hash column is 16 bytes/row into the exchange, not the document."""
+    h = F.md5(normalize_text_expr(F.col(text_col))).alias("content_hash")
+    survivors = df.select(h, F.col(id_col)).groupBy("content_hash").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return survivors
+
+
+def minhash_signature_expr(shingles: Column, num_perm: int = 64) -> Column:
+    """Single-expression MinHash signature (array form). Only for small
+    ``num_perm`` in unit tests: at 64 perms the nested-array tree, once
+    re-referenced downstream, triggers Catalyst projection-collapse blowup —
+    the scale path is :func:`minhash_signature`."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_band_keys(
+    sig: DataFrame, *, num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """(id, band, bhash) keys from a flat signature frame (h0..h{p-1}).
+
+    rows per band = num_perm/bands; two docs collide in a band iff that slice
+    of signatures matches exactly.
+    """
+    rows = num_perm // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bhash")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    The self-join keys on (band, bhash): shuffle volume is the banded key
+    frame (bands × 16 bytes/doc), join fan-out is bounded by bucket sizes —
+    near-dup clusters, not n². Skewed buckets (giant dup clusters) are split
+    by AQE skew-join. Returns distinct (id_a < id_b) pairs.
+    """
+    sig = minhash_signature(
+        df, text_col, id_col, num_perm=num_perm, shingle_n=shingle_n
+    )
+    banded = minhash_band_keys(sig, num_perm=num_perm, bands=bands)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pairs: DataFrame,
+    *,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle Jaccard (intersection/union
+    sizes as exact ints). ``pairs``: (id_a, id_b)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        pairs.join(a, pairs.id_a == F.col("a.id"))
+        .join(b, pairs.id_b == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("a.sh", "b.sh")).alias("inter_size"),
+            F.size(F.array_union("a.sh", "b.sh")).alias("union_size"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH candidates + exact verification at jaccard ≥ num/den
+    (integer compare — no float thresholds)."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_perm=num_perm, bands=bands)
+    verified = jaccard_pairs(df, text_col, id_col, cand)
+    return verified.filter(
+        F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num
+    ).select("id_a", "id_b", "inter_size", "union_size")
+
+
+def ngram_jaccard_pairs_bruteforce(
+    df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 3
+) -> DataFrame:
+    """Exact all-pairs shingle Jaccard (verification-scale only; the LSH path
+    above is the 100 TB route — this one is O(n²) by construction)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), shingle_n).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.size(F.array_intersect("a.sh", "b.sh")).alias("inter_size"),
+            F.size(F.array_union("a.sh", "b.sh")).alias("union_size"),
+        )
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, *, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup candidates: split the signature into max_hamming+1
+    segments (pigeonhole: any pair within the hamming radius agrees on ≥1
+    whole segment), bucket-join per segment, verify hamming ≤ radius."""
+    seg_bits = bits // (max_hamming + 1)
+    mask = (1 << seg_bits) - 1
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash_expr(F.col(text_col), bits).alias("sim")
+    )
+    keyed = sh.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg"),
+                        F.shiftright("sim", s * seg_bits).bitwiseAND(F.lit(mask)).alias("skey"),
+                    )
+                    for s in range(max_hamming + 1)
+                ]
+            )
+        ).alias("k"),
+    ).select("id", "sim", "k.seg", "k.skey")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.skey") == F.col("b.skey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

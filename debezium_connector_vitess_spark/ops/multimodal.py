@@ -1,0 +1,97 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The decode libraries (PIL/librosa/ffmpeg) are NOT in this container, so the
+pixel/sample decode step is stubbed behind an import-try with a deterministic
+fake — but the Spark plumbing is real and is what matters at 100 TB:
+
+- binary payloads travel as ``BinaryType`` columns with a metadata struct
+  (content hash, byte length, declared mime), never decoded driver-side;
+- decode / feature-extract run as ``mapInPandas`` over Arrow batches — one
+  Python worker pass per partition, batch-vectorized, no per-row serde;
+- frame sampling / resizing are per-row transforms inside the same batch
+  iterator, so adding a stage costs no extra shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # type: ignore
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, byte_len long, content_md5 string, width int, height int, channels int"
+)
+
+FRAME_SAMPLE_SCHEMA = "doc_id long, n_frames long, sampled_frames long"
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stand-in payload: utf-8 bytes of the text column as the 'image' blob.
+    (The driver tables carry no real media; the plumbing doesn't care.)"""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: dimensions derived from byte length.
+    Replace with PIL when available; signature/batching identical."""
+    n = len(payload)
+    return (64 + n % 512, 64 + (n // 2) % 512, 3)
+
+
+def extract_image_metadata(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: per Arrow batch, decode (or fake-decode)
+    and emit typed metadata. This is the exact batch shape a real image
+    pipeline uses — swap ``_fake_decode`` for PIL and nothing else changes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            if HAVE_PIL:  # pragma: no cover
+                raise NotImplementedError("real decode path requires test images")
+            dims = payloads.map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "content_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "channels": dims.map(lambda d: d[2]).astype("int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=IMAGE_META_SCHEMA)
+
+
+def sample_frames(binary_df: DataFrame, *, frame_bytes: int = 256, every: int = 5) -> DataFrame:
+    """Frame-sampling stub: treat the payload as a 'video' of fixed-size
+    frames; keep every k-th frame index. Real decoders swap in at the same
+    mapInPandas seam."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_frames = pdf["payload"].map(lambda b: (len(b) + frame_bytes - 1) // frame_bytes)
+            sampled = n_frames.map(lambda n: len(range(0, int(n), every)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": n_frames.astype("int64"),
+                    "sampled_frames": sampled.astype("int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=FRAME_SAMPLE_SCHEMA)

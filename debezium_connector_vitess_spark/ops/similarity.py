@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+Scale strategy (100 TB):
+- **brute-force top-k**: broadcast the (small) query set against the
+  partitioned corpus → per-partition partial top-k → single global top-k
+  merge. One narrow pass over the corpus, one tiny shuffle of k·|Q| rows.
+- **LSH-bucketed (scale path)**: random-hyperplane signatures bucket the
+  corpus once (narrow); queries probe only their bucket (+ optional
+  multiprobe neighbors), turning all-pairs into per-bucket joins. Recall is
+  tunable with #hyperplanes / #probes; verified against brute force in tests.
+- cosine math stays in Catalyst (``aggregate``/``zip_with`` over the array,
+  codegen'd); vectors cast to double before arithmetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query. The query side is broadcast (no corpus
+    shuffle); ranking window is partitioned by query id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("qvec"), F.col("cvec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def _hyperplanes(dim: int, count: int, seed: str = "vitess-cdc-lsh") -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from SHA-256 (no RNG state,
+    reproducible across runs/engines)."""
+    planes: list[list[float]] = []
+    for p in range(count):
+        vals: list[float] = []
+        i = 0
+        while len(vals) < dim:
+            h = hashlib.sha256(f"{seed}:{p}:{i}".encode()).digest()
+            for off in range(0, 32, 4):
+                u = int.from_bytes(h[off : off + 4], "big") / 2**32  # [0,1)
+                vals.append(u * 2.0 - 1.0)
+                if len(vals) == dim:
+                    break
+            i += 1
+        n = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / n for v in vals])
+    return planes
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from hyperplane dot products."""
+    acc = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return acc
+
+
+def _probe_masks(num_planes: int, radius: int) -> list[int]:
+    """XOR masks of all buckets within hamming ``radius`` of a bucket."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(num_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 4,
+    probe_radius: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's hyperplane bucket
+    (+ multiprobe neighbors within hamming ``probe_radius``).
+
+    With p planes the corpus splits into 2^p buckets; multiprobe visits
+    Σ C(p,r) of them per query — the recall/candidate-cut knob. For weakly
+    clustered vectors (low best-cosine) a larger radius is needed; strongly
+    clustered corpora (the realistic 100 TB case) concentrate neighbors in the
+    home bucket. Recall vs brute force is asserted in tests.
+    """
+    planes = _hyperplanes(dim, num_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    qb = lsh_bucket_expr(F.col(vec_col), planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            F.array(*[qb.bitwiseXOR(F.lit(m)).cast("long") for m in _probe_masks(num_planes, probe_radius)])
+        ).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), on="bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id", "neighbor_id", cosine_expr(F.col("qvec"), F.col("cvec")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force; LSH buckets are the
+    scale path — same shape as minhash_lsh_candidates)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )

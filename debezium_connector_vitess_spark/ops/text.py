@@ -1,0 +1,137 @@
+"""Text analysis: tokenization, language ID, quality scoring, fingerprinting.
+
+All pure Catalyst expressions (JVM-side, whole-stage codegen) — at 100 TB
+these run as a single narrow projection over the scan: no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE = r"\s+"
+# BPE-ish word-piece pattern: runs of ≤4 letters, digits, or single symbols —
+# a cheap upper-bound proxy for subword token count.
+BPE_PIECE = r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+STOPWORDS_ES = ("el", "la", "de", "y", "que", "en", "un", "una", "los", "por")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von")
+STOPWORDS_FR = ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que")
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization; empty strings dropped."""
+    return F.filter(F.split(text, WHITESPACE), lambda t: t != "")
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """Subword-piece count via the BPE-ish regex (regexp_count is codegen'd)."""
+    return F.regexp_count(text, F.lit(BPE_PIECE))
+
+
+def stopword_hits_expr(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokens_expr(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def punct_count_expr(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(r"[^\w\s]"))
+
+
+def mean_word_len_expr(text: Column) -> Column:
+    toks = tokens_expr(text)
+    total = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite quality score in [0,1]: length band + stopword presence +
+    low punctuation density + sane word length. The weights are arbitrary but
+    fixed; the operator is the mechanics (LLM-pipeline quality gates compose
+    exactly such signals)."""
+    n_chars = F.length(text).cast("double")
+    n_tokens = token_count_expr(text).cast("double")
+    stop_ratio = stopword_hits_expr(text).cast("double") / F.greatest(
+        token_count_expr(text), F.lit(1)
+    ).cast("double")
+    punct_ratio = punct_count_expr(text).cast("double") / F.greatest(
+        F.length(text), F.lit(1)
+    ).cast("double")
+    mwl = mean_word_len_expr(text)
+    length_ok = F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(0.25)).otherwise(F.lit(0.0))
+    tokens_ok = F.when(n_tokens >= 20, F.lit(0.25)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stop_ratio >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+    clean_ok = F.when((punct_ratio <= 0.1) & (mwl >= 2.0) & (mwl <= 12.0), F.lit(0.25)).otherwise(
+        F.lit(0.0)
+    )
+    return length_ok + tokens_ok + stop_ok + clean_ok
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Charset + stopword-marker language heuristic.
+
+    Script detection first (CJK/Cyrillic/Arabic are unambiguous), then the
+    stopword family with the most hits among {en, es, de, fr}; 'und' when no
+    markers. Self-consistent and cheap (one pass of regex counts)."""
+    low = F.lower(text)
+
+    def hits(words: tuple[str, ...]) -> Column:
+        return F.size(F.filter(tokens_expr(low), lambda t: t.isin(*words)))
+
+    en, es, de, fr = (hits(s) for s in (STOPWORDS_EN, STOPWORDS_ES, STOPWORDS_DE, STOPWORDS_FR))
+    best = F.greatest(en, es, de, fr)
+    return (
+        F.when(text.rlike(r"[一-鿿]"), F.lit("zh"))
+        .when(text.rlike(r"[Ѐ-ӿ]"), F.lit("ru"))
+        .when(text.rlike(r"[؀-ۿ]"), F.lit("ar"))
+        .when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def normalize_text_expr(text: Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, strip non-alnum,
+    collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text (content-defined id;
+    stable across whitespace/punctuation noise)."""
+    return F.md5(normalize_text_expr(text))
+
+
+def token_hash_expr(token: Column, bits: int = 60) -> Column:
+    """Deterministic cross-engine token hash: leading ``bits/4`` hex chars of
+    md5 parsed as an integer (same construction reproducible in any SQL
+    engine; avoids engine-private hash functions)."""
+    nhex = bits // 4
+    return F.conv(F.substring(F.md5(token), 1, nhex), 16, 10).cast("long")
+
+
+def simhash_expr(text: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: per bit, majority vote of token-hash
+    bits. Pure expression: one array of token hashes, ``bits`` filtered
+    counts. Near-duplicate docs differ in few bits (compare via hamming)."""
+    hashes = F.transform(tokens_expr(text), lambda t: token_hash_expr(t))
+    n = F.size(hashes)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << i)) != F.lit(0)))
+        acc = acc + F.when(ones * 2 >= n, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return acc
+
+
+def hamming64_expr(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

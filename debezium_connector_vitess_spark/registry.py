@@ -41,6 +41,26 @@ def register(name: str, oracle: Optional[str] = None):
     return deco
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a single-small-file scan across all cores.
+
+    The synthetic testdata tables are one parquet file / one row group, so the
+    scan plans ONE input partition and every downstream narrow op runs on one
+    core of local[32]. Real 100 TB inputs arrive as thousands of splittable
+    files, where this repartition would be a wasteful full shuffle — so it
+    lives here in the harness wrappers, not in the ops library."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 # ---------------------------------------------------------------------------
 # CDC decode spine (SURVEY §2.2 D1-D12 + §7.2 minimum end-to-end slice)
 # ---------------------------------------------------------------------------
@@ -172,7 +192,7 @@ def filter_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4: column include/truncate/mask as select/substring/sha2 ops."""
     from .filters import ColumnFilter
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     cf = ColumnFilter(
         include=["doc_id", "text", "source", "n_chars"],
         truncate={"text": 20},
@@ -343,7 +363,7 @@ def ddl_schema_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment stripping, RENAME→ALTER)."""
     from .transforms import schema_change_records
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     d = F.col("doc_id").cast("string")
     stmt = (
         F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("CREATE TABLE `t"), d, F.lit("` (id INT)")))
@@ -455,3 +475,400 @@ def tx_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
     return with_tx_order(raw).select("event_id", "total_order", "data_collection_order")
+
+
+# ---------------------------------------------------------------------------
+# Extension operators: text analysis, dedup, similarity, multimodal
+# (BASELINE.json north star; designed for 100 TB — see ops/ module docstrings)
+# ---------------------------------------------------------------------------
+
+_ORACLE_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_ORACLE_TOKHASH = "('0x' || substr(md5(t), 1, 15))::BIGINT"
+
+
+@register(
+    "text_metrics",
+    oracle=f"""
+    SELECT doc_id,
+           len({_ORACLE_TOKENS}) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_pieces,
+           len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+           list_sum(list_transform({_ORACLE_TOKENS}, x -> len(x)))::DOUBLE
+             / greatest(len({_ORACLE_TOKENS}), 1) AS mean_word_len
+    FROM documents
+    """,
+)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace + BPE-ish token counting, punctuation density,
+    mean word length — one narrow codegen'd projection."""
+    from .ops.text import (
+        bpe_token_count_expr,
+        mean_word_len_expr,
+        punct_count_expr,
+        token_count_expr,
+    )
+
+    docs = _documents(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count_expr(t).alias("n_tokens"),
+        bpe_token_count_expr(t).alias("n_bpe_pieces"),
+        punct_count_expr(t).alias("n_punct"),
+        mean_word_len_expr(t).alias("mean_word_len"),
+    )
+
+
+_Q_STOP_EN = "('the','a','of','and','to','in','is','it','on','for')"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text)::DOUBLE AS n_chars,
+             len({_ORACLE_TOKENS})::DOUBLE AS n_tokens,
+             len(list_filter({_ORACLE_TOKENS.replace("text", "lower(text)")}, x -> x IN {_Q_STOP_EN}))::DOUBLE AS stop_hits,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct,
+             list_sum(list_transform({_ORACLE_TOKENS}, x -> len(x)))::DOUBLE
+               / greatest(len({_ORACLE_TOKENS}), 1) AS mwl
+      FROM documents)
+    SELECT doc_id,
+           (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN n_tokens >= 20 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN stop_hits / greatest(n_tokens, 1) >= 0.05 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.1 AND mwl >= 2.0 AND mwl <= 12.0
+                 THEN 0.25 ELSE 0.0 END) AS quality_score
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/punctuation/word-length gates."""
+    from .ops.text import quality_score_expr
+
+    docs = _documents(spark, sf_dir)
+    return docs.select("doc_id", quality_score_expr(F.col("text")).alias("quality_score"))
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_ORACLE_TOKENS.replace("text", "lower(text)")} AS lt, text FROM documents),
+    hits AS (
+      SELECT doc_id, text,
+        len(list_filter(lt, x -> x IN {_Q_STOP_EN})) AS en,
+        len(list_filter(lt, x -> x IN ('el','la','de','y','que','en','un','una','los','por'))) AS es,
+        len(list_filter(lt, x -> x IN ('der','die','das','und','ist','ein','eine','zu','mit','von'))) AS de,
+        len(list_filter(lt, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr
+      FROM toks)
+    SELECT CASE
+        WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+        WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+        WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        WHEN en = greatest(en, es, de, fr) THEN 'en'
+        WHEN es = greatest(en, es, de, fr) THEN 'es'
+        WHEN de = greatest(en, es, de, fr) THEN 'de'
+        ELSE 'fr' END AS lang_pred,
+      count(*) AS n
+    FROM hits GROUP BY 1
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: script ranges, then stopword-family vote."""
+    from .ops.text import lang_id_expr
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(lang_id_expr(F.col("text")).alias("lang_pred")).groupBy(
+        "lang_pred"
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined document fingerprint (md5 of normalized text)."""
+    from .ops.text import fingerprint_expr
+
+    docs = _documents(spark, sf_dir)
+    return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                     '\\s+', ' ', 'g'))) AS content_hash
+      FROM corpus)
+    SELECT content_hash, min(doc_id) AS doc_id FROM hashed GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-content hash, keep lowest id. The duplicated
+    corpus (docs ∪ shifted copy) collapses back to one row per document."""
+    from .ops.dedup import exact_dedup
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionAll(docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return exact_dedup(corpus, "text", "doc_id")
+
+
+_ORACLE_SHINGLES = """list_distinct(list_transform(
+      range(1, greatest(len({toks}) - 1, 1)),
+      i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))""".format(
+    toks="list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+)
+
+_ORACLE_JACCARD_PAIRS = f"""
+    WITH sh AS (SELECT doc_id, {_ORACLE_SHINGLES} AS shingles FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.shingles, b.shingles)) AS inter_size,
+           len(list_distinct(list_concat(a.shingles, b.shingles))) AS union_size
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_ORACLE_JACCARD_PAIRS + " WHERE inter_size * 5 >= union_size * 4",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs at jaccard ≥ 0.8: banded signatures bucket
+    candidates (bounded join), exact shingle-Jaccard verifies. The oracle is
+    the brute-force ground truth — matching it demonstrates full recall at
+    this threshold."""
+    from .ops.dedup import minhash_dedup_pairs
+
+    docs = _documents(spark, sf_dir)
+    return minhash_dedup_pairs(docs, "text", "doc_id", threshold_num=4, threshold_den=5)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_ORACLE_JACCARD_PAIRS + " WHERE inter_size * 2 >= union_size",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard at j ≥ 0.5 (verification-scale op)."""
+    from .ops.dedup import ngram_jaccard_pairs_bruteforce
+
+    docs = _documents(spark, sf_dir)
+    pairs = ngram_jaccard_pairs_bruteforce(docs, "text", "doc_id")
+    return pairs.filter(F.col("inter_size") * 2 >= F.col("union_size"))
+
+
+def _simhash_oracle_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    hashes = f"list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {i}) & 1) = 1)) >= len(hs) "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH hs_t AS (SELECT doc_id, {hashes} AS hs FROM documents),
+    sims AS (SELECT doc_id, ({bit_terms})::BIGINT AS sim FROM hs_t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sim, b.sim)) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 over 32-bit signatures). Candidates
+    via pigeonhole segment buckets (exhaustive within the radius), verified by
+    exact hamming — so the LSH output equals the brute-force oracle."""
+    from .ops.dedup import simhash_near_dup_pairs
+
+    docs = _documents(spark, sf_dir)
+    return simhash_near_dup_pairs(docs, "text", "doc_id", bits=32, max_hamming=3)
+
+
+_ORACLE_COS = (
+    "list_dot_product(a.embedding, b.embedding) / "
+    "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
+    "sqrt(list_dot_product(b.embedding, b.embedding)))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_ORACLE_COS} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4)."""
+    from .ops.similarity import embedding_near_dup_pairs
+
+    emb = _embeddings(spark, sf_dir)
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.embedding, c.embedding) /
+               (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                sqrt(list_dot_product(c.embedding, c.embedding))) AS score
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20)
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 20 query vectors: broadcast queries against
+    the partitioned corpus, per-query ranking window."""
+    from .ops.similarity import brute_force_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return brute_force_topk(emb, queries, k=5)
+
+
+@register("ann_lsh_topk")  # approximate: rows-only gate; recall tested in pytest
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-bucketed approximate top-k (the 100 TB path: per-bucket
+    joins instead of all-pairs). Recall vs brute force asserted in tests."""
+    from .ops.similarity import lsh_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_topk(emb, queries, k=5, num_planes=4)
+
+
+@register(
+    "multimodal_image_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_md5,
+           (64 + octet_length(encode(text)) % 512)::INT AS width,
+           (64 + (octet_length(encode(text)) // 2) % 512)::INT AS height,
+           3 AS channels
+    FROM documents
+    """,
+)
+def multimodal_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → mapInPandas metadata
+    extraction over Arrow batches (decode stubbed deterministically; the
+    batch shape/schema/partitioning are the real thing)."""
+    from .ops.multimodal import attach_binary_payload, extract_image_metadata
+
+    docs = _documents(spark, sf_dir)
+    return extract_image_metadata(attach_binary_payload(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           (octet_length(encode(text)) + 255) // 256 AS n_frames,
+           (((octet_length(encode(text)) + 255) // 256) + 4) // 5 AS sampled_frames
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stub over 'video' payloads (every 5th of 256-byte frames)."""
+    from .ops.multimodal import attach_binary_payload, sample_frames
+
+    docs = _documents(spark, sf_dir)
+    return sample_frames(attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Downstream-consumer analytics demos (Spark-provided; used as bench anchors).
+# The reference has NO joins/aggregations (SURVEY §2.8 "Absent") — these are
+# not CDC-engine operators, they demonstrate the decoded envelope feeding
+# ordinary Spark analytics, and anchor BENCH throughput.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary (decimal sums for cross-engine exactness)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY 1
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join revenue rollup: lineitem⋈orders shuffles on the fact keys,
+    customer/nation joins are broadcast (dimension tables) — zero extra
+    shuffles at any scale."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderstatus") == "O")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

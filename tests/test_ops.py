@@ -1,0 +1,128 @@
+"""Extension-operator tests: dedup/similarity/text/multimodal semantics that
+the oracle can't cover (LSH recall, stub plumbing shape)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    """LSH-bucketed ANN must reach ≥0.5 rank-overlap with brute force at
+    4 planes on this data (bucketing trades recall for a 2^p candidate cut;
+    the knob is num_planes)."""
+    from debezium_connector_vitess_spark.ops.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, queries, k=5, num_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_lsh_buckets_partition_corpus(spark, sf_dir):
+    from debezium_connector_vitess_spark.ops.similarity import _hyperplanes, lsh_bucket_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = _hyperplanes(64, 4)
+    buckets = emb.select(lsh_bucket_expr(F.col("embedding"), planes).alias("b")).groupBy(
+        "b"
+    ).count().collect()
+    assert len(buckets) > 1  # corpus actually splits
+    assert sum(r["count"] for r in buckets) == emb.count()
+
+
+def test_hyperplanes_deterministic():
+    from debezium_connector_vitess_spark.ops.similarity import _hyperplanes
+
+    a = _hyperplanes(8, 2)
+    b = _hyperplanes(8, 2)
+    assert a == b
+    n = sum(v * v for v in a[0])
+    assert abs(n - 1.0) < 1e-9  # unit norm
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
+    """LSH candidates must contain every truly-high-jaccard pair (recall)."""
+    from debezium_connector_vitess_spark.ops.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs_bruteforce,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs_bruteforce(docs, "text", "doc_id")
+        .filter(F.col("inter_size") * 5 >= F.col("union_size") * 4)
+        .collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, "text", "doc_id").collect()
+    }
+    assert truth <= cand, f"missed pairs: {truth - cand}"
+
+
+def test_exact_dedup_collapses(spark):
+    from debezium_connector_vitess_spark.ops.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello, World!"),
+            Row(doc_id=2, text="hello   world"),  # same after normalization
+            Row(doc_id=3, text="different entirely"),
+        ]
+    )
+    out = exact_dedup(df, "text", "doc_id").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+
+def test_multimodal_metadata_shape(spark, sf_dir):
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        attach_binary_payload,
+        extract_image_metadata,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    payload = attach_binary_payload(docs)
+    assert dict(payload.dtypes)["payload"] == "binary"
+    meta = extract_image_metadata(payload)
+    rows = meta.collect()
+    assert len(rows) == 20
+    assert all(len(r["content_md5"]) == 32 and r["byte_len"] > 0 for r in rows)
+    frames = sample_frames(payload).collect()
+    assert all(r["sampled_frames"] >= 1 for r in frames)
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    from debezium_connector_vitess_spark.ops.text import simhash_expr
+
+    df = spark.createDataFrame(
+        [Row(t="spark table join query fast"), Row(t="spark table join query fast"),
+         Row(t="completely other words here now")]
+    )
+    sims = [r["s"] for r in df.select(simhash_expr(F.col("t"), 32).alias("s")).collect()]
+    assert sims[0] == sims[1]
+    assert sims[0] != sims[2]
+
+
+def test_lang_id_script_detection(spark):
+    from debezium_connector_vitess_spark.ops.text import lang_id_expr
+
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat sat on the mat and it is fine"),
+            Row(t="el perro la casa de los una que en por"),
+            Row(t="der hund und die katze ist ein zu von"),
+            Row(t="中文文本示例"),
+            Row(t="xyzzy plugh"),
+        ]
+    )
+    out = [r["l"] for r in df.select(lang_id_expr(F.col("t")).alias("l")).collect()]
+    assert out == ["en", "es", "de", "zh", "und"]
