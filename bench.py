@@ -58,8 +58,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JIT + parquet footer caches
+    # warmup: JIT, parquet footer caches, nanos-ts read path, and the reusable
+    # Python UDF workers (one per core) so steady-state query cost is measured
+    # rather than one-time process spin-up.
+    from debezium_connector_vitess_spark import changelog
+
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    changelog.load_events(spark, SF_DIR).groupBy("event_type").count().collect()
+    spark.range(0, 1000, 1, CPUS).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -102,11 +102,15 @@ def events_to_raw_vevents(events: DataFrame) -> DataFrame:
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the events table, normalizing its TIMESTAMP(NANOS) parquet column
-    (Spark rejects nanos by default; read as long then convert to micros)."""
+    (Spark rejects nanos by default; read as long then convert to micros).
+
+    The single-file testdata scan plans ONE partition, so spread it across
+    cores here (harness-only code — a real VStream replay arrives pre-split
+    by shard; see registry._spread for the same rationale)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_field = dict(df.dtypes)["ts"]
     if ts_field == "bigint":
         # integer div: ns values (~1.7e18) exceed double's exact-integer range
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return df.repartition(spark.sparkContext.defaultParallelism)

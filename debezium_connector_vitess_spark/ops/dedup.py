@@ -184,11 +184,55 @@ def minhash_dedup_pairs(
     threshold_den: int = 5,
     num_perm: int = 64,
     bands: int = 16,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash-LSH candidates + exact verification at jaccard ≥ num/den
-    (integer compare — no float thresholds)."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_perm=num_perm, bands=bands)
-    verified = jaccard_pairs(df, text_col, id_col, cand)
+    (integer compare — no float thresholds).
+
+    One exploded (id, shingle) frame feeds signature, sizes, AND verification;
+    intersection size is a join-count on candidate pairs, so shingle arrays
+    never travel through a shuffle — only 16-byte (id, shingle-hash) rows and
+    the candidate pair list do. union = |A| + |B| − inter.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    aggs = [F.count("*").alias("n_sh")] + [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    banded = minhash_band_keys(sig, num_perm=num_perm, bands=bands)
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cand.join(a, cand.id_a == F.col("a.id"))
+        .join(b, (cand.id_b == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sizes = sig.select("id", "n_sh")
+    verified = (
+        inter.join(sizes.alias("sa"), inter.id_a == F.col("sa.id"))
+        .join(sizes.alias("sb"), inter.id_b == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter_size",
+            (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter_size")).alias("union_size"),
+        )
+    )
     return verified.filter(
         F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num
     ).select("id_a", "id_b", "inter_size", "union_size")
