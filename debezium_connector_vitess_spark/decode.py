@@ -124,27 +124,35 @@ def convert_raw(
     bigint_unsigned_mode: BigIntUnsignedHandlingMode = BigIntUnsignedHandlingMode.STRING,
     binary_mode: BinaryHandlingMode = BinaryHandlingMode.BYTES,
     nullable_zero_dates: bool = True,
+    permissive: bool = False,
 ) -> Column:
     """Raw UTF-8 value → typed Spark value for one column (D8/D9).
 
     Catalyst-native equivalent of ReplicationMessageColumnValueResolver.java:24-73
     + the converter closures in VitessValueConverter.java:81-544.
+
+    ``permissive=True`` nulls malformed values (try_cast) instead of failing
+    the task under ANSI mode — the warn/skip failure-handling path (E4).
     """
+
+    def _cast(col: Column, t: T.DataType) -> Column:
+        return col.try_cast(t) if permissive else col.cast(t)
+
     fam = resolved.family
     if fam == "SMALLINT":
-        return raw.cast(T.ShortType())
+        return _cast(raw, T.ShortType())
     if fam == "INTEGER":
-        return raw.cast(T.IntegerType())
+        return _cast(raw, T.IntegerType())
     if fam == "BIGINT":
-        return raw.cast(T.LongType())
+        return _cast(raw, T.LongType())
     if fam == "UINT64":
         if bigint_unsigned_mode is BigIntUnsignedHandlingMode.PRECISE:
-            return raw.cast(T.DecimalType(20, 0))
+            return _cast(raw, T.DecimalType(20, 0))
         if bigint_unsigned_mode is BigIntUnsignedHandlingMode.LONG:
-            return raw.cast(T.LongType())
+            return _cast(raw, T.LongType())
         return raw  # lossless string (default)
     if fam in ("FLOAT", "DOUBLE"):
-        return raw.cast(T.DoubleType())
+        return _cast(raw, T.DoubleType())
     if fam in ("VARCHAR", "JSON"):
         return raw  # DECIMAL also lands here (scale-preserving string)
     if fam == "ENUM":
@@ -152,17 +160,17 @@ def convert_raw(
     if fam == "SET":
         return set_bitmask_to_csv(raw, resolved.enum_values)
     if fam == "YEAR":
-        return raw.cast(T.IntegerType())
+        return _cast(raw, T.IntegerType())
     if fam == "DATE":
         guarded = _zero_date_guard(raw, ZERO_DATE, nullable_zero_dates, F.lit("1970-01-01"))
-        return F.to_date(guarded)
+        return _cast(guarded, T.DateType())
     if fam == "TIME":
         return time_to_micros(raw)
     if fam == "DATETIME":
         guarded = _zero_date_guard(
             raw, ZERO_DATE, nullable_zero_dates, F.lit("1970-01-01 00:00:00")
         )
-        return guarded.cast(T.TimestampNTZType())
+        return _cast(guarded, T.TimestampNTZType())
     if fam == "TIMESTAMP":
         # VStream sends UTC 'yyyy-MM-dd HH:mm:ss[.f]'; emit ISO-8601 Z string
         # (io.debezium.time.ZonedTimestamp; VitessValueConverter.java:446-511)
@@ -179,10 +187,48 @@ def convert_raw(
         return F.unbase64(raw)
     if fam == "BIT":
         if isinstance(resolved.spark_type, T.BooleanType):
-            return raw.cast(T.BooleanType())
+            return _cast(raw, T.BooleanType())
         return F.unbase64(raw)
     # unknown (OTHER): include as raw bytes if configured, else the caller drops it
     return F.encode(raw, "utf-8")
+
+
+class EventProcessingFailureHandlingMode:
+    """``event.processing.failure.handling.mode`` analog (SURVEY §2.8 E4;
+    reference: inherited Debezium config, exercised TestHelper.java:209-211).
+
+    fail: ANSI cast — a malformed value fails the job (Spark task retry →
+    stream restart from checkpoint, the reference's Connect-restart analog).
+    warn: PERMISSIVE decode — malformed values null out, the row carries the
+    failed column names in ``decode_errors``.
+    skip: PERMISSIVE decode, rows with any failed column are dropped.
+    """
+
+    FAIL = "fail"
+    WARN = "warn"
+    SKIP = "skip"
+
+
+# families whose conversion can reject a malformed raw string
+_CASTABLE_FAMILIES = {
+    "SMALLINT", "INTEGER", "BIGINT", "FLOAT", "DOUBLE", "YEAR", "DATE",
+    "DATETIME", "BIT",
+}
+
+
+def decode_errors_expr(map_col: Column, schema: TableSchema) -> Column:
+    """Array of column names whose raw value is present but fails conversion
+    (try_cast ⇒ null). Drives the warn/skip failure-handling modes."""
+    checks = []
+    for c in schema.columns:
+        if c.resolved.family not in _CASTABLE_FAMILIES:
+            continue
+        raw = map_col.getItem(c.name)
+        converted = convert_raw(raw, c.resolved, permissive=True)
+        checks.append(F.when(raw.isNotNull() & converted.isNull(), F.lit(c.name)))
+    if not checks:
+        return F.array().cast(T.ArrayType(T.StringType()))
+    return F.array_compact(F.array(*checks))
 
 
 def typed_row_struct(map_col: Column, schema: TableSchema, **modes) -> Column:

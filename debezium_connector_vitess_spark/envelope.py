@@ -108,3 +108,12 @@ def extract_new_record_state(df: DataFrame) -> DataFrame:
     image + op (reference README.md:28; upstream Debezium SMT). Drops deletes'
     null after rows like the upstream default."""
     return df.filter(F.col("after").isNotNull()).select("after.*", "op")
+
+
+def sanitize_field_name_expr(name: Column) -> Column:
+    """D13: ``schema.name.adjustment.mode=avro`` analog — make a field name
+    Avro-legal: every char outside [A-Za-z0-9_] becomes '_', and a leading
+    digit gets a '_' prefix. Reference behavior exercised at
+    VitessConnectorIT.java:2103-2137 (inherited Debezium name adjuster)."""
+    cleaned = F.regexp_replace(name, "[^A-Za-z0-9_]", "_")
+    return F.when(cleaned.rlike("^[0-9]"), F.concat(F.lit("_"), cleaned)).otherwise(cleaned)

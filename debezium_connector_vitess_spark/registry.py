@@ -872,3 +872,269 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Type-system depth (D6-D9), snapshot (S3/O6), failure modes (E4),
+# offset protocol (O1-O4), name sanitization (D13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "type_decode_all",
+    oracle="""
+    SELECT
+      o_orderkey AS pk,
+      CAST(o_orderkey % 128 AS SMALLINT) AS small_col,
+      CAST(o_custkey AS INTEGER) AS int_col,
+      o_orderkey * 1000 AS long_col,
+      '1844674407370955161' || CAST(o_orderkey % 10 AS VARCHAR) AS uint64_col,
+      o_totalprice AS float_col,
+      CAST(o_orderkey % 1000 AS VARCHAR) || '.50' AS dec_col,
+      CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN '' ELSE (['P','O','F'])[CAST(o_orderkey % 4 AS INT)] END AS enum_col,
+      concat_ws(',',
+        CASE WHEN (o_orderkey % 8) & 1 <> 0 THEN 'a' END,
+        CASE WHEN (o_orderkey % 8) & 2 <> 0 THEN 'b' END,
+        CASE WHEN (o_orderkey % 8) & 4 <> 0 THEN 'c' END) AS set_col,
+      CAST(1992 + o_orderkey % 30 AS INTEGER) AS year_col,
+      CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE strftime(o_orderdate, '%Y-%m-%d') END AS date_col,
+      (CASE WHEN o_orderkey % 2 = 1 THEN -1 ELSE 1 END) *
+        (((o_orderkey % 839) * 3600 + (o_orderkey % 60) * 60 + (o_orderkey * 7) % 60) * 1000000
+         + (o_orderkey % 1000) * 1000) AS time_col,
+      CASE WHEN o_orderkey % 11 = 0 THEN NULL
+           ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS datetime_col,
+      replace(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), ' ', 'T') || 'Z' AS ts_col,
+      CAST(o_orderkey % 2 AS BOOLEAN) AS bit1_col,
+      lower(hex(encode(o_orderstatus))) AS bin_col,
+      '{"k":' || CAST(o_orderkey AS VARCHAR) || '}' AS json_col
+    FROM orders
+    """,
+)
+def type_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every §1.3 type family through the real decode path: raw UTF-8 strings
+    (as VStream delivers them) → convert_raw per resolved type. Covers D6
+    resolution, D7 enum/set parse, D8/D9 conversion incl. zero-dates, negative
+    TIME, SET bitmask, ENUM index-0 sentinel, unsigned-bigint string mode,
+    binary hex mode. One narrow codegen'd projection — no UDFs."""
+    from .types import ColumnMetaData, resolve, BinaryHandlingMode
+
+    o = _spread(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    k = F.col("o_orderkey")
+    raws = {
+        "small_col": (k % 128).cast("string"),
+        "int_col": F.col("o_custkey").cast("string"),
+        "long_col": (k * 1000).cast("string"),
+        "uint64_col": F.concat(F.lit("1844674407370955161"), (k % 10).cast("string")),
+        "float_col": F.col("o_totalprice").cast("string"),
+        "dec_col": F.concat((k % 1000).cast("string"), F.lit(".50")),
+        "enum_col": (k % 4).cast("string"),
+        "set_col": (k % 8).cast("string"),
+        "year_col": (1992 + k % 30).cast("string"),
+        "date_col": F.when(k % 10 == 0, F.lit("0000-00-00")).otherwise(
+            F.date_format("o_orderdate", "yyyy-MM-dd")
+        ),
+        "time_col": F.concat(
+            F.when(k % 2 == 1, F.lit("-")).otherwise(F.lit("")),
+            (k % 839).cast("string"), F.lit(":"),
+            F.lpad((k % 60).cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(((k * 7) % 60).cast("string"), 2, "0"), F.lit("."),
+            F.lpad((k % 1000).cast("string"), 3, "0"),
+        ),
+        "datetime_col": F.when(k % 11 == 0, F.lit("0000-00-00 00:00:00")).otherwise(
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+        ),
+        "ts_col": F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        "bit1_col": (k % 2).cast("string"),
+        "bin_col": F.base64(F.encode("o_orderstatus", "utf-8")),
+        "json_col": F.concat(F.lit('{"k":'), k.cast("string"), F.lit("}")),
+    }
+    cols = [
+        ColumnMetaData("small_col", resolve("INT8")),
+        ColumnMetaData("int_col", resolve("INT32")),
+        ColumnMetaData("long_col", resolve("INT64")),
+        ColumnMetaData("uint64_col", resolve("UINT64")),
+        ColumnMetaData("float_col", resolve("FLOAT64")),
+        ColumnMetaData("dec_col", resolve("DECIMAL")),
+        ColumnMetaData("enum_col", resolve("ENUM", "enum('P','O','F')")),
+        ColumnMetaData("set_col", resolve("SET", "set('a','b','c')")),
+        ColumnMetaData("year_col", resolve("YEAR")),
+        ColumnMetaData("date_col", resolve("DATE")),
+        ColumnMetaData("time_col", resolve("TIME")),
+        ColumnMetaData("datetime_col", resolve("DATETIME")),
+        ColumnMetaData("ts_col", resolve("TIMESTAMP")),
+        ColumnMetaData("bit1_col", resolve("BIT", "bit(1)", decimals=1)),
+        ColumnMetaData("bin_col", resolve("BINARY", "varbinary(16)")),
+        ColumnMetaData("json_col", resolve("JSON")),
+    ]
+    from .decode import convert_raw
+
+    def project(c: ColumnMetaData):
+        v = convert_raw(raws[c.name], c.resolved, binary_mode=BinaryHandlingMode.HEX)
+        # decoded natively as DateType/TimestampNTZType; projected to ISO
+        # strings only for the cross-engine hash compare
+        if c.name == "date_col":
+            v = F.date_format(v, "yyyy-MM-dd")
+        elif c.name == "datetime_col":
+            v = F.date_format(v, "yyyy-MM-dd HH:mm:ss")
+        return v.alias(c.name)
+
+    return o.select(k.alias("pk"), *[project(c) for c in cols])
+
+
+@register(
+    "snapshot_backfill",
+    oracle="""
+    SELECT 'r' AS op, c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def snapshot_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/O6: chunked keyset-paginated copy (VStream Copy analog). Pages of
+    700 rows advance a CopyCursor exactly as table_p_ks advances inside the
+    VGTID; the union of pages = the full snapshot as op='r' envelopes. Each
+    page's pk-range predicate pushes to the parquet scan (min/max pruning)."""
+    from .snapshot import CopyCursor, snapshot_chunk
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cursor = CopyCursor(table="customer", pk_column="c_custkey")
+    pages = []
+    while not cursor.done:
+        page, cursor = snapshot_chunk(df, cursor, chunk_size=700)
+        pages.append(page)
+    snap = pages[0]
+    for p in pages[1:]:
+        snap = snap.unionAll(p)
+    return snap.select(F.lit("r").alias("op"), *df.columns)
+
+
+@register(
+    "decode_error_modes",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 97 = 0 THEN 'NaN#' || CAST(event_id AS VARCHAR)
+                  ELSE CAST(value AS VARCHAR) END AS raw_value,
+             value
+      FROM events)
+    SELECT event_id,
+           CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value,
+           (event_id % 97 = 0) AS had_error,
+           CASE WHEN event_id % 97 = 0 THEN 'value' END AS first_error_col
+    FROM raw
+    """,
+)
+def decode_error_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 warn mode: deterministically corrupted FLOAT64 raw values null out
+    under permissive decode and the row carries the failed column names;
+    skip mode = filter(size(decode_errors)=0); fail mode = the default ANSI
+    cast (task error → restart from checkpoint)."""
+    from .decode import convert_raw, decode_errors_expr
+    from .types import ColumnMetaData, TableSchema, resolve
+
+    ev = changelog.load_events(spark, sf_dir)
+    raw_value = F.when(
+        F.col("event_id") % 97 == 0,
+        F.concat(F.lit("NaN#"), F.col("event_id").cast("string")),
+    ).otherwise(F.col("value").cast("string"))
+    m = F.create_map(F.lit("value"), raw_value)
+    schema = TableSchema("ks0", "0", "t", [ColumnMetaData("value", resolve("FLOAT64"))])
+    errs = decode_errors_expr(m, schema)
+    return ev.select(
+        "event_id",
+        convert_raw(m.getItem("value"), schema.columns[0].resolved, permissive=True).alias("value"),
+        (F.size(errs) > 0).alias("had_error"),
+        F.try_element_at(errs, F.lit(1)).alias("first_error_col"),
+    )
+
+
+@register(
+    "offset_restart_positions",
+    oracle="""
+    WITH tx AS (
+      SELECT CAST(event_id // 10 AS VARCHAR) AS tx_id,
+             (['-40','40-80','80-c0','c0-'])[CAST(user_id % 4 AS INT) + 1] AS shard,
+             min(event_id) AS first_event,
+             max_by('MySQL56/host0:1-' || CAST(event_id + 100 AS VARCHAR), event_id) AS end_gtid
+      FROM events GROUP BY 1, 2)
+    SELECT tx_id, shard,
+           coalesce(LAG(end_gtid) OVER (PARTITION BY shard ORDER BY first_event), 'current') AS restart_gtid,
+           end_gtid AS reset_gtid
+    FROM tx
+    """,
+)
+def offset_restart_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 batch projection of the rotate/reset protocol: a transaction's
+    restart position is the previous committed tx's GTID on that shard
+    (rotate on BEGIN), and its reset position is its own final GTID (reset on
+    COMMIT). First tx per shard restarts from 'current' (O3 default)."""
+    from pyspark.sql import Window
+
+    raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
+    tx = raw.groupBy("tx_id", "shard").agg(
+        F.min("event_id").alias("first_event"),
+        F.max_by("gtid", F.col("event_id")).alias("end_gtid"),
+    )
+    w = Window.partitionBy("shard").orderBy("first_event")
+    return tx.select(
+        "tx_id",
+        "shard",
+        F.coalesce(F.lag("end_gtid").over(w), F.lit("current")).alias("restart_gtid"),
+        F.col("end_gtid").alias("reset_gtid"),
+    )
+
+
+@register(
+    "shard_task_assignment",
+    oracle="""
+    WITH shards AS (
+      SELECT DISTINCT (['-40','40-80','80-c0','c0-'])[CAST(user_id % 4 AS INT) + 1] AS shard
+      FROM events)
+    SELECT shard,
+           CAST((ROW_NUMBER() OVER (ORDER BY shard) - 1) % 3 AS INT) AS task_id,
+           'task' || CAST(CAST((ROW_NUMBER() OVER (ORDER BY shard) - 1) % 3 AS INT) AS VARCHAR)
+             || '_3_0' AS task_key
+    FROM shards
+    """,
+)
+def shard_task_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: sorted shards round-robined over min(maxTasks, #shards) tasks with
+    the reference's task key format 'task{tid}_{numTasks}_{gen}'
+    (VitessConnector.java:87-156). maxTasks=3, gen=0 here."""
+    from pyspark.sql import Window
+
+    raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
+    shards = raw.select("shard").distinct()
+    n_tasks = min(3, shards.count())
+    w = Window.orderBy("shard")
+    tid = ((F.row_number().over(w) - 1) % n_tasks).cast("int")
+    return shards.select(
+        "shard",
+        tid.alias("task_id"),
+        F.concat(F.lit("task"), tid.cast("string"), F.lit(f"_{n_tasks}_0")).alias("task_key"),
+    )
+
+
+@register(
+    "field_name_sanitize",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_size AS VARCHAR) || '-' || lower(p_brand) AS raw_name,
+           CASE WHEN regexp_matches(regexp_replace(CAST(p_size AS VARCHAR) || '-' || lower(p_brand), '[^A-Za-z0-9_]', '_', 'g'), '^[0-9]')
+                THEN '_' || regexp_replace(CAST(p_size AS VARCHAR) || '-' || lower(p_brand), '[^A-Za-z0-9_]', '_', 'g')
+                ELSE regexp_replace(CAST(p_size AS VARCHAR) || '-' || lower(p_brand), '[^A-Za-z0-9_]', '_', 'g') END AS avro_name
+    FROM part
+    """,
+)
+def field_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13: schema.name.adjustment.mode=avro — illegal chars → '_', leading
+    digit prefixed. Exercised on synthetic dirty names (digit-leading,
+    hyphenated)."""
+    from .envelope import sanitize_field_name_expr
+
+    p = _spread(spark.read.parquet(f"{sf_dir}/part.parquet"))
+    raw_name = F.concat(F.col("p_size").cast("string"), F.lit("-"), F.lower("p_brand"))
+    return p.select(
+        "p_partkey",
+        raw_name.alias("raw_name"),
+        sanitize_field_name_expr(raw_name).alias("avro_name"),
+    )

@@ -23,15 +23,21 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    import datetime
+
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             try:
                 df[c] = df[c].dt.tz_localize(None)
             except TypeError:
                 pass
+            df[c] = df[c].astype("datetime64[ns]")
         elif df[c].dtype == object:
-            # bytes ↔ memoryview etc.
+            # bytes ↔ memoryview; datetime.date ↔ datetime64 (Spark DateType
+            # arrives as python dates, DuckDB DATE as datetime64)
             df[c] = df[c].map(lambda v: bytes(v) if isinstance(v, (bytearray, memoryview)) else v)
+            if df[c].map(lambda v: v is None or isinstance(v, datetime.date)).all() and not df[c].isna().all():
+                df[c] = pd.to_datetime(df[c], errors="coerce").astype("datetime64[ns]")
     df = df.sort_values(by=list(df.columns), na_position="first", kind="mergesort")
     return df.reset_index(drop=True)
 

@@ -148,3 +148,75 @@ def test_decode_table_envelope(spark):
     assert src["connector"] == "vitess" and src["name"] == "test_server"
     assert src["db"] == "" and src["shard"] == "-80" and src["vgtid"] == "[vg1]"
     assert rows["c"]["ts_ms"] == 1704067201000
+
+
+class TestFailureHandling:
+    """E4: event.processing.failure.handling.mode warn/skip semantics."""
+
+    def _frame(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [
+                Row(id=1, raw={"v": "1.5", "n": "7"}),
+                Row(id=2, raw={"v": "garbage", "n": "8"}),
+                Row(id=3, raw={"v": None, "n": "bad"}),
+            ]
+        )
+
+    def _schema(self):
+        from debezium_connector_vitess_spark.types import (
+            ColumnMetaData,
+            TableSchema,
+            resolve,
+        )
+
+        return TableSchema(
+            "ks", "0", "t",
+            [ColumnMetaData("v", resolve("FLOAT64")), ColumnMetaData("n", resolve("INT32"))],
+        )
+
+    def test_decode_errors_expr_flags_bad_columns(self, spark):
+        from pyspark.sql import functions as F
+
+        from debezium_connector_vitess_spark.decode import decode_errors_expr
+
+        df = self._frame(spark)
+        out = {
+            r["id"]: r["errs"]
+            for r in df.select(
+                "id", decode_errors_expr(F.col("raw"), self._schema()).alias("errs")
+            ).collect()
+        }
+        assert out[1] == []
+        assert out[2] == ["v"]
+        assert out[3] == ["n"]  # null raw value is NOT an error; bad int is
+
+    def test_permissive_convert_nulls_malformed(self, spark):
+        from pyspark.sql import functions as F
+
+        from debezium_connector_vitess_spark.decode import convert_raw
+        from debezium_connector_vitess_spark.types import resolve
+
+        df = self._frame(spark)
+        vals = {
+            r["id"]: r["v"]
+            for r in df.select(
+                "id",
+                convert_raw(F.col("raw").getItem("v"), resolve("FLOAT64"), permissive=True).alias("v"),
+            ).collect()
+        }
+        assert vals[1] == 1.5 and vals[2] is None and vals[3] is None
+
+
+def test_sanitize_field_name(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.envelope import sanitize_field_name_expr
+
+    df = spark.createDataFrame(
+        [Row(n="9to5-col"), Row(n="ok_name"), Row(n="weird col!"), Row(n="_fine9")]
+    )
+    out = [r["s"] for r in df.select(sanitize_field_name_expr(F.col("n")).alias("s")).collect()]
+    assert out == ["_9to5_col", "ok_name", "weird_col_", "_fine9"]
