@@ -300,3 +300,52 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Each round: every node takes min(own label, neighbors' labels) — one
+    join + one groupBy over the (bidirectional) edge list. Converges in
+    O(component diameter) rounds; near-dup clusters are shallow, so 3-4
+    rounds in practice. ``localCheckpoint`` cuts the lineage so the plan
+    doesn't grow with iterations (the standard Spark iterative-algorithm
+    pattern; GraphFrames CC does the same).
+
+    Returns (id_col, cluster_id) for every node; singletons label themselves.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    )
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    for _ in range(max_iterations):
+        nbr_min = (
+            labels.join(edges, labels[id_col] == edges.src)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, labels[id_col] == nbr_min.dst, "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("cluster_id"), F.coalesce("nbr_label", "cluster_id")).alias(
+                    "new_label"
+                ),
+                F.col("cluster_id"),
+            )
+        )
+        changed = updated.filter(F.col("new_label") != F.col("cluster_id")).limit(1).count()
+        labels = updated.select(F.col(id_col), F.col("new_label").alias("cluster_id"))
+        labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+    return labels

@@ -185,3 +185,62 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: the second scale path next to LSH.
+
+    Deterministic coarse quantizer: the first ``n_centroids`` corpus vectors
+    (lowest ids) act as centroids — no RNG, no training loop, so an exact SQL
+    oracle can replicate the partitioning. Every corpus vector is assigned to
+    its max-cosine centroid (one broadcast join + per-id argmax, a narrow
+    pass); each query probes its ``n_probe`` nearest centroids and scores only
+    those inverted lists. At 100 TB the corpus is hash-partitioned by
+    ``centroid_id``, so a probe touches n_probe/n_centroids of the data and
+    the per-bucket join shuffles only the probed lists.
+    """
+    cent = F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str, out: str, n: int) -> DataFrame:
+        scored = df.join(cent, how="cross").select(
+            df["*"],
+            F.col("centroid_id"),
+            cosine_expr(F.col(vecc), F.col("cent_vec")).alias("cscore"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("cscore"), F.asc("centroid_id"))
+        return scored.withColumn("crank", F.row_number().over(w)).filter(
+            F.col("crank") <= n
+        ).select(df["*"], F.col("centroid_id").alias(out))
+
+    c_assigned = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        "neighbor_id", "cvec", "bucket", 1,
+    )
+    q_assigned = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "query_id", "qvec", "bucket", n_probe,
+    )
+    scored = c_assigned.join(F.broadcast(q_assigned), on="bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id", "neighbor_id", cosine_expr(F.col("qvec"), F.col("cvec")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

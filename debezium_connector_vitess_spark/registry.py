@@ -1138,3 +1138,91 @@ def field_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw_name.alias("raw_name"),
         sanitize_field_name_expr(raw_name).alias("avro_name"),
     )
+
+
+_ORACLE_COSQ = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 16),
+    c_assign AS (
+      SELECT neighbor_id, cvec, bucket FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.centroid_id AS bucket,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_ORACLE_COSQ.format(a="e.embedding", b="c.cent_vec")} DESC, c.centroid_id) AS crank
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE crank = 1),
+    q_assign AS (
+      SELECT query_id, qvec, bucket FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qvec, c.centroid_id AS bucket,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_ORACLE_COSQ.format(a="e.embedding", b="c.cent_vec")} DESC, c.centroid_id) AS crank
+        FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 20)
+      WHERE crank <= 4),
+    scored AS (
+      SELECT q.query_id, a.neighbor_id,
+             {_ORACLE_COSQ.format(a="q.qvec", b="a.cvec")} AS score
+      FROM q_assign q JOIN c_assign a USING (bucket)
+      WHERE a.neighbor_id <> q.query_id)
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (deterministic coarse quantizer so the
+    oracle can replicate the partitioning; see ops.similarity.ivf_topk)."""
+    from .ops.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') lt FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(lt)-1,1)),
+                    i -> lt[i]||' '||lt[i+1]||' '||lt[i+2])) shingles FROM toks)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) * 5
+            >= len(list_distinct(list_concat(a.shingles, b.shingles))) * 4),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id),
+    labels AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_survivor FROM labels
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: connected components over verified
+    MinHash-LSH pairs via iterative min-label propagation (the standard
+    shuffle-bounded CC loop — each round is one join+groupBy on the edge
+    list; converges in graph-diameter rounds, tiny for dup clusters).
+    Survivor = lowest doc_id per component. Oracle: recursive CTE."""
+    from .ops.dedup import connected_components, minhash_dedup_pairs
+
+    docs = _documents(spark, sf_dir)
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id").select("id_a", "id_b")
+    nodes = docs.select(F.col("doc_id"))
+    labels = connected_components(nodes, pairs, id_col="doc_id")
+    return labels.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor")
+    )

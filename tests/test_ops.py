@@ -126,3 +126,39 @@ def test_lang_id_script_detection(spark):
     )
     out = [r["l"] for r in df.select(lang_id_expr(F.col("t")).alias("l")).collect()]
     assert out == ["en", "es", "de", "zh", "und"]
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF probes 4/16 of the corpus; recall vs brute force must stay high on
+    clustered data (embeddings table has label clusters)."""
+    from debezium_connector_vitess_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_connected_components_basic(spark):
+    from pyspark.sql import Row
+
+    from debezium_connector_vitess_spark.ops.dedup import connected_components
+
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(1, 8)])
+    # components: {1,2,3} (chain), {4,5}, {6}, {7}
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=4, id_b=5)]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, pairs, id_col="doc_id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7}
