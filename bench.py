@@ -63,7 +63,8 @@ def main() -> None:
     # rather than one-time process spin-up.
     from debezium_connector_vitess_spark import changelog
 
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    for t in ("region", "lineitem", "orders", "customer", "nation", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     changelog.load_events(spark, SF_DIR).groupBy("event_type").count().collect()
     spark.range(0, 1000, 1, CPUS).mapInPandas(
         lambda it: it, schema="id long"

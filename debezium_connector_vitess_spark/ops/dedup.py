@@ -24,15 +24,21 @@ from .text import normalize_text_expr, simhash_expr, tokens_expr
 
 
 def shingles_expr(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles."""
+    """Distinct word n-gram shingles.
+
+    Built from ``n`` shifted slices of the token array combined with
+    ``zip_with`` — NOT ``element_at`` inside a ``transform`` lambda: an outer
+    expression referenced in a HOF lambda body is re-evaluated per element,
+    which would re-run the regex tokenization O(tokens²) times per document.
+    This shape evaluates the tokenization O(n) times per row.
+    """
     toks = tokens_expr(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]),
-        )
-    )
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    z = parts[0]
+    for p in parts[1:]:
+        z = F.zip_with(z, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(z)
 
 
 def minhash_signature(

@@ -72,6 +72,43 @@ def quality_score_expr(text: Column) -> Column:
     return length_ok + tokens_ok + stop_ok + clean_ok
 
 
+def with_quality_score(
+    df, text_col: str = "text", out_col: str = "quality_score"
+):
+    """Two-stage quality score: tokenize ONCE into a real column, then score
+    from attribute references. Same result as :func:`quality_score_expr`, but
+    the expression tree (and the whole-stage-codegen unit) is ~6× smaller —
+    CollapseProject keeps the staged projection because the token array is a
+    non-cheap alias referenced multiple times."""
+    toks = F.col("__qs_toks")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    stop_ratio = (
+        F.size(F.filter(F.transform(toks, F.lower), lambda t: t.isin(*STOPWORDS_EN)))
+        .cast("double")
+        / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    )
+    punct_ratio = punct_count_expr(F.col(text_col)).cast("double") / F.greatest(
+        F.length(F.col(text_col)), F.lit(1)
+    ).cast("double")
+    mwl = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast(
+        "double"
+    ) / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    score = (
+        F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(n_tokens >= 20, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(
+            (punct_ratio <= 0.1) & (mwl >= 2.0) & (mwl <= 12.0), F.lit(0.25)
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("__qs_toks", tokens_expr(F.col(text_col)))
+        .withColumn(out_col, score)
+        .drop("__qs_toks")
+    )
+
+
 def lang_id_expr(text: Column) -> Column:
     """Charset + stopword-marker language heuristic.
 
@@ -122,15 +159,33 @@ def token_hash_expr(token: Column, bits: int = 60) -> Column:
 
 def simhash_expr(text: Column, bits: int = 32) -> Column:
     """SimHash over whitespace tokens: per bit, majority vote of token-hash
-    bits. Pure expression: one array of token hashes, ``bits`` filtered
-    counts. Near-duplicate docs differ in few bits (compare via hamming)."""
+    bits. One ``aggregate`` pass folds every token hash into a ``bits``-wide
+    counter array (the hash is a bound lambda variable, so each token is
+    hashed once — referencing the hash array from ``bits`` separate filter
+    expressions would re-run the per-token md5 ``bits``× per element).
+    Near-duplicate docs differ in few bits (compare via hamming)."""
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
     hashes = F.transform(tokens_expr(text), lambda t: token_hash_expr(t))
-    n = F.size(hashes)
-    acc = F.lit(0).cast("long")
-    for i in range(bits):
-        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << i)) != F.lit(0)))
-        acc = acc + F.when(ones * 2 >= n, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-    return acc
+    # per-bit majority as a ±1 delta fold: delta_i ≥ 0  ⇔  ones·2 ≥ n —
+    # no token count needed, so no outer expression leaks into a lambda.
+    deltas = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda c, p: c + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            deltas,
+            powers,
+            lambda d, p: F.when(d >= 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def hamming64_expr(a: Column, b: Column) -> Column:

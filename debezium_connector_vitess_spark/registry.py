@@ -545,10 +545,10 @@ _Q_STOP_EN = "('the','a','of','and','to','in','is','it','on','for')"
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/stopword/punctuation/word-length gates."""
-    from .ops.text import quality_score_expr
+    from .ops.text import with_quality_score
 
     docs = _documents(spark, sf_dir)
-    return docs.select("doc_id", quality_score_expr(F.col("text")).alias("quality_score"))
+    return with_quality_score(docs, "text").select("doc_id", "quality_score")
 
 
 @register(
