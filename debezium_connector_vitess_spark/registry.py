@@ -750,15 +750,58 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
-@register("ann_lsh_topk")  # approximate: rows-only gate; recall tested in pytest
+def _lsh_oracle_sql() -> str:
+    """The hyperplanes are deterministic (SHA-256-derived), so the oracle can
+    inline them as literal arrays and replicate the exact bucketing."""
+    from .ops.similarity import _hyperplanes, _probe_masks
+
+    planes = _hyperplanes(64, 4)
+    masks = ", ".join(f"({m})" for m in _probe_masks(4, 2))
+
+    def bucket(e: str) -> str:
+        terms = []
+        for i, plane in enumerate(planes):
+            arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({e}, {arr}) >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cvec, {bucket('embedding')} AS bucket
+      FROM embeddings),
+    q AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qvec, xor({bucket('e.embedding')}, m.mask) AS bucket
+      FROM embeddings e, (VALUES {masks}) m(mask)
+      WHERE e.vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_dot_product(q.qvec, c.cvec) /
+               (sqrt(list_dot_product(q.qvec, q.qvec)) *
+                sqrt(list_dot_product(c.cvec, c.cvec))) AS score
+      FROM q JOIN c USING (bucket)
+      WHERE c.neighbor_id <> q.query_id)
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@register("ann_lsh_topk", oracle=_lsh_oracle_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH-bucketed approximate top-k (the 100 TB path: per-bucket
-    joins instead of all-pairs). Recall vs brute force asserted in tests."""
+    joins instead of all-pairs). Recall vs brute force asserted in tests;
+    bucketing replicated exactly by the oracle via inlined hyperplanes."""
     from .ops.similarity import lsh_topk
 
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
-    return lsh_topk(emb, queries, k=5, num_planes=4)
+    return lsh_topk(emb, queries, k=5, num_planes=4).select(
+        "query_id", "rank", "neighbor_id"
+    )
 
 
 @register(
