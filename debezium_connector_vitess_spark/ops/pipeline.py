@@ -1,0 +1,128 @@
+"""Corpus-level training-data pipeline ops: vocabulary statistics, train/eval
+decontamination, deterministic sampling, sequence packing.
+
+Scale strategy (100 TB):
+- **vocab top-k**: explode tokens → groupBy(token) count. Partial (map-side)
+  aggregation collapses each partition's token stream to its local vocabulary
+  before the exchange, so the shuffle carries distinct-tokens-per-partition,
+  not the token stream. Head words (``the``) are exactly the keys partial agg
+  compresses best — no salting needed. The final top-k is a TakeOrdered over
+  the aggregated vocabulary, not a full sort.
+- **decontamination**: distinct n-gram sets on both corpora, LEFT SEMI join
+  eval-grams against train-grams on the gram. One shuffle keyed by gram;
+  the train side deduplicates map-side via aggregation before the join. At
+  100 TB the gram would be an 8-byte hash (see ``token_hash_expr``) rather
+  than the string — semantics identical, shuffle ~10× narrower.
+- **hash sampling**: pure narrow projection — a deterministic md5-derived
+  uniform in [0,100) per row, no shuffle, no RNG state, reproducible across
+  engines and re-runs (the property that matters for dataset versioning).
+- **sequence packing**: concat-and-chop (the standard LLM pretraining
+  packing): running token offset per stream via a window cumsum = one
+  shuffle keyed by the stream column; giant streams are split upstream by
+  bucketing the stream key. Block id/offset are pure arithmetic on the
+  running total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles_expr
+from .text import token_count_expr, tokens_expr
+
+
+def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
+    """Top-k corpus vocabulary by token frequency (ties broken by token)."""
+    toks = df.select(F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    return vocab.orderBy(F.desc("freq"), F.asc("token")).limit(k)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    ngram: int = 5,
+) -> DataFrame:
+    """Eval documents sharing ≥1 word n-gram with the train corpus, with the
+    number of distinct overlapping grams (test-set contamination check).
+
+    Returns (id_col, n_hits). Grams within a document are distinct by
+    construction (``shingles_expr``), so ``count(*)`` after the join counts
+    distinct shared grams without a count-distinct.
+    """
+    tr = (
+        train.select(F.explode(shingles_expr(F.col(text_col), ngram)).alias("gram"))
+        .distinct()
+    )
+    ev = eval_df.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), ngram)).alias("gram")
+    )
+    return (
+        ev.join(tr, on="gram", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def hash_uniform_expr(key: Column, salt: str = "sample") -> Column:
+    """Deterministic uniform int in [0, 100) from md5(salt || key) — the
+    engine-agnostic construction (no rand(), no engine-private hash), so a
+    sample is exactly reproducible anywhere, including the SQL oracle."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    return h % 100
+
+
+def sample_by_hash(
+    df: DataFrame,
+    id_col: str,
+    *,
+    rate_pct: Column,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep rows where the per-row deterministic uniform < ``rate_pct`` (an
+    expression, so stratified rates per group are a ``when`` chain)."""
+    return df.filter(hash_uniform_expr(F.col(id_col), salt) < rate_pct)
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    stream_col: str,
+    block_tokens: int = 2048,
+) -> DataFrame:
+    """Concat-and-chop sequence packing: documents are laid end-to-end per
+    stream (ordered by id), and the token stream is cut into fixed
+    ``block_tokens`` blocks. Returns each document's block assignment:
+    (id, stream, n_tokens, start_offset, block_id, offset_in_block).
+
+    A document whose tokens straddle a boundary belongs to the block where it
+    starts (the trainer reads it across the cut — this op computes placement,
+    not the split payloads).
+    """
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count_expr(F.col(text_col))
+    placed = df.select(
+        F.col(id_col),
+        F.col(stream_col),
+        n_tok.alias("n_tokens"),
+    ).withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return placed.select(
+        id_col,
+        stream_col,
+        "n_tokens",
+        "start_offset",
+        (F.col("start_offset") / block_tokens).cast("long").alias("block_id"),
+        (F.col("start_offset") % block_tokens).alias("offset_in_block"),
+    )

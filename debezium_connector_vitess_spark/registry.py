@@ -1269,3 +1269,116 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus pipeline ops: vocabulary, decontamination, sampling, packing
+# (ops/pipeline.py; scale notes in that module's docstring)
+# ---------------------------------------------------------------------------
+
+_ORACLE_TOKS_LOWER = _ORACLE_TOKENS.replace("text", "lower(text)")
+
+_ORACLE_SHINGLES5 = """list_distinct(list_transform(
+      range(1, greatest(len({t}) - 3, 1)),
+      i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2] || ' ' || {t}[i+3] || ' ' || {t}[i+4]))""".format(
+    t="lt"
+)
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH t AS (SELECT unnest({_ORACLE_TOKS_LOWER}) AS token FROM documents)
+    SELECT token, count(*) AS freq FROM t GROUP BY 1
+    ORDER BY freq DESC, token LIMIT 100
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency. Partial aggregation
+    collapses each partition's token stream map-side; final top-k is a
+    TakeOrdered over the distinct vocabulary, never a full sort."""
+    from .ops.pipeline import vocab_topk
+
+    return vocab_topk(_documents(spark, sf_dir), "text", k=100)
+
+
+@register(
+    "decontaminate_eval",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_ORACLE_TOKENS} AS lt FROM documents),
+    g AS (SELECT doc_id, source, unnest({_ORACLE_SHINGLES5}) AS gram FROM toks),
+    tr AS (SELECT DISTINCT gram FROM g WHERE source <> 'src0'),
+    ev AS (SELECT doc_id, gram FROM g WHERE source = 'src0')
+    SELECT doc_id, count(*) AS n_hits FROM ev JOIN tr USING (gram) GROUP BY 1
+    """,
+)
+def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: eval docs (source=src0) sharing any word
+    5-gram with the train corpus (every other source), with distinct-gram hit
+    counts — the standard test-set contamination sweep, one semi-join keyed
+    by gram."""
+    from .ops.pipeline import decontaminate
+
+    docs = _documents(spark, sf_dir)
+    return decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        ngram=5,
+    )
+
+
+_SAMPLE_RATE_SQL = (
+    "CASE WHEN source IN ('src0','src1','src2') THEN 10 "
+    "WHEN lang = 'en' THEN 50 ELSE 30 END"
+)
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(md5('sample' || doc_id::VARCHAR), 1, 15))::BIGINT % 100
+          < {_SAMPLE_RATE_SQL}
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: md5-derived uniform per row against
+    a per-stratum rate (10% for src0-2, 50% for English, 30% otherwise). No
+    RNG state, exactly reproducible across engines and re-runs."""
+    from .ops.pipeline import sample_by_hash
+
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(10))
+        .when(F.col("lang") == "en", F.lit(50))
+        .otherwise(F.lit(30))
+    )
+    docs = _documents(spark, sf_dir)
+    return sample_by_hash(docs, "doc_id", rate_pct=rate).select("doc_id", "source")
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH placed AS (
+      SELECT doc_id, source,
+             len({_ORACLE_TOKENS}) AS n_tokens,
+             sum(len({_ORACLE_TOKENS})) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - len({_ORACLE_TOKENS}) AS start_offset
+      FROM documents)
+    SELECT doc_id, source, n_tokens, start_offset,
+           start_offset // 2048 AS block_id,
+           start_offset % 2048 AS offset_in_block
+    FROM placed
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing: per-source running token offset
+    (window cumsum = one shuffle keyed by stream), block id/offset by
+    arithmetic. Standard LLM-pretraining packing placement."""
+    from .ops.pipeline import pack_sequences as _pack
+
+    docs = _documents(spark, sf_dir)
+    return _pack(docs, "text", "doc_id", stream_col="source", block_tokens=2048)

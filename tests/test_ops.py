@@ -162,3 +162,47 @@ def test_connected_components_basic(spark):
         for r in connected_components(nodes, pairs, id_col="doc_id").collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_decontaminate_known_overlap(spark):
+    from pyspark.sql import Row
+
+    from debezium_connector_vitess_spark.ops.pipeline import decontaminate
+
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+         Row(doc_id=2, text="one two three four five six")]
+    )
+    ev = spark.createDataFrame(
+        [Row(doc_id=10, text="alpha beta gamma delta epsilon other"),  # shares one 5-gram
+         Row(doc_id=11, text="totally different words here now friend")]
+    )
+    out = {r["doc_id"]: r["n_hits"] for r in decontaminate(train, ev, "text", "doc_id", ngram=5).collect()}
+    assert out == {10: 1}
+
+
+def test_pack_sequences_block_arithmetic(spark):
+    from pyspark.sql import Row
+
+    from debezium_connector_vitess_spark.ops.pipeline import pack_sequences
+
+    rows = [Row(doc_id=i, stream="s", text=" ".join(["w"] * 100)) for i in range(1, 6)]
+    out = {
+        r["doc_id"]: (r["start_offset"], r["block_id"], r["offset_in_block"])
+        for r in pack_sequences(
+            spark.createDataFrame(rows), "text", "doc_id", stream_col="stream", block_tokens=256
+        ).collect()
+    }
+    # 100-token docs into 256-token blocks: offsets 0,100,200,300,400
+    assert out == {1: (0, 0, 0), 2: (100, 0, 100), 3: (200, 0, 200), 4: (300, 1, 44), 5: (400, 1, 144)}
+
+
+def test_sample_by_hash_deterministic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import sample_by_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(r["doc_id"] for r in sample_by_hash(docs, "doc_id", rate_pct=F.lit(30)).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in sample_by_hash(docs, "doc_id", rate_pct=F.lit(30)).select("doc_id").collect())
+    assert a == b and 0 < len(a) < docs.count()
