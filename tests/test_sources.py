@@ -260,3 +260,30 @@ def test_snapshot_keyset_pagination(spark, sf_dir):
     assert v.is_initial()
     assert v.shard_gtids[0].table_p_ks[0].table_name == "customer"
     assert v.shard_gtids[0].table_p_ks[0].lastpk["rows"] == ["123"]
+
+
+def test_metrics_listener(spark, replay_dir, tmp_path):
+    """E5: StreamingQueryListener analog of the reference's streaming metrics
+    (events seen, committed tx/batches, last offset, connected flag)."""
+    import time as _time
+
+    from debezium_connector_vitess_spark.metrics import CdcMetricsListener
+
+    listener = CdcMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        q = _start_stream(spark, replay_dir, "metrics_out", str(tmp_path / "ckpt_m"))
+        q.awaitTermination(120)
+        for _ in range(50):  # listener events are delivered asynchronously
+            if listener.metrics.get("metrics_out", None) and listener.metrics[
+                "metrics_out"
+            ].total_number_of_events_seen:
+                break
+            _time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    snap = listener.metrics["metrics_out"].snapshot()
+    assert snap["TotalNumberOfEventsSeen"] > 0
+    assert snap["NumberOfCommittedTransactions"] >= 1
+    assert snap["LastOffset"] is not None
+    assert snap["UptimeMs"] > 0
