@@ -95,3 +95,66 @@ def sample_frames(binary_df: DataFrame, *, frame_bytes: int = 256, every: int = 
             )
 
     return binary_df.mapInPandas(op, schema=FRAME_SAMPLE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, target_w int, target_h int, scale double"
+)
+
+AUDIO_CHUNK_SCHEMA = "doc_id long, chunk_idx int, start_sample long, n_samples long"
+
+
+def resize_images(binary_df: DataFrame, *, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize stub: per batch, (fake-)decode dims and compute the
+    aspect-preserving scale factor for a target box. A real resizer writes the
+    resampled bytes in the same loop; the batch shape is what matters."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(_fake_decode)
+            w = dims.map(lambda d: d[0]).astype("int32")
+            h = dims.map(lambda d: d[1]).astype("int32")
+            scale = pd.Series(
+                [min(target_w / wi, target_h / hi) for wi, hi in zip(w, h)],
+                index=pdf.index,
+                dtype="float64",
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "target_w": pd.Series(target_w, index=pdf.index, dtype="int32"),
+                    "target_h": pd.Series(target_h, index=pdf.index, dtype="int32"),
+                    "scale": scale,
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+def chunk_audio(binary_df: DataFrame, *, bytes_per_sample: int = 2, chunk_samples: int = 64) -> DataFrame:
+    """Audio chunking stub: treat the payload as PCM samples and emit one row
+    per fixed-size chunk (the fan-out shape of a real ASR/feature pipeline —
+    mapInPandas may yield more rows than it consumes, no explode/shuffle)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "chunk_idx": [], "start_sample": [], "n_samples": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                total = len(payload) // bytes_per_sample
+                for idx, start in enumerate(range(0, total, chunk_samples)):
+                    out["doc_id"].append(did)
+                    out["chunk_idx"].append(idx)
+                    out["start_sample"].append(start)
+                    out["n_samples"].append(min(chunk_samples, total - start))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "chunk_idx": pd.Series(out["chunk_idx"], dtype="int32"),
+                    "start_sample": pd.Series(out["start_sample"], dtype="int64"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=AUDIO_CHUNK_SCHEMA)

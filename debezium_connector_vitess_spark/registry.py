@@ -1382,3 +1382,43 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     return _pack(docs, "text", "doc_id", stream_col="source", block_tokens=2048)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             (64 + octet_length(encode(text)) % 512)::INT AS width,
+             (64 + (octet_length(encode(text)) // 2) % 512)::INT AS height
+      FROM documents)
+    SELECT doc_id, width, height, 224 AS target_w, 224 AS target_h,
+           least(224.0 / width, 224.0 / height) AS scale
+    FROM d
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: mapInPandas batch computing aspect-preserving scale
+    for a 224×224 target from (fake-)decoded dims."""
+    from .ops.multimodal import attach_binary_payload, resize_images
+
+    docs = _documents(spark, sf_dir)
+    return resize_images(attach_binary_payload(docs), target_w=224, target_h=224)
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle="""
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) // 2 AS total FROM documents)
+    SELECT doc_id, i::INT AS chunk_idx, (i * 64)::BIGINT AS start_sample,
+           least(64, total - i * 64)::BIGINT AS n_samples
+    FROM a, unnest(range(0, (total + 63) // 64)) AS t(i)
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plumbing: one row per 64-sample PCM chunk via a
+    row-fan-out mapInPandas batch (no explode, no shuffle)."""
+    from .ops.multimodal import attach_binary_payload, chunk_audio
+
+    docs = _documents(spark, sf_dir)
+    return chunk_audio(attach_binary_payload(docs), bytes_per_sample=2, chunk_samples=64)
