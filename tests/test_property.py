@@ -1,0 +1,213 @@
+"""Property-based tests (hypothesis) for the pure protocol core.
+
+The reference has no property tests (SURVEY.md §5); these go beyond it on the
+pieces where a malformed round-trip silently corrupts offsets or ordering:
+VGTID JSON (the checkpoint offset document), GTID rank, epoch transitions,
+shard-lineage overlap, and the enum/set definition parser.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from debezium_connector_vitess_spark.txmeta.epoch import (
+    ShardEpochMap,
+    _overlaps,
+    epoch_for_gtid,
+    inherited_epoch,
+)
+from debezium_connector_vitess_spark.txmeta.gtid import Gtid, get_rank
+from debezium_connector_vitess_spark.types import parse_enum_or_set_values
+from debezium_connector_vitess_spark.vgtid import (
+    ShardGtid,
+    TableLastPK,
+    Vgtid,
+)
+
+# ---------------------------------------------------------------- strategies
+
+_ident = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="_-."),
+    min_size=1,
+    max_size=12,
+)
+
+_host = st.uuids().map(str)
+
+_intervals = st.lists(
+    st.tuples(st.integers(1, 10**6), st.integers(0, 10**3)).map(
+        lambda t: (t[0], t[0] + t[1])
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@st.composite
+def _gtid_sets(draw):
+    """A GTID-set string plus the per-host max sequences used to build it."""
+    hosts = draw(st.lists(_host, min_size=1, max_size=4, unique=True))
+    expected = {}
+    entries = []
+    for h in hosts:
+        ivs = draw(_intervals)
+        entries.append(h + ":" + ":".join(f"{lo}-{hi}" for lo, hi in ivs))
+        expected[h] = ivs[-1][1]
+    prefix = draw(st.sampled_from(["", "MySQL56/"]))
+    return prefix + ",".join(entries), expected
+
+
+@st.composite
+def _shard_gtids(draw):
+    table_p_ks = tuple(
+        TableLastPK(draw(_ident), {"fields": draw(st.lists(_ident, max_size=2)), "rows": []})
+        for _ in range(draw(st.integers(0, 2)))
+    )
+    return ShardGtid(
+        keyspace=draw(_ident),
+        shard=draw(_ident),
+        gtid=draw(st.one_of(st.just(""), st.just("current"), _gtid_sets().map(lambda t: t[0]))),
+        table_p_ks=table_p_ks,
+    )
+
+
+_vgtids = st.lists(_shard_gtids(), min_size=0, max_size=4).map(lambda l: Vgtid(tuple(l)))
+
+# ------------------------------------------------------------------- VGTID
+
+
+@given(_vgtids)
+def test_vgtid_json_roundtrip(v):
+    assert Vgtid.from_json(v.to_json()) == v
+
+
+@given(_vgtids)
+def test_vgtid_json_is_valid_json_array(v):
+    doc = json.loads(v.to_json())
+    assert isinstance(doc, list) and len(doc) == len(v.shard_gtids)
+
+
+@given(_vgtids, _shard_gtids())
+def test_vgtid_with_replaced_contains_entry(v, sg):
+    out = v.with_replaced(sg)
+    got = out.get_shard_gtid(sg.shard, sg.keyspace)
+    assert got is not None and got.gtid == sg.gtid
+    # replacing never changes the set of other (keyspace, shard) keys
+    keys = {(s.keyspace, s.shard) for s in v.shard_gtids} | {(sg.keyspace, sg.shard)}
+    assert {(s.keyspace, s.shard) for s in out.shard_gtids} == keys
+
+
+@given(_vgtids)
+def test_vgtid_local_is_subset(v):
+    for sg in v.shard_gtids:
+        local = v.local_vgtid(sg.shard)
+        assert len(local.shard_gtids) == 1
+        assert local.shard_gtids[0].shard == sg.shard
+
+# ---------------------------------------------------------------- GTID/rank
+
+
+@given(_gtid_sets())
+def test_rank_is_sum_of_max_sequences(t):
+    raw, expected = t
+    assert get_rank(raw) == sum(expected.values())
+
+
+@given(_gtid_sets(), st.integers(1, 10**6))
+def test_rank_monotone_in_sequence_growth(t, bump):
+    raw, expected = t
+    host = next(iter(expected))
+    grown = ",".join(
+        f"{h}:1-{mx + (bump if h == host else 0)}" for h, mx in expected.items()
+    )
+    base = ",".join(f"{h}:1-{mx}" for h, mx in expected.items())
+    assert get_rank(grown) == get_rank(base) + bump
+
+
+@given(_gtid_sets())
+def test_gtid_parse_hosts(t):
+    raw, expected = t
+    assert Gtid.parse(raw).hosts == frozenset(expected)
+
+# -------------------------------------------------------------------- epoch
+
+
+@given(_gtid_sets(), st.integers(0, 100))
+def test_epoch_flat_on_same_hosts(t, epoch):
+    raw, _ = t
+    assert epoch_for_gtid(epoch, raw, raw) == epoch
+
+
+@given(_gtid_sets(), st.integers(0, 100), _host)
+def test_epoch_flat_on_host_growth_and_bumps_on_shrink(t, epoch, new_host):
+    raw, expected = t
+    if new_host in expected:
+        return
+    grown = raw + f",{new_host}:1-5"
+    # host-set grew (superset) → epoch unchanged
+    assert epoch_for_gtid(epoch, raw, grown) == epoch
+    # host-set shrank (failover) → epoch + 1
+    assert epoch_for_gtid(epoch, grown, raw) == epoch + 1
+
+
+@given(st.sampled_from(["", "current"]), _gtid_sets(), st.integers(0, 100))
+def test_epoch_increments_after_overridden_start(prev, t, epoch):
+    assert epoch_for_gtid(epoch, prev, t[0]) == epoch + 1
+
+
+@given(st.dictionaries(_ident, st.integers(0, 50), max_size=5))
+def test_shard_epoch_map_roundtrip(m):
+    sem = ShardEpochMap(m)
+    assert ShardEpochMap.from_json(sem.to_json()) == sem
+
+# ------------------------------------------------------------ shard lineage
+
+_hex2 = st.integers(1, 255).map(lambda n: format(n, "02x"))
+
+
+@given(st.sampled_from(["-40", "40-80", "80-c0", "c0-", "0", "-", "20-60"]),
+       st.sampled_from(["-40", "40-80", "80-c0", "c0-", "0", "-", "20-60"]))
+def test_overlap_symmetric(a, b):
+    assert _overlaps(a, b) == _overlaps(b, a)
+
+
+@given(_hex2)
+def test_adjacent_split_shards_do_not_overlap(mid):
+    assert not _overlaps(f"-{mid}", f"{mid}-")
+    # but each overlaps the full range
+    assert _overlaps(f"-{mid}", "-") and _overlaps(f"{mid}-", "-")
+
+
+@given(_hex2, st.dictionaries(st.sampled_from(["-40", "40-80", "80-"]), st.integers(0, 9)))
+def test_inherited_epoch_exceeds_all_parents(mid, parents):
+    sem = ShardEpochMap(parents)
+    child = f"-{mid}"
+    got = inherited_epoch(child, sem)
+    overlapping = [e for s, e in parents.items() if _overlaps(child, s)]
+    if overlapping:
+        assert got == max(overlapping) + 1
+    else:
+        assert got == 0
+
+# ------------------------------------------------------------ enum/set parse
+
+_enum_literal = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters=""),
+    max_size=8,
+)
+
+
+@settings(max_examples=200)
+@given(st.sampled_from(["enum", "set"]), st.lists(_enum_literal, min_size=1, max_size=6))
+def test_enum_set_definition_roundtrip(kind, values):
+    quoted = ",".join("'" + v.replace("'", "''") + "'" for v in values)
+    assert parse_enum_or_set_values(f"{kind}({quoted})") == tuple(values)
+
+
+@given(st.text(max_size=20))
+def test_non_enum_definitions_parse_empty(raw):
+    if not raw.lstrip().lower().startswith(("enum", "set")):
+        assert parse_enum_or_set_values(raw) == ()
