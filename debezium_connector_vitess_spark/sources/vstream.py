@@ -148,3 +148,31 @@ class VStreamConnection:
                 last_exc = exc
                 time.sleep(delay)
         raise last_exc  # type: ignore[misc]
+
+
+def plan_shard_partitions(
+    config: VStreamConfig,
+    metadata: "VitessMetadata | None" = None,
+    *,
+    max_tasks: int = 0,
+) -> list[list[str]]:
+    """Control-plane partition planning: discover shards (S4), prune empty
+    ones (F5), round-robin into input partitions (O4).
+
+    Shard precedence mirrors the reference (VitessReplicationConnection.java:437-480):
+    shards named in a stored/explicit VGTID win (reshard safety, O7 — the
+    stored offset's shards may differ from the database's current shards),
+    then configured shards, then live discovery via the metadata client.
+    ``max_tasks<=0`` means one shard per partition.
+    """
+    if config.explicit_vgtid:
+        shards = Vgtid.from_json(config.explicit_vgtid).shards
+    elif config.shards:
+        shards = list(config.shards)
+    elif metadata is not None:
+        shards = metadata.get_shards()
+    else:
+        raise ValueError("no shards configured and no metadata client provided")
+    if not shards:
+        raise ValueError(f"no shards found for keyspace {config.keyspace!r}")
+    return assign_shards_to_tasks(shards, max_tasks if max_tasks > 0 else len(shards))

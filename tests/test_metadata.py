@@ -111,3 +111,30 @@ def test_validate_connection():
     VitessMetadata(keyspace="ks", execute=ex).validate_connection()
     with pytest.raises(ValueError, match="not found"):
         VitessMetadata(keyspace="absent", execute=ex).validate_connection()
+
+
+def test_plan_shard_partitions_precedence():
+    from debezium_connector_vitess_spark.sources.vstream import (
+        VStreamConfig,
+        plan_shard_partitions,
+    )
+
+    ex = FakeExec({"SHOW VITESS_SHARDS": [["ks/-80"], ["ks/80-"]]})
+    md = VitessMetadata(keyspace="ks", execute=ex)
+    # discovery path: one shard per partition
+    assert plan_shard_partitions(VStreamConfig(keyspace="ks"), md) == [["-80"], ["80-"]]
+    # configured shards win over discovery; max_tasks groups them
+    cfg = VStreamConfig(keyspace="ks", shards=["a", "b", "c"])
+    assert plan_shard_partitions(cfg, md, max_tasks=2) == [["a", "c"], ["b"]]
+    # explicit vgtid wins over both (reshard: stored shards may differ)
+    cfg = VStreamConfig(
+        keyspace="ks",
+        shards=["a"],
+        explicit_vgtid='[{"keyspace":"ks","shard":"-40","gtid":"current"},'
+        '{"keyspace":"ks","shard":"40-","gtid":"current"}]',
+    )
+    assert plan_shard_partitions(cfg, md) == [["-40"], ["40-"]]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no shards"):
+        plan_shard_partitions(VStreamConfig(keyspace="ks"))
