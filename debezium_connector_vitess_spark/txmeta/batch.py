@@ -51,13 +51,18 @@ def epoch_batch(
     +1 on the first real transaction, VitessEpochProvider.java:46-56).
     """
     w = Window.partitionBy(shard_col).orderBy(order_col)
-    hosts = host_set_expr(F.col(gtid_col))
+    # stage the host set once — it feeds both lag() and the current-row
+    # comparison, and the regex split/sort is the expensive part
+    staged = df.withColumn("__hosts", host_set_expr(F.col(gtid_col)))
+    hosts = F.col("__hosts")
     prev_hosts = F.lag(hosts).over(w)
     brk = F.when(
         prev_hosts.isNotNull() & (F.size(F.array_except(prev_hosts, hosts)) > 0), F.lit(1)
     ).otherwise(F.lit(0))
     running = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return df.withColumn("transaction_epoch", (running + F.lit(initial_epoch)).cast("long"))
+    return staged.withColumn(
+        "transaction_epoch", (running + F.lit(initial_epoch)).cast("long")
+    ).drop("__hosts")
 
 
 def with_tx_order(
