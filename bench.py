@@ -33,8 +33,15 @@ HEADLINE = [
     "text_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "text_lang_id",
     "multimodal_image_metadata",
+    "multimodal_resize",
+    "decontaminate_eval",
+    "sample_stratified",
+    "pack_sequences",
 ]
 
 
