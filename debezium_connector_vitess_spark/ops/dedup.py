@@ -329,6 +329,10 @@ def connected_components(
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        # materialize once: every iteration (and its convergence check) joins
+        # against edges, and without this the whole upstream pair-generation
+        # pipeline (e.g. MinHash-LSH) re-executes per round
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     for _ in range(max_iterations):
@@ -347,9 +351,11 @@ def connected_components(
                 F.col("cluster_id"),
             )
         )
+        # one materialization per round: the convergence probe and the next
+        # round's labels both read the checkpointed frame
+        updated = updated.localCheckpoint(eager=True)
         changed = updated.filter(F.col("new_label") != F.col("cluster_id")).limit(1).count()
         labels = updated.select(F.col(id_col), F.col("new_label").alias("cluster_id"))
-        labels = labels.localCheckpoint(eager=True)
         if changed == 0:
             break
     else:
