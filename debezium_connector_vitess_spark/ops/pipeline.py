@@ -112,17 +112,17 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n_tok = token_count_expr(F.col(text_col))
+    n_tok = token_count_expr(F.col(text_col)).cast("long")
     placed = df.select(
         F.col(id_col),
         F.col(stream_col),
         n_tok.alias("n_tokens"),
-    ).withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    ).withColumn("start_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"))
     return placed.select(
         id_col,
         stream_col,
         "n_tokens",
         "start_offset",
-        (F.col("start_offset") / block_tokens).cast("long").alias("block_id"),
-        (F.col("start_offset") % block_tokens).alias("offset_in_block"),
+        F.floor(F.col("start_offset") / block_tokens).cast("long").alias("block_id"),
+        (F.col("start_offset") % block_tokens).cast("long").alias("offset_in_block"),
     )

@@ -435,8 +435,8 @@ def tx_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tx_epoch",
     oracle=f"""
     SELECT event_id, shard,
-           1 + SUM(CASE WHEN prev_h IS NOT NULL AND prev_h <> h THEN 1 ELSE 0 END)
-               OVER (PARTITION BY shard ORDER BY event_id) AS transaction_epoch
+           CAST(1 + SUM(CASE WHEN prev_h IS NOT NULL AND prev_h <> h THEN 1 ELSE 0 END)
+               OVER (PARTITION BY shard ORDER BY event_id) AS BIGINT) AS transaction_epoch
     FROM (
       SELECT event_id, {_ORACLE_SHARD} AS shard, (event_id // 997) % 3 AS h,
              LAG((event_id // 997) % 3) OVER (PARTITION BY {_ORACLE_SHARD} ORDER BY event_id) AS prev_h
@@ -855,9 +855,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -871,11 +871,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            ).alias("sum_disc_price"),
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -885,7 +889,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle="""
     SELECT n.n_name AS nation,
-           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -911,7 +915,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            ).alias("revenue"),
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -1363,14 +1369,14 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH placed AS (
       SELECT doc_id, source,
-             len({_ORACLE_TOKENS}) AS n_tokens,
-             sum(len({_ORACLE_TOKENS})) OVER (PARTITION BY source ORDER BY doc_id
+             CAST(len({_ORACLE_TOKENS}) AS BIGINT) AS n_tokens,
+             CAST(sum(len({_ORACLE_TOKENS})) OVER (PARTITION BY source ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - len({_ORACLE_TOKENS}) AS start_offset
+               - len({_ORACLE_TOKENS}) AS BIGINT) AS start_offset
       FROM documents)
     SELECT doc_id, source, n_tokens, start_offset,
-           start_offset // 2048 AS block_id,
-           start_offset % 2048 AS offset_in_block
+           CAST(start_offset // 2048 AS BIGINT) AS block_id,
+           CAST(start_offset % 2048 AS BIGINT) AS offset_in_block
     FROM placed
     """,
 )
