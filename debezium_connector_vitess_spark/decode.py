@@ -25,6 +25,8 @@ Raw VEvent frame schema (what the streaming source / replay adapter emits):
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -94,12 +96,31 @@ def time_to_micros(raw: Column) -> Column:
 
 def set_bitmask_to_csv(raw: Column, values: tuple[str, ...]) -> Column:
     """SET 64-bit bitmask → comma-joined member list
-    (VitessValueConverter.java:325-363). ``concat_ws`` skips the null slots."""
-    mask = raw.cast("long")
+    (VitessValueConverter.java:325-363). ``concat_ws`` skips the null slots.
+
+    A non-numeric raw value passes through unchanged: VStream Copy sends
+    ENUM/SET as literal strings ('a,b'), which the reference delivers as-is
+    (VitessValueConverter.java:325-338).
+
+    MySQL SET allows 64 members; the bitmask is an unsigned 64-bit value, so
+    it is parsed as decimal(20,0) and wrapped to the signed-64 bit pattern
+    (values ≥ 2^63 map to negative longs), then each member bit is tested
+    with an arithmetic shift + AND — valid for all 64 bit positions.
+    """
+    if not values:
+        return raw
+    dec = raw.try_cast(T.DecimalType(20, 0))
+    signed = (
+        F.when(dec >= F.lit(decimal.Decimal(2**63)), dec - F.lit(decimal.Decimal(2**64)))
+        .otherwise(dec)
+        .cast("long")
+    )
     members = [
-        F.when(mask.bitwiseAND(F.lit(1 << i)) != 0, F.lit(v)) for i, v in enumerate(values)
+        F.when(F.shiftright(signed, i).bitwiseAND(F.lit(1)) == 1, F.lit(v))
+        for i, v in enumerate(values)
     ]
-    return F.when(mask.isNotNull(), F.concat_ws(",", *members))
+    csv = F.when(signed.isNotNull(), F.concat_ws(",", *members))
+    return F.when(raw.rlike("^[0-9]+$"), csv).otherwise(raw)
 
 
 def enum_index_to_literal(raw: Column, values: tuple[str, ...]) -> Column:
@@ -107,7 +128,10 @@ def enum_index_to_literal(raw: Column, values: tuple[str, ...]) -> Column:
     literals) passes through (VitessValueConverter.java:288-313). Index 0 is
     MySQL's invalid-value sentinel → empty string."""
     if not values:
-        return raw
+        # reference delivers '' when the enum options are missing
+        # (VitessValueConverter.java convertEnumToString null-options branch);
+        # literals (copy phase) still pass through
+        return F.when(raw.rlike("^[0-9]+$"), F.lit("")).otherwise(raw)
     arr = F.array(*[F.lit(v) for v in values])
     idx = raw.try_cast("int")  # literals (copy phase) must not trip ANSI cast
     return (
@@ -187,7 +211,14 @@ def convert_raw(
         return F.unbase64(raw)
     if fam == "BIT":
         if isinstance(resolved.spark_type, T.BooleanType):
-            return _cast(raw, T.BooleanType())
+            # Two transports: the copy phase / replay fixtures send '0'/'1'
+            # literals; the binlog wire format sends base64 bytes — reference
+            # derives boolean from bytes[0] != 0
+            # (VitessValueConverter.java:154-167). Accept both.
+            from_bytes = F.conv(F.hex(F.unbase64(raw)), 16, 10).try_cast("long") != 0
+            return F.when(
+                raw.rlike("^(0|1|true|false)$"), _cast(raw, T.BooleanType())
+            ).otherwise(from_bytes)
         return F.unbase64(raw)
     # unknown (OTHER): include as raw bytes if configured, else the caller drops it
     return F.encode(raw, "utf-8")

@@ -56,23 +56,29 @@ def _process_shard(
         # no stored state = overridden start (current/empty): first real tx +1
         prev_gtid, epoch = "current", 0
 
+    # concat all Arrow chunks of the group, then sort ONCE — per-chunk sorting
+    # could interleave commits if Arrow split the group across chunks
+    chunks = list(pdf_iter)
+    if not chunks:
+        yield pd.DataFrame(columns=[f.name for f in TX_META_SCHEMA.fields])
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    pdf = pdf.sort_values("seq_order", kind="mergesort")
     out: list[dict[str, Any]] = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("seq_order")
-        for row in pdf.itertuples(index=False):
-            gtid = row.gtid
-            epoch = epoch_for_gtid(epoch, prev_gtid, gtid)
-            prev_gtid = gtid
-            out.append(
-                {
-                    "shard": shard,
-                    "tx_id": row.tx_id,
-                    "gtid": gtid,
-                    "ts_ms": row.ts_ms,
-                    "transaction_epoch": epoch,
-                    "transaction_rank": str(get_rank(gtid)),
-                }
-            )
+    for row in pdf.itertuples(index=False):
+        gtid = row.gtid
+        epoch = epoch_for_gtid(epoch, prev_gtid, gtid)
+        prev_gtid = gtid
+        out.append(
+            {
+                "shard": shard,
+                "tx_id": row.tx_id,
+                "gtid": gtid,
+                "ts_ms": row.ts_ms,
+                "transaction_epoch": epoch,
+                "transaction_rank": str(get_rank(gtid)),
+            }
+        )
     state.update((prev_gtid, epoch))
     yield pd.DataFrame(out, columns=[f.name for f in TX_META_SCHEMA.fields])
 
@@ -81,15 +87,20 @@ def ordered_tx_metadata_stream(raw_df: DataFrame) -> DataFrame:
     """Raw VEvent stream → per-transaction (epoch, rank) records.
 
     Transaction boundaries = COMMIT events (the reassembly buffer guarantees
-    they carry the tx's final position). ``seq_order`` uses the GTID's trailing
-    sequence so within-batch ordering matches stream order.
+    they carry the tx's final position). ``seq_order`` is the transaction RANK
+    (Σ max-sequence over ALL hosts of the GTID set, ``rank_expr``): the GTID
+    set only grows within a shard, so the sum is strictly increasing across
+    commits — monotone even across a failover, where the trailing host's
+    sequence resets (the case the epoch counter exists for).
     """
+    from .batch import rank_expr
+
     commits = raw_df.filter(F.col("event_kind") == "COMMIT").select(
         "shard",
         "tx_id",
         "gtid",
         F.unix_millis("ts").alias("ts_ms"),
-        F.regexp_extract("gtid", r"(\d+)$", 1).cast("long").alias("seq_order"),
+        rank_expr(F.col("gtid")).alias("seq_order"),
     )
     return commits.groupBy("shard").applyInPandasWithState(
         _process_shard,

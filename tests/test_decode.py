@@ -57,6 +57,43 @@ def test_set_bitmask_to_csv(spark):
     assert _one_col(spark, "15", lambda c: set_bitmask_to_csv(c, vals)) == "a,b,c,d"
 
 
+def test_set_copy_phase_literal_passthrough(spark):
+    # VStream Copy sends SET as literal strings — delivered as-is
+    # (VitessValueConverter.java:325-338)
+    vals = ("a", "b", "c")
+    assert _one_col(spark, "a,b", lambda c: set_bitmask_to_csv(c, vals)) == "a,b"
+    assert _one_col(spark, "c", lambda c: set_bitmask_to_csv(c, vals)) == "c"
+
+
+def test_set_full_64_member_range(spark):
+    # MySQL SET allows 64 members; bit 63 set ⇒ unsigned mask ≥ 2^63
+    vals = tuple(f"m{i}" for i in range(64))
+    assert _one_col(spark, str(1 << 63), lambda c: set_bitmask_to_csv(c, vals)) == "m63"
+    assert (
+        _one_col(spark, str((1 << 63) | 1), lambda c: set_bitmask_to_csv(c, vals)) == "m0,m63"
+    )
+    assert _one_col(spark, str(2**64 - 1), lambda c: set_bitmask_to_csv(c, vals)) == ",".join(
+        vals
+    )
+
+
+def test_enum_missing_options_fallback(spark):
+    # no parsed enum values: numeric index → '' (reference null-options
+    # branch), literal passes through
+    assert _one_col(spark, "3", lambda c: enum_index_to_literal(c, ())) == ""
+    assert _one_col(spark, "lit", lambda c: enum_index_to_literal(c, ())) == "lit"
+
+
+def test_bit1_base64_transport(spark):
+    # BIT(1) over the binlog wire format is base64 bytes: bytes[0] != 0
+    # (VitessValueConverter.java:154-167); '0'/'1' literals also accepted
+    r = resolve("BIT", "bit(1)", decimals=1)
+    assert _one_col(spark, base64.b64encode(b"\x01").decode(), lambda c: convert_raw(c, r)) is True
+    assert _one_col(spark, base64.b64encode(b"\x00").decode(), lambda c: convert_raw(c, r)) is False
+    assert _one_col(spark, "1", lambda c: convert_raw(c, r)) is True
+    assert _one_col(spark, "0", lambda c: convert_raw(c, r)) is False
+
+
 @pytest.mark.parametrize(
     "ftype,coltype,raw,expected",
     [
