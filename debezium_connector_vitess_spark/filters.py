@@ -66,6 +66,41 @@ class TableFilter:
 
 
 @dataclass
+class SnapshotTableFilter:
+    """F3: ``snapshot.mode.tables`` — regex include list selecting which tables
+    the initial copy phase snapshots (Filters.java:39-48). Semantics differ
+    from TableFilter: when the list is EMPTY, *no* table is copied (the
+    reference builds ``fromPredicate(tableId -> false)``), whereas an empty
+    table.include.list means "all tables". Patterns are anchored full matches
+    against ``keyspace.table`` (VitessTableIdToStringMapper.java:13-26)."""
+
+    mode_tables: Optional[list[str]] = None
+
+    def matches(self, keyspace: str, table: str) -> bool:
+        if not self.mode_tables:
+            return False
+        q = f"{keyspace}.{table}"
+        return any(re.fullmatch(p, q) for p in self.mode_tables)
+
+    def tables_to_copy(self, keyspace: str, all_tables: list[str]) -> list[str]:
+        """Driver-side: the ``tables_to_copy`` VStreamFlags list
+        (VitessReplicationConnection.java:308-312,
+        VitessConnector.getTablesToCopyByPrefix:278-292)."""
+        return [t for t in all_tables if self.matches(keyspace, t)]
+
+    def predicate(self, keyspace: Column, table: Column) -> Column:
+        """Catalyst form for filtering a multi-table backfill frame."""
+        if not self.mode_tables:
+            return F.lit(False)
+        qualified = F.concat(keyspace, F.lit("."), table)
+        pred = None
+        for p in self.mode_tables:
+            c = qualified.rlike(_fullmatch(p))
+            pred = c if pred is None else (pred | c)
+        return pred
+
+
+@dataclass
 class ColumnFilter:
     """Column include/exclude + truncate + mask (F4).
 

@@ -1057,6 +1057,46 @@ def snapshot_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_mode_tables",
+    oracle="""
+    SELECT 'r' AS op, 'orders' AS table_name, o_orderkey AS pk FROM orders
+    UNION ALL
+    SELECT 'r' AS op, 'supplier' AS table_name, s_suppkey AS pk FROM supplier
+    """,
+)
+def snapshot_mode_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: ``snapshot.mode.tables`` partial snapshot (Filters.java:39-48,
+    VitessReplicationConnection.java:308-312). Three tables are candidates for
+    the copy phase; the regex include list selects orders+supplier, so only
+    those emit op='r' rows — customer is streamed but never copied. The filter
+    is a Catalyst predicate on (keyspace, table_name), so at scale the
+    non-copied tables' scans are pruned entirely (the plan reads 2 parquet
+    files, not 3 — the driver also short-circuits unmatched tables before
+    planning their scan, mirroring the server-side tables_to_copy flag)."""
+    from .filters import SnapshotTableFilter
+
+    stf = SnapshotTableFilter(["commerce\\.(orders|supplier)"])
+    candidates = [("customer", "c_custkey"), ("orders", "o_orderkey"), ("supplier", "s_suppkey")]
+    frames = []
+    for table, pk in candidates:
+        # driver-side short-circuit = the tables_to_copy request flag
+        if not stf.matches("commerce", table):
+            continue
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        frames.append(
+            df.select(
+                F.lit("r").alias("op"),
+                F.lit(table).alias("table_name"),
+                F.col(pk).cast("long").alias("pk"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionAll(f_)
+    return out
+
+
+@register(
     "decode_error_modes",
     oracle="""
     WITH raw AS (

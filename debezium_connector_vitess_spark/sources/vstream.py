@@ -75,6 +75,7 @@ class VStreamConfig:
     snapshot_mode: str = "initial"  # initial | never
     explicit_vgtid: Optional[str] = None
     table_include_list: list[str] = field(default_factory=list)
+    snapshot_mode_tables: list[str] = field(default_factory=list)  # F3
     stop_on_reshard: bool = False
     exclude_keyspace_from_table_name: bool = False
     keyspace_heartbeats: bool = False
@@ -148,6 +149,42 @@ class VStreamConnection:
                 last_exc = exc
                 time.sleep(delay)
         raise last_exc  # type: ignore[misc]
+
+
+@dataclass(frozen=True)
+class VStreamFlags:
+    """The VStreamFlags the reference sets on every VStream request
+    (VitessReplicationConnection.java:302-314). ``tables_to_copy`` is the F3
+    ``snapshot.mode.tables`` selection — computed by the driver from live
+    metadata, empty when the option is unset (meaning: copy everything the
+    snapshot mode implies, not a partial copy)."""
+
+    stop_on_reshard: bool = False
+    exclude_keyspace_from_table_name: bool = False
+    heartbeat_interval_s: int = 0
+    stream_keyspace_heartbeats: bool = False
+    tables_to_copy: tuple[str, ...] = ()
+
+
+def build_flags(
+    config: VStreamConfig, metadata: "VitessMetadata | None" = None
+) -> VStreamFlags:
+    """Compile config → request flags; resolves F3's partial-snapshot table
+    list against table discovery (VitessReplicationConnection.java:308-312)."""
+    tables_to_copy: tuple[str, ...] = ()
+    if config.snapshot_mode_tables:
+        from ..filters import SnapshotTableFilter
+
+        all_tables = metadata.get_tables() if metadata is not None else []
+        stf = SnapshotTableFilter(list(config.snapshot_mode_tables))
+        tables_to_copy = tuple(stf.tables_to_copy(config.keyspace, all_tables))
+    return VStreamFlags(
+        stop_on_reshard=config.stop_on_reshard,
+        exclude_keyspace_from_table_name=config.exclude_keyspace_from_table_name,
+        heartbeat_interval_s=config.heartbeat_interval_s,
+        stream_keyspace_heartbeats=config.keyspace_heartbeats,
+        tables_to_copy=tables_to_copy,
+    )
 
 
 def plan_shard_partitions(

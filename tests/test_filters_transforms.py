@@ -93,3 +93,40 @@ def test_topic_naming(spark):
     strat = TopicNamingStrategy(prefix="cdc", overrides={"special": "custom.topic"})
     got = {r["table_name"]: r["topic"] for r in strat.attach(df).collect()}
     assert got == {"t1": "cdc.t1", "special": "custom.topic"}
+
+
+def test_snapshot_table_filter_empty_copies_nothing():
+    # Filters.java:39-43 — unset snapshot.mode.tables means NO table copied
+    from debezium_connector_vitess_spark.filters import SnapshotTableFilter
+
+    stf = SnapshotTableFilter()
+    assert not stf.matches("ks", "t1")
+    assert stf.tables_to_copy("ks", ["t1", "t2"]) == []
+
+
+def test_snapshot_table_filter_include_regex():
+    from debezium_connector_vitess_spark.filters import SnapshotTableFilter
+
+    stf = SnapshotTableFilter([r"ks\.orders", r"ks\.inv.*"])
+    assert stf.matches("ks", "orders")
+    assert stf.matches("ks", "inventory")
+    assert not stf.matches("ks", "customer")
+    # anchored: partial match must not leak
+    assert not stf.matches("ks", "orders_archive")
+    assert stf.tables_to_copy("ks", ["orders", "customer", "inventory"]) == [
+        "orders",
+        "inventory",
+    ]
+
+
+def test_snapshot_table_filter_predicate(spark):
+    from debezium_connector_vitess_spark.filters import SnapshotTableFilter
+
+    df = spark.createDataFrame(
+        [("ks", "orders"), ("ks", "customer")], "keyspace string, table_name string"
+    )
+    stf = SnapshotTableFilter([r"ks\.orders"])
+    got = [r["table_name"] for r in df.filter(stf.predicate(F.col("keyspace"), F.col("table_name"))).collect()]
+    assert got == ["orders"]
+    empty = SnapshotTableFilter()
+    assert df.filter(empty.predicate(F.col("keyspace"), F.col("table_name"))).count() == 0

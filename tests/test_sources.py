@@ -287,3 +287,28 @@ def test_metrics_listener(spark, replay_dir, tmp_path):
     assert snap["NumberOfCommittedTransactions"] >= 1
     assert snap["LastOffset"] is not None
     assert snap["UptimeMs"] > 0
+
+
+def test_build_flags_tables_to_copy():
+    """F3 wired into the request flags (VitessReplicationConnection.java:302-314)."""
+    from debezium_connector_vitess_spark.sources.metadata import VitessMetadata
+    from debezium_connector_vitess_spark.sources.vstream import VStreamConfig, build_flags
+
+    def fake_execute(sql, shard=None):
+        if "show tables" in sql.lower():
+            return [["orders"], ["supplier"], ["customer"]]
+        raise AssertionError(sql)
+
+    md = VitessMetadata(keyspace="commerce", execute=fake_execute)
+    cfg = VStreamConfig(
+        keyspace="commerce",
+        snapshot_mode_tables=[r"commerce\.(orders|supplier)"],
+        stop_on_reshard=True,
+        heartbeat_interval_s=5,
+    )
+    flags = build_flags(cfg, md)
+    assert flags.tables_to_copy == ("orders", "supplier")
+    assert flags.stop_on_reshard and flags.heartbeat_interval_s == 5
+
+    # unset option -> empty tables_to_copy, no metadata round-trip needed
+    assert build_flags(VStreamConfig(keyspace="commerce")).tables_to_copy == ()
