@@ -96,8 +96,15 @@ def events_to_raw_vevents(events: DataFrame) -> DataFrame:
             F.struct(before_map.alias("before"), after_map.alias("after"))
         ).alias("row_changes"),
         F.lit(None).cast("string").alias("statement"),
+        F.lit(None).cast(_fields_type()).alias("fields"),
         F.col("event_id"),  # carried for deterministic ordering in tests
     )
+
+
+def _fields_type():
+    from .decode import FIELDS_TYPE
+
+    return FIELDS_TYPE
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

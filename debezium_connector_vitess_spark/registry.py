@@ -391,6 +391,61 @@ def ddl_schema_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "schema_evolution",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, value, props, event_id + 100 AS seq,
+             CASE WHEN event_type='signup' THEN 'c'
+                  WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+             ['-40','40-80','80-c0','c0-'][CAST(user_id % 4 AS INT) + 1] AS shard
+      FROM events WHERE user_id % 3 = 1)
+    SELECT op, shard,
+           'MySQL56/host0:1-' || CAST(seq AS VARCHAR) AS gtid,
+           seq,
+           CASE WHEN seq >= 1100 THEN 2 ELSE 1 END AS schema_gen,
+           CASE WHEN op <> 'c' THEN user_id END AS before_user_id,
+           CASE WHEN op <> 'c' THEN value - 1.0 END AS before_value,
+           CASE WHEN op <> 'c' AND seq >= 1100 THEN props END AS before_props,
+           CASE WHEN op <> 'd' THEN user_id END AS after_user_id,
+           CASE WHEN op <> 'd' THEN value END AS after_value,
+           CASE WHEN op <> 'd' AND seq >= 1100 THEN props END AS after_props
+    FROM ev
+    """,
+)
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/X2/X3: schema inferred from in-stream FIELD events, evolving
+    mid-stream (VStreamOutputMessageDecoder.java:331-377; per-shard evolution
+    scenarios of VStreamOutputMessageDecoderTest.java:336-505).
+
+    Each shard carries two FIELD generations for tbl1: gen 1 = (user_id,
+    value), gen 2 (an online ``ADD COLUMN props``) takes effect at seq 1100.
+    Rows decoded under gen 1 do not know ``props`` — it is null even though
+    the wire image carries the key — and rows at/after the boundary surface
+    it. Decode branches are grouped by column-set signature (2 branches, not
+    shards×generations) and union on the column superset.
+    """
+    from .decode import RAW_EVENT_SCHEMA, decode_table_evolving
+
+    ev = changelog.load_events(spark, sf_dir)
+    raw = changelog.events_to_raw_vevents(ev).drop("event_id")
+    gen1 = [("user_id", "INT64", "bigint(20)", 3), ("value", "FLOAT64", "double", 0)]
+    gen2 = gen1 + [("props", "JSON", "json", 0)]
+    field_rows = [
+        ("FIELD", changelog.KEYSPACE, shard, "tbl1", f"MySQL56/host0:1-{seq}",
+         None, None, None, None, None, fields)
+        for shard in changelog.SHARDS
+        for seq, fields in ((0, gen1), (1100, gen2))
+    ]
+    raw = raw.unionByName(spark.createDataFrame(field_rows, RAW_EVENT_SCHEMA))
+    out = decode_table_evolving(raw, changelog.KEYSPACE, "tbl1")
+    return out.select(
+        "op", "shard", "gtid", "seq", "schema_gen",
+        "before_user_id", "before_value", "before_props",
+        "after_user_id", "after_value", "after_props",
+    )
+
+
+@register(
     "tx_boundaries",
     oracle="""
     SELECT CAST(event_id // 10 AS VARCHAR) AS tx_id,

@@ -14,11 +14,15 @@ offset/partition contract the live source uses:
 - restart resumes from the checkpointed offset (O2).
 
 Layout: ``{path}/{shard}.jsonl``, one VEvent per line:
-``{"kind": "BEGIN|ROW|COMMIT|DDL|HEARTBEAT|OTHER", "keyspace": str,
+``{"kind": "BEGIN|ROW|COMMIT|FIELD|DDL|HEARTBEAT|OTHER", "keyspace": str,
 "table": str|null, "seq": int, "ts_ms": int,
 "row_changes": [{"before": {..}|null, "after": {..}|null}]|null,
-"statement": str|null}``. ``seq`` is the per-shard GTID sequence after the
-event.
+"statement": str|null,
+"fields": [{"name": str, "type": str, "column_type": str, "flags": int}]|null}``.
+``seq`` is the per-shard GTID sequence after the event. FIELD events carry the
+table's column metadata (D4 schema inference — the binlogdata.FieldEvent
+analog); they ride inside or ahead of a transaction and are never an offset
+boundary on their own (they describe the rows that follow).
 """
 
 from __future__ import annotations
@@ -61,8 +65,10 @@ def _committed_length(file_path: str) -> int:
             elif kind == "COMMIT":
                 depth = 0
                 boundary = n
-            elif depth == 0:
-                # DDL/HEARTBEAT/OTHER outside a tx are their own boundary
+            elif depth == 0 and kind != "FIELD":
+                # DDL/HEARTBEAT/OTHER outside a tx are their own boundary;
+                # a FIELD is not — it describes rows that follow, so it must
+                # land in the same micro-batch as them
                 boundary = n
     return boundary
 
@@ -153,6 +159,12 @@ class VitessReplayStreamReader(DataSourceStreamReader):
                 row_changes = [
                     (rc.get("before"), rc.get("after")) for rc in e["row_changes"]
                 ]
+            fields = None
+            if e.get("fields") is not None:
+                fields = [
+                    (f.get("name"), f.get("type"), f.get("column_type"), f.get("flags"))
+                    for f in e["fields"]
+                ]
             yield (
                 e["kind"],
                 e.get("keyspace"),
@@ -164,6 +176,7 @@ class VitessReplayStreamReader(DataSourceStreamReader):
                 ts,
                 row_changes,
                 e.get("statement"),
+                fields,
             )
 
     def commit(self, end: dict) -> None:

@@ -246,6 +246,55 @@ class ColumnMetaData:
     is_unique_key: bool = False
 
 
+# MySQL protocol column-definition flags as delivered in VStream FIELD events
+# (public mysql_com.h constants; reference reads them at
+# VStreamOutputMessageDecoder.java:360-369).
+NOT_NULL_FLAG = 0x1
+PRI_KEY_FLAG = 0x2
+UNIQUE_KEY_FLAG = 0x4
+
+
+def field_event_to_schema(
+    keyspace: str,
+    shard: str,
+    table: str,
+    fields: "list[dict] | list",
+    *,
+    enum_set_string_values: bool = False,
+    **resolve_modes,
+) -> "TableSchema":
+    """D4: one FIELD event → a :class:`TableSchema` registry entry.
+
+    Reference: VStreamOutputMessageDecoder.handleFieldMessage
+    (VStreamOutputMessageDecoder.java:331-377) — per column: validate the
+    name, resolve the VStream type against the MySQL column type, derive
+    key/optional metadata from the protocol flags.
+
+    ``enum_set_string_values`` mirrors ``FieldEvent.enum_set_string_values``
+    (set during VStream Copy and on newer Vitess): ENUM/SET values arrive as
+    literal strings instead of indexes/bitmasks. It needs no type change here
+    because ``convert_raw`` already passes non-numeric ENUM/SET values
+    through unchanged — the flag is accepted for call-site parity.
+    """
+    columns: list[ColumnMetaData] = []
+    for f in fields:
+        get = f.get if isinstance(f, dict) else lambda k, d=None: getattr(f, k, d)
+        name = get("name", "")
+        validate_column_name(name)
+        flags = int(get("flags", 0) or 0)
+        resolved = resolve(get("type", "") or "", get("column_type", "") or "", **resolve_modes)
+        columns.append(
+            ColumnMetaData(
+                name=name,
+                resolved=resolved,
+                optional=(flags & NOT_NULL_FLAG) == 0,
+                is_primary_key=(flags & PRI_KEY_FLAG) != 0,
+                is_unique_key=(flags & UNIQUE_KEY_FLAG) != 0,
+            )
+        )
+    return TableSchema(keyspace, shard, table, columns)
+
+
 _ANONYMIZED = re.compile(r"^@\d+$")
 
 
@@ -315,6 +364,26 @@ class SchemaRegistry:
         for c in schema.columns:
             validate_column_name(c.name)
         self._tables[self._key(schema.keyspace, schema.shard, schema.table)] = schema
+
+    def apply_field_event(
+        self,
+        keyspace: str,
+        shard: str,
+        table: str,
+        fields: list,
+        *,
+        enum_set_string_values: bool = False,
+        **resolve_modes,
+    ) -> TableSchema:
+        """X2/X3: FIELD event → registry overwrite for that (shard, table).
+        Online DDL mid-stream = a new FIELD event = a new entry here
+        (VitessDatabaseSchema.applySchemaChangesForTable, :86-99)."""
+        schema = field_event_to_schema(
+            keyspace, shard, table, fields,
+            enum_set_string_values=enum_set_string_values, **resolve_modes,
+        )
+        self.register(schema)
+        return schema
 
     def get(self, keyspace: str, shard: str, table: str) -> Optional[TableSchema]:
         return self._tables.get(self._key(keyspace, shard, table))

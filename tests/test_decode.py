@@ -141,7 +141,7 @@ def test_binary_modes(spark):
 def _raw_events_df(spark):
     rows = [
         # one tx: BEGIN, insert+update in one ROW event, delete, COMMIT
-        ("BEGIN", "ks", "-80", None, "g1", "[vg1]", "tx1", datetime.datetime(2024, 1, 1), None, None),
+        ("BEGIN", "ks", "-80", None, "g1", "[vg1]", "tx1", datetime.datetime(2024, 1, 1), None, None, None),
         (
             "ROW", "ks", "-80", "t1", "g1", "[vg1]", "tx1",
             datetime.datetime(2024, 1, 1, 0, 0, 1),
@@ -150,14 +150,16 @@ def _raw_events_df(spark):
                 {"before": {"id": "1", "v": "x"}, "after": {"id": "1", "v": "y"}},
             ],
             None,
+            None,
         ),
         (
             "ROW", "ks", "-80", "t1", "g1", "[vg1]", "tx1",
             datetime.datetime(2024, 1, 1, 0, 0, 2),
             [{"before": {"id": "2", "v": "z"}, "after": None}],
             None,
+            None,
         ),
-        ("COMMIT", "ks", "-80", None, "g2", "[vg2]", "tx1", datetime.datetime(2024, 1, 1, 0, 0, 3), None, None),
+        ("COMMIT", "ks", "-80", None, "g2", "[vg2]", "tx1", datetime.datetime(2024, 1, 1, 0, 0, 3), None, None, None),
     ]
     return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
 
