@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+from bisect import bisect_right
 from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Iterator
@@ -48,29 +49,59 @@ def _shard_files(path: str) -> dict[str, str]:
     }
 
 
+class _BoundaryIndex:
+    """Incremental per-file index of transaction-boundary line numbers.
+
+    ``latestOffset`` runs once per trigger on the driver; re-reading and
+    json-parsing the whole file every time is a driver bottleneck once the
+    replay grows. Cache the parse state per file — consumed byte offset, line
+    count, open-transaction depth, and the sorted list of boundary line
+    numbers — and scan only the bytes appended since the previous call. A
+    file whose size shrank (rewritten fixture) resets its state. Only
+    complete lines (terminated by a newline) are consumed, so a
+    partially-flushed trailing line is left for the next call.
+    """
+
+    def __init__(self) -> None:
+        self._state: dict[str, dict] = {}
+
+    def boundaries(self, file_path: str) -> list[int]:
+        size = os.path.getsize(file_path)
+        st = self._state.get(file_path)
+        if st is None or size < st["size"]:
+            st = {"size": 0, "offset": 0, "line": 0, "depth": 0, "bounds": []}
+            self._state[file_path] = st
+        if size > st["size"]:
+            with open(file_path, "rb") as fh:
+                fh.seek(st["offset"])
+                chunk = fh.read(size - st["offset"])
+            last_nl = chunk.rfind(b"\n")
+            if last_nl >= 0:
+                complete = chunk[: last_nl + 1]
+                for raw in complete.split(b"\n")[:-1]:
+                    st["line"] += 1
+                    if not raw.strip():
+                        continue
+                    kind = json.loads(raw).get("kind")
+                    if kind == "BEGIN":
+                        st["depth"] = 1
+                    elif kind == "COMMIT":
+                        st["depth"] = 0
+                        st["bounds"].append(st["line"])
+                    elif st["depth"] == 0 and kind != "FIELD":
+                        # DDL/HEARTBEAT/OTHER outside a tx are their own
+                        # boundary; a FIELD is not — it describes the rows
+                        # that follow, so it must land in the same micro-batch
+                        st["bounds"].append(st["line"])
+                st["offset"] += len(complete)
+            st["size"] = size
+        return st["bounds"]
+
+
 def _committed_length(file_path: str) -> int:
-    """Number of leading lines that end on a transaction boundary — the
-    furthest offset the source may report (O1: only whole transactions)."""
-    n = 0
-    boundary = 0
-    with open(file_path, "r", encoding="utf-8") as fh:
-        depth = 0
-        for line in fh:
-            if not line.strip():
-                continue
-            n += 1
-            kind = json.loads(line).get("kind")
-            if kind == "BEGIN":
-                depth = 1
-            elif kind == "COMMIT":
-                depth = 0
-                boundary = n
-            elif depth == 0 and kind != "FIELD":
-                # DDL/HEARTBEAT/OTHER outside a tx are their own boundary;
-                # a FIELD is not — it describes rows that follow, so it must
-                # land in the same micro-batch as them
-                boundary = n
-    return boundary
+    """Furthest offset the source may report (O1: only whole transactions)."""
+    bounds = _BoundaryIndex().boundaries(file_path)
+    return bounds[-1] if bounds else 0
 
 
 def local_vgtid_json(keyspace: str, shard: str, seq: int) -> str:
