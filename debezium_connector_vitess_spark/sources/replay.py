@@ -98,10 +98,29 @@ class _BoundaryIndex:
         return st["bounds"]
 
 
-def _committed_length(file_path: str) -> int:
-    """Furthest offset the source may report (O1: only whole transactions)."""
-    bounds = _BoundaryIndex().boundaries(file_path)
-    return bounds[-1] if bounds else 0
+def _capped_end(bounds: list[int], start: int, cap: int | None) -> int:
+    """Furthest boundary the source may report for one shard.
+
+    O1 semantics: only whole transactions, so the end is always a boundary
+    line. With a record cap (E3 analog of the reference's bounded
+    ``ChangeEventQueue``, max.batch.size — VitessConnectorTask.java:118-125),
+    pick the largest boundary within ``start + cap``; if even the first
+    pending transaction exceeds the cap, take it whole anyway (a transaction
+    never splits across micro-batches), which matches the reference where an
+    oversized transaction still flows through the queue as one unit.
+    """
+    if not bounds:
+        return start
+    latest = bounds[-1]
+    if latest <= start:
+        return start
+    if cap is None:
+        return latest
+    i = bisect_right(bounds, start + cap)
+    if i == 0 or bounds[i - 1] <= start:
+        # no boundary within the cap: take the first one past start
+        return bounds[bisect_right(bounds, start)]
+    return bounds[i - 1]
 
 
 def local_vgtid_json(keyspace: str, shard: str, seq: int) -> str:
@@ -127,18 +146,46 @@ class VitessReplayStreamReader(DataSourceStreamReader):
         self._files = _shard_files(self._path)
         if not self._files:
             raise ValueError(f"no {{shard}}.jsonl replay files under {self._path}")
+        # one index per reader: latestOffset scans only appended bytes per
+        # trigger instead of re-parsing every line of every shard file
+        self._index = _BoundaryIndex()
+        max_records = options.get("maxrecordsperbatch") or options.get(
+            "maxRecordsPerBatch"
+        )
+        self._max_records = int(max_records) if max_records is not None else None
+        # last planned end per shard, so latestOffset can cap the next batch
+        # relative to where the previous one stopped (E3 backpressure); kept
+        # current from initialOffset / partitions / commit so a restart from
+        # checkpoint re-learns it from the first partitions() call
+        self._planned: dict[str, int] | None = None
 
     def initialOffset(self) -> dict:
         # start of stream = empty position per shard (snapshot.mode analog:
         # replay files begin with the copy-phase transactions)
+        self._planned = {shard: 0 for shard in self._files}
         return {shard: 0 for shard in self._files}
 
     def latestOffset(self) -> dict:
         # re-list so shards added between batches are picked up (reshard, O7)
         self._files = _shard_files(self._path)
-        return {shard: _committed_length(f) for shard, f in self._files.items()}
+        end = {}
+        for shard, f in self._files.items():
+            bounds = self._index.boundaries(f)
+            start = (self._planned or {}).get(shard, 0)
+            if self._max_records is not None and self._planned is not None:
+                end[shard] = _capped_end(bounds, start, self._max_records)
+            else:
+                end[shard] = bounds[-1] if bounds else 0
+        if self._planned is not None or self._max_records is None:
+            self._planned = dict(end)
+        return end
 
     def partitions(self, start: dict, end: dict):
+        if self._planned is None:
+            self._planned = dict(end)
+        else:
+            for s, e in end.items():
+                self._planned[s] = max(self._planned.get(s, 0), e)
         parts = [
             ReplayPartition(
                 shard=s,
@@ -211,8 +258,13 @@ class VitessReplayStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end: dict) -> None:
-        # files are immutable; checkpoint WAL is the offset store
-        pass
+        # files are immutable; checkpoint WAL is the offset store. Track the
+        # committed position so a capped latestOffset measures from it.
+        if self._planned is None:
+            self._planned = dict(end)
+        else:
+            for s, e in end.items():
+                self._planned[s] = max(self._planned.get(s, 0), e)
 
 
 class VitessReplayDataSource(DataSource):

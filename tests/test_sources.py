@@ -128,6 +128,115 @@ def _start_stream(spark, replay_dir, out_name, checkpoint):
     )
 
 
+def _write_tx_file(path, shard, txs, append=False):
+    """txs: list of (seq, n_rows); 1 tx = BEGIN + n ROW + COMMIT lines."""
+    os.makedirs(path, exist_ok=True)
+    mode = "a" if append else "w"
+    with open(os.path.join(path, f"{shard}.jsonl"), mode, encoding="utf-8") as fh:
+        for seq, n_rows in txs:
+            events = [{"kind": "BEGIN", "keyspace": "ks", "seq": seq}]
+            events += [
+                {
+                    "kind": "ROW",
+                    "keyspace": "ks",
+                    "table": "t",
+                    "seq": seq,
+                    "ts_ms": 0,
+                    "row_changes": [{"before": None, "after": {"id": str(seq)}}],
+                }
+                for _ in range(n_rows)
+            ]
+            events.append({"kind": "COMMIT", "keyspace": "ks", "seq": seq})
+            for e in events:
+                fh.write(json.dumps(e) + "\n")
+
+
+def test_boundary_index_cached_and_incremental(tmp_path):
+    """The reader holds ONE _BoundaryIndex; a second latestOffset scans only
+    appended bytes instead of re-parsing the file (round-2 verdict fix)."""
+    from debezium_connector_vitess_spark.sources.replay import VitessReplayStreamReader
+
+    d = str(tmp_path / "replay")
+    _write_tx_file(d, "0", [(1, 1), (2, 1)])  # 6 lines, boundaries at 3 and 6
+    reader = VitessReplayStreamReader({"path": d})
+    reader.initialOffset()
+    assert reader.latestOffset() == {"0": 6}
+    fpath = os.path.join(d, "0.jsonl")
+    st = reader._index._state[fpath]
+    assert st["offset"] == os.path.getsize(fpath)  # fully consumed
+
+    # tamper with the cached state: if latestOffset constructed a fresh
+    # index (the round-2 bug) this sentinel would vanish and the result
+    # would be recomputed from a full re-parse
+    st["bounds"] = [41, 42]
+    assert reader.latestOffset() == {"0": 42}
+
+    # append one tx: only the appended bytes are scanned, so the cached
+    # sentinel boundaries survive and the new boundary lands after them
+    _write_tx_file(d, "0", [(3, 1)], append=True)
+    assert reader.latestOffset() == {"0": 9}
+    assert st["bounds"] == [41, 42, 9]
+    assert st["offset"] == os.path.getsize(fpath)
+
+
+def test_max_records_per_batch_caps_on_tx_boundaries(tmp_path):
+    """E3: maxRecordsPerBatch splits a large replay into bounded micro-batches
+    whose ends always land on transaction boundaries."""
+    from debezium_connector_vitess_spark.sources.replay import VitessReplayStreamReader
+
+    d = str(tmp_path / "replay")
+    _write_tx_file(d, "0", [(i, 1) for i in range(1, 11)])  # 10 txs × 3 lines
+    reader = VitessReplayStreamReader({"path": d, "maxrecordsperbatch": "7"})
+    start = reader.initialOffset()
+    assert start == {"0": 0}
+    ends = []
+    prev = start
+    for _ in range(10):
+        end = reader.latestOffset()
+        if end == prev:
+            break
+        ends.append(end["0"])
+        prev = end
+    # 30 lines, cap 7 → boundaries 6,12,18,24,30 (two whole txs per batch)
+    assert ends == [6, 12, 18, 24, 30]
+    # every planned end is a tx boundary: read() must not raise
+    starts = [0] + ends[:-1]
+    seen_rows = 0
+    for s, e in zip(starts, ends):
+        parts = reader.partitions({"0": s}, {"0": e})
+        for p in parts:
+            rows = list(reader.read(p))
+            seen_rows += sum(1 for r in rows if r[0] == "ROW")
+    assert seen_rows == 10
+
+
+def test_max_records_oversized_tx_taken_whole(tmp_path):
+    from debezium_connector_vitess_spark.sources.replay import VitessReplayStreamReader
+
+    d = str(tmp_path / "replay")
+    _write_tx_file(d, "0", [(1, 10), (2, 1)])  # 12-line tx then a small one
+    reader = VitessReplayStreamReader({"path": d, "maxrecordsperbatch": "5"})
+    reader.initialOffset()
+    # first tx exceeds the cap but a tx never splits across batches
+    assert reader.latestOffset() == {"0": 12}
+    assert reader.latestOffset() == {"0": 15}
+
+
+def test_max_records_restart_resumes_on_boundary(tmp_path):
+    """A fresh reader (restart) re-learns progress from partitions()/commit()
+    and keeps capping from there."""
+    from debezium_connector_vitess_spark.sources.replay import VitessReplayStreamReader
+
+    d = str(tmp_path / "replay")
+    _write_tx_file(d, "0", [(i, 1) for i in range(1, 11)])
+    reader = VitessReplayStreamReader({"path": d, "maxrecordsperbatch": "7"})
+    # simulate Spark replaying the WAL-pending batch [6, 12) after restart
+    reader.partitions({"0": 6}, {"0": 12})
+    assert reader.latestOffset() == {"0": 18}
+    reader.commit({"0": 18})
+    assert reader.latestOffset() == {"0": 24}
+
+
 def test_replay_stream_end_to_end(spark, replay_dir, tmp_path):
     q = _start_stream(spark, replay_dir, "replay_out", str(tmp_path / "ckpt"))
     q.awaitTermination(120)
