@@ -154,6 +154,103 @@ def cdc_extract_new_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_new_record_state(env).select("user_id", "value", "props", "op")
 
 
+# Wire-path model: per shard, events ranked by event_id form transactions of
+# 10; all events in a tx carry the commit VGTID (tx id = the VGTID string).
+_WIRE_TX = """
+    WITH ev AS (
+      SELECT event_id, user_id, value, props, epoch_ms(ts) AS ts_ms,
+             CASE WHEN event_type='signup' THEN 'c'
+                  WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+             (['-40','40-80','80-c0','c0-'])[CAST(user_id % 4 AS INT) + 1] AS shard,
+             'tbl' || CAST(user_id % 3 AS VARCHAR) AS table_name,
+             CAST((ROW_NUMBER() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1) // 10 AS INT) AS txn
+      FROM events),
+    tx AS (
+      SELECT shard, txn,
+             'MySQL56/host0:1-' || CAST(max(event_id) + 100 AS VARCHAR) AS gtid
+      FROM ev GROUP BY shard, txn)
+"""
+
+
+@register(
+    "cdc_envelope_wire",
+    oracle=_WIRE_TX
+    + """
+    SELECT ev.op,
+           'ks0' AS keyspace,
+           ev.shard,
+           ev.table_name,
+           ev.ts_ms,
+           tx.gtid,
+           '[{"keyspace":"ks0","shard":"' || ev.shard || '","gtid":"' || tx.gtid || '"}]' AS vgtid,
+           '[{"keyspace":"ks0","shard":"' || ev.shard || '","gtid":"' || tx.gtid || '"}]' AS tx_id,
+           CASE WHEN ev.op IN ('u','d') THEN ev.user_id END AS before_user_id,
+           CASE WHEN ev.op IN ('u','d') THEN ev.value - 1.0 END AS before_value,
+           CASE WHEN ev.op IN ('c','u') THEN ev.user_id END AS after_user_id,
+           CASE WHEN ev.op IN ('c','u') THEN ev.value END AS after_value,
+           CASE WHEN ev.op IN ('c','u') THEN ev.props END AS after_props,
+           '{"user_id":' || CAST(ev.user_id AS VARCHAR) || '}' AS key
+    FROM ev JOIN tx ON ev.shard = tx.shard AND ev.txn = tx.txn
+    WHERE ev.table_name = 'tbl1'
+    """,
+)
+def cdc_envelope_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/D3 end to end through the packed-row wire path: a recorded VStream
+    (protobuf-shaped VEvents, ``query.Row`` lengths+bytes images) is replayed
+    through the response state machine + wire decoder in the executor read
+    path, then decoded to the typed envelope — the same plan as
+    ``cdc_envelope`` but fed by the real transport representation the live
+    gRPC source consumes (VStreamOutputMessageDecoder.java:298-329,
+    VitessReplicationConnection.java:128-300)."""
+    import tempfile
+
+    from .envelope import with_record_key
+    from .sources import replay as replay_source
+    from .sources.fixtures import write_wire_replay_fixture
+
+    replay_source.register(spark)
+    wire_dir = tempfile.mkdtemp(prefix="wire_replay_")
+    write_wire_replay_fixture(sf_dir, wire_dir, tx_size=10)
+
+    raw = (
+        spark.readStream.format("vitess-replay")
+        .option("path", wire_dir)
+        .option("wireFormat", "true")
+        .load()
+    )
+    schema = changelog.change_table_schema("tbl1")
+    env = decode_table(raw, schema)
+    env = with_record_key(env, schema)
+    out = env.select(
+        "op",
+        F.col("source.keyspace").alias("keyspace"),
+        F.col("source.shard").alias("shard"),
+        F.col("source.table").alias("table_name"),
+        "ts_ms",
+        "gtid",
+        F.col("source.vgtid").alias("vgtid"),
+        "tx_id",
+        F.col("before.user_id").alias("before_user_id"),
+        F.col("before.value").alias("before_value"),
+        F.col("after.user_id").alias("after_user_id"),
+        F.col("after.value").alias("after_value"),
+        F.col("after.props").alias("after_props"),
+        "key",
+    )
+    sink = "cdc_envelope_wire_sink"
+    spark.catalog.dropTempView(sink) if sink in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return cdc_envelope(spark, sf_dir)
 

@@ -13,6 +13,7 @@ import os
 import duckdb
 
 from ..changelog import KEYSPACE, SHARDS
+from ..vgtid import ShardGtid
 
 
 def write_replay_fixture(
@@ -74,6 +75,123 @@ def write_replay_fixture(
                 seq1 = int(chunk[-1][0]) + 100
                 fh.write(json.dumps({"kind": "COMMIT", "keyspace": KEYSPACE, "seq": seq1,
                                      "ts_ms": int(chunk[-1][1])}) + "\n")
+                n += 1
+        counts[shard] = n
+    con.close()
+    return counts
+
+
+def write_wire_replay_fixture(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    tx_size: int = 10,
+    limit: int | None = None,
+    start_event: int = 0,
+) -> dict[str, int]:
+    """events.parquet → {out_dir}/{shard}.jsonl in the *wire* format: each
+    line a protobuf-shaped VEvent (sources/wire.py serde) whose ROW events
+    carry packed ``query.Row`` images (lengths + concatenated bytes).
+
+    Stream shape per shard (mirrors a live VStream): one FIELD event per
+    table inside the first transaction, then per transaction of ``tx_size``
+    row events: BEGIN, ROWs, VGTID (the commit position — all events in a tx
+    share it), COMMIT. The deterministic model matches the duckdb oracle of
+    ``cdc_envelope_wire``: tx n on a shard covers that shard's events ranked
+    [n*tx_size, (n+1)*tx_size) by event_id; commit seq = max(event_id)+100.
+    """
+    from .wire import (
+        WireField,
+        WireFieldEvent,
+        WireRowChange,
+        WireRowEvent,
+        WireVEvent,
+        WireVgtid,
+        pack_row,
+        vevent_to_json,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    lim = f"AND event_id >= {start_event}" + (
+        f" AND event_id < {start_event + limit}" if limit is not None else ""
+    )
+    con = duckdb.connect()
+    table_fields = (
+        WireField("user_id", "INT64", "bigint(20)", 3),
+        WireField("value", "FLOAT64", "double", 0),
+        WireField("props", "JSON", "json", 0),
+    )
+    counts: dict[str, int] = {}
+    for i, shard in enumerate(SHARDS):
+        rows = con.execute(
+            f"""
+            SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props
+            FROM '{sf_dir}/events.parquet'
+            WHERE user_id % 4 = {i} {lim}
+            ORDER BY event_id
+            """
+        ).fetchall()
+        path = os.path.join(out_dir, f"{shard}.jsonl")
+        n = 0
+
+        def w(fh, ev):
+            fh.write(vevent_to_json(ev) + "\n")
+
+        with open(path, "a", encoding="utf-8") as fh:
+            for t in range(0, len(rows), tx_size):
+                chunk = rows[t : t + tx_size]
+                ts0_ns = int(chunk[0][1]) * 1_000_000
+                w(fh, WireVEvent("BEGIN", current_time=ts0_ns, keyspace=KEYSPACE, shard=shard))
+                n += 1
+                if t == 0 and start_event == 0:
+                    for tbl in ("tbl0", "tbl1", "tbl2"):
+                        w(fh, WireVEvent(
+                            "FIELD",
+                            current_time=ts0_ns,
+                            field_event=WireFieldEvent(
+                                table_name=f"{KEYSPACE}.{tbl}",
+                                fields=table_fields,
+                                keyspace=KEYSPACE,
+                                shard=shard,
+                            ),
+                        ))
+                        n += 1
+                for event_id, ts_ms, user_id, event_type, value, props in chunk:
+                    op_is_c = event_type == "signup"
+                    op_is_d = event_type == "error"
+                    props_cell = props.encode() if props is not None else None
+                    before = None if op_is_c else pack_row([
+                        str(user_id).encode(),
+                        repr(float(value) - 1.0).encode(),
+                        props_cell,
+                    ])
+                    after = None if op_is_d else pack_row([
+                        str(user_id).encode(),
+                        repr(float(value)).encode(),
+                        props_cell,
+                    ])
+                    w(fh, WireVEvent(
+                        "ROW",
+                        current_time=int(ts_ms) * 1_000_000,
+                        row_event=WireRowEvent(
+                            table_name=f"{KEYSPACE}.tbl{int(user_id) % 3}",
+                            row_changes=(WireRowChange(before=before, after=after),),
+                            keyspace=KEYSPACE,
+                            shard=shard,
+                        ),
+                    ))
+                    n += 1
+                commit_seq = int(chunk[-1][0]) + 100
+                ts1_ns = int(chunk[-1][1]) * 1_000_000
+                w(fh, WireVEvent(
+                    "VGTID",
+                    current_time=ts1_ns,
+                    vgtid=WireVgtid(shard_gtids=(
+                        ShardGtid(KEYSPACE, shard, f"MySQL56/host0:1-{commit_seq}"),
+                    )),
+                ))
+                n += 1
+                w(fh, WireVEvent("COMMIT", current_time=ts1_ns, keyspace=KEYSPACE, shard=shard))
                 n += 1
         counts[shard] = n
     con.close()

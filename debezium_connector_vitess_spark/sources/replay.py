@@ -23,6 +23,13 @@ Layout: ``{path}/{shard}.jsonl``, one VEvent per line:
 table's column metadata (D4 schema inference — the binlogdata.FieldEvent
 analog); they ride inside or ahead of a transaction and are never an offset
 boundary on their own (they describe the rows that follow).
+
+Wire format (``option("wireFormat", "true")``): each line is a protobuf-shaped
+VEvent (sources/wire.py serde) whose ROW events carry *packed* row images —
+``{"lengths": [...], "values": "<base64>"}``, the ``query.Row`` wire shape —
+and the executor read path reassembles transactions with the VStream response
+state machine and decodes rows against the FIELD-derived schema, exactly as
+the live gRPC source does (VStreamOutputMessageDecoder.java:298-329).
 """
 
 from __future__ import annotations
@@ -39,6 +46,8 @@ from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPart
 from .buffer import TransactionBuffer
 
 FORMAT_NAME = "vitess-replay"
+
+_NON_BOUNDARY_KINDS = {"FIELD", "VGTID", "VERSION", "COPY_COMPLETED"}
 
 
 def _shard_files(path: str) -> dict[str, str]:
@@ -82,16 +91,18 @@ class _BoundaryIndex:
                     st["line"] += 1
                     if not raw.strip():
                         continue
-                    kind = json.loads(raw).get("kind")
+                    d = json.loads(raw)
+                    kind = d.get("kind") or d.get("type")
                     if kind == "BEGIN":
                         st["depth"] = 1
                     elif kind == "COMMIT":
                         st["depth"] = 0
                         st["bounds"].append(st["line"])
-                    elif st["depth"] == 0 and kind != "FIELD":
+                    elif st["depth"] == 0 and kind not in _NON_BOUNDARY_KINDS:
                         # DDL/HEARTBEAT/OTHER outside a tx are their own
-                        # boundary; a FIELD is not — it describes the rows
-                        # that follow, so it must land in the same micro-batch
+                        # boundary; FIELD/VGTID/VERSION/COPY_COMPLETED are
+                        # not — they describe or position the rows that
+                        # follow, so they must land in the same micro-batch
                         st["bounds"].append(st["line"])
                 st["offset"] += len(complete)
             st["size"] = size
@@ -136,6 +147,13 @@ class ReplayPartition(InputPartition):
     file_path: str
     start_line: int
     end_line: int
+    wire: bool = False
+    keyspace: str = ""
+    exclude_keyspace: bool = False
+
+
+def _truthy(v) -> bool:
+    return str(v).lower() in ("true", "1", "yes")
 
 
 class VitessReplayStreamReader(DataSourceStreamReader):
@@ -149,10 +167,30 @@ class VitessReplayStreamReader(DataSourceStreamReader):
         # one index per reader: latestOffset scans only appended bytes per
         # trigger instead of re-parsing every line of every shard file
         self._index = _BoundaryIndex()
+        # E3 batch cap. Limitation of the Python streaming-source API: there
+        # is no admission-control latestOffset(start, limit) variant, and the
+        # runner asks for latestOffset before initialOffset/partitions reveal
+        # the start, so the FIRST micro-batch of a (re)started query is
+        # uncapped; every subsequent batch is bounded relative to the last
+        # planned end. (Under the availableNow/once single-batch fallback the
+        # whole run is one batch by Spark's design.)
         max_records = options.get("maxrecordsperbatch") or options.get(
             "maxRecordsPerBatch"
         )
         self._max_records = int(max_records) if max_records is not None else None
+        self._wire = _truthy(options.get("wireformat") or options.get("wireFormat") or "")
+        self._keyspace = options.get("keyspace", "")
+        self._exclude_keyspace = _truthy(
+            options.get("excludekeyspacefromtablename")
+            or options.get("excludeKeyspaceFromTableName")
+            or ""
+        )
+        # O7 / stop_on_reshard: remember the shard set we subscribed to; a
+        # later re-list that differs is a reshard
+        self._stop_on_reshard = _truthy(
+            options.get("stoponreshard") or options.get("stopOnReshard") or ""
+        )
+        self._subscribed_shards = frozenset(self._files)
         # last planned end per shard, so latestOffset can cap the next batch
         # relative to where the previous one stopped (E3 backpressure); kept
         # current from initialOffset / partitions / commit so a restart from
@@ -168,6 +206,13 @@ class VitessReplayStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # re-list so shards added between batches are picked up (reshard, O7)
         self._files = _shard_files(self._path)
+        if self._stop_on_reshard and frozenset(self._files) != self._subscribed_shards:
+            from .wire import ReshardDetectedError
+
+            raise ReshardDetectedError(
+                f"shard set changed from {sorted(self._subscribed_shards)} to "
+                f"{sorted(self._files)} with stop_on_reshard set"
+            )
         end = {}
         for shard, f in self._files.items():
             bounds = self._index.boundaries(f)
@@ -192,6 +237,9 @@ class VitessReplayStreamReader(DataSourceStreamReader):
                 file_path=self._files[s],
                 start_line=start.get(s, 0),
                 end_line=end_line,
+                wire=self._wire,
+                keyspace=self._keyspace,
+                exclude_keyspace=self._exclude_keyspace,
             )
             for s, end_line in end.items()
             if end_line > start.get(s, 0)
@@ -205,14 +253,28 @@ class VitessReplayStreamReader(DataSourceStreamReader):
     def read(self, partition: ReplayPartition) -> Iterator[tuple]:
         if partition.end_line <= partition.start_line:
             return
-        events: list[dict] = []
+        lines: list[str] = []
+        prefix_fields: list[str] = []
         with open(partition.file_path, "r", encoding="utf-8") as fh:
             for i, line in enumerate(fh):
                 if i >= partition.end_line:
                     break
-                if i < partition.start_line or not line.strip():
+                if not line.strip():
                     continue
-                events.append(json.loads(line))
+                if i < partition.start_line:
+                    # wire restarts mid-file: the FIELD events before the
+                    # resume point must re-prime the decoder's schema cache
+                    # (the live gRPC source re-receives FIELDs on reconnect;
+                    # VStreamOutputMessageDecoder.java:73-75); they are not
+                    # re-emitted — they were already delivered
+                    if partition.wire and '"type":"FIELD"' in line:
+                        prefix_fields.append(line)
+                    continue
+                lines.append(line)
+        if partition.wire:
+            yield from self._read_wire(partition, lines, prefix_fields)
+            return
+        events = [json.loads(line) for line in lines]
         buf = TransactionBuffer()
         for ev in events:
             for tx in buf.add(ev):
@@ -221,6 +283,73 @@ class VitessReplayStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"offset range did not end on a transaction boundary "
                 f"(shard={partition.shard}, pending={buf.pending})"
+            )
+
+    def _read_wire(
+        self,
+        partition: ReplayPartition,
+        lines: list[str],
+        prefix_fields: list[str] | None = None,
+    ) -> Iterator[tuple]:
+        """Packed-row read path (D3): drive the recorded VEvents through the
+        VStream response state machine + wire decoder — the same code the
+        live gRPC source runs — and emit RAW_EVENT_SCHEMA tuples.
+
+        Reference: resolveColumns lengths+bytes decode
+        (VStreamOutputMessageDecoder.java:298-329) behind the onNext
+        buffering machine (VitessReplicationConnection.java:128-300).
+        """
+        from .wire import (
+            VStreamObserver,
+            VStreamResponse,
+            WireDecoder,
+            decode_flush,
+            vevent_from_json,
+        )
+
+        events = [vevent_from_json(line) for line in lines]
+        decoder = WireDecoder(
+            partition.keyspace,
+            exclude_keyspace_from_table_name=partition.exclude_keyspace,
+        )
+        for line in prefix_fields or []:
+            ev = vevent_from_json(line)
+            if ev.type == "FIELD" and ev.field_event is not None:
+                decoder.apply_field_event(ev.field_event)
+        observer = VStreamObserver()
+        # group recorded events into response-sized batches that close after a
+        # COMMIT, as VTGate does (a transaction may span responses but a new
+        # one never starts mid-response); small cap exercises multi-response
+        # transaction buffering
+        responses: list[VStreamResponse] = []
+        batch: list = []
+        for ev in events:
+            batch.append(ev)
+            if ev.type == "COMMIT" or len(batch) >= 8:
+                responses.append(VStreamResponse(events=tuple(batch)))
+                batch = []
+        if batch:
+            responses.append(VStreamResponse(events=tuple(batch)))
+        for response in responses:
+            for flush in observer.on_response(response):
+                for d in decode_flush(decoder, flush):
+                    yield (
+                        d["kind"],
+                        d.get("keyspace"),
+                        d.get("shard") or partition.shard,
+                        d.get("table"),
+                        d.get("gtid"),
+                        d.get("vgtid"),
+                        d.get("vgtid"),  # tx id = the entire VGTID string
+                        d.get("ts"),
+                        d.get("row_changes"),
+                        d.get("statement"),
+                        d.get("fields"),
+                    )
+        if observer.pending:
+            raise ValueError(
+                f"offset range did not end on a transaction boundary "
+                f"(shard={partition.shard}, pending={observer.pending})"
             )
 
     def _tx_rows(self, shard: str, events: list[dict]) -> Iterator[tuple]:
