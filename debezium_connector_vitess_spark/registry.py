@@ -859,20 +859,57 @@ _ORACLE_COS = (
 )
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_ORACLE_COS} >= 0.4
-    """,
-)
+def _lsh_banded_oracle_sql(
+    threshold: float = 0.4, num_planes: int = 16, num_bands: int = 4, dim: int = 64
+) -> str:
+    """DuckDB mirror of ``lsh_banded_near_dup_pairs``: identical deterministic
+    hyperplanes (embedded as literals), band keys, candidate equi-join, and
+    exact-cosine verify — the same replicate-the-approximation pattern the
+    minhash oracle uses, so the approximate semantics are themselves checked."""
+    from .ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_planes)
+    per = num_planes // num_bands
+    values = ",\n      ".join(
+        f"({pid}, [{', '.join(repr(v) for v in plane)}])"
+        for pid, plane in enumerate(planes)
+    )
+    return f"""
+    WITH planes AS (
+      SELECT * FROM (VALUES
+      {values}) t(pid, pvec)),
+    sig AS (
+      SELECT e.vec_id, p.pid // {per} AS band,
+             CAST(sum(CASE WHEN list_dot_product(
+                        list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                        p.pvec) >= 0
+                      THEN (1 << (p.pid % {per})) ELSE 0 END) AS INT) AS bkey
+      FROM embeddings e, planes p
+      GROUP BY e.vec_id, p.pid // {per}),
+    cand AS (
+      SELECT DISTINCT s_a.vec_id AS id_a, s_b.vec_id AS id_b
+      FROM sig s_a JOIN sig s_b
+        ON s_a.band = s_b.band AND s_a.bkey = s_b.bkey AND s_a.vec_id < s_b.vec_id)
+    SELECT cand.id_a, cand.id_b
+    FROM cand
+    JOIN embeddings a ON a.vec_id = cand.id_a
+    JOIN embeddings b ON b.vec_id = cand.id_b
+    WHERE {_ORACLE_COS} >= {threshold}
+    """
+
+
+@register("dedup_embedding_cosine", oracle=_lsh_banded_oracle_sql())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4)."""
-    from .ops.similarity import embedding_near_dup_pairs
+    """Embedding-cosine near-dup pairs through the 100 TB path: banded
+    hyperplane-LSH candidates (pure equi-join on (band, key) — ids and small
+    ints shuffle, never vectors) + exact cosine verify (cos ≥ 0.4). The
+    oracle replicates the banding deterministically, so the approximate
+    semantics are checked end to end; brute force
+    (``embedding_near_dup_pairs``) remains as the recall baseline in tests."""
+    from .ops.similarity import lsh_banded_near_dup_pairs
 
     emb = _embeddings(spark, sf_dir)
-    return embedding_near_dup_pairs(emb, threshold=0.4)
+    return lsh_banded_near_dup_pairs(emb, threshold=0.4)
 
 
 @register(

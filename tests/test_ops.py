@@ -206,3 +206,50 @@ def test_sample_by_hash_deterministic(spark, sf_dir):
     a = sorted(r["doc_id"] for r in sample_by_hash(docs, "doc_id", rate_pct=F.lit(30)).select("doc_id").collect())
     b = sorted(r["doc_id"] for r in sample_by_hash(docs, "doc_id", rate_pct=F.lit(30)).select("doc_id").collect())
     assert a == b and 0 < len(a) < docs.count()
+
+
+def test_banded_near_dup_recall_and_knob(spark, sf_dir):
+    """Banded-LSH near-dup pairs: every result is a true pair (precision 1.0
+    by construction — exact verify), recall vs brute force is bounded below,
+    and narrower bands (more of them) raise recall monotonically."""
+    from debezium_connector_vitess_spark.ops.similarity import (
+        embedding_near_dup_pairs,
+        lsh_banded_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {tuple(r) for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()}
+    banded4 = {
+        tuple(r)
+        for r in lsh_banded_near_dup_pairs(
+            emb, threshold=0.4, num_planes=16, num_bands=4
+        ).collect()
+    }
+    banded8 = {
+        tuple(r)
+        for r in lsh_banded_near_dup_pairs(
+            emb, threshold=0.4, num_planes=16, num_bands=8
+        ).collect()
+    }
+    assert banded4 <= exact and banded8 <= exact  # no false positives
+    assert len(banded4) / len(exact) >= 0.5
+    # more/narrower bands -> pigeonhole covers larger hamming -> recall up
+    assert banded4 <= banded8
+    assert len(banded8) / len(exact) >= len(banded4) / len(exact)
+
+
+def test_banded_near_dup_plan_is_equi_join(spark, sf_dir):
+    """The candidate stage must be a bucket equi-join, not a cartesian
+    product (the 100 TB shape)."""
+    from debezium_connector_vitess_spark.ops.similarity import (
+        lsh_banded_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = (
+        lsh_banded_near_dup_pairs(emb, threshold=0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
