@@ -1227,21 +1227,16 @@ def type_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def snapshot_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3/O6: chunked keyset-paginated copy (VStream Copy analog). Pages of
-    700 rows advance a CopyCursor exactly as table_p_ks advances inside the
-    VGTID; the union of pages = the full snapshot as op='r' envelopes. Each
-    page's pk-range predicate pushes to the parquet scan (min/max pruning)."""
-    from .snapshot import CopyCursor, snapshot_chunk
+    """S3/O6: chunked copy (VStream Copy analog), planned in ONE pass: a
+    single stats aggregate derives all ~700-row PK ranges up front and every
+    row is tagged with its chunk arithmetically — one scan, no per-page
+    driver loop. The chunk boundaries are exactly the ``table_p_ks`` resume
+    markers a restart records in the VGTID (TablePrimaryKeys.java:27-368)."""
+    from .snapshot import CopyCursor, snapshot_copy
 
     df = spark.read.parquet(f"{sf_dir}/customer.parquet")
     cursor = CopyCursor(table="customer", pk_column="c_custkey")
-    pages = []
-    while not cursor.done:
-        page, cursor = snapshot_chunk(df, cursor, chunk_size=700)
-        pages.append(page)
-    snap = pages[0]
-    for p in pages[1:]:
-        snap = snap.unionAll(p)
+    snap, _boundaries = snapshot_copy(df, cursor, chunk_size=700)
     return snap.select(F.lit("r").alias("op"), *df.columns)
 
 

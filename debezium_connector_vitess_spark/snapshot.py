@@ -46,34 +46,59 @@ class CopyCursor:
         )
 
 
-def snapshot_chunk(
+def snapshot_copy(
     df: DataFrame,
     cursor: CopyCursor,
     *,
     chunk_size: int,
-) -> tuple[DataFrame, CopyCursor]:
-    """One keyset page: rows with pk > last_pk, ordered, limited.
+) -> tuple[DataFrame, list[int]]:
+    """One-pass chunked copy: all PK ranges planned up front.
 
-    Returns (chunk, advanced cursor). Catalyst pushes the range predicate to
-    the scan (parquet min/max pruning / JDBC WHERE), so each page reads only
-    what it needs — this is what makes the copy resumable at 100 TB without
-    rescanning.
+    The naive keyset loop (per page: ``orderBy(pk).limit(chunk)`` over all
+    remaining rows + a ``collect()`` round-trip) is O(n²/chunk) work and one
+    driver sync per page — at 100 TB, a 1 B-row table at chunk 10k would be
+    100k sequential driver round-trips. Instead this does ONE stats aggregate
+    (min/max/count of the remaining PK range — the only driver sync), derives
+    equal-width PK ranges covering ~``chunk_size`` rows each, and tags every
+    row with its ``copy_chunk`` arithmetically — a narrow codegen'd
+    projection on a single scan. Skewed PKs make chunk populations uneven,
+    which only affects resume granularity, not memory (chunks are offsets,
+    not buffers).
+
+    Returns ``(rows, boundaries)``: ``rows`` is the remaining copy as one
+    DataFrame with a ``copy_chunk`` column; ``boundaries[i]`` is chunk i's
+    inclusive upper PK — exactly the value a restart records as the cursor's
+    ``last_pk`` (the ``table_p_ks`` element of the VGTID,
+    TablePrimaryKeys.java:27-368). The cursor's range predicate pushes to the
+    scan (parquet min/max pruning / JDBC WHERE), so a resumed copy reads only
+    what it still needs.
     """
     pk = F.col(cursor.pk_column)
-    page = df
-    if cursor.last_pk is not None:
-        page = page.filter(pk > cursor.last_pk)
-    page = page.orderBy(pk).limit(chunk_size)
-    rows = page.select(cursor.pk_column).agg(
-        F.max(cursor.pk_column).alias("mx"), F.count("*").alias("n")
+    remaining = df.filter(pk > cursor.last_pk) if cursor.last_pk is not None else df
+    stats = remaining.agg(
+        F.min(pk).alias("mn"), F.max(pk).alias("mx"), F.count("*").alias("n")
     ).collect()[0]
-    new_cursor = CopyCursor(
+    if not stats["n"]:
+        return remaining.withColumn("copy_chunk", F.lit(0).cast("long")), []
+    mn, mx, n = int(stats["mn"]), int(stats["mx"]), int(stats["n"])
+    n_chunks = max(1, -(-n // chunk_size))
+    width = max(1, -(-(mx - mn + 1) // n_chunks))
+    chunked = remaining.withColumn(
+        "copy_chunk", F.floor((pk - F.lit(mn)) / F.lit(width)).cast("long")
+    )
+    boundaries = [min(mn + (i + 1) * width - 1, mx) for i in range(n_chunks)]
+    return chunked, boundaries
+
+
+def cursor_at(cursor: CopyCursor, boundaries: list[int], chunk_idx: int) -> CopyCursor:
+    """Cursor state after chunk ``chunk_idx`` completed — what the offset
+    document records so an interrupted copy resumes at the next range."""
+    return CopyCursor(
         table=cursor.table,
         pk_column=cursor.pk_column,
-        last_pk=rows["mx"] if rows["mx"] is not None else cursor.last_pk,
-        done=rows["n"] < chunk_size,
+        last_pk=boundaries[chunk_idx],
+        done=chunk_idx >= len(boundaries) - 1,
     )
-    return page, new_cursor
 
 
 def snapshot_table(

@@ -5,6 +5,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from debezium_connector_vitess_spark.filters import TableFilter
 from debezium_connector_vitess_spark.sources.buffer import TransactionBuffer
@@ -344,31 +345,59 @@ def test_stateful_tx_metadata_stream(spark, replay_dir, tmp_path):
         assert r["transaction_rank"] == r["gtid"].rsplit("-", 1)[-1]
 
 
-def test_snapshot_keyset_pagination(spark, sf_dir):
-    """S3/O6: chunked copy with resumable keyset cursor."""
+def test_snapshot_one_pass_chunked_copy(spark, sf_dir):
+    """S3/O6: chunked copy planned in one pass — a single stats aggregate,
+    arithmetic chunk assignment, chunk boundaries as resume markers."""
     from debezium_connector_vitess_spark.snapshot import (
         CopyCursor,
+        cursor_at,
         initial_offset_with_copy,
-        snapshot_chunk,
+        snapshot_copy,
     )
 
     df = spark.read.parquet(f"{sf_dir}/customer.parquet")
     total = df.count()
     cursor = CopyCursor(table="customer", pk_column="c_custkey")
-    seen = 0
-    pages = 0
-    while not cursor.done:
-        page, cursor = snapshot_chunk(df, cursor, chunk_size=400)
-        seen += page.count()
-        pages += 1
-        assert pages < 100
-    assert seen == total
+    snap, bounds = snapshot_copy(df, cursor, chunk_size=40)
+    # one DataFrame covers the whole copy; chunks partition it exactly
+    assert snap.count() == total
+    per_chunk = {r["copy_chunk"]: r["n"] for r in
+                 snap.groupBy("copy_chunk").agg(F.count("*").alias("n")).collect()}
+    assert sum(per_chunk.values()) == total
+    assert max(per_chunk) <= len(bounds) - 1
+    # each chunk's rows respect its boundary (the resume marker)
+    mx = snap.groupBy("copy_chunk").agg(F.max("c_custkey").alias("mx")).collect()
+    for r in mx:
+        assert r["mx"] <= bounds[r["copy_chunk"]]
+
+    # resume after chunk 0: only later chunks' rows remain, none re-read
+    mid = cursor_at(cursor, bounds, 0)
+    assert not mid.done and mid.last_pk == bounds[0]
+    rest, rest_bounds = snapshot_copy(df, mid, chunk_size=40)
+    assert rest.count() == total - per_chunk[0]
+    assert rest.agg(F.min("c_custkey")).collect()[0][0] > bounds[0]
+    # finishing the last chunk marks the copy done
+    assert cursor_at(mid, rest_bounds, len(rest_bounds) - 1).done
+
     # interrupted copy is recorded in the offset document
-    mid = CopyCursor(table="customer", pk_column="c_custkey", last_pk=123)
     v = initial_offset_with_copy("ks0", ["-80", "80-"], [mid])
     assert v.is_initial()
     assert v.shard_gtids[0].table_p_ks[0].table_name == "customer"
-    assert v.shard_gtids[0].table_p_ks[0].lastpk["rows"] == ["123"]
+    assert v.shard_gtids[0].table_p_ks[0].lastpk["rows"] == [str(bounds[0])]
+
+
+def test_snapshot_copy_single_scan_plan(spark, sf_dir):
+    """The copy must be ONE scan stage: no per-page loop artifacts (no
+    union of limits, no global sort) in the physical plan."""
+    from debezium_connector_vitess_spark.snapshot import CopyCursor, snapshot_copy
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    snap, _ = snapshot_copy(
+        df, CopyCursor(table="customer", pk_column="c_custkey"), chunk_size=40
+    )
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan and "GlobalLimit" not in plan and "Sort" not in plan
 
 
 def test_metrics_listener(spark, replay_dir, tmp_path):
