@@ -586,30 +586,48 @@ def tx_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tx_epoch",
     oracle=f"""
-    SELECT event_id, shard,
-           CAST(1 + SUM(CASE WHEN prev_h IS NOT NULL AND prev_h <> h THEN 1 ELSE 0 END)
-               OVER (PARTITION BY shard ORDER BY event_id) AS BIGINT) AS transaction_epoch
-    FROM (
-      SELECT event_id, {_ORACLE_SHARD} AS shard, (event_id // 997) % 3 AS h,
-             LAG((event_id // 997) % 3) OVER (PARTITION BY {_ORACLE_SHARD} ORDER BY event_id) AS prev_h
-      FROM events
-    )
+    WITH ev AS (
+      SELECT event_id, {_ORACLE_SHARD} AS shard, event_id // 40 AS txn
+      FROM events),
+    tx AS (
+      SELECT shard, txn, min(event_id) AS first_event, (txn // 10) % 3 AS h
+      FROM ev GROUP BY shard, txn),
+    etx AS (
+      SELECT shard, txn,
+             CAST(1 + SUM(CASE WHEN prev_h IS NOT NULL AND prev_h <> h THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY shard ORDER BY first_event) AS BIGINT) AS transaction_epoch
+      FROM (SELECT *, LAG(h) OVER (PARTITION BY shard ORDER BY first_event) AS prev_h
+            FROM tx))
+    SELECT ev.event_id, ev.shard, etx.transaction_epoch
+    FROM ev JOIN etx ON ev.shard = etx.shard AND ev.txn = etx.txn
     """,
 )
 def tx_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4: per-shard epoch — running count of host-set breaks (failovers) over
-    the shard's transaction order; initial epoch 1 models an overridden start."""
+    """T4: per-shard epoch — running count of host-set breaks (failovers).
+
+    Epoch is a per-transaction property (derived on BEGIN,
+    VitessOrderedTransactionContext.java:109-127): all events of a
+    transaction share one GTID, so the window runs over the deduplicated
+    ``(shard, tx)`` frame — ~10× smaller than the event frame — and joins
+    back. Model: a transaction = a 40-event commit group (events share the
+    group's host), host fails over every 10 transactions; initial epoch 1
+    models an overridden start."""
     from .txmeta.batch import epoch_batch
 
     events = changelog.load_events(spark, sf_dir)
+    host = (F.expr("event_id div 40 div 10") % 3).cast("string")
     gtid = F.concat(
-        F.lit("MySQL56/host"),
-        (F.expr("event_id div 997") % 3).cast("string"),
-        F.lit(":1-"),
-        F.col("event_id").cast("string"),
+        F.lit("MySQL56/host"), host, F.lit(":1-"), F.col("event_id").cast("string")
     )
-    df = events.select("event_id", changelog.shard_col().alias("shard"), gtid.alias("gtid"))
-    return epoch_batch(df).select("event_id", "shard", "transaction_epoch")
+    df = events.select(
+        "event_id",
+        changelog.shard_col().alias("shard"),
+        F.expr("event_id div 40").alias("tx_id"),
+        gtid.alias("gtid"),
+    )
+    return epoch_batch(df, tx_col="tx_id").select(
+        "event_id", "shard", "transaction_epoch"
+    )
 
 
 @register(

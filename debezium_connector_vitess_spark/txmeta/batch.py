@@ -41,6 +41,7 @@ def epoch_batch(
     shard_col: str = "shard",
     order_col: str = "event_id",
     gtid_col: str = "gtid",
+    tx_col: str | None = None,
     initial_epoch: int = 1,
 ) -> DataFrame:
     """T4 batch analog: per-shard epoch = running count of host-set breaks.
@@ -49,20 +50,43 @@ def epoch_batch(
     previous (failover) — VitessEpochProvider.java:69-83. ``initial_epoch=1``
     models a replay that began from an overridden position (current/empty ⇒
     +1 on the first real transaction, VitessEpochProvider.java:46-56).
+
+    Scale shape: epochs are a *per-transaction* property (the reference
+    derives them on BEGIN — VitessOrderedTransactionContext.java:109-127), so
+    with ``tx_col`` set the window runs over the deduplicated
+    ``(shard, tx)`` frame — an order of magnitude smaller than the event
+    frame — and the result joins back onto the events. Only the narrow
+    (shard, tx, order, gtid) projection is ever sorted; the wide event
+    payload never enters the window. Without ``tx_col`` (per-event streams)
+    the window still sorts only a narrow projection and joins back, so the
+    per-shard sort never carries the event payload either way.
     """
-    w = Window.partitionBy(shard_col).orderBy(order_col)
+    keys = [shard_col, tx_col] if tx_col is not None else [shard_col, order_col]
+    if tx_col is not None:
+        # one row per (shard, tx): the tx's gtid (constant within it) and its
+        # first position — a map-side-combining aggregation, ~10× reduction
+        narrow = df.groupBy(shard_col, tx_col).agg(
+            F.min(order_col).alias("__tx_order"),
+            F.min(gtid_col).alias("__tx_gtid"),
+        )
+        order, gtid = F.col("__tx_order"), F.col("__tx_gtid")
+    else:
+        narrow = df.select(shard_col, order_col, gtid_col)
+        order, gtid = F.col(order_col), F.col(gtid_col)
+    w = Window.partitionBy(shard_col).orderBy(order)
     # stage the host set once — it feeds both lag() and the current-row
     # comparison, and the regex split/sort is the expensive part
-    staged = df.withColumn("__hosts", host_set_expr(F.col(gtid_col)))
+    staged = narrow.withColumn("__hosts", host_set_expr(gtid))
     hosts = F.col("__hosts")
     prev_hosts = F.lag(hosts).over(w)
     brk = F.when(
         prev_hosts.isNotNull() & (F.size(F.array_except(prev_hosts, hosts)) > 0), F.lit(1)
     ).otherwise(F.lit(0))
     running = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return staged.withColumn(
+    epochs = staged.withColumn(
         "transaction_epoch", (running + F.lit(initial_epoch)).cast("long")
-    ).drop("__hosts")
+    ).select(*keys, "transaction_epoch")
+    return df.join(epochs, on=keys)
 
 
 def with_tx_order(
