@@ -45,24 +45,74 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
+PNG_PAYLOAD_SCHEMA = "doc_id long, payload binary, mime string"
+
+
+def attach_png_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL image payloads: each doc gets a solid-color PNG
+    whose dimensions derive from the text length (width = 8 + len % 24,
+    height = 8 + (len//2) % 24) and whose color derives from the doc id —
+    encoded with the stdlib codec, so the decode branch downstream parses
+    actual PNG bytes in any environment."""
+    from .png import encode_png
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                n = len(text.encode("utf-8"))
+                w, h = 8 + n % 24, 8 + (n // 2) % 24
+                px = bytes([did % 256, (did * 7) % 256, (did * 13) % 256]) * (w * h)
+                payloads.append(encode_png(w, h, px, channels=3))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "mime": "image/png",
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(op, schema=PNG_PAYLOAD_SCHEMA)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic fake decode: dimensions derived from byte length.
-    Replace with PIL when available; signature/batching identical."""
+    """Deterministic stand-in for payloads that are not real images (the
+    driver's synthetic tables carry text bytes): dimensions derived from byte
+    length. Real images never reach this — see :func:`decode_image_dims`."""
     n = len(payload)
     return (64 + n % 512, 64 + (n // 2) % 512, 3)
 
 
+def decode_image_dims(payload: bytes) -> tuple[int, int, int]:
+    """REAL decode first, fake fallback last:
+
+    1. PNG → parse the signature/IHDR with the pure-stdlib codec
+       (``ops/png.py``) — genuine image decoding, no media library needed;
+    2. other formats with PIL present → PIL header decode;
+    3. anything else → the deterministic fake (synthetic non-image payloads).
+    """
+    from .png import is_png, parse_ihdr
+
+    if is_png(payload):
+        return parse_ihdr(payload)
+    if HAVE_PIL:  # pragma: no cover - PIL not in this container
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, len(im.getbands())
+    return _fake_decode(payload)
+
+
 def extract_image_metadata(binary_df: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction: per Arrow batch, decode (or fake-decode)
-    and emit typed metadata. This is the exact batch shape a real image
-    pipeline uses — swap ``_fake_decode`` for PIL and nothing else changes."""
+    """mapInPandas feature extraction: per Arrow batch, decode and emit typed
+    metadata. PNG payloads decode for real (stdlib codec); PIL covers other
+    formats when installed; synthetic non-image payloads fall back to the
+    deterministic fake. One batch-vectorized pass, no per-row serde."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            if HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError("real decode path requires test images")
-            dims = payloads.map(_fake_decode)
+            dims = payloads.map(decode_image_dims)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -104,14 +154,30 @@ RESIZE_SCHEMA = (
 AUDIO_CHUNK_SCHEMA = "doc_id long, chunk_idx int, start_sample long, n_samples long"
 
 
+def resize_image_payload(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Real resize for PNG payloads: decode pixels (stdlib codec),
+    nearest-neighbor resample, re-encode. Non-PNG payloads pass through
+    unchanged (their scale factor is still computed from decoded dims)."""
+    from .png import decode_png, encode_png, is_png, resize_nearest
+
+    if not is_png(payload):
+        return payload
+    w, h, ch, pixels = decode_png(payload)
+    return encode_png(
+        target_w, target_h, resize_nearest(pixels, w, h, ch, target_w, target_h),
+        channels=ch,
+    )
+
+
 def resize_images(binary_df: DataFrame, *, target_w: int = 224, target_h: int = 224) -> DataFrame:
-    """Resize stub: per batch, (fake-)decode dims and compute the
-    aspect-preserving scale factor for a target box. A real resizer writes the
-    resampled bytes in the same loop; the batch shape is what matters."""
+    """Resize: per batch, decode dims (real for PNG/PIL formats, fake for
+    synthetic payloads) and compute the aspect-preserving scale factor for a
+    target box; :func:`resize_image_payload` does the actual resampling for
+    real images at the same mapInPandas seam."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["payload"].map(_fake_decode)
+            dims = pdf["payload"].map(decode_image_dims)
             w = dims.map(lambda d: d[0]).astype("int32")
             h = dims.map(lambda d: d[1]).astype("int32")
             scale = pd.Series(

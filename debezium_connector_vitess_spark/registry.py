@@ -1034,6 +1034,28 @@ def multimodal_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_metadata",
+    oracle="""
+    SELECT doc_id,
+           (8 + octet_length(encode(text)) % 24)::INT AS width,
+           (8 + (octet_length(encode(text)) // 2) % 24)::INT AS height,
+           3 AS channels
+    FROM documents
+    """,
+)
+def multimodal_png_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end to end: deterministic PNGs are generated per doc
+    (stdlib encoder) and the metadata extractor parses the actual PNG
+    signature/IHDR bytes — no fake, no PIL dependency. The oracle replicates
+    the generation formulas, so a decoder that misreads the header goes red."""
+    from .ops.multimodal import attach_png_payload, extract_image_metadata
+
+    docs = _documents(spark, sf_dir)
+    meta = extract_image_metadata(attach_png_payload(docs))
+    return meta.select("doc_id", "width", "height", "channels")
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id,
