@@ -1463,7 +1463,8 @@ _ORACLE_COSQ = (
     "ann_ivf_topk",
     oracle=f"""
     WITH cent AS (
-      SELECT vec_id AS centroid_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 16),
+      SELECT vec_id AS centroid_id, embedding AS cent_vec FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
     c_assign AS (
       SELECT neighbor_id, cvec, bucket FROM (
         SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.centroid_id AS bucket,
@@ -1491,15 +1492,17 @@ _ORACLE_COSQ = (
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-5 (deterministic coarse quantizer so the
-    oracle can replicate the partitioning; see ops.similarity.ivf_topk)."""
+    """IVF-bucketed approximate top-5. Quantizer = md5-seeded deterministic
+    sample of the corpus (replicable in the oracle; no low-id bias); the
+    Lloyd-refined ``kmeans`` quantizer is the quality path, recall-tested in
+    pytest (see ops.similarity.ivf_topk)."""
     from .ops.similarity import ivf_topk
 
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).select(
-        "query_id", "rank", "neighbor_id"
-    )
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, quantizer="sample"
+    ).select("query_id", "rank", "neighbor_id")
 
 
 @register(

@@ -253,3 +253,55 @@ def test_banded_near_dup_plan_is_equi_join(spark, sf_dir):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_kmeans_quantizer_recall(spark, sf_dir):
+    """Lloyd-refined quantizer: deterministic (seeded sample init, fixed
+    iterations), and its recall@5 vs brute force must at least match the
+    unrefined sampled quantizer on the same probe budget."""
+    from debezium_connector_vitess_spark.ops.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(quantizer):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, queries, k=5, n_centroids=16, n_probe=4, quantizer=quantizer
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r_sample = recall("sample")
+    r_kmeans = recall("kmeans")
+    assert r_kmeans >= 0.5, f"kmeans IVF recall too low: {r_kmeans}"
+    assert r_kmeans >= r_sample - 0.1, (r_kmeans, r_sample)
+
+
+def test_kmeans_centroids_deterministic_and_refined(spark, sf_dir):
+    """Same inputs -> same centroids (no RNG); refinement moves centroids off
+    the raw sample; empty cells keep their previous centroid."""
+    from debezium_connector_vitess_spark.ops.similarity import (
+        kmeans_centroid_frame,
+        sampled_centroid_frame,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(id_col="vec_id", vec_col="embedding", n_centroids=8)
+    init = {r["centroid_id"]: list(r["cent_vec"])
+            for r in sampled_centroid_frame(emb, **kw).collect()}
+    k1 = {r["centroid_id"]: list(r["cent_vec"])
+          for r in kmeans_centroid_frame(emb, iters=1, **kw).collect()}
+    k1b = {r["centroid_id"]: list(r["cent_vec"])
+           for r in kmeans_centroid_frame(emb, iters=1, **kw).collect()}
+    assert set(k1) == set(init)
+    assert k1 == k1b  # deterministic across runs
+    assert any(init[c] != k1[c] for c in init)  # refinement actually moved
