@@ -244,11 +244,101 @@ def minhash_dedup_pairs(
     ).select("id_a", "id_b", "inter_size", "union_size")
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT Jaccard-threshold pairs at scale via prefix filtering (the
+    AllPairs/PPJoin principle) — same output as the brute-force all-pairs
+    join, no cartesian product, no recall loss.
+
+    Guarantee: order every document's distinct shingles by one global total
+    order (ascending document frequency, rare first — ties broken by the
+    shingle itself); if J(A,B) ≥ τ then the two prefixes of length
+    |X| − ⌈τ·|X|⌉ + 1 must share a shingle, so an equi-join on prefix
+    shingles finds every qualifying pair. Two exact prunes stack on top:
+    the length filter (τ·|A| ≤ |B| ≤ |A|/τ) and the final exact
+    intersection/union verify. Shuffles: one groupBy for shingle frequencies,
+    one per-doc aggregation, one equi-join on (rare) prefix shingles — rare
+    shingles keep the join's per-key fan-out small by construction.
+
+    Documents with no shingles (< n tokens) vacuously satisfy 0 ≥ τ·0 and
+    are paired among themselves, matching the brute-force semantics.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), shingle_n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    nonempty = sh.filter(F.col("sz") > 0)
+    ex = nonempty.select("id", "sz", F.explode("sh").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    # prefix length p = sz − ⌈τ·sz⌉ + 1 (integer-exact for τ = num/den)
+    p = (
+        F.col("sz")
+        - F.expr(f"(({threshold_num} * sz + {threshold_den} - 1) div {threshold_den})")
+        + F.lit(1)
+    )
+    prefix = (
+        ex.join(freq, "shingle")
+        .groupBy("id", "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("dfreq", "shingle"))).alias("ordered"))
+        .select(
+            "id",
+            "sz",
+            F.explode(
+                F.slice(F.transform("ordered", lambda s: s["shingle"]), F.lit(1), p)
+            ).alias("shingle"),
+        )
+    )
+    a = prefix.select(F.col("id").alias("id_a"), F.col("sz").alias("psz_a"), "shingle")
+    b = prefix.select(F.col("id").alias("id_b"), F.col("sz").alias("psz_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # exact length filter: J ≥ τ forces τ|A| ≤ |B| and τ|B| ≤ |A|
+            & (F.col("psz_a") * threshold_num <= F.col("psz_b") * threshold_den)
+            & (F.col("psz_b") * threshold_num <= F.col("psz_a") * threshold_den)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
+    vb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter_size"),
+            (F.col("sz_a") + F.col("sz_b") - inter).alias("union_size"),
+        )
+        .filter(F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num)
+    )
+    # empty-shingle docs (< n tokens) pair among themselves. This is the one
+    # non-equi join in the plan, over two inputs already filtered to the
+    # (normally empty) short-doc set — broadcastable by construction; real
+    # pipelines drop such docs before dedup anyway
+    ea = sh.filter(F.col("sz") == 0).select(F.col("id").alias("id_a"))
+    eb = sh.filter(F.col("sz") == 0).select(F.col("id").alias("id_b"))
+    empty_pairs = ea.join(eb, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", F.lit(0).alias("inter_size"), F.lit(0).alias("union_size")
+    )
+    return verified.unionByName(empty_pairs)
+
+
 def ngram_jaccard_pairs_bruteforce(
     df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 3
 ) -> DataFrame:
-    """Exact all-pairs shingle Jaccard (verification-scale only; the LSH path
-    above is the 100 TB route — this one is O(n²) by construction)."""
+    """Exact all-pairs shingle Jaccard (verification-scale only; the
+    prefix-filtered :func:`ngram_jaccard_pairs` is the 100 TB route — this
+    one is O(n²) by construction and exists as its test baseline)."""
     sh = df.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), shingle_n).alias("sh")
     )

@@ -833,12 +833,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_ORACLE_JACCARD_PAIRS + " WHERE inter_size * 2 >= union_size",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs 3-gram Jaccard at j ≥ 0.5 (verification-scale op)."""
-    from .ops.dedup import ngram_jaccard_pairs_bruteforce
+    """EXACT 3-gram Jaccard pairs at j ≥ 0.5 via prefix filtering
+    (AllPairs): rare-first prefix equi-join + length filter + exact verify —
+    identical output to the brute-force oracle with no cartesian product
+    (see ops.dedup.ngram_jaccard_pairs for the guarantee)."""
+    from .ops.dedup import ngram_jaccard_pairs
 
     docs = _documents(spark, sf_dir)
-    pairs = ngram_jaccard_pairs_bruteforce(docs, "text", "doc_id")
-    return pairs.filter(F.col("inter_size") * 2 >= F.col("union_size"))
+    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold_num=1, threshold_den=2)
 
 
 def _simhash_oracle_sql(bits: int = 32, max_hamming: int = 3) -> str:

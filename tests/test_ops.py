@@ -305,3 +305,42 @@ def test_kmeans_centroids_deterministic_and_refined(spark, sf_dir):
     assert set(k1) == set(init)
     assert k1 == k1b  # deterministic across runs
     assert any(init[c] != k1[c] for c in init)  # refinement actually moved
+
+
+def test_prefix_filtered_jaccard_equals_brute_force(spark, sf_dir):
+    """Prefix filtering is exact: identical pair set to the O(n^2) join, and
+    the plan has no cartesian/nested-loop join."""
+    from debezium_connector_vitess_spark.ops.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_bruteforce,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs_bruteforce(docs, "text", "doc_id")
+        .filter("inter_size * 2 >= union_size")
+        .collect()
+    }
+    fast_df = ngram_jaccard_pairs(docs, "text", "doc_id", threshold_num=1, threshold_den=2)
+    fast = {(r["id_a"], r["id_b"]) for r in fast_df.collect()}
+    assert fast == brute
+    plan = fast_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only non-equi join allowed is the (normally empty) short-doc edge
+    # path; the candidate/verify pipeline itself is pure equi-joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_prefix_filtered_jaccard_empty_doc_semantics(spark):
+    """Docs with < n tokens have empty shingle sets and vacuously satisfy the
+    threshold among themselves, exactly like the brute-force join."""
+    from debezium_connector_vitess_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "three"), (3, "a much longer document with many words here")],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]) for r in
+           ngram_jaccard_pairs(docs, "text", "doc_id").collect()}
+    assert out == {(1, 2)}
