@@ -400,12 +400,20 @@ def decode_table_evolving(
     )
     seq = gtid_seq_expr()
 
-    # (2) schema_gen: count boundaries passed, per shard
-    gen = F.lit(0)
+    # (2) schema_gen: count boundaries passed. One when-branch per shard,
+    # each summing only that shard's boundary terms, so a row evaluates
+    # O(#shards) equality checks + O(its shard's #DDLs) comparisons — not the
+    # O(#shards × #generations) flat sum of every shard's boundaries.
+    gen = None
     for shard, gens in per_shard.items():
+        shard_gen = F.lit(0)
         for bseq, _g, _schema in gens:
-            gen = gen + F.when((F.col("shard") == shard) & (seq >= bseq), 1).otherwise(0)
-    changes = changes.withColumn("seq", seq).withColumn("schema_gen", gen.cast("int"))
+            shard_gen = shard_gen + F.when(seq >= bseq, 1).otherwise(0)
+        cond = F.col("shard") == shard
+        gen = F.when(cond, shard_gen) if gen is None else gen.when(cond, shard_gen)
+    changes = changes.withColumn("seq", seq).withColumn(
+        "schema_gen", gen.otherwise(F.lit(0)).cast("int")
+    )
 
     # (3) group (shard, gen) by column-set signature
     def signature(schema: TableSchema):
