@@ -304,6 +304,7 @@ class VitessReplayStreamReader(DataSourceStreamReader):
             VStreamResponse,
             WireDecoder,
             decode_flush,
+            raw_event_tuple,
             vevent_from_json,
         )
 
@@ -333,19 +334,7 @@ class VitessReplayStreamReader(DataSourceStreamReader):
         for response in responses:
             for flush in observer.on_response(response):
                 for d in decode_flush(decoder, flush):
-                    yield (
-                        d["kind"],
-                        d.get("keyspace"),
-                        d.get("shard") or partition.shard,
-                        d.get("table"),
-                        d.get("gtid"),
-                        d.get("vgtid"),
-                        d.get("vgtid"),  # tx id = the entire VGTID string
-                        d.get("ts"),
-                        d.get("row_changes"),
-                        d.get("statement"),
-                        d.get("fields"),
-                    )
+                    yield raw_event_tuple(d, default_shard=partition.shard)
         if observer.pending:
             raise ValueError(
                 f"offset range did not end on a transaction boundary "

@@ -424,17 +424,24 @@ class VStreamTransport:
         )
         self._subscribed_shards = frozenset(self.request.vgtid.shards)
 
-    def events(self) -> Iterator[dict]:
-        """Stream → decoded raw event dicts, whole transactions at a time."""
+    def flushes(self) -> Iterator[tuple[list[dict], Optional[WireVgtid]]]:
+        """Stream → (decoded raw event dicts, position) per completed
+        transaction/group. The position is the group's VGTID — what the O1
+        rotate/reset protocol commits as the offset after the group."""
         for response in self.channel.vstream(self.request):
             for flush in self.observer.on_response(response):
                 self._check_reshard(flush.vgtid)
-                yield from decode_flush(self.decoder, flush)
+                yield list(decode_flush(self.decoder, flush)), flush.vgtid
         if self.observer.pending:
             raise ValueError(
                 f"stream ended mid-transaction with {self.observer.pending} "
                 f"buffered events"
             )
+
+    def events(self) -> Iterator[dict]:
+        """Stream → decoded raw event dicts, whole transactions at a time."""
+        for rows, _vgtid in self.flushes():
+            yield from rows
 
     def _check_reshard(self, vgtid: Optional[WireVgtid]) -> None:
         if vgtid is None or not self.config.stop_on_reshard:
@@ -650,6 +657,24 @@ def vevent_from_json(raw: str) -> WireVEvent:
     )
 
 
+def raw_event_tuple(d: dict, default_shard: Optional[str] = None) -> tuple:
+    """Decoded event dict → decode.RAW_EVENT_SCHEMA tuple (tx id = the entire
+    VGTID string, VStreamOutputMessageDecoder.java:121-150)."""
+    return (
+        d["kind"],
+        d.get("keyspace"),
+        d.get("shard") or default_shard,
+        d.get("table"),
+        d.get("gtid"),
+        d.get("vgtid"),
+        d.get("vgtid"),
+        d.get("ts"),
+        d.get("row_changes"),
+        d.get("statement"),
+        d.get("fields"),
+    )
+
+
 class FakeChannel:
     """Test double for the gRPC channel: records the request, replays
     pre-built responses. Any iterable of responses (or a callable taking the
@@ -666,3 +691,91 @@ class FakeChannel:
             yield from self._fn(request)
         else:
             yield from self._responses
+
+
+def _gtid_seq(gtid: str) -> int:
+    import re
+
+    m = re.search(r"(\d+)$", gtid or "")
+    return int(m.group(1)) if m else 0
+
+
+class JsonlChannel:
+    """Channel that replays a recorded wire-format stream (``{shard}.jsonl``
+    of protobuf-shaped VEvents) honoring the request's VGTID resume position
+    — the VStream contract: resume is exclusive-start per shard, and FIELD
+    events re-send before a table's first ROW on every new stream
+    (VitessReplicationConnection.java:329-331 comment, VStream semantics).
+
+    This is what lets the LIVE source path (request → responses → buffer →
+    packed decode → VGTID offsets) run end to end against recorded data:
+    tests and offline replays inject it via the ``channelFactory`` option.
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def vstream(self, request: VStreamRequest) -> Iterator[VStreamResponse]:
+        import os
+
+        shard_txs: dict[str, list] = {}
+        for fname in sorted(os.listdir(self.path)):
+            if not fname.endswith(".jsonl"):
+                continue
+            shard = fname[: -len(".jsonl")]
+            events = [
+                vevent_from_json(line)
+                for line in open(os.path.join(self.path, fname), encoding="utf-8")
+                if line.strip()
+            ]
+            txs: list[list[WireVEvent]] = []
+            cur: list[WireVEvent] = []
+            for ev in events:
+                cur.append(ev)
+                if ev.type == "COMMIT":
+                    txs.append(cur)
+                    cur = []
+            if cur:
+                txs.append(cur)
+            sg = request.vgtid.get_shard_gtid(shard)
+            resume = _gtid_seq(sg.gtid) if sg is not None else 0
+            pending: list[list[WireVEvent]] = []
+            skipped_fields: list[WireVEvent] = []
+            for tx in txs:
+                seq = max(
+                    (
+                        _gtid_seq(s.gtid)
+                        for ev in tx
+                        if ev.vgtid is not None
+                        for s in ev.vgtid.shard_gtids
+                        if s.shard == shard
+                    ),
+                    default=0,
+                )
+                if seq <= resume:
+                    skipped_fields.extend(e for e in tx if e.type == "FIELD")
+                else:
+                    pending.append(tx)
+            if pending and skipped_fields:
+                # re-send schemas at stream start, inside the first tx (the
+                # dedup keeps only the latest FIELD per table)
+                latest: dict[str, WireVEvent] = {}
+                for ev in skipped_fields:
+                    latest[ev.field_event.table_name] = ev
+                first = pending[0]
+                pending[0] = [first[0], *latest.values(), *first[1:]]
+            shard_txs[shard] = pending
+        # interleave shards round-robin, one transaction per response
+        while any(shard_txs.values()):
+            for shard in sorted(shard_txs):
+                if shard_txs[shard]:
+                    yield VStreamResponse(events=tuple(shard_txs[shard].pop(0)))
+
+
+def jsonl_channel_factory(options: dict) -> JsonlChannel:
+    """``channelFactory`` entry point: ``option("path", dir)`` names the
+    recorded wire stream."""
+    path = options.get("path")
+    if not path:
+        raise ValueError("jsonl_channel_factory requires a 'path' option")
+    return JsonlChannel(path)

@@ -1,0 +1,157 @@
+"""Live vitess-cdc source: VGTID offsets end to end over a recorded wire
+stream (S1 proper — request/resume → responses → buffer → packed decode)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from debezium_connector_vitess_spark.sources.fixtures import write_wire_replay_fixture
+from debezium_connector_vitess_spark.sources.live import VitessCdcSimpleStreamReader
+from debezium_connector_vitess_spark.sources.wire import jsonl_channel_factory
+from debezium_connector_vitess_spark.vgtid import Vgtid
+
+FACTORY = "debezium_connector_vitess_spark.sources.wire:jsonl_channel_factory"
+
+
+@pytest.fixture()
+def wire_dir(tmp_path, sf_dir):
+    d = str(tmp_path / "wire")
+    write_wire_replay_fixture(sf_dir, d, tx_size=10, limit=200)
+    return d
+
+
+def _reader(wire_dir, **extra):
+    opts = {
+        "keyspace": "ks0",
+        "shards": "-40,40-80,80-c0,c0-",
+        "snapshotmode": "never",
+        "channelfactory": FACTORY,
+        "path": wire_dir,
+    }
+    opts.update(extra)
+    return VitessCdcSimpleStreamReader(opts)
+
+
+class TestReaderContract:
+    def test_initial_offset_is_vgtid(self, wire_dir):
+        r = _reader(wire_dir)
+        off = r.initialOffset()
+        v = Vgtid.from_json(off["vgtid"])
+        assert sorted(v.shards) == ["-40", "40-80", "80-c0", "c0-"]
+        assert all(sg.gtid == "current" for sg in v.shard_gtids)
+
+    def test_read_advances_vgtid_and_decodes_rows(self, wire_dir):
+        r = _reader(wire_dir)
+        rows, end = r.read(r.initialOffset())
+        rows = list(rows)
+        kinds = {t[0] for t in rows}
+        assert "ROW" in kinds and "FIELD" in kinds
+        v = Vgtid.from_json(end["vgtid"])
+        # every shard advanced off 'current' to a concrete position
+        assert all(sg.gtid.startswith("MySQL56/") for sg in v.shard_gtids)
+        # row images decoded from packed bytes
+        row = next(t for t in rows if t[0] == "ROW")
+        before, after = row[8][0]
+        img = after or before
+        assert set(img) == {"user_id", "value", "props"}
+
+    def test_resume_from_offset_no_loss_no_dup(self, wire_dir):
+        """The committed VGTID is the reconnect position: a second read from
+        the mid-stream offset returns exactly the remaining transactions."""
+        r = _reader(wire_dir, maxrecordsperbatch="100")
+        start = r.initialOffset()
+        rows1, mid = r.read(start)
+        rows1 = list(rows1)
+        assert len(rows1) >= 100  # capped at a tx boundary past the cap
+
+        # drain the rest in further capped micro-batches
+        later: list[tuple] = []
+        off = mid
+        for _ in range(20):
+            rows_n, off2 = r.read(off)
+            rows_n = list(rows_n)
+            if not rows_n and off2 == off:
+                break
+            later.extend(rows_n)
+            off = off2
+
+        full_rows, _ = _reader(wire_dir).read(start)
+        n_full = sum(1 for t in full_rows if t[0] == "ROW")
+        n1 = sum(1 for t in rows1 if t[0] == "ROW")
+        n2 = sum(1 for t in later if t[0] == "ROW")
+        assert n1 + n2 == n_full
+        # gtid positions never overlap between the reads per shard
+        max1 = {}
+        for t in rows1:
+            if t[0] == "ROW":
+                max1[t[2]] = max(max1.get(t[2], 0), int(t[4].rsplit("-", 1)[1]))
+        for t in later:
+            if t[0] == "ROW":
+                assert int(t[4].rsplit("-", 1)[1]) > max1.get(t[2], 0)
+
+    def test_resume_resends_field_events(self, wire_dir):
+        """A reconnect mid-stream re-receives FIELD events before the first
+        ROW of each table (VStream contract), so decode has schemas."""
+        r = _reader(wire_dir, maxrecordsperbatch="50")
+        _rows, mid = r.read(r.initialOffset())
+        rows2, _ = r.read(mid)
+        rows2 = list(rows2)
+        first_row_idx = next(i for i, t in enumerate(rows2) if t[0] == "ROW")
+        field_idx = [i for i, t in enumerate(rows2) if t[0] == "FIELD"]
+        assert field_idx and min(field_idx) < first_row_idx
+
+    def test_read_between_offsets_replays_range(self, wire_dir):
+        r = _reader(wire_dir, maxrecordsperbatch="80")
+        start = r.initialOffset()
+        rows1, mid = r.read(start)
+        replayed = list(r.readBetweenOffsets(start, mid))
+        assert sum(1 for t in replayed if t[0] == "ROW") == sum(
+            1 for t in list(rows1) if t[0] == "ROW"
+        )
+
+    def test_explicit_vgtid_start(self, wire_dir):
+        """O3: an explicit VGTID option is the exclusive start position."""
+        r0 = _reader(wire_dir)
+        _rows, end = r0.read(r0.initialOffset())
+        r = _reader(wire_dir, vgtid=end["vgtid"])
+        rows, _ = r.read(r.initialOffset())
+        assert sum(1 for t in rows if t[0] == "ROW") == 0  # stream drained
+
+
+def test_live_source_spark_end_to_end(spark, wire_dir, tmp_path):
+    """Full Spark streaming query over format('vitess-cdc'): VGTID offsets in
+    the checkpoint, decoded raw frame out."""
+    from debezium_connector_vitess_spark.sources import live
+
+    live.register(spark)
+    df = (
+        spark.readStream.format("vitess-cdc")
+        .option("keyspace", "ks0")
+        .option("shards", "-40,40-80,80-c0,c0-")
+        .option("snapshotMode", "never")
+        .option("channelFactory", FACTORY)
+        .option("path", wire_dir)
+        .load()
+    )
+    ck = str(tmp_path / "ck")
+    q = (
+        df.writeStream.format("memory")
+        .queryName("live_out")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("live_out")
+    assert out.filter("event_kind = 'ROW'").count() == 200
+    assert out.filter("event_kind = 'ROW' AND vgtid IS NULL").count() == 0
+    # the checkpointed offset is a VGTID document (the offset log's last line
+    # carries the reader's offset dict, possibly nested/stringified)
+    offsets_dir = os.path.join(ck, "offsets")
+    files = sorted(f for f in os.listdir(offsets_dir) if not f.startswith("."))
+    content = open(os.path.join(offsets_dir, files[-1])).read()
+    assert '\\"vgtid\\"' in content or '"vgtid"' in content
+    assert "MySQL56/" in content
