@@ -196,3 +196,130 @@ def write_wire_replay_fixture(
         counts[shard] = n
     con.close()
     return counts
+
+
+def write_wire_copy_fixture(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    rows_per_tx: int = 25,
+    stream_txs: int = 4,
+    tx_size: int = 10,
+) -> dict[str, int]:
+    """Wire-format recorded stream WITH a VStream Copy phase prelude.
+
+    Per shard (mirrors the reference's copy shapes,
+    VitessReplicationConnection.java:166-240 + TablePrimaryKeys.java:27-368):
+    for each table in order, chunked copy transactions
+    ``[BEGIN, FIELD(enum_set_string_values), VGTID(copy pos + table_p_ks
+    lastpk), ROW inserts, COMMIT]`` — including one duplicate-BEGIN quirk tx
+    ``[BEGIN, FIELD]`` then a fresh BEGIN — then ``COPY_COMPLETED`` riding
+    ahead of the first regular transaction, then ``stream_txs`` normal
+    transactions. Copy VGTIDs pin the shard gtid at the copy base position;
+    the stream phase advances past it.
+    """
+    import duckdb as _duckdb
+
+    from ..vgtid import TableLastPK
+    from .wire import (
+        WireField,
+        WireFieldEvent,
+        WireRowChange,
+        WireRowEvent,
+        WireVEvent,
+        WireVgtid,
+        pack_row,
+        vevent_to_json,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = _duckdb.connect()
+    table_fields = (
+        WireField("user_id", "INT64", "bigint(20)", 3),
+        WireField("value", "FLOAT64", "double", 0),
+        WireField("props", "JSON", "json", 0),
+    )
+    COPY_SEQ = 50  # copy-phase base position; stream seqs start above it
+    counts: dict[str, int] = {}
+    for i, shard in enumerate(SHARDS):
+        users = con.execute(
+            f"""
+            SELECT DISTINCT user_id FROM '{sf_dir}/events.parquet'
+            WHERE user_id % 4 = {i} ORDER BY user_id
+            """
+        ).fetchall()
+        path = os.path.join(out_dir, f"{shard}.jsonl")
+        n = 0
+
+        def w(fh, ev):
+            nonlocal n
+            fh.write(vevent_to_json(ev) + "\n")
+            n += 1
+
+        def copy_vgtid(table_i: int, lastpk: int | None):
+            """Copy-state VGTID: table_p_ks lists EVERY unfinished table —
+            the in-progress one with its lastpk, later ones with an empty
+            lastpk — exactly how Vitess tracks copy progress (entries are
+            removed as tables complete; empty table_p_ks = copy done)."""
+            tpks = []
+            if lastpk is not None:
+                tpks.append(TableLastPK(table_name=f"tbl{table_i}",
+                                        lastpk={"fields": [{"name": "user_id"}],
+                                                "rows": [str(lastpk)]}))
+                pending_from = table_i + 1
+            else:
+                pending_from = table_i + 1
+            for j in range(pending_from, 3):
+                tpks.append(TableLastPK(table_name=f"tbl{j}", lastpk={}))
+            return WireVgtid(shard_gtids=(
+                ShardGtid(KEYSPACE, shard, f"MySQL56/host0:1-{COPY_SEQ}", tuple(tpks)),))
+
+        with open(path, "w", encoding="utf-8") as fh:
+            for tbl_i in range(3):
+                tbl = f"tbl{tbl_i}"
+                rows = [u for (u,) in users if u % 3 == tbl_i]
+                fe = WireFieldEvent(
+                    table_name=f"{KEYSPACE}.{tbl}", fields=table_fields,
+                    keyspace=KEYSPACE, shard=shard, enum_set_string_values=True,
+                )
+                if tbl_i == 0:
+                    # the copy-phase duplicate-BEGIN quirk: [BEGIN, FIELD]
+                    # then a fresh BEGIN (no records were copied)
+                    w(fh, WireVEvent("BEGIN", keyspace=KEYSPACE, shard=shard))
+                    w(fh, WireVEvent("FIELD", field_event=fe))
+                for t in range(0, len(rows), rows_per_tx):
+                    chunk = rows[t : t + rows_per_tx]
+                    w(fh, WireVEvent("BEGIN", keyspace=KEYSPACE, shard=shard))
+                    w(fh, WireVEvent("FIELD", field_event=fe))
+                    for uid in chunk:
+                        w(fh, WireVEvent("ROW", row_event=WireRowEvent(
+                            table_name=f"{KEYSPACE}.{tbl}",
+                            row_changes=(WireRowChange(after=pack_row([
+                                str(uid).encode(), b"0.0", None])),),
+                            keyspace=KEYSPACE, shard=shard,
+                        )))
+                    done = t + rows_per_tx >= len(rows)
+                    w(fh, WireVEvent("VGTID", vgtid=copy_vgtid(
+                        tbl_i, None if done else chunk[-1])))
+                    w(fh, WireVEvent("COMMIT", keyspace=KEYSPACE, shard=shard))
+            # copy finished: COPY_COMPLETED rides ahead of the first regular tx
+            w(fh, WireVEvent("COPY_COMPLETED", keyspace=KEYSPACE, shard=shard))
+            for s_tx in range(stream_txs):
+                seq = COPY_SEQ + (s_tx + 1) * tx_size
+                w(fh, WireVEvent("BEGIN", keyspace=KEYSPACE, shard=shard))
+                for k in range(tx_size):
+                    uid = users[k % len(users)][0] if users else 1
+                    w(fh, WireVEvent("ROW", row_event=WireRowEvent(
+                        table_name=f"{KEYSPACE}.tbl{int(uid) % 3}",
+                        row_changes=(WireRowChange(
+                            before=pack_row([str(uid).encode(), b"0.0", None]),
+                            after=pack_row([str(uid).encode(), b"1.0", None]),
+                        ),),
+                        keyspace=KEYSPACE, shard=shard,
+                    )))
+                w(fh, WireVEvent("VGTID", vgtid=WireVgtid(shard_gtids=(
+                    ShardGtid(KEYSPACE, shard, f"MySQL56/host0:1-{seq}"),))))
+                w(fh, WireVEvent("COMMIT", keyspace=KEYSPACE, shard=shard))
+        counts[shard] = n
+    con.close()
+    return counts

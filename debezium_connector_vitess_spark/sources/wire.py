@@ -251,7 +251,10 @@ class WireDecoder:
             }
             for f in ev.fields
         ]
-        schema = field_event_to_schema(keyspace, ev.shard, table, fields)
+        schema = field_event_to_schema(
+            keyspace, ev.shard, table, fields,
+            enum_set_string_values=ev.enum_set_string_values,
+        )
         self.registry.register(schema)
         self._families[(ev.shard, keyspace, table)] = [
             (f.name, resolve(f.type, f.column_type).family) for f in ev.fields
@@ -739,20 +742,51 @@ class JsonlChannel:
                 txs.append(cur)
             sg = request.vgtid.get_shard_gtid(shard)
             resume = _gtid_seq(sg.gtid) if sg is not None else 0
+            # mid-copy resume (TablePrimaryKeys.java:27-368 semantics): the
+            # offset's table_p_ks lists every UNFINISHED table — the
+            # in-progress one with its lastpk, pending ones with an empty
+            # lastpk. Tables absent from the map are fully copied.
+            mid_copy = sg is not None and bool(sg.table_p_ks)
+            resume_tpks: dict[str, Optional[int]] = {}
+            if sg is not None:
+                for t in sg.table_p_ks:
+                    rows_ = t.lastpk.get("rows") if t.lastpk else None
+                    resume_tpks[t.table_name] = int(rows_[0]) if rows_ else None
             pending: list[list[WireVEvent]] = []
             skipped_fields: list[WireVEvent] = []
+
+            def _tx_table(tx) -> Optional[str]:
+                for ev in tx:
+                    if ev.type == "ROW" and ev.row_event is not None:
+                        return ev.row_event.table_name.rsplit(".", 1)[-1]
+                    if ev.type == "FIELD" and ev.field_event is not None:
+                        return ev.field_event.table_name.rsplit(".", 1)[-1]
+                return None
+
             for tx in txs:
-                seq = max(
-                    (
-                        _gtid_seq(s.gtid)
-                        for ev in tx
-                        if ev.vgtid is not None
-                        for s in ev.vgtid.shard_gtids
-                        if s.shard == shard
-                    ),
-                    default=0,
-                )
-                if seq <= resume:
+                vg = next((ev.vgtid for ev in tx if ev.vgtid is not None), None)
+                entry = vg.to_vgtid().get_shard_gtid(shard) if vg is not None else None
+                seq = _gtid_seq(entry.gtid) if entry is not None else 0
+                skip = False
+                if mid_copy:
+                    # copy chunks (and the copy base position) filter by
+                    # lastpk; stream transactions past the base are kept
+                    if seq <= resume:
+                        tbl = _tx_table(tx)
+                        if tbl is not None:
+                            if tbl not in resume_tpks:
+                                skip = True  # table finished before restart
+                            elif resume_tpks[tbl] is not None:
+                                chunk_pk = None
+                                if entry is not None:
+                                    for t in entry.table_p_ks:
+                                        if t.table_name == tbl and t.lastpk.get("rows"):
+                                            chunk_pk = int(t.lastpk["rows"][0])
+                                if chunk_pk is not None and chunk_pk <= resume_tpks[tbl]:
+                                    skip = True
+                elif seq <= resume:
+                    skip = True
+                if skip:
                     skipped_fields.extend(e for e in tx if e.type == "FIELD")
                 else:
                     pending.append(tx)
