@@ -30,7 +30,7 @@ from typing import Iterator, Tuple
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
 from ..vgtid import ShardGtid, Vgtid
-from .vstream import VStreamConfig, build_rules
+from .vstream import RetryPolicy, VStreamConfig, build_rules, is_retriable
 from .wire import VStreamTransport, raw_event_tuple
 
 FORMAT_NAME = "vitess-cdc"
@@ -67,6 +67,10 @@ class VitessCdcSimpleStreamReader(SimpleDataSourceStreamReader):
         self._rules = tuple(build_rules(tables))  # F2 server-side pushdown
         max_records = options.get("maxrecordsperbatch")
         self._max_records = int(max_records) if max_records is not None else None
+        self._retry = RetryPolicy(
+            max_attempts=int(options.get("retrymaxattempts", 5)),
+            base_delay_s=float(options.get("retrybasedelays", 0.01)),
+        )
         factory = options.get("channelfactory")
         if factory:
             self._channel_factory = _resolve_factory(factory)
@@ -80,24 +84,51 @@ class VitessCdcSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
         """One micro-batch: reconnect from the committed VGTID, consume whole
-        transactions up to the record cap, report the VGTID reached."""
+        transactions up to the record cap, report the VGTID reached.
+
+        E1/E2 semantics (VitessErrorHandler.java:23-31,
+        VitessReplicationConnection.java:256-299): retriable transport errors
+        reconnect with exponential backoff FROM THE LAST FLUSHED VGTID — no
+        transaction is lost or doubled because positions only advance on
+        completed groups; non-retriable errors propagate and fail the batch
+        (Spark task retry restarts from the checkpoint)."""
+        import time
+
         position = Vgtid.from_json(start["vgtid"])
-        channel = self._channel_factory(self._options)
-        transport = VStreamTransport(
-            channel, self.config, rules=self._rules, start_vgtid=position
-        )
         rows: list[tuple] = []
-        for flush_rows, vgtid in transport.flushes():
-            rows.extend(raw_event_tuple(d) for d in flush_rows)
-            if vgtid is not None:
-                # resetVgtid on COMMIT: the group's shards advance, others keep
-                # their committed positions (SourceInfo.java:105-130)
-                for sg in vgtid.shard_gtids:
-                    position = position.with_replaced(
-                        ShardGtid(sg.keyspace, sg.shard, sg.gtid, sg.table_p_ks)
-                    )
-            if self._max_records is not None and len(rows) >= self._max_records:
+        last_exc: Exception | None = None
+        delays = iter(self._retry.delays())
+        while True:
+            channel = self._channel_factory(self._options)
+            transport = VStreamTransport(
+                channel, self.config, rules=self._rules, start_vgtid=position
+            )
+            try:
+                for flush_rows, vgtid in transport.flushes():
+                    rows.extend(raw_event_tuple(d) for d in flush_rows)
+                    if vgtid is not None:
+                        # resetVgtid on COMMIT: the group's shards advance,
+                        # others keep their committed positions
+                        # (SourceInfo.java:105-130)
+                        for sg in vgtid.shard_gtids:
+                            position = position.with_replaced(
+                                ShardGtid(sg.keyspace, sg.shard, sg.gtid, sg.table_p_ks)
+                            )
+                    if (
+                        self._max_records is not None
+                        and len(rows) >= self._max_records
+                    ):
+                        break
                 break
+            except Exception as exc:
+                if not is_retriable(exc):
+                    raise
+                last_exc = exc
+                try:
+                    delay = next(delays)
+                except StopIteration:
+                    raise last_exc
+                time.sleep(delay)
         return iter(rows), {"vgtid": position.to_json()}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:

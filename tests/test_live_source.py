@@ -155,3 +155,68 @@ def test_live_source_spark_end_to_end(spark, wire_dir, tmp_path):
     content = open(os.path.join(offsets_dir, files[-1])).read()
     assert '\\"vgtid\\"' in content or '"vgtid"' in content
     assert "MySQL56/" in content
+
+
+class TestRetry:
+    """E1/E2: retriable transport errors reconnect from the last flushed
+    VGTID; non-retriable errors fail the batch."""
+
+    def _flaky(self, wire_dir, fail_after=3):
+        from debezium_connector_vitess_spark.sources.wire import JsonlChannel
+
+        class Flaky:
+            def __init__(self):
+                self.inner = JsonlChannel(wire_dir)
+                self.connects = 0
+
+            def vstream(self, request):
+                self.connects += 1
+                it = self.inner.vstream(request)
+                if self.connects == 1:
+                    for i, resp in enumerate(it):
+                        if i >= fail_after:
+                            raise ConnectionError("stream reset (UNAVAILABLE)")
+                        yield resp
+                else:
+                    yield from it
+
+        return Flaky()
+
+    def test_retriable_error_reconnects_from_last_vgtid(self, wire_dir):
+        flaky = self._flaky(wire_dir, fail_after=3)
+        r = _reader(wire_dir, retrybasedelays="0.001")
+        r._channel_factory = lambda opts: flaky
+        rows, end = r.read(r.initialOffset())
+        rows = list(rows)
+        assert flaky.connects == 2  # one reconnect
+        clean, _ = _reader(wire_dir).read(_reader(wire_dir).initialOffset())
+        n_clean = sum(1 for t in clean if t[0] == "ROW")
+        assert sum(1 for t in rows if t[0] == "ROW") == n_clean  # no loss/dup
+
+    def test_non_retriable_error_propagates(self, wire_dir):
+        class Broken:
+            def vstream(self, request):
+                raise ValueError("bad data")
+                yield  # pragma: no cover
+
+        r = _reader(wire_dir)
+        r._channel_factory = lambda opts: Broken()
+        with pytest.raises(ValueError, match="bad data"):
+            list(r.read(r.initialOffset())[0])
+
+    def test_retries_exhausted_raises_last_error(self, wire_dir):
+        class AlwaysDown:
+            def __init__(self):
+                self.connects = 0
+
+            def vstream(self, request):
+                self.connects += 1
+                raise ConnectionError("down")
+                yield  # pragma: no cover
+
+        chan = AlwaysDown()
+        r = _reader(wire_dir, retrymaxattempts="3", retrybasedelays="0.001")
+        r._channel_factory = lambda opts: chan
+        with pytest.raises(ConnectionError, match="down"):
+            r.read(r.initialOffset())
+        assert chan.connects == 4  # initial + 3 retries
