@@ -62,6 +62,12 @@ class VitessCdcSimpleStreamReader(SimpleDataSourceStreamReader):
             exclude_keyspace_from_table_name=_truthy(
                 options.get("excludekeyspacefromtablename") or ""
             ),
+            tablet_type=options.get("tablettype", "MASTER"),
+            grpc_headers=dict(
+                h.split("=", 1)
+                for h in (options.get("grpcheaders") or "").split(";")
+                if "=" in h
+            ),
         )
         tables = [t for t in (options.get("tables") or "").split(",") if t]
         self._rules = tuple(build_rules(tables))  # F2 server-side pushdown

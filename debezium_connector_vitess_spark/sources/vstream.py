@@ -67,6 +67,9 @@ class RetryPolicy:
             d *= 2
 
 
+VALID_TABLET_TYPES = ("MASTER", "REPLICA", "RDONLY")
+
+
 @dataclass
 class VStreamConfig:
     vtgate_host: str = "localhost:15991"
@@ -74,6 +77,12 @@ class VStreamConfig:
     shards: list[str] = field(default_factory=list)
     snapshot_mode: str = "initial"  # initial | never
     explicit_vgtid: Optional[str] = None
+    # tablet type served by the stream (VitessTabletType; the request's
+    # topodata tablet_type — VitessReplicationConnection.java:336-338)
+    tablet_type: str = "MASTER"
+    # ASCII metadata attached to every VStream call
+    # (VitessReplicationConnection.java:116-126)
+    grpc_headers: dict[str, str] = field(default_factory=dict)
     table_include_list: list[str] = field(default_factory=list)
     snapshot_mode_tables: list[str] = field(default_factory=list)  # F3
     stop_on_reshard: bool = False
@@ -82,6 +91,13 @@ class VStreamConfig:
     max_inbound_message_bytes: int = 4 * 1024 * 1024  # VitessConnectorConfig.java:349-356
     keepalive_interval_ms: Optional[int] = None  # disabled by default (:332-339)
     heartbeat_interval_s: int = 0
+
+    def __post_init__(self) -> None:
+        if self.tablet_type.upper() not in VALID_TABLET_TYPES:
+            raise ValueError(
+                f"tablet_type must be one of {VALID_TABLET_TYPES}, "
+                f"got {self.tablet_type!r}"
+            )
 
     def resolve_start_vgtid(self) -> Vgtid:
         """O3: explicit vgtid > snapshot.mode default (initial → empty gtid ⇒

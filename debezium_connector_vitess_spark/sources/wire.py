@@ -118,12 +118,15 @@ class WireVEvent:
 
 @dataclass(frozen=True)
 class VStreamRequest:
-    """``vtgate.VStreamRequest``: start position + tablet type + filter + flags."""
+    """``vtgate.VStreamRequest``: start position + tablet type + filter +
+    flags; ``headers`` is the call's gRPC ASCII metadata (attached via an
+    interceptor in the reference, VitessReplicationConnection.java:116-126)."""
 
     vgtid: Vgtid
     tablet_type: str = "MASTER"
     rules: tuple[VStreamRule, ...] = ()
     flags: VStreamFlags = dc_field(default_factory=VStreamFlags)
+    headers: tuple[tuple[str, str], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -390,8 +393,10 @@ def build_request(
     vgtid = start_vgtid if start_vgtid is not None else config.resolve_start_vgtid()
     return VStreamRequest(
         vgtid=vgtid,
+        tablet_type=config.tablet_type.upper(),
         rules=tuple(rules),
         flags=build_flags(config, metadata),
+        headers=tuple(sorted(config.grpc_headers.items())),
     )
 
 

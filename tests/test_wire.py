@@ -557,3 +557,20 @@ def test_replay_stop_on_reshard(spark, tmp_path):
     reader2.initialOffset()
     off = reader2.latestOffset()
     assert set(off) == {"-80", "80-"}
+
+
+def test_request_tablet_type_and_headers():
+    """Request parity: tablet type + gRPC ASCII metadata travel on the
+    request (VitessReplicationConnection.java:116-126,336-338)."""
+    config = VStreamConfig(
+        keyspace="ks",
+        shards=["0"],
+        snapshot_mode="never",
+        tablet_type="replica",
+        grpc_headers={"x-user": "cdc", "x-team": "data"},
+    )
+    req = build_request(config)
+    assert req.tablet_type == "REPLICA"
+    assert req.headers == (("x-team", "data"), ("x-user", "cdc"))
+    with pytest.raises(ValueError, match="tablet_type"):
+        VStreamConfig(keyspace="ks", shards=["0"], tablet_type="PRIMARYISH")
