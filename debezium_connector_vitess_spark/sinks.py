@@ -87,12 +87,22 @@ def write_kafka(df: DataFrame, bootstrap_servers: str, *, key_col: str = "key",
     return writer.start()
 
 
-def write_parquet_stream(df: DataFrame, path: str, checkpoint: str, partition_by: tuple[str, ...] = ()):
+def write_parquet_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: tuple[str, ...] = (),
+    *,
+    available_now: bool = False,
+):
     """Delta-style table sink stand-in: partitioned parquet append with
-    exactly-once via the streaming checkpoint."""
+    exactly-once via the streaming checkpoint. ``available_now=True`` drains
+    what is available and stops (bounded backfills/tests)."""
     writer = df.writeStream.format("parquet").option("path", path).option(
         "checkpointLocation", checkpoint
     )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     return writer.start()
