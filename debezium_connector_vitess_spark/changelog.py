@@ -120,4 +120,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_field == "bigint":
         # integer div: ns values (~1.7e18) exceed double's exact-integer range
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_field == "timestamp_ntz":
+        # parquet written without isAdjustedToUTC → Spark 4 infers NTZ; the
+        # testdata wall clock IS UTC (the DuckDB oracle's epoch_ms treats it
+        # so). Pure NTZ arithmetic pins that interpretation regardless of the
+        # caller's spark.sql.session.timeZone (to_utc_timestamp would not:
+        # its implicit NTZ→TIMESTAMP cast goes through the session zone).
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            ),
+        )
     return df.repartition(spark.sparkContext.defaultParallelism)
