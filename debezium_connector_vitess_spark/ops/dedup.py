@@ -191,21 +191,30 @@ def minhash_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidates + exact verification at jaccard ≥ num/den
     (integer compare — no float thresholds).
 
-    One exploded (id, shingle) frame feeds signature, sizes, AND verification;
-    intersection size is a join-count on candidate pairs, so shingle arrays
-    never travel through a shuffle — only 16-byte (id, shingle-hash) rows and
-    the candidate pair list do. union = |A| + |B| − inter.
+    Each shingle string is hashed ONCE to a 64-bit key; the per-permutation
+    hashes are hash-of-hash on that long (an equally valid min-wise family,
+    and far cheaper than re-hashing the string 64×). The narrow
+    (id, shash) frame — 16 bytes/row — is materialized with
+    ``localCheckpoint`` so tokenization+shingling runs a single time; the
+    signature aggregation, the candidate self-join, and BOTH sides of the
+    intersection-count verify read the materialized frame instead of
+    re-scanning and re-tokenizing the corpus (3 extra full passes at 100 TB).
+    Verification joins on the long key, never on shingle strings, so strings
+    never travel through a shuffle. union = |A| + |B| − inter.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    ).select("id", F.xxhash64("shingle").alias("shash"))
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     aggs = [F.count("*").alias("n_sh")] + [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("shash"))).alias(f"h{i}")
         for i in range(num_perm)
     ]
     sig = sh.groupBy("id").agg(*aggs)
@@ -224,7 +233,7 @@ def minhash_dedup_pairs(
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         cand.join(a, cand.id_a == F.col("a.id"))
-        .join(b, (cand.id_b == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .join(b, (cand.id_b == F.col("b.id")) & (F.col("a.shash") == F.col("b.shash")))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter_size"))
     )
