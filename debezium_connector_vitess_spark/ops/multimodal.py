@@ -153,6 +153,103 @@ RESIZE_SCHEMA = (
 
 AUDIO_CHUNK_SCHEMA = "doc_id long, chunk_idx int, start_sample long, n_samples long"
 
+WAV_PAYLOAD_SCHEMA = "doc_id long, payload binary, mime string"
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, n_samples long, framerate int, channels int, sampwidth int,"
+    " duration_ms long"
+)
+
+
+def _make_wav(doc_id: int, n_text_bytes: int) -> bytes:
+    """Deterministic REAL WAV payload: RIFF/WAVE container written by the
+    stdlib ``wave`` module. Sample count / rate / channel count derive from
+    the doc, PCM content is a deterministic int16 pattern."""
+    import io
+    import struct
+    import wave
+
+    n_samples = 200 + n_text_bytes % 800
+    framerate = 8000 + (doc_id % 4) * 4000
+    channels = 1 + doc_id % 2
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        vals = [
+            ((doc_id * 31 + i * 17) % 65536) - 32768
+            for i in range(n_samples * channels)
+        ]
+        w.writeframes(struct.pack(f"<{len(vals)}h", *vals))
+    return buf.getvalue()
+
+
+def attach_wav_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc deterministic WAV blobs (see :func:`_make_wav`), generated in
+    Arrow batches so the downstream decode branch parses actual RIFF bytes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _make_wav(int(did), len(text.encode("utf-8")))
+                for did, text in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(op, schema=WAV_PAYLOAD_SCHEMA)
+
+
+def decode_wav_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL audio container decode: parse the RIFF/WAVE header with the
+    stdlib ``wave`` module → (n_frames, framerate, channels, sampwidth).
+    Raises on non-WAV payloads — callers gate on the RIFF magic."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return w.getnframes(), w.getframerate(), w.getnchannels(), w.getsampwidth()
+
+
+def is_wav(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+def extract_audio_metadata(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas audio metadata: real WAV header decode for RIFF payloads
+    (frames, rate, channels, sample width, integer-ms duration); the
+    raw-PCM assumption (16-bit mono @ 16 kHz) covers headerless payloads."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if is_wav(payload):
+                    n, rate, ch, width = decode_wav_meta(payload)
+                else:
+                    n, rate, ch, width = len(payload) // 2, 16000, 1, 2
+                rows.append((did, n, rate, ch, width, n * 1000 // rate))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "framerate", "channels", "sampwidth",
+                    "duration_ms",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "n_samples": "int64", "framerate": "int32",
+                    "channels": "int32", "sampwidth": "int32", "duration_ms": "int64",
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=AUDIO_META_SCHEMA)
+
 
 def resize_image_payload(payload: bytes, target_w: int, target_h: int) -> bytes:
     """Real resize for PNG payloads: decode pixels (stdlib codec),
@@ -200,15 +297,20 @@ def resize_images(binary_df: DataFrame, *, target_w: int = 224, target_h: int = 
 
 
 def chunk_audio(binary_df: DataFrame, *, bytes_per_sample: int = 2, chunk_samples: int = 64) -> DataFrame:
-    """Audio chunking stub: treat the payload as PCM samples and emit one row
-    per fixed-size chunk (the fan-out shape of a real ASR/feature pipeline —
-    mapInPandas may yield more rows than it consumes, no explode/shuffle)."""
+    """Audio chunking: one row per fixed-size chunk (the fan-out shape of a
+    real ASR/feature pipeline — mapInPandas may yield more rows than it
+    consumes, no explode/shuffle). RIFF/WAVE payloads chunk over their REAL
+    decoded per-channel frame count; headerless payloads are treated as raw
+    PCM at ``bytes_per_sample``."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {"doc_id": [], "chunk_idx": [], "start_sample": [], "n_samples": []}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                total = len(payload) // bytes_per_sample
+                if is_wav(payload):
+                    total = decode_wav_meta(payload)[0]
+                else:
+                    total = len(payload) // bytes_per_sample
                 for idx, start in enumerate(range(0, total, chunk_samples)):
                     out["doc_id"].append(did)
                     out["chunk_idx"].append(idx)

@@ -1058,6 +1058,31 @@ def multimodal_png_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_metadata",
+    oracle="""
+    SELECT doc_id,
+           (200 + octet_length(encode(text)) % 800)::BIGINT AS n_samples,
+           (8000 + (doc_id % 4) * 4000)::INT AS framerate,
+           (1 + doc_id % 2)::INT AS channels,
+           2 AS sampwidth,
+           ((200 + octet_length(encode(text)) % 800) * 1000
+            // (8000 + (doc_id % 4) * 4000))::BIGINT AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end: deterministic RIFF/WAVE blobs are
+    generated per doc (stdlib ``wave`` writer) and the metadata extractor
+    parses the actual container header — frames, rate, channels, sample
+    width. The oracle replicates the generation formulas, so a decoder that
+    misreads the header goes red."""
+    from .ops.multimodal import attach_wav_payload, extract_audio_metadata
+
+    docs = _documents(spark, sf_dir)
+    return extract_audio_metadata(attach_wav_payload(docs))
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id,

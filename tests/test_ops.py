@@ -344,3 +344,47 @@ def test_prefix_filtered_jaccard_empty_doc_semantics(spark):
     out = {(r["id_a"], r["id_b"]) for r in
            ngram_jaccard_pairs(docs, "text", "doc_id").collect()}
     assert out == {(1, 2)}
+
+
+def test_wav_payload_roundtrip():
+    """The generated blob is a genuine RIFF/WAVE container: the stdlib reader
+    recovers header fields AND the exact PCM samples written."""
+    import io
+    import struct
+    import wave
+
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        _make_wav,
+        decode_wav_meta,
+        is_wav,
+    )
+
+    p = _make_wav(7, 123)
+    assert is_wav(p)
+    n, rate, ch, width = decode_wav_meta(p)
+    assert (n, rate, ch, width) == (200 + 123 % 800, 8000 + (7 % 4) * 4000, 1 + 7 % 2, 2)
+    with wave.open(io.BytesIO(p), "rb") as w:
+        frames = w.readframes(w.getnframes())
+    vals = struct.unpack(f"<{len(frames) // 2}h", frames)
+    assert len(vals) == n * ch
+    assert vals[:3] == tuple(((7 * 31 + i * 17) % 65536) - 32768 for i in range(3))
+
+
+def test_chunk_audio_uses_real_wav_frames(spark):
+    """RIFF payloads chunk over the DECODED per-channel frame count, not the
+    raw byte length (which includes the 44-byte header and both channels)."""
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        attach_wav_payload,
+        chunk_audio,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x" * 50)]  # doc_id 1 -> stereo, 250 frames
+    )
+    chunks = chunk_audio(attach_wav_payload(docs), chunk_samples=64).collect()
+    assert [r["n_samples"] for r in sorted(chunks, key=lambda r: r["chunk_idx"])] == [
+        64,
+        64,
+        64,
+        58,
+    ]
