@@ -72,15 +72,23 @@ def heartbeat_records(raw_df: DataFrame, interval_ms: int = 1000) -> DataFrame:
     )
 
 
-def write_kafka(df: DataFrame, bootstrap_servers: str, *, key_col: str = "key",
-                topic_col: str = "topic", checkpoint: Optional[str] = None):
-    """S5: Kafka sink (streaming). Requires the spark-sql-kafka package on the
-    classpath; gated so local/test environments without it still import."""
-    out = df.select(
+def kafka_records(df: DataFrame, *, key_col: str = "key", topic_col: str = "topic") -> DataFrame:
+    """S5: the Kafka record contract — (key, value, topic) exactly as the
+    kafka sink consumes them: key cast to string, value = JSON of every other
+    column, topic passed through. Separated from the transport so the record
+    shape is testable without a broker."""
+    return df.select(
         F.col(key_col).cast("string").alias("key"),
         F.to_json(F.struct(*[c for c in df.columns if c not in (key_col, topic_col)])).alias("value"),
         F.col(topic_col).alias("topic"),
     )
+
+
+def write_kafka(df: DataFrame, bootstrap_servers: str, *, key_col: str = "key",
+                topic_col: str = "topic", checkpoint: Optional[str] = None):
+    """S5: Kafka sink (streaming). Requires the spark-sql-kafka package on the
+    classpath; gated so local/test environments without it still import."""
+    out = kafka_records(df, key_col=key_col, topic_col=topic_col)
     writer = out.writeStream.format("kafka").option("kafka.bootstrap.servers", bootstrap_servers)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)

@@ -130,3 +130,22 @@ def test_snapshot_table_filter_predicate(spark):
     assert got == ["orders"]
     empty = SnapshotTableFilter()
     assert df.filter(empty.predicate(F.col("keyspace"), F.col("table_name"))).count() == 0
+
+
+def test_kafka_record_contract(spark):
+    """S5: the exact (key, value, topic) shape the kafka sink consumes —
+    key stringified, value = JSON of all non-key/topic columns, topic
+    passed through (VitessConnectorTask.java:236-240 poll analog)."""
+    import json
+
+    from debezium_connector_vitess_spark.sinks import kafka_records
+
+    df = spark.createDataFrame(
+        [(7, "cdc.t1", "c", 1.5)], "key long, topic string, op string, val double"
+    )
+    out = kafka_records(df)
+    assert out.columns == ["key", "value", "topic"]
+    r = out.collect()[0]
+    assert r["key"] == "7"
+    assert r["topic"] == "cdc.t1"
+    assert json.loads(r["value"]) == {"op": "c", "val": 1.5}
