@@ -167,7 +167,8 @@ _WIRE_TX = """
       FROM events),
     tx AS (
       SELECT shard, txn,
-             'MySQL56/host0:1-' || CAST(max(event_id) + 100 AS VARCHAR) AS gtid
+             'MySQL56/host0:1-' || CAST(max(event_id) + 100 AS VARCHAR) AS gtid,
+             arg_max(ts_ms, event_id) AS commit_ts_ms
       FROM ev GROUP BY shard, txn)
 """
 
@@ -180,7 +181,7 @@ _WIRE_TX = """
            'ks0' AS keyspace,
            ev.shard,
            ev.table_name,
-           ev.ts_ms,
+           tx.commit_ts_ms AS ts_ms,
            tx.gtid,
            '[{"keyspace":"ks0","shard":"' || ev.shard || '","gtid":"' || tx.gtid || '"}]' AS vgtid,
            '[{"keyspace":"ks0","shard":"' || ev.shard || '","gtid":"' || tx.gtid || '"}]' AS tx_id,

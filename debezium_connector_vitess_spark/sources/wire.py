@@ -483,11 +483,23 @@ def decode_flush(decoder: WireDecoder, flush: _Flush) -> Iterator[dict]:
                 return sg.gtid
         return None
 
-    for ev in flush.events:
+    def _resolve_ts(ev: WireVEvent) -> datetime:
         ts_micros = (
             ev.current_time // 1_000 if ev.current_time else ev.timestamp * 1_000_000
         )
-        ts = datetime.fromtimestamp(ts_micros / 1e6, tz=timezone.utc)
+        return datetime.fromtimestamp(ts_micros / 1e6, tz=timezone.utc)
+
+    # ROW events are stamped with their transaction's COMMIT timestamp (the
+    # observer records it when COMMIT arrives: VitessReplicationConnection
+    # .java:204, consumed by the row handlers at VStreamOutputMessageDecoder
+    # .java:206-282); BEGIN/COMMIT/DDL/OTHER keep their own event timestamp.
+    commit_ts: Optional[datetime] = None
+    for ev in flush.events:
+        if ev.type == "COMMIT":
+            commit_ts = _resolve_ts(ev)
+
+    for ev in flush.events:
+        ts = commit_ts if (ev.type == "ROW" and commit_ts is not None) else _resolve_ts(ev)
         if ev.type == "FIELD" and ev.field_event is not None:
             fe = ev.field_event
             keyspace, table = decoder.schema_table_tuple(fe.table_name)

@@ -272,6 +272,44 @@ class TestObserver:
         )
         assert flushes[0].vgtid.shard_gtids[0].gtid == "MySQL56/host0:1-9"
 
+    def test_row_events_get_commit_timestamp(self):
+        """shouldSetRowEventsToCommitTimestamp: ROW rows carry the tx COMMIT's
+        timestamp; BEGIN keeps its own (VitessReplicationConnection.java:204)."""
+        dec = WireDecoder()
+        dec.apply_field_event(field_event())
+        obs = VStreamObserver()
+        flushes = obs.on_response(
+            VStreamResponse(
+                events=(
+                    WireVEvent("BEGIN", timestamp=1),
+                    WireVEvent("ROW", timestamp=1, row_event=row_event(after=pack_row(CELLS))),
+                    vgtid_event(),
+                    WireVEvent("COMMIT", timestamp=2),
+                )
+            )
+        )
+        rows = list(decode_flush(dec, flushes[0]))
+        by_kind = {r["kind"]: r for r in rows}
+        assert by_kind["ROW"]["ts"].timestamp() == 2
+        assert by_kind["BEGIN"]["ts"].timestamp() == 1
+        assert by_kind["COMMIT"]["ts"].timestamp() == 2
+
+    def test_send_now_events_keep_own_timestamp(self):
+        """shouldSetOtherEventsToEventTimestamp: DDL/OTHER groups (no COMMIT)
+        are stamped with their own event timestamp."""
+        dec = WireDecoder()
+        obs = VStreamObserver()
+        flushes = obs.on_response(
+            VStreamResponse(
+                events=(
+                    vgtid_event(),
+                    WireVEvent("OTHER", timestamp=1),
+                )
+            )
+        )
+        rows = list(decode_flush(dec, flushes[0]))
+        assert rows[0]["kind"] == "OTHER" and rows[0]["ts"].timestamp() == 1
+
 
 class TestSerde:
     def test_round_trip(self):
