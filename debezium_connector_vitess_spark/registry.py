@@ -1425,6 +1425,61 @@ def offset_restart_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_meta_stream",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, epoch_ms(ts) AS ts_ms,
+             (['-40','40-80','80-c0','c0-'])[CAST(user_id % 4 AS INT) + 1] AS shard,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1 AS rk
+      FROM events),
+    tx AS (
+      SELECT shard, rk // 10 AS txn,
+             max(event_id) + 100 AS seq,
+             arg_max(ts_ms, event_id) AS ts_ms
+      FROM ev GROUP BY 1, 2)
+    SELECT shard,
+           '[{"keyspace":"ks0","shard":"' || shard || '","gtid":"MySQL56/host0:1-'
+             || CAST(seq AS VARCHAR) || '"}]' AS tx_id,
+           'MySQL56/host0:1-' || CAST(seq AS VARCHAR) AS gtid,
+           ts_ms,
+           CAST(1 AS BIGINT) AS transaction_epoch,
+           CAST(seq AS VARCHAR) AS transaction_rank
+    FROM tx
+    """,
+)
+def tx_meta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T7 STREAMING path end to end: the replay source feeds COMMIT
+    boundaries through the ``applyInPandasWithState`` ordered-tx operator
+    (per-shard state = {prev gtid, epoch}); epoch stays 1 across the
+    single-host fixture (overridden 'current' start bumps it once), rank =
+    the GTID's max sequence. The oracle replicates the per-shard
+    transaction chunking (VitessOrderedTransactionContext.java:109-127)."""
+    import tempfile
+
+    from .sources import replay as replay_source
+    from .sources.fixtures import write_replay_fixture
+    from .txmeta.streaming import ordered_tx_metadata_stream
+
+    replay_source.register(spark)
+    replay_dir = tempfile.mkdtemp(prefix="txmeta_replay_")
+    write_replay_fixture(sf_dir, replay_dir, tx_size=10)
+    raw = spark.readStream.format("vitess-replay").option("path", replay_dir).load()
+    meta = ordered_tx_metadata_stream(raw)
+    sink = "tx_meta_stream_sink"
+    if sink in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(sink)
+    q = (
+        meta.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
     "shard_task_assignment",
     oracle="""
     WITH shards AS (
