@@ -412,3 +412,33 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", *, bits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector int quantization (the standard embedding-storage
+    compression in training pipelines): scale = max|x| / (2^(bits-1) - 1),
+    q_i = round(x_i / scale). Entirely narrow Catalyst expressions — no
+    shuffle, no UDF; at 100 TB this is a map-only pass that cuts the
+    embedding bytes 4×.
+
+    Determinism note: max|x| is order-insensitive and float→double widening
+    is exact, so (scale, q) are bit-identical across engines — q travels as
+    a csv string so value-hash comparison is representation-stable.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(vec, F.abs))
+    q_of = lambda v: F.when(  # noqa: E731 - zero vector quantizes to zeros
+        F.col("scale") == 0.0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(F.transform(v, lambda x: F.round(x / F.col("scale")).cast("int")))
+    return df.select(
+        F.col(id_col), vec.alias("_v"), (maxabs / F.lit(float(qmax))).alias("scale")
+    ).select(
+        id_col,
+        "scale",
+        F.concat_ws(
+            ",", F.transform(q_of(F.col("_v")), lambda v: v.cast("string"))
+        ).alias("q_csv"),
+    )

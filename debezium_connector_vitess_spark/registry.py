@@ -919,6 +919,36 @@ def _lsh_banded_oracle_sql(
     """
 
 
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, vec,
+             list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+      FROM v)
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+                THEN array_to_string(list_transform(vec, x -> 0), ',')
+                ELSE array_to_string(
+                       list_transform(vec, x -> CAST(round(x / scale) AS INT)), ',')
+           END AS q_csv
+    FROM s
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — map-only narrow pass (the
+    4× embedding-storage compression step of a training pipeline). The
+    oracle recomputes scale+codes; both engines widen float32→double
+    exactly and max|x| is order-insensitive, so values are bit-identical."""
+    from .ops.similarity import quantize_embeddings
+
+    emb = _embeddings(spark, sf_dir)
+    return quantize_embeddings(emb, "embedding", "vec_id", bits=8)
+
+
 @register("dedup_embedding_cosine", oracle=_lsh_banded_oracle_sql())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs through the 100 TB path: banded
