@@ -1466,24 +1466,29 @@ def offset_restart_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT shard, rk // 10 AS txn,
              max(event_id) + 100 AS seq,
              arg_max(ts_ms, event_id) AS ts_ms
-      FROM ev GROUP BY 1, 2)
+      FROM ev GROUP BY 1, 2),
+    g AS (
+      SELECT shard, txn, seq, ts_ms,
+             'MySQL56/host' || CAST((txn // 10) % 3 AS VARCHAR) || ':1-'
+               || CAST(seq AS VARCHAR) AS gtid
+      FROM tx)
     SELECT shard,
-           '[{"keyspace":"ks0","shard":"' || shard || '","gtid":"MySQL56/host0:1-'
-             || CAST(seq AS VARCHAR) || '"}]' AS tx_id,
-           'MySQL56/host0:1-' || CAST(seq AS VARCHAR) AS gtid,
+           '[{"keyspace":"ks0","shard":"' || shard || '","gtid":"' || gtid || '"}]' AS tx_id,
+           gtid,
            ts_ms,
-           CAST(1 AS BIGINT) AS transaction_epoch,
+           CAST(1 + txn // 10 AS BIGINT) AS transaction_epoch,
            CAST(seq AS VARCHAR) AS transaction_rank
-    FROM tx
+    FROM g
     """,
 )
 def tx_meta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4/T7 STREAMING path end to end: the replay source feeds COMMIT
     boundaries through the ``applyInPandasWithState`` ordered-tx operator
-    (per-shard state = {prev gtid, epoch}); epoch stays 1 across the
-    single-host fixture (overridden 'current' start bumps it once), rank =
-    the GTID's max sequence. The oracle replicates the per-shard
-    transaction chunking (VitessOrderedTransactionContext.java:109-127)."""
+    (per-shard state = {prev gtid, epoch}). The fixture cycles the GTID
+    host every 10 transactions (``host_period``), so the per-shard epoch
+    really advances through failover breaks — epoch = 1 + txn//10; rank =
+    the GTID's max sequence. The oracle replicates the per-shard chunking
+    and failover model (VitessOrderedTransactionContext.java:109-127)."""
     import tempfile
 
     from .sources import replay as replay_source
@@ -1492,7 +1497,7 @@ def tx_meta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replay_source.register(spark)
     replay_dir = tempfile.mkdtemp(prefix="txmeta_replay_")
-    write_replay_fixture(sf_dir, replay_dir, tx_size=10)
+    write_replay_fixture(sf_dir, replay_dir, tx_size=10, host_period=10)
     raw = spark.readStream.format("vitess-replay").option("path", replay_dir).load()
     meta = ordered_tx_metadata_stream(raw)
     sink = "tx_meta_stream_sink"

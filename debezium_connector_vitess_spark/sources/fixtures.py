@@ -23,12 +23,18 @@ def write_replay_fixture(
     limit: int | None = None,
     tx_size: int = 3,
     start_event: int = 0,
+    host_period: int | None = None,
 ) -> dict[str, int]:
     """events.parquet → {out_dir}/{shard}.jsonl. Returns rows-per-shard.
 
     Events are grouped per shard into transactions of ``tx_size`` row events,
     each bracketed by BEGIN/COMMIT. ``start_event``/``limit`` allow appending
     later windows of the same stream for restart tests.
+
+    ``host_period=P`` models MySQL failovers: the GTID host cycles
+    host0→host1→host2 every P transactions per shard (written as a ``host``
+    field on each line), so per-shard epochs advance 1 + txn//P through the
+    ordered-tx operator. Default (None) keeps the single-host stream.
     """
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
@@ -50,9 +56,11 @@ def write_replay_fixture(
         with open(path, "a", encoding="utf-8") as fh:
             for t in range(0, len(rows), tx_size):
                 chunk = rows[t : t + tx_size]
+                host = ((t // tx_size) // host_period) % 3 if host_period else 0
+                hkv = {"host": host} if host_period else {}
                 seq0 = int(chunk[0][0]) + 100
                 fh.write(json.dumps({"kind": "BEGIN", "keyspace": KEYSPACE, "seq": seq0,
-                                     "ts_ms": int(chunk[0][1])}) + "\n")
+                                     "ts_ms": int(chunk[0][1]), **hkv}) + "\n")
                 n += 1
                 for event_id, ts_ms, user_id, event_type, value, props in chunk:
                     op_is_c = event_type == "signup"
@@ -70,11 +78,12 @@ def write_replay_fixture(
                         "seq": int(event_id) + 100,
                         "ts_ms": int(ts_ms),
                         "row_changes": [{"before": before, "after": after}],
+                        **hkv,
                     }) + "\n")
                     n += 1
                 seq1 = int(chunk[-1][0]) + 100
                 fh.write(json.dumps({"kind": "COMMIT", "keyspace": KEYSPACE, "seq": seq1,
-                                     "ts_ms": int(chunk[-1][1])}) + "\n")
+                                     "ts_ms": int(chunk[-1][1]), **hkv}) + "\n")
                 n += 1
         counts[shard] = n
     con.close()

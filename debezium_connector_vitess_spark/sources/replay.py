@@ -134,9 +134,9 @@ def _capped_end(bounds: list[int], start: int, cap: int | None) -> int:
     return bounds[i - 1]
 
 
-def local_vgtid_json(keyspace: str, shard: str, seq: int) -> str:
+def local_vgtid_json(keyspace: str, shard: str, seq: int, host: int = 0) -> str:
     return json.dumps(
-        [{"keyspace": keyspace, "shard": shard, "gtid": f"MySQL56/host0:1-{seq}"}],
+        [{"keyspace": keyspace, "shard": shard, "gtid": f"MySQL56/host{host}:1-{seq}"}],
         separators=(",", ":"),
     )
 
@@ -346,7 +346,12 @@ class VitessReplayStreamReader(DataSourceStreamReader):
         # VStreamOutputMessageDecoder.java:121-150); per-partition the local one
         last_seq = max((e.get("seq", 0) for e in events), default=0)
         keyspace = next((e["keyspace"] for e in events if e.get("keyspace")), "ks")
-        vgtid = local_vgtid_json(keyspace, shard, last_seq)
+        # recorded failover model: the line's host (default host0) names the
+        # GTID's serving host, so epochs derived downstream see real breaks
+        tx_host = next(
+            (e.get("host", 0) for e in events if e.get("kind") == "COMMIT"), 0
+        )
+        vgtid = local_vgtid_json(keyspace, shard, last_seq, tx_host)
         for e in events:
             ts_ms = e.get("ts_ms", 0)
             ts = datetime.fromtimestamp(ts_ms / 1000.0, tz=timezone.utc)
@@ -366,7 +371,7 @@ class VitessReplayStreamReader(DataSourceStreamReader):
                 e.get("keyspace"),
                 shard,
                 e.get("table"),
-                f"MySQL56/host0:1-{e.get('seq', 0)}",
+                f"MySQL56/host{e.get('host', 0)}:1-{e.get('seq', 0)}",
                 vgtid,
                 vgtid,
                 ts,
