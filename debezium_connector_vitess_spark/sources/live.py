@@ -71,8 +71,12 @@ class VitessCdcSimpleStreamReader(SimpleDataSourceStreamReader):
         )
         tables = [t for t in (options.get("tables") or "").split(",") if t]
         self._rules = tuple(build_rules(tables))  # F2 server-side pushdown
-        max_records = options.get("maxrecordsperbatch")
-        self._max_records = int(max_records) if max_records is not None else None
+        # E3: bounded micro-batches by default — a live VStream never ends, so
+        # an uncapped read() would never return. 2048 mirrors the reference's
+        # ChangeEventQueue max.batch.size (VitessConnectorTask.java:118-125);
+        # maxRecordsPerBatch=0 disables the cap (drain-to-end replays).
+        max_records = int(options.get("maxrecordsperbatch", 2048))
+        self._max_records = max_records if max_records > 0 else None
         self._retry = RetryPolicy(
             max_attempts=int(options.get("retrymaxattempts", 5)),
             base_delay_s=float(options.get("retrybasedelays", 0.01)),
