@@ -211,3 +211,67 @@ def test_enum_set_definition_roundtrip(kind, values):
 def test_non_enum_definitions_parse_empty(raw):
     if not raw.lstrip().lower().startswith(("enum", "set")):
         assert parse_enum_or_set_values(raw) == ()
+
+
+# ------------------------------------------------------- packed-row codec
+
+_cells = st.lists(
+    st.one_of(st.none(), st.binary(min_size=0, max_size=40)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(_cells)
+def test_pack_unpack_roundtrip(cells):
+    """query.Row lengths+bytes codec: every cell list (incl. NULLs and empty
+    byte strings, which the wire distinguishes: -1 vs 0 length) round-trips."""
+    from debezium_connector_vitess_spark.sources.wire import pack_row, unpack_row
+
+    row = pack_row(cells)
+    assert unpack_row(row, len(cells)) == list(cells)
+    # NULL cells are -1-length, absent from the value blob
+    assert sum(len(c) for c in cells if c is not None) == len(row.values)
+
+
+@given(_cells, st.integers(min_value=-3, max_value=3).filter(lambda d: d != 0))
+def test_unpack_wrong_column_count_raises(cells, delta):
+    from debezium_connector_vitess_spark.sources.wire import pack_row, unpack_row
+
+    if len(cells) + delta < 0:
+        return
+    row = pack_row(cells)
+    try:
+        unpack_row(row, len(cells) + delta)
+    except ValueError:
+        return
+    raise AssertionError("column-count mismatch must raise")
+
+
+@given(_cells)
+def test_vevent_row_json_roundtrip(cells):
+    """The recorded-wire serde preserves packed images byte-for-byte."""
+    from debezium_connector_vitess_spark.sources.wire import (
+        WireRowChange,
+        WireRowEvent,
+        WireVEvent,
+        pack_row,
+        vevent_from_json,
+        vevent_to_json,
+    )
+
+    ev = WireVEvent(
+        "ROW",
+        timestamp=7,
+        row_event=WireRowEvent(
+            table_name="ks.t",
+            row_changes=(WireRowChange(before=None, after=pack_row(cells)),),
+            keyspace="ks",
+            shard="-80",
+        ),
+    )
+    back = vevent_from_json(vevent_to_json(ev))
+    rc = back.row_event.row_changes[0]
+    assert rc.before is None
+    assert list(rc.after.lengths) == list(pack_row(cells).lengths)
+    assert rc.after.values == pack_row(cells).values
