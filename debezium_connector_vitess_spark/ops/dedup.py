@@ -218,6 +218,10 @@ def minhash_dedup_pairs(
         for i in range(num_perm)
     ]
     sig = sh.groupBy("id").agg(*aggs)
+    if materialize:
+        # the signature frame (8·num_perm bytes/doc) feeds banding AND the
+        # size lookup; materializing it runs the 64-min aggregation once
+        sig = sig.localCheckpoint(eager=True)
     banded = minhash_band_keys(sig, num_perm=num_perm, bands=bands)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
