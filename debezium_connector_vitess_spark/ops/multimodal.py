@@ -1,15 +1,19 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
-The decode libraries (PIL/librosa/ffmpeg) are NOT in this container, so the
-pixel/sample decode step is stubbed behind an import-try with a deterministic
-fake — but the Spark plumbing is real and is what matters at 100 TB:
+All three modalities decode REAL container formats with stdlib-only codecs
+(no PIL/librosa/ffmpeg in this container): PNG signature/IHDR + pixel
+decode/resize (``ops/png.py``), WAV RIFF headers + PCM frames (``wave``
+module), and minimal AVI RIFF chunk trees (avih header cross-checked
+against movi chunks). Payloads that are not one of these fall back to
+deterministic byte-length models so synthetic fixtures still flow. The
+Spark plumbing is what matters at 100 TB:
 
 - binary payloads travel as ``BinaryType`` columns with a metadata struct
   (content hash, byte length, declared mime), never decoded driver-side;
 - decode / feature-extract run as ``mapInPandas`` over Arrow batches — one
   Python worker pass per partition, batch-vectorized, no per-row serde;
-- frame sampling / resizing are per-row transforms inside the same batch
-  iterator, so adding a stage costs no extra shuffle.
+- frame sampling / resizing / chunking are per-row transforms inside the
+  same batch iterator, so adding a stage costs no extra shuffle.
 """
 
 from __future__ import annotations
@@ -128,13 +132,18 @@ def extract_image_metadata(binary_df: DataFrame) -> DataFrame:
 
 
 def sample_frames(binary_df: DataFrame, *, frame_bytes: int = 256, every: int = 5) -> DataFrame:
-    """Frame-sampling stub: treat the payload as a 'video' of fixed-size
-    frames; keep every k-th frame index. Real decoders swap in at the same
-    mapInPandas seam."""
+    """Frame sampling: keep every k-th frame index. RIFF/AVI payloads use
+    their REAL decoded frame count (container chunk scan); headerless
+    payloads are modeled as fixed-size byte frames."""
+
+    def _count(b: bytes) -> int:
+        if is_avi(b):
+            return decode_avi_meta(b)[0]
+        return (len(b) + frame_bytes - 1) // frame_bytes
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_frames = pdf["payload"].map(lambda b: (len(b) + frame_bytes - 1) // frame_bytes)
+            n_frames = pdf["payload"].map(_count)
             sampled = n_frames.map(lambda n: len(range(0, int(n), every)))
             yield pd.DataFrame(
                 {
@@ -326,3 +335,138 @@ def chunk_audio(binary_df: DataFrame, *, bytes_per_sample: int = 2, chunk_sample
             )
 
     return binary_df.mapInPandas(op, schema=AUDIO_CHUNK_SCHEMA)
+
+
+AVI_PAYLOAD_SCHEMA = "doc_id long, payload binary, mime string"
+
+VIDEO_META_SCHEMA = (
+    "doc_id long, n_frames int, width int, height int, fps int, duration_ms long"
+)
+
+
+def _make_avi(doc_id: int, n_text_bytes: int) -> bytes:
+    """Deterministic REAL (minimal) AVI container: RIFF('AVI ') with a
+    LIST('hdrl') holding the 56-byte 'avih' main header and a LIST('movi')
+    holding one '00dc' chunk per frame. Frame count / dims / fps derive from
+    the doc. The movi chunk payloads are opaque (no codec), but the RIFF
+    structure, header fields, and chunk framing are genuine."""
+    import struct
+
+    n_frames = 4 + n_text_bytes % 28
+    width, height = 16 + doc_id % 16, 16 + (doc_id // 2) % 16
+    fps = 10 + doc_id % 3 * 5
+    usec_per_frame = 1_000_000 // fps
+
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame,  # dwMicroSecPerFrame
+        0,               # dwMaxBytesPerSec
+        0,               # dwPaddingGranularity
+        0,               # dwFlags
+        n_frames,        # dwTotalFrames
+        0,               # dwInitialFrames
+        1,               # dwStreams
+        0,               # dwSuggestedBufferSize
+        width,           # dwWidth
+        height,          # dwHeight
+        0, 0, 0, 0,      # dwReserved[4]
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    frames = b""
+    for i in range(n_frames):
+        data = bytes([(doc_id + i) % 256]) * 16
+        frames += b"00dc" + struct.pack("<I", len(data)) + data
+    movi = b"movi" + frames
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def is_avi(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+
+
+def decode_avi_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL video container decode: walk the RIFF chunk tree, read the avih
+    main header (total frames, dims, µs/frame) and cross-check the header's
+    frame count against the actual '00dc' chunks in movi — a decoder that
+    trusts either alone misreads truncated files.
+    Returns (n_frames, width, height, fps)."""
+    import struct
+
+    if not is_avi(payload):
+        raise ValueError("not an AVI RIFF payload")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    header = None
+    movi_frames = 0
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"LIST":
+            kind = body[:4]
+            if kind == b"hdrl" and body[4:8] == b"avih":
+                hsz = struct.unpack("<I", body[8:12])[0]
+                header = struct.unpack("<14I", body[12 : 12 + hsz])
+            elif kind == b"movi":
+                fpos = 4
+                while fpos + 8 <= len(body):
+                    fsz = struct.unpack("<I", body[fpos + 4 : fpos + 8])[0]
+                    if body[fpos : fpos + 4] == b"00dc":
+                        movi_frames += 1
+                    fpos += 8 + fsz + (fsz & 1)
+        pos += 8 + size + (size & 1)
+    if header is None:
+        raise ValueError("AVI payload missing avih header")
+    n_frames, width, height = header[4], header[8], header[9]
+    if movi_frames != n_frames:
+        raise ValueError(
+            f"avih dwTotalFrames={n_frames} but movi holds {movi_frames} frames"
+        )
+    return n_frames, width, height, 1_000_000 // header[0]
+
+
+def attach_avi_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc deterministic AVI blobs (see :func:`_make_avi`)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _make_avi(int(did), len(text.encode("utf-8")))
+                for did, text in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "mime": "video/x-msvideo",
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(op, schema=AVI_PAYLOAD_SCHEMA)
+
+
+def extract_video_metadata(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas video metadata: real AVI container decode (header +
+    chunk-scan cross-check); integer-ms duration = frames·1000/fps."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n, w, h, fps = decode_avi_meta(payload)
+                rows.append((did, n, w, h, fps, n * 1000 // fps))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "width", "height", "fps", "duration_ms"],
+            ).astype(
+                {
+                    "doc_id": "int64", "n_frames": "int32", "width": "int32",
+                    "height": "int32", "fps": "int32", "duration_ms": "int64",
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=VIDEO_META_SCHEMA)

@@ -1114,6 +1114,31 @@ def multimodal_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_metadata",
+    oracle="""
+    SELECT doc_id,
+           (4 + octet_length(encode(text)) % 28)::INT AS n_frames,
+           (16 + doc_id % 16)::INT AS width,
+           (16 + (doc_id // 2) % 16)::INT AS height,
+           (10 + (doc_id % 3) * 5)::INT AS fps,
+           ((4 + octet_length(encode(text)) % 28) * 1000
+            // (10 + (doc_id % 3) * 5))::BIGINT AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container decode end to end: deterministic minimal AVI
+    blobs per doc (RIFF chunk tree with avih header + movi frame chunks);
+    the extractor walks the actual chunk structure and cross-checks the
+    header frame count against the movi '00dc' chunks. The oracle replicates
+    the generation formulas, so a misparsed container goes red."""
+    from .ops.multimodal import attach_avi_payload, extract_video_metadata
+
+    docs = _documents(spark, sf_dir)
+    return extract_video_metadata(attach_avi_payload(docs))
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id,

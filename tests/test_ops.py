@@ -388,3 +388,39 @@ def test_chunk_audio_uses_real_wav_frames(spark):
         64,
         58,
     ]
+
+
+def test_avi_payload_roundtrip_and_crosscheck():
+    """The generated blob is a genuine RIFF/AVI chunk tree; the decoder reads
+    the avih header AND verifies it against the movi chunk scan."""
+    import struct
+
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        _make_avi,
+        decode_avi_meta,
+        is_avi,
+    )
+
+    p = _make_avi(7, 123)
+    assert is_avi(p)
+    assert decode_avi_meta(p) == (4 + 123 % 28, 16 + 7 % 16, 16 + 3 % 16, 15)
+    # corrupt the header's dwTotalFrames: cross-check must catch it
+    idx = p.index(b"avih") + 8 + 16
+    bad = p[:idx] + struct.pack("<I", 999) + p[idx + 4 :]
+    try:
+        decode_avi_meta(bad)
+    except ValueError as e:
+        assert "movi holds" in str(e)
+    else:
+        raise AssertionError("frame-count mismatch must raise")
+
+
+def test_sample_frames_uses_real_avi_frames(spark):
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        attach_avi_payload,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=3, text="y" * 10)])  # 14 frames
+    out = sample_frames(attach_avi_payload(docs), every=5).collect()
+    assert out[0]["n_frames"] == 14 and out[0]["sampled_frames"] == 3
