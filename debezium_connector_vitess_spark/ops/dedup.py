@@ -437,7 +437,16 @@ def connected_components(
         # pipeline (e.g. MinHash-LSH) re-executes per round
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    # only edge participants can ever change label; singletons (the vast
+    # majority of a deduped corpus) are their own cluster and rejoin at the
+    # end — the iterated frame shrinks from |corpus| to |touched nodes|
+    touched = edges.select(F.col("src").alias(id_col)).distinct()
+    labels = touched.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    singletons = (
+        nodes.select(F.col(id_col))
+        .join(touched, id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    )
     for _ in range(max_iterations):
         nbr_min = (
             labels.join(edges, labels[id_col] == edges.src)
@@ -463,4 +472,4 @@ def connected_components(
             break
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
-    return labels
+    return labels.unionByName(singletons)
