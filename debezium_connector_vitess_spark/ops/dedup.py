@@ -23,8 +23,9 @@ from pyspark.sql import functions as F
 from .text import normalize_text_expr, simhash_expr, tokens_expr
 
 
-def shingles_expr(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles.
+def shingles_expr(text: Column, n: int = 3, *, distinct: bool = True) -> Column:
+    """Word n-gram shingles (distinct by default; ``distinct=False`` keeps
+    every occurrence, e.g. for repetition scoring).
 
     Built from ``n`` shifted slices of the token array combined with
     ``zip_with`` — NOT ``element_at`` inside a ``transform`` lambda: an outer
@@ -38,7 +39,7 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
     z = parts[0]
     for p in parts[1:]:
         z = F.zip_with(z, p, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(z)
+    return F.array_distinct(z) if distinct else z
 
 
 def minhash_signature(

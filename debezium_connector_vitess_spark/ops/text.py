@@ -190,3 +190,19 @@ def simhash_expr(text: Column, bits: int = 32) -> Column:
 
 def hamming64_expr(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def repetition_expr(text: Column, n: int = 3) -> tuple[Column, Column, Column]:
+    """Repetition scoring (the duplicate-n-gram quality signal large-corpus
+    filters use): (total n-grams, distinct n-grams, repeated fraction).
+    One narrow codegen'd projection; repeated fraction = 1 - distinct/total
+    (0.0 for documents too short to form an n-gram)."""
+    from .dedup import shingles_expr
+
+    grams = shingles_expr(text, n, distinct=False)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    frac = F.when(total > 0, 1.0 - distinct.cast("double") / total.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return total, distinct, frac

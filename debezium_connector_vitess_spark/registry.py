@@ -775,6 +775,43 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_ORACLE_TOKENS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             ) AS grams
+      FROM t)
+    SELECT doc_id,
+           len(grams)::INT AS total_grams,
+           len(list_distinct(grams))::INT AS distinct_grams,
+           CASE WHEN len(grams) > 0
+                THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE
+                ELSE 0.0 END AS repeated_frac
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal: fraction of duplicate word 3-grams per
+    document (the Gopher/RefinedWeb-style repetition filter) — one narrow
+    codegen'd projection, no shuffle."""
+    from .ops.text import repetition_expr
+
+    docs = _documents(spark, sf_dir)
+    total, distinct, frac = repetition_expr(F.col("text"), 3)
+    return docs.select(
+        "doc_id",
+        total.alias("total_grams"),
+        distinct.alias("distinct_grams"),
+        frac.alias("repeated_frac"),
+    )
+
+
+@register(
     "dedup_exact",
     oracle="""
     WITH corpus AS (
