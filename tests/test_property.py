@@ -275,3 +275,23 @@ def test_vevent_row_json_roundtrip(cells):
     assert rc.before is None
     assert list(rc.after.lengths) == list(pack_row(cells).lengths)
     assert rc.after.values == pack_row(cells).values
+
+
+# ------------------------------------------------------------ PNG codec
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 3]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_encode_decode_roundtrip(w, h, channels, rnd):
+    """Arbitrary small images round-trip pixel-exact through the stdlib
+    codec (encode → decode returns the identical buffer)."""
+    from debezium_connector_vitess_spark.ops.png import decode_png, encode_png
+
+    pixels = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+    back_w, back_h, back_ch, back_px = decode_png(encode_png(w, h, pixels, channels=channels))
+    assert (back_w, back_h, back_ch) == (w, h, channels)
+    assert back_px == pixels
