@@ -775,6 +775,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "smt_enforce_record_size",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text, lang,
+             coalesce(length(text), 0) AS lt, coalesce(length(lang), 0) AS ll
+      FROM documents),
+    s AS (
+      SELECT *,
+             lt + ll AS total,
+             (CASE WHEN lt >= 4 THEN lt ELSE 0 END
+              + CASE WHEN ll >= 4 THEN ll ELSE 0 END) AS eligible
+      FROM m)
+    SELECT doc_id,
+           CASE WHEN total - 200 > 0 AND eligible > 0 AND lt >= 4
+                THEN substr(text, 1, greatest(lt - CAST(ceil((total - 200) * lt / (eligible * 1.0)) AS INT), 0))
+                ELSE text END AS text,
+           CASE WHEN total - 200 > 0 AND eligible > 0 AND ll >= 4
+                THEN substr(lang, 1, greatest(ll - CAST(ceil((total - 200) * ll / (eligible * 1.0)) AS INT), 0))
+                ELSE lang END AS lang
+    FROM s
+    """,
+)
+def smt_enforce_record_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EnforceRecordSize SMT: records over a 200-char string budget get their
+    eligible string fields truncated proportionally (larger fields lose more),
+    ceiling-rounded so the result always fits. min.field.size=4 exempts tiny
+    fields. The oracle replicates the integer arithmetic exactly."""
+    from .transforms import enforce_record_size
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+    return enforce_record_size(docs, 200, ("text", "lang"), min_field_size=4)
+
+
+@register(
     "text_repetition",
     oracle=f"""
     WITH t AS (

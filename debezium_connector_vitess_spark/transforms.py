@@ -113,3 +113,51 @@ def schema_change_records(raw_df: DataFrame, server_name: str = "vitess") -> Dat
         F.unix_millis(F.col("ts")).alias("ts_ms"),
         F.col("vgtid"),
     )
+
+
+def enforce_record_size(
+    df: DataFrame,
+    max_size: int,
+    string_cols: tuple[str, ...],
+    *,
+    min_field_size: int = 0,
+) -> DataFrame:
+    """EnforceRecordSize SMT (advertised upstream transform, exercised at
+    VitessConnectorIT.java shouldTruncateProportionallyBasedOnColumnSize):
+    when a record's string payload exceeds ``max_size``, truncate each
+    eligible string field proportionally to its share of the payload, so
+    larger fields lose more absolute characters. Fields shorter than
+    ``min_field_size`` are exempt.
+
+    Pure integer Catalyst arithmetic, per row: over = total - max_size;
+    cut_c = ceil(over * len_c / eligible_total); new_len = len_c - cut_c.
+    Ceiling each cut guarantees the truncated payload fits the budget.
+    """
+    lens = {c: F.coalesce(F.length(F.col(c)), F.lit(0)) for c in string_cols}
+    total = None
+    eligible_total = None
+    for c, ln in lens.items():
+        total = ln if total is None else total + ln
+        el = F.when(ln >= min_field_size, ln).otherwise(F.lit(0))
+        eligible_total = el if eligible_total is None else eligible_total + el
+    over = total - F.lit(max_size)
+    needs = (over > 0) & (eligible_total > 0)
+    # one projection: every truncation reads the ORIGINAL lengths, so cuts
+    # are proportional to the pre-truncation payload, not to each other
+    out = []
+    for c in df.columns:
+        if c in lens:
+            ln = lens[c]
+            cut = F.ceil(over * ln / eligible_total).cast("int")
+            new_len = F.greatest(ln - cut, F.lit(0))
+            out.append(
+                F.when(
+                    needs & (ln >= min_field_size),
+                    F.col(c).substr(F.lit(1), new_len),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            out.append(F.col(c))
+    return df.select(*out)

@@ -149,3 +149,33 @@ def test_kafka_record_contract(spark):
     assert r["key"] == "7"
     assert r["topic"] == "cdc.t1"
     assert json.loads(r["value"]) == {"op": "c", "val": 1.5}
+
+
+def test_enforce_record_size_proportional(spark):
+    """Larger fields lose more absolute characters; small fields exempt;
+    within-budget records untouched (EnforceRecordSize semantics,
+    VitessConnectorIT shouldTruncateProportionallyBasedOnColumnSize)."""
+    from debezium_connector_vitess_spark.transforms import enforce_record_size
+
+    df = spark.createDataFrame(
+        [
+            (1, "a" * 1000, "b" * 1500, "id"),   # oversize: truncate both
+            (2, "a" * 10, "b" * 20, "id"),       # within budget: untouched
+        ],
+        "k long, text_col string, mediumtext_col string, tiny string",
+    )
+    out = {
+        r["k"]: r
+        for r in enforce_record_size(
+            df, 1000, ("text_col", "mediumtext_col", "tiny"), min_field_size=4
+        ).collect()
+    }
+    r1 = out[1]
+    assert len(r1["text_col"]) < 1000 and len(r1["mediumtext_col"]) < 1500
+    # proportional: the larger column is cut more in absolute chars
+    assert (1500 - len(r1["mediumtext_col"])) > (1000 - len(r1["text_col"]))
+    # budget met and the tiny field (< min_field_size) untouched
+    assert len(r1["text_col"]) + len(r1["mediumtext_col"]) + len(r1["tiny"]) <= 1000
+    assert r1["tiny"] == "id"
+    r2 = out[2]
+    assert r2["text_col"] == "a" * 10 and r2["mediumtext_col"] == "b" * 20
