@@ -259,3 +259,38 @@ def test_sanitize_field_name(spark):
     )
     out = [r["s"] for r in df.select(sanitize_field_name_expr(F.col("n")).alias("s")).collect()]
     assert out == ["_9to5_col", "ok_name", "weird_col_", "_fine9"]
+
+
+def test_load_events_ts_is_session_timezone_independent(spark, sf_dir):
+    """The events parquet arrives as TIMESTAMP_NTZ (no isAdjustedToUTC); the
+    loader must pin the UTC interpretation via pure NTZ arithmetic so
+    unix_millis matches the DuckDB oracle's epoch_ms under ANY
+    spark.sql.session.timeZone (regression: to_utc_timestamp routes the
+    NTZ→TIMESTAMP cast through the session zone and drifts)."""
+    import duckdb
+
+    from debezium_connector_vitess_spark import changelog
+
+    con = duckdb.connect()
+    expect = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT event_id, epoch_ms(ts) FROM read_parquet('{sf_dir}/events.parquet') "
+            "ORDER BY event_id LIMIT 50"
+        ).fetchall()
+    }
+    con.close()
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/Chicago", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = {
+                r["event_id"]: r["ms"]
+                for r in changelog.load_events(spark, sf_dir)
+                .select("event_id", F.unix_millis("ts").alias("ms"))
+                .filter(F.col("event_id") < 50)
+                .collect()
+            }
+            assert got == {k: v for k, v in expect.items() if k < 50}, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
