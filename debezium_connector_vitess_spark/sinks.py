@@ -14,17 +14,30 @@ from pyspark.sql import functions as F
 
 @dataclass
 class TopicNamingStrategy:
-    """dataChangeTopic(TableId) = {prefix|override}.{table} with exclude-regex
-    list; schema-change topic override.
-    Reference: TableTopicNamingStrategy.java:110-138, VitessTopicSelector.java.
+    """dataChangeTopic(TableId) = {prefix|override-prefix}.{table}:
+    ``override_prefix`` (override.data.change.topic.prefix) replaces the
+    prefix for every table EXCEPT those matching the exclude-regex list
+    (override.data.change.topic.prefix.exclude.list, full-match on the
+    table name); per-table topic ``overrides`` win over both. Schema-change
+    topic override analog.
+    Reference: TableTopicNamingStrategy.java:51-138, VitessTopicSelector.java.
     """
 
     prefix: str
     overrides: dict[str, str] = field(default_factory=dict)  # table -> topic
+    override_prefix: Optional[str] = None
+    override_prefix_exclude: tuple[str, ...] = ()
     schema_change_topic: Optional[str] = None
 
     def data_change_topic(self, table: Column) -> Column:
         expr = F.concat(F.lit(self.prefix), F.lit("."), table)
+        if self.override_prefix:
+            overridden = F.concat(F.lit(self.override_prefix), F.lit("."), table)
+            if self.override_prefix_exclude:
+                pattern = "|".join(f"(?:{p})" for p in self.override_prefix_exclude)
+                expr = F.when(table.rlike(f"^(?:{pattern})$"), expr).otherwise(overridden)
+            else:
+                expr = overridden
         for tbl, topic in sorted(self.overrides.items()):
             expr = F.when(table == tbl, F.lit(topic)).otherwise(expr)
         return expr

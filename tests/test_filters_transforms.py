@@ -179,3 +179,20 @@ def test_enforce_record_size_proportional(spark):
     assert r1["tiny"] == "id"
     r2 = out[2]
     assert r2["text_col"] == "a" * 10 and r2["mediumtext_col"] == "b" * 20
+
+
+def test_topic_override_prefix_with_exclude_list(spark):
+    """override.data.change.topic.prefix applies to every table EXCEPT the
+    exclude-regex list, which keeps the normal prefix; per-table overrides
+    win over both (TableTopicNamingStrategy.java:51-138)."""
+    df = spark.createDataFrame(
+        [("t1",), ("legacy_a",), ("special",)], "table_name string"
+    )
+    strat = TopicNamingStrategy(
+        prefix="cdc",
+        override_prefix="v2",
+        override_prefix_exclude=("legacy_.*",),
+        overrides={"special": "custom.topic"},
+    )
+    got = {r["table_name"]: r["topic"] for r in strat.attach(df).collect()}
+    assert got == {"t1": "v2.t1", "legacy_a": "cdc.legacy_a", "special": "custom.topic"}
