@@ -40,7 +40,9 @@ class TopicNamingStrategy:
                 expr = overridden
         for tbl, topic in sorted(self.overrides.items()):
             expr = F.when(table == tbl, F.lit(topic)).otherwise(expr)
-        return expr
+        # sanitizedTopicName (inherited AbstractTopicNamingStrategy behavior):
+        # characters Kafka rejects in topic names become '_'
+        return F.regexp_replace(expr, r"[^a-zA-Z0-9._-]", "_")
 
     def attach(self, df: DataFrame, table_col: str = "table_name") -> DataFrame:
         """S6: add the routing ``topic`` column."""

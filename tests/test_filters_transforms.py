@@ -196,3 +196,13 @@ def test_topic_override_prefix_with_exclude_list(spark):
     )
     got = {r["table_name"]: r["topic"] for r in strat.attach(df).collect()}
     assert got == {"t1": "v2.t1", "legacy_a": "cdc.legacy_a", "special": "custom.topic"}
+
+
+def test_topic_name_sanitized(spark):
+    """Characters Kafka rejects in topic names become '_' (inherited
+    sanitizedTopicName behavior); dashes/dots stay (tables with dashes
+    stream to same-named topics)."""
+    df = spark.createDataFrame([("my table!",), ("dash-ok",)], "table_name string")
+    strat = TopicNamingStrategy(prefix="cdc")
+    got = {r["table_name"]: r["topic"] for r in strat.attach(df).collect()}
+    assert got == {"my table!": "cdc.my_table_", "dash-ok": "cdc.dash-ok"}
