@@ -48,6 +48,17 @@ class TopicNamingStrategy:
         """S6: add the routing ``topic`` column."""
         return df.withColumn("topic", self.data_change_topic(F.col(table_col)))
 
+    def schema_change_topic_name(self) -> str:
+        """Override if set, else the prefix itself (the upstream default
+        schema-change topic, TableTopicNamingStrategy.schemaChangeTopic)."""
+        import re
+
+        return re.sub(r"[^a-zA-Z0-9._-]", "_", self.schema_change_topic or self.prefix)
+
+    def attach_schema_changes(self, df: DataFrame) -> DataFrame:
+        """Route schema-change records (X1 output) to the schema topic."""
+        return df.withColumn("topic", F.lit(self.schema_change_topic_name()))
+
 
 def cloudevents_wrap(df: DataFrame, server_name: str) -> DataFrame:
     """S9: CloudEvents output format.

@@ -206,3 +206,14 @@ def test_topic_name_sanitized(spark):
     strat = TopicNamingStrategy(prefix="cdc")
     got = {r["table_name"]: r["topic"] for r in strat.attach(df).collect()}
     assert got == {"my table!": "cdc.my_table_", "dash-ok": "cdc.dash-ok"}
+
+
+def test_schema_change_topic_routing(spark):
+    """Schema-change records route to the override topic if set, else to the
+    prefix itself (upstream default), sanitized either way."""
+    df = spark.createDataFrame([("t1", "CREATE")], "table_name string, operation string")
+    default = TopicNamingStrategy(prefix="cdc srv")
+    assert default.schema_change_topic_name() == "cdc_srv"
+    overridden = TopicNamingStrategy(prefix="cdc", schema_change_topic="schema-hist")
+    out = overridden.attach_schema_changes(df).collect()[0]
+    assert out["topic"] == "schema-hist"
