@@ -612,3 +612,19 @@ def test_request_tablet_type_and_headers():
     assert req.headers == (("x-team", "data"), ("x-user", "cdc"))
     with pytest.raises(ValueError, match="tablet_type"):
         VStreamConfig(keyspace="ks", shards=["0"], tablet_type="PRIMARYISH")
+
+
+def test_field_event_rejects_anonymized_columns():
+    """D5 through the wire path: Vitess schema-reload anonymization (@1, @2)
+    must fail fast, not silently produce unusable schemas
+    (VStreamOutputMessageDecoder.java:456-470)."""
+    dec = WireDecoder()
+    bad = field_event()
+    bad = WireFieldEvent(
+        table_name=bad.table_name,
+        fields=(WireField("@1", "INT64", "bigint(20)", 0),),
+        keyspace=bad.keyspace,
+        shard=bad.shard,
+    )
+    with pytest.raises(ValueError, match="@"):
+        dec.apply_field_event(bad)
