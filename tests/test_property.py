@@ -295,3 +295,28 @@ def test_png_encode_decode_roundtrip(w, h, channels, rnd):
     back_w, back_h, back_ch, back_px = decode_png(encode_png(w, h, pixels, channels=channels))
     assert (back_w, back_h, back_ch) == (w, h, channels)
     assert back_px == pixels
+
+
+# ------------------------------------------------- EnforceRecordSize SMT
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=2, max_size=4),
+    st.integers(min_value=1, max_value=500),
+)
+@settings(max_examples=20, deadline=None)
+def test_enforce_record_size_budget_invariant(spark, lengths, max_size):
+    """For any field lengths and budget: oversize records come back with
+    eligible payload within budget (ceiling cuts guarantee it), and
+    within-budget records are untouched."""
+    from debezium_connector_vitess_spark.transforms import enforce_record_size
+
+    cols = [f"c{i}" for i in range(len(lengths))]
+    row = tuple(chr(ord("a") + i) * n for i, n in enumerate(lengths))
+    df = spark.createDataFrame([row], ", ".join(f"{c} string" for c in cols))
+    out = enforce_record_size(df, max_size, tuple(cols), min_field_size=0).collect()[0]
+    total = sum(lengths)
+    new_total = sum(len(out[c]) for c in cols)
+    if total <= max_size:
+        assert new_total == total
+    else:
+        assert new_total <= max_size
