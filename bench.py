@@ -29,13 +29,11 @@ HEADLINE = [
     "heartbeat_positions",
     "pricing_summary",
     "revenue_by_nation",
-    "text_quality",
-    "text_fingerprint",
+    "text_metrics",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
+    "ann_topk",
     "text_lang_id",
     "multimodal_image_metadata",
     "multimodal_resize",

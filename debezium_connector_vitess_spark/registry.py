@@ -657,69 +657,80 @@ _ORACLE_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 _ORACLE_TOKHASH = "('0x' || substr(md5(t), 1, 15))::BIGINT"
 
 
+_Q_STOP_EN = "('the','a','of','and','to','in','is','it','on','for')"
+
+
 @register(
     "text_metrics",
     oracle=f"""
+    WITH m AS (
+      SELECT doc_id, text,
+             {_ORACLE_TOKENS} AS toks,
+             length(text)::DOUBLE AS n_chars
+      FROM documents),
+    g AS (
+      SELECT *,
+             list_transform(range(1, greatest(len(toks) - 1, 1)),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams,
+             len(toks)::DOUBLE AS n_tokens_d,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                             x -> x IN {_Q_STOP_EN}))::DOUBLE AS stop_hits,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct_d,
+             list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+               / greatest(len(toks), 1) AS mwl
+      FROM m)
     SELECT doc_id,
-           len({_ORACLE_TOKENS}) AS n_tokens,
+           len(toks) AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_pieces,
            len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
-           list_sum(list_transform({_ORACLE_TOKENS}, x -> len(x)))::DOUBLE
-             / greatest(len({_ORACLE_TOKENS}), 1) AS mean_word_len
-    FROM documents
+           mwl AS mean_word_len,
+           (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN n_tokens_d >= 20 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN stop_hits / greatest(n_tokens_d, 1) >= 0.05 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN n_punct_d / greatest(n_chars, 1) <= 0.1 AND mwl >= 2.0 AND mwl <= 12.0
+                 THEN 0.25 ELSE 0.0 END) AS quality_score,
+           len(grams)::INT AS total_grams,
+           len(list_distinct(grams))::INT AS distinct_grams,
+           CASE WHEN len(grams) > 0
+                THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE
+                ELSE 0.0 END AS repeated_frac,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fingerprint
+    FROM g
     """,
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: whitespace + BPE-ish token counting, punctuation density,
-    mean word length — one narrow codegen'd projection."""
+    """Text analysis suite in one narrow codegen'd projection: whitespace +
+    BPE-ish token counting, punctuation density, mean word length, composite
+    quality score (length/stopword/punct/word-length gates), duplicate
+    3-gram repetition signal (the Gopher/RefinedWeb filter), and the
+    content-defined md5 fingerprint. One scan, no shuffle — each signal
+    remains an independent expression in ops/text.py, unit-tested there."""
     from .ops.text import (
         bpe_token_count_expr,
+        fingerprint_expr,
         mean_word_len_expr,
         punct_count_expr,
+        repetition_expr,
         token_count_expr,
+        with_quality_score,
     )
 
     docs = _documents(spark, sf_dir)
     t = F.col("text")
-    return docs.select(
+    total, distinct, frac = repetition_expr(t, 3)
+    return with_quality_score(docs, "text").select(
         "doc_id",
         token_count_expr(t).alias("n_tokens"),
         bpe_token_count_expr(t).alias("n_bpe_pieces"),
         punct_count_expr(t).alias("n_punct"),
         mean_word_len_expr(t).alias("mean_word_len"),
+        "quality_score",
+        total.alias("total_grams"),
+        distinct.alias("distinct_grams"),
+        frac.alias("repeated_frac"),
+        fingerprint_expr(t).alias("fingerprint"),
     )
-
-
-_Q_STOP_EN = "('the','a','of','and','to','in','is','it','on','for')"
-
-
-@register(
-    "text_quality",
-    oracle=f"""
-    WITH m AS (
-      SELECT doc_id,
-             length(text)::DOUBLE AS n_chars,
-             len({_ORACLE_TOKENS})::DOUBLE AS n_tokens,
-             len(list_filter({_ORACLE_TOKENS.replace("text", "lower(text)")}, x -> x IN {_Q_STOP_EN}))::DOUBLE AS stop_hits,
-             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct,
-             list_sum(list_transform({_ORACLE_TOKENS}, x -> len(x)))::DOUBLE
-               / greatest(len({_ORACLE_TOKENS}), 1) AS mwl
-      FROM documents)
-    SELECT doc_id,
-           (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 0.25 ELSE 0.0 END)
-         + (CASE WHEN n_tokens >= 20 THEN 0.25 ELSE 0.0 END)
-         + (CASE WHEN stop_hits / greatest(n_tokens, 1) >= 0.05 THEN 0.25 ELSE 0.0 END)
-         + (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.1 AND mwl >= 2.0 AND mwl <= 12.0
-                 THEN 0.25 ELSE 0.0 END) AS quality_score
-    FROM m
-    """,
-)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length/stopword/punctuation/word-length gates."""
-    from .ops.text import with_quality_score
-
-    docs = _documents(spark, sf_dir)
-    return with_quality_score(docs, "text").select("doc_id", "quality_score")
 
 
 @register(
@@ -758,23 +769,6 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-                                   '\\s+', ' ', 'g'))) AS fingerprint
-    FROM documents
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined document fingerprint (md5 of normalized text)."""
-    from .ops.text import fingerprint_expr
-
-    docs = _documents(spark, sf_dir)
-    return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
-
-
-@register(
     "smt_enforce_record_size",
     oracle="""
     WITH m AS (
@@ -806,43 +800,6 @@ def smt_enforce_record_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
     return enforce_record_size(docs, 200, ("text", "lang"), min_field_size=4)
-
-
-@register(
-    "text_repetition",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_ORACLE_TOKENS} AS toks FROM documents),
-    g AS (
-      SELECT doc_id,
-             list_transform(
-               range(1, greatest(len(toks) - 1, 1)),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-             ) AS grams
-      FROM t)
-    SELECT doc_id,
-           len(grams)::INT AS total_grams,
-           len(list_distinct(grams))::INT AS distinct_grams,
-           CASE WHEN len(grams) > 0
-                THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE
-                ELSE 0.0 END AS repeated_frac
-    FROM g
-    """,
-)
-def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition quality signal: fraction of duplicate word 3-grams per
-    document (the Gopher/RefinedWeb-style repetition filter) — one narrow
-    codegen'd projection, no shuffle."""
-    from .ops.text import repetition_expr
-
-    docs = _documents(spark, sf_dir)
-    total, distinct, frac = repetition_expr(F.col("text"), 3)
-    return docs.select(
-        "doc_id",
-        total.alias("total_grams"),
-        distinct.alias("distinct_grams"),
-        frac.alias("repeated_frac"),
-    )
 
 
 @register(
@@ -1034,9 +991,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_banded_near_dup_pairs(emb, threshold=0.4)
 
 
-@register(
-    "ann_cosine_topk",
-    oracle=f"""
+_ORACLE_BRUTE_TOPK = """
     WITH scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              list_dot_product(q.embedding, c.embedding) /
@@ -1049,16 +1004,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
       FROM scored)
     WHERE rank <= 5
-    """,
-)
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for 20 query vectors: broadcast queries against
-    the partitioned corpus, per-query ranking window."""
-    from .ops.similarity import brute_force_topk
+    """
 
-    emb = _embeddings(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 20)
-    return brute_force_topk(emb, queries, k=5)
+_ORACLE_COSQ = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB mirror of ``ivf_topk`` with the md5-seeded sample quantizer:
+    identical deterministic centroid choice, max-cosine assignment, n_probe
+    nearest cells per query, per-query ranking."""
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cent_vec FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    c_assign AS (
+      SELECT neighbor_id, cvec, bucket FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.centroid_id AS bucket,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_ORACLE_COSQ.format(a="e.embedding", b="c.cent_vec")} DESC, c.centroid_id) AS crank
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE crank = 1),
+    q_assign AS (
+      SELECT query_id, qvec, bucket FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qvec, c.centroid_id AS bucket,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_ORACLE_COSQ.format(a="e.embedding", b="c.cent_vec")} DESC, c.centroid_id) AS crank
+        FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 20)
+      WHERE crank <= 4),
+    scored AS (
+      SELECT q.query_id, a.neighbor_id,
+             {_ORACLE_COSQ.format(a="q.qvec", b="a.cvec")} AS score
+      FROM q_assign q JOIN c_assign a USING (bucket)
+      WHERE a.neighbor_id <> q.query_id)
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """
 
 
 def _lsh_oracle_sql() -> str:
@@ -1101,44 +1087,45 @@ def _lsh_oracle_sql() -> str:
     """
 
 
-@register("ann_lsh_topk", oracle=_lsh_oracle_sql())
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH-bucketed approximate top-k (the 100 TB path: per-bucket
-    joins instead of all-pairs). Recall vs brute force asserted in tests;
-    bucketing replicated exactly by the oracle via inlined hyperplanes."""
-    from .ops.similarity import lsh_topk
+def _ann_topk_oracle_sql() -> str:
+    return (
+        f"SELECT 'brute' AS method, * FROM ({_ORACLE_BRUTE_TOPK})\n"
+        f"UNION ALL SELECT 'lsh' AS method, * FROM ({_lsh_oracle_sql()})\n"
+        f"UNION ALL SELECT 'ivf' AS method, * FROM ({_ivf_oracle_sql()})"
+    )
+
+
+@register("ann_topk", oracle=_ann_topk_oracle_sql())
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 for 20 query vectors through all three strategies, one
+    driver-checked result:
+
+    - ``brute``: exact cosine — broadcast query set against the partitioned
+      corpus, per-query ranking window (the recall baseline);
+    - ``lsh``: hyperplane-LSH buckets + multiprobe (per-bucket joins instead
+      of all-pairs — the 100 TB path), bucketing replicated exactly by the
+      oracle via inlined deterministic hyperplanes;
+    - ``ivf``: IVF cells from the md5-seeded deterministic sample quantizer
+      (no low-id bias, oracle-replicable); the Lloyd-refined ``kmeans``
+      quantizer is the quality path, recall-tested in pytest.
+
+    All three share the (query_id, rank, neighbor_id) shape; each strategy
+    remains an independent operator in ops/similarity.py."""
+    from .ops.similarity import brute_force_topk, ivf_topk, lsh_topk
 
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
-    return lsh_topk(emb, queries, k=5, num_planes=4).select(
-        "query_id", "rank", "neighbor_id"
-    )
+    cols = ["query_id", "rank", "neighbor_id"]
+    brute = brute_force_topk(emb, queries, k=5).select(*cols, F.lit("brute").alias("method"))
+    lsh = lsh_topk(emb, queries, k=5, num_planes=4).select(*cols, F.lit("lsh").alias("method"))
+    ivf = ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, quantizer="sample"
+    ).select(*cols, F.lit("ivf").alias("method"))
+    return brute.unionAll(lsh).unionAll(ivf)
 
 
 @register(
     "multimodal_image_metadata",
-    oracle="""
-    SELECT doc_id,
-           octet_length(encode(text)) AS byte_len,
-           md5(text) AS content_md5,
-           (64 + octet_length(encode(text)) % 512)::INT AS width,
-           (64 + (octet_length(encode(text)) // 2) % 512)::INT AS height,
-           3 AS channels
-    FROM documents
-    """,
-)
-def multimodal_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column → mapInPandas metadata
-    extraction over Arrow batches (decode stubbed deterministically; the
-    batch shape/schema/partitioning are the real thing)."""
-    from .ops.multimodal import attach_binary_payload, extract_image_metadata
-
-    docs = _documents(spark, sf_dir)
-    return extract_image_metadata(attach_binary_payload(docs))
-
-
-@register(
-    "multimodal_png_metadata",
     oracle="""
     SELECT doc_id,
            (8 + octet_length(encode(text)) % 24)::INT AS width,
@@ -1147,11 +1134,14 @@ def multimodal_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def multimodal_png_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end to end: deterministic PNGs are generated per doc
-    (stdlib encoder) and the metadata extractor parses the actual PNG
-    signature/IHDR bytes — no fake, no PIL dependency. The oracle replicates
-    the generation formulas, so a decoder that misreads the header goes red."""
+    (stdlib encoder) and the mapInPandas metadata extractor parses the actual
+    PNG signature/IHDR bytes over Arrow batches — no fake, no PIL dependency.
+    The oracle replicates the generation formulas, so a decoder that misreads
+    the header goes red. (byte_len/content_md5 are also extracted on the same
+    pass — unit-tested; not oracle-expressible since DuckDB can't re-encode
+    the PNG bytes.)"""
     from .ops.multimodal import attach_png_payload, extract_image_metadata
 
     docs = _documents(spark, sf_dir)
@@ -1665,58 +1655,6 @@ def field_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw_name.alias("raw_name"),
         sanitize_field_name_expr(raw_name).alias("avro_name"),
     )
-
-
-_ORACLE_COSQ = (
-    "list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-)
-
-
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH cent AS (
-      SELECT vec_id AS centroid_id, embedding AS cent_vec FROM embeddings
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-    c_assign AS (
-      SELECT neighbor_id, cvec, bucket FROM (
-        SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.centroid_id AS bucket,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                 {_ORACLE_COSQ.format(a="e.embedding", b="c.cent_vec")} DESC, c.centroid_id) AS crank
-        FROM embeddings e CROSS JOIN cent c)
-      WHERE crank = 1),
-    q_assign AS (
-      SELECT query_id, qvec, bucket FROM (
-        SELECT e.vec_id AS query_id, e.embedding AS qvec, c.centroid_id AS bucket,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                 {_ORACLE_COSQ.format(a="e.embedding", b="c.cent_vec")} DESC, c.centroid_id) AS crank
-        FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 20)
-      WHERE crank <= 4),
-    scored AS (
-      SELECT q.query_id, a.neighbor_id,
-             {_ORACLE_COSQ.format(a="q.qvec", b="a.cvec")} AS score
-      FROM q_assign q JOIN c_assign a USING (bucket)
-      WHERE a.neighbor_id <> q.query_id)
-    SELECT query_id, rank, neighbor_id FROM (
-      SELECT query_id, neighbor_id,
-             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-      FROM scored)
-    WHERE rank <= 5
-    """,
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-5. Quantizer = md5-seeded deterministic
-    sample of the corpus (replicable in the oracle; no low-id bias); the
-    Lloyd-refined ``kmeans`` quantizer is the quality path, recall-tested in
-    pytest (see ops.similarity.ivf_topk)."""
-    from .ops.similarity import ivf_topk
-
-    emb = _embeddings(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 20)
-    return ivf_topk(
-        emb, queries, k=5, n_centroids=16, n_probe=4, quantizer="sample"
-    ).select("query_id", "rank", "neighbor_id")
 
 
 @register(
