@@ -78,17 +78,29 @@ def main() -> None:
     # best-of-2 per query: the first run includes one-time whole-stage-codegen
     # compilation and is exposed to transient machine noise; the min is the
     # steady-state cost (what a long-running 100 TB job actually pays per
-    # micro-batch/stage after warmup).
+    # micro-batch/stage after warmup). Each run owns its job lifecycle, so
+    # checkpoint_scope reclaims any localCheckpoint blocks the query
+    # materialized — block-manager storage stays flat across the sweep.
+    from debezium_connector_vitess_spark.cache import checkpoint_scope
+
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
         for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            with checkpoint_scope(spark):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    load_after = os.getloadavg()
 
+    # measurement hygiene: a loaded machine inflates every query uniformly
+    # (shared-CPU contention), so the artifact records the 1-min load average
+    # around the sweep and flags totals taken under contention as suspect.
+    cpus = os.cpu_count() or CPUS
+    contended = load_before[0] > 0.5 * cpus
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -98,6 +110,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
+                "cpus": cpus,
+                "contended": contended,
             }
         )
     )

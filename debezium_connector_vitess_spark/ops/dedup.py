@@ -17,9 +17,12 @@ Scale strategy (100 TB):
 
 from __future__ import annotations
 
+from typing import Callable, Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import eager_localcheckpoint
 from .text import normalize_text_expr, simhash_expr, tokens_expr
 
 
@@ -440,14 +443,22 @@ def connected_components(
     )
     # only edge participants can ever change label; singletons (the vast
     # majority of a deduped corpus) are their own cluster and rejoin at the
-    # end — the iterated frame shrinks from |corpus| to |touched nodes|
-    touched = edges.select(F.col("src").alias(id_col)).distinct()
+    # end — the iterated frame shrinks from |corpus| to |touched nodes|.
+    # The semi-join keeps the output restricted to the nodes frame: ids that
+    # appear only in `pairs` are dropped (and edges THROUGH such an id do not
+    # relay labels — pairs are expected to connect members of `nodes`).
+    touched = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .join(nodes.select(F.col(id_col)), id_col, "left_semi")
+    )
     labels = touched.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     singletons = (
         nodes.select(F.col(id_col))
         .join(touched, id_col, "left_anti")
         .select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     )
+    release_prev: Optional[Callable[[], None]] = None
     for _ in range(max_iterations):
         nbr_min = (
             labels.join(edges, labels[id_col] == edges.src)
@@ -465,12 +476,20 @@ def connected_components(
             )
         )
         # one materialization per round: the convergence probe and the next
-        # round's labels both read the checkpointed frame
-        updated = updated.localCheckpoint(eager=True)
+        # round's labels both read the checkpointed frame; once it exists the
+        # PREVIOUS round's blocks are dead and released immediately, so the
+        # loop holds O(1) checkpoints instead of O(rounds)
+        updated, release = eager_localcheckpoint(updated)
+        if release_prev is not None:
+            release_prev()
+        release_prev = release
         changed = updated.filter(F.col("new_label") != F.col("cluster_id")).limit(1).count()
         labels = updated.select(F.col(id_col), F.col("new_label").alias("cluster_id"))
         if changed == 0:
             break
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+    # the final round's checkpoint and the edge list feed the returned lazy
+    # frame — the caller owning the terminal action reclaims them with
+    # cache.checkpoint_scope
     return labels.unionByName(singletons)

@@ -19,6 +19,7 @@ Spark plumbing is what matters at 100 TB:
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
 from typing import Iterator
 
 import pandas as pd
@@ -37,6 +38,10 @@ IMAGE_META_SCHEMA = (
 )
 
 FRAME_SAMPLE_SCHEMA = "doc_id long, n_frames long, sampled_frames long"
+
+# What a truncated/malformed RIFF container can raise out of decode_avi_meta:
+# explicit validation (ValueError), short slices (struct.error / IndexError).
+_AVI_DECODE_ERRORS = (ValueError, IndexError, _struct.error)
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -134,11 +139,16 @@ def extract_image_metadata(binary_df: DataFrame) -> DataFrame:
 def sample_frames(binary_df: DataFrame, *, frame_bytes: int = 256, every: int = 5) -> DataFrame:
     """Frame sampling: keep every k-th frame index. RIFF/AVI payloads use
     their REAL decoded frame count (container chunk scan); headerless
-    payloads are modeled as fixed-size byte frames."""
+    payloads are modeled as fixed-size byte frames. A payload that claims to
+    be AVI but fails container decode (truncated/malformed RIFF) falls back
+    to the byte-frame model instead of failing the whole job."""
 
     def _count(b: bytes) -> int:
         if is_avi(b):
-            return decode_avi_meta(b)[0]
+            try:
+                return decode_avi_meta(b)[0]
+            except _AVI_DECODE_ERRORS:  # malformed container → byte-frame model
+                pass
         return (len(b) + frame_bytes - 1) // frame_bytes
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -449,23 +459,39 @@ def attach_avi_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return df.select(id_col, text_col).mapInPandas(op, schema=AVI_PAYLOAD_SCHEMA)
 
 
-def extract_video_metadata(binary_df: DataFrame) -> DataFrame:
+def extract_video_metadata(binary_df: DataFrame, *, errors: str = "fail") -> DataFrame:
     """mapInPandas video metadata: real AVI container decode (header +
-    chunk-scan cross-check); integer-ms duration = frames·1000/fps."""
+    chunk-scan cross-check); integer-ms duration = frames·1000/fps.
+
+    ``errors`` mirrors the decode path's E4 failure modes: ``fail`` raises on
+    a malformed container (task error → restart from checkpoint), ``null``
+    keeps the row with null metadata fields, ``skip`` drops the row — so one
+    truncated payload in a 100 TB corpus doesn't kill the job unless asked to.
+    """
+    if errors not in ("fail", "null", "skip"):
+        raise ValueError(f"errors must be fail|null|skip, got {errors!r}")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n, w, h, fps = decode_avi_meta(payload)
+                try:
+                    n, w, h, fps = decode_avi_meta(payload)
+                except _AVI_DECODE_ERRORS:
+                    if errors == "fail":
+                        raise
+                    if errors == "skip":
+                        continue
+                    rows.append((did, None, None, None, None, None))
+                    continue
                 rows.append((did, n, w, h, fps, n * 1000 // fps))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "n_frames", "width", "height", "fps", "duration_ms"],
             ).astype(
                 {
-                    "doc_id": "int64", "n_frames": "int32", "width": "int32",
-                    "height": "int32", "fps": "int32", "duration_ms": "int64",
+                    "doc_id": "int64", "n_frames": "Int32", "width": "Int32",
+                    "height": "Int32", "fps": "Int32", "duration_ms": "Int64",
                 }
             )
 

@@ -29,13 +29,25 @@ class TopicNamingStrategy:
     override_prefix_exclude: tuple[str, ...] = ()
     schema_change_topic: Optional[str] = None
 
-    def data_change_topic(self, table: Column) -> Column:
+    def data_change_topic(
+        self, table: Column, keyspace: Optional[Column] = None
+    ) -> Column:
         expr = F.concat(F.lit(self.prefix), F.lit("."), table)
         if self.override_prefix:
             overridden = F.concat(F.lit(self.override_prefix), F.lit("."), table)
             if self.override_prefix_exclude:
+                # The reference matches exclude patterns against the
+                # schema-qualified 'keyspace.table' string
+                # (TableTopicNamingStrategy + VitessTableIdToStringMapper),
+                # so upstream-style patterns like '.*\.heartbeat' work; the
+                # bare table name is the fallback when no keyspace is known.
+                subject = (
+                    F.concat(keyspace, F.lit("."), table)
+                    if keyspace is not None
+                    else table
+                )
                 pattern = "|".join(f"(?:{p})" for p in self.override_prefix_exclude)
-                expr = F.when(table.rlike(f"^(?:{pattern})$"), expr).otherwise(overridden)
+                expr = F.when(subject.rlike(f"^(?:{pattern})$"), expr).otherwise(overridden)
             else:
                 expr = overridden
         for tbl, topic in sorted(self.overrides.items()):
@@ -44,9 +56,16 @@ class TopicNamingStrategy:
         # characters Kafka rejects in topic names become '_'
         return F.regexp_replace(expr, r"[^a-zA-Z0-9._-]", "_")
 
-    def attach(self, df: DataFrame, table_col: str = "table_name") -> DataFrame:
-        """S6: add the routing ``topic`` column."""
-        return df.withColumn("topic", self.data_change_topic(F.col(table_col)))
+    def attach(
+        self,
+        df: DataFrame,
+        table_col: str = "table_name",
+        keyspace_col: str = "keyspace",
+    ) -> DataFrame:
+        """S6: add the routing ``topic`` column. Exclude-regex matching uses
+        the keyspace-qualified name when the frame carries a keyspace."""
+        ks = F.col(keyspace_col) if keyspace_col in df.columns else None
+        return df.withColumn("topic", self.data_change_topic(F.col(table_col), ks))
 
     def schema_change_topic_name(self) -> str:
         """Override if set, else the prefix itself (the upstream default

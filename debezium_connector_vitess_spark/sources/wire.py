@@ -493,6 +493,14 @@ def decode_flush(decoder: WireDecoder, flush: _Flush) -> Iterator[dict]:
     # observer records it when COMMIT arrives: VitessReplicationConnection
     # .java:204, consumed by the row handlers at VStreamOutputMessageDecoder
     # .java:206-282); BEGIN/COMMIT/DDL/OTHER keep their own event timestamp.
+    #
+    # Documented divergence: when a send-now event (DDL/OTHER/HEARTBEAT)
+    # flushes a PARTIAL transaction (BEGIN+ROWs buffered, COMMIT not yet
+    # seen), those rows keep their own event timestamps. The reference's row
+    # handlers would consume whatever commitTimestamp the observer last
+    # recorded — i.e. the PREVIOUS transaction's commit time, which is stale.
+    # Event time is the less-wrong stamp; the case itself cannot arise from
+    # MySQL binlogs (DDL auto-commits, so it never lands inside an open tx).
     commit_ts: Optional[datetime] = None
     for ev in flush.events:
         if ev.type == "COMMIT":

@@ -198,6 +198,29 @@ def test_topic_override_prefix_with_exclude_list(spark):
     assert got == {"t1": "v2.t1", "legacy_a": "cdc.legacy_a", "special": "custom.topic"}
 
 
+def test_topic_override_exclude_matches_qualified_name(spark):
+    """The exclude regex matches the schema-qualified 'keyspace.table' string
+    (TableTopicNamingStrategy + VitessTableIdToStringMapper), so
+    upstream-style patterns like '.*\\.heartbeat' keep the default prefix."""
+    df = spark.createDataFrame(
+        [("ks0", "heartbeat"), ("ks0", "users"), ("other", "heartbeat")],
+        "keyspace string, table_name string",
+    )
+    strat = TopicNamingStrategy(
+        prefix="cdc",
+        override_prefix="v2",
+        override_prefix_exclude=(r".*\.heartbeat", r"ks0\.users_archive"),
+    )
+    got = {
+        (r["keyspace"], r["table_name"]): r["topic"] for r in strat.attach(df).collect()
+    }
+    assert got == {
+        ("ks0", "heartbeat"): "cdc.heartbeat",
+        ("ks0", "users"): "v2.users",
+        ("other", "heartbeat"): "cdc.heartbeat",
+    }
+
+
 def test_topic_name_sanitized(spark):
     """Characters Kafka rejects in topic names become '_' (inherited
     sanitizedTopicName behavior); dashes/dots stay (tables with dashes

@@ -424,3 +424,88 @@ def test_sample_frames_uses_real_avi_frames(spark):
     docs = spark.createDataFrame([Row(doc_id=3, text="y" * 10)])  # 14 frames
     out = sample_frames(attach_avi_payload(docs), every=5).collect()
     assert out[0]["n_frames"] == 14 and out[0]["sampled_frames"] == 3
+
+
+def test_malformed_avi_falls_back_in_sample_frames(spark):
+    """A payload with the RIFF/AVI magic but a truncated body must not fail
+    the job: sample_frames falls back to the byte-frame model."""
+    from debezium_connector_vitess_spark.ops.multimodal import _make_avi, sample_frames
+
+    truncated = _make_avi(3, 10)[:40]  # valid magic, body cut mid-chunk
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(truncated), mime="video/x-msvideo")]
+    )
+    out = sample_frames(df, frame_bytes=16, every=2).collect()
+    n = (len(truncated) + 15) // 16
+    assert out[0]["n_frames"] == n
+    assert out[0]["sampled_frames"] == len(range(0, n, 2))
+
+
+def test_extract_video_metadata_error_modes(spark):
+    """E4-style failure modes on the video decode path: fail raises, null
+    keeps the row with null metadata, skip drops it."""
+    import pytest
+
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        _make_avi,
+        extract_video_metadata,
+    )
+
+    good = _make_avi(2, 20)
+    bad = good[:40]
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(good), mime="video/x-msvideo"),
+            Row(doc_id=2, payload=bytearray(bad), mime="video/x-msvideo"),
+        ]
+    )
+    with pytest.raises(Exception):
+        extract_video_metadata(df).collect()
+    nulled = {r["doc_id"]: r for r in extract_video_metadata(df, errors="null").collect()}
+    assert nulled[1]["n_frames"] is not None
+    assert nulled[2]["n_frames"] is None and nulled[2]["fps"] is None
+    skipped = extract_video_metadata(df, errors="skip").collect()
+    assert [r["doc_id"] for r in skipped] == [1]
+    with pytest.raises(ValueError):
+        extract_video_metadata(df, errors="bogus")
+
+
+def test_connected_components_restricted_to_nodes(spark):
+    """Output contract: ids appearing only in `pairs` are excluded — the
+    result covers exactly the nodes frame."""
+    from debezium_connector_vitess_spark.ops.dedup import connected_components
+
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 77)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, pairs, id_col="doc_id").collect()
+    }
+    assert set(got) == {1, 2, 9}
+    assert got[1] == got[2] == 1
+    assert got[9] == 9
+
+
+def test_checkpoint_scope_releases_minhash_blocks(spark, sf_dir):
+    """minhash_dedup_pairs materializes two frames with localCheckpoint and
+    connected_components adds edges + one per round; checkpoint_scope returns
+    the block manager to its pre-scope state after the terminal action."""
+    from debezium_connector_vitess_spark.cache import checkpoint_scope
+    from debezium_connector_vitess_spark.ops.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+    )
+
+    def persistent_count():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = persistent_count()
+    with checkpoint_scope(spark):
+        pairs = minhash_dedup_pairs(docs, "text", "doc_id")
+        labels = connected_components(
+            docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+        )
+        assert labels.count() == docs.count()
+        assert persistent_count() > base  # checkpoints really were created
+    assert persistent_count() == base
