@@ -203,15 +203,16 @@ def cdc_envelope_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cdc_envelope`` but fed by the real transport representation the live
     gRPC source consumes (VStreamOutputMessageDecoder.java:298-329,
     VitessReplicationConnection.java:128-300)."""
-    import tempfile
-
     from .envelope import with_record_key
     from .sources import replay as replay_source
-    from .sources.fixtures import write_wire_replay_fixture
+    from .sources.fixtures import cached_fixture_dir, write_wire_replay_fixture
 
     replay_source.register(spark)
-    wire_dir = tempfile.mkdtemp(prefix="wire_replay_")
-    write_wire_replay_fixture(sf_dir, wire_dir, tx_size=10)
+    # fixture generated once per session (cached per sf_dir) — repeat
+    # invocations plan zero driver-side file writes
+    wire_dir = cached_fixture_dir(
+        "wire_replay", sf_dir, write_wire_replay_fixture, tx_size=10
+    )
 
     raw = (
         spark.readStream.format("vitess-replay")
@@ -1575,15 +1576,14 @@ def tx_meta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     really advances through failover breaks — epoch = 1 + txn//10; rank =
     the GTID's max sequence. The oracle replicates the per-shard chunking
     and failover model (VitessOrderedTransactionContext.java:109-127)."""
-    import tempfile
-
     from .sources import replay as replay_source
-    from .sources.fixtures import write_replay_fixture
+    from .sources.fixtures import cached_fixture_dir, write_replay_fixture
     from .txmeta.streaming import ordered_tx_metadata_stream
 
     replay_source.register(spark)
-    replay_dir = tempfile.mkdtemp(prefix="txmeta_replay_")
-    write_replay_fixture(sf_dir, replay_dir, tx_size=10, host_period=10)
+    replay_dir = cached_fixture_dir(
+        "txmeta_replay", sf_dir, write_replay_fixture, tx_size=10, host_period=10
+    )
     raw = spark.readStream.format("vitess-replay").option("path", replay_dir).load()
     meta = ordered_tx_metadata_stream(raw)
     sink = "tx_meta_stream_sink"

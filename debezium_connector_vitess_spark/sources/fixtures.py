@@ -9,11 +9,31 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
+from typing import Callable
 
 import duckdb
 
 from ..changelog import KEYSPACE, SHARDS
 from ..vgtid import ShardGtid
+
+# session-level fixture cache: (kind, sf_dir, params) → generated directory.
+# Registry queries replay the same deterministic stream every invocation, so
+# regenerating the JSONL per call would put driver-side file writes inside the
+# timed query (wrong shape at bench/sf0.1+ scale). One generation per process.
+_FIXTURE_CACHE: dict[tuple, str] = {}
+
+
+def cached_fixture_dir(kind: str, sf_dir: str, writer: Callable[..., dict], **kwargs) -> str:
+    """Generate a replay fixture once per (kind, sf_dir, params) per process
+    and return its directory; later calls reuse the files untouched."""
+    key = (kind, os.path.abspath(sf_dir), tuple(sorted(kwargs.items())))
+    path = _FIXTURE_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix=f"{kind}_")
+        writer(sf_dir, path, **kwargs)
+        _FIXTURE_CACHE[key] = path
+    return path
 
 
 def write_replay_fixture(

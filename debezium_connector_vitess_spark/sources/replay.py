@@ -170,14 +170,23 @@ class VitessReplayStreamReader(DataSourceStreamReader):
         # E3 batch cap. Limitation of the Python streaming-source API: there
         # is no admission-control latestOffset(start, limit) variant, and the
         # runner asks for latestOffset before initialOffset/partitions reveal
-        # the start, so the FIRST micro-batch of a (re)started query is
-        # uncapped; every subsequent batch is bounded relative to the last
-        # planned end. (Under the availableNow/once single-batch fallback the
-        # whole run is one batch by Spark's design.)
+        # the start, so after a restart-past-clean-commit the FIRST
+        # micro-batch is uncapped; every subsequent batch is bounded relative
+        # to the last planned end. Mitigation: ``watermarkDir`` persists the
+        # planned watermark in a sidecar (the planned end rides outside the
+        # engine's offset WAL, which the reader never gets to read back), so
+        # a cold start resumes capping from where the previous run planned.
+        # (Under the availableNow/once single-batch fallback the whole run is
+        # one batch by Spark's design.)
         max_records = options.get("maxrecordsperbatch") or options.get(
             "maxRecordsPerBatch"
         )
         self._max_records = int(max_records) if max_records is not None else None
+        self._watermark_file = None
+        wm_dir = options.get("watermarkdir") or options.get("watermarkDir")
+        if wm_dir:
+            os.makedirs(wm_dir, exist_ok=True)
+            self._watermark_file = os.path.join(wm_dir, "planned_watermark.json")
         self._wire = _truthy(options.get("wireformat") or options.get("wireFormat") or "")
         self._keyspace = options.get("keyspace", "")
         self._exclude_keyspace = _truthy(
@@ -193,9 +202,27 @@ class VitessReplayStreamReader(DataSourceStreamReader):
         self._subscribed_shards = frozenset(self._files)
         # last planned end per shard, so latestOffset can cap the next batch
         # relative to where the previous one stopped (E3 backpressure); kept
-        # current from initialOffset / partitions / commit so a restart from
-        # checkpoint re-learns it from the first partitions() call
-        self._planned: dict[str, int] | None = None
+        # current from initialOffset / partitions / commit, and re-loaded
+        # from the watermark sidecar on a cold start so the first batch after
+        # a restart is bounded too
+        self._planned: dict[str, int] | None = self._load_watermark()
+
+    def _load_watermark(self) -> dict[str, int] | None:
+        if self._watermark_file is None or not os.path.exists(self._watermark_file):
+            return None
+        try:
+            with open(self._watermark_file, "r", encoding="utf-8") as fh:
+                return {str(k): int(v) for k, v in json.load(fh).items()}
+        except (ValueError, OSError):
+            return None  # unreadable sidecar: fall back to the documented cold-start behavior
+
+    def _save_watermark(self) -> None:
+        if self._watermark_file is None or self._planned is None:
+            return
+        tmp = self._watermark_file + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(self._planned, fh)
+        os.replace(tmp, self._watermark_file)
 
     def initialOffset(self) -> dict:
         # start of stream = empty position per shard (snapshot.mode analog:
@@ -223,6 +250,7 @@ class VitessReplayStreamReader(DataSourceStreamReader):
                 end[shard] = bounds[-1] if bounds else 0
         if self._planned is not None or self._max_records is None:
             self._planned = dict(end)
+            self._save_watermark()
         return end
 
     def partitions(self, start: dict, end: dict):
@@ -231,6 +259,7 @@ class VitessReplayStreamReader(DataSourceStreamReader):
         else:
             for s, e in end.items():
                 self._planned[s] = max(self._planned.get(s, 0), e)
+        self._save_watermark()
         parts = [
             ReplayPartition(
                 shard=s,
@@ -388,6 +417,7 @@ class VitessReplayStreamReader(DataSourceStreamReader):
         else:
             for s, e in end.items():
                 self._planned[s] = max(self._planned.get(s, 0), e)
+        self._save_watermark()
 
 
 class VitessReplayDataSource(DataSource):

@@ -450,3 +450,51 @@ def test_build_flags_tables_to_copy():
 
     # unset option -> empty tables_to_copy, no metadata round-trip needed
     assert build_flags(VStreamConfig(keyspace="commerce")).tables_to_copy == ()
+
+
+def test_wire_fixture_generated_once_per_session(spark, sf_dir):
+    """The wire replay fixture is generated once per (sf_dir, params) per
+    process: repeat query invocations replay the SAME files with zero
+    driver-side writes (mtimes unchanged), and stay correct."""
+    import os
+
+    from debezium_connector_vitess_spark.registry import QUERIES
+    from debezium_connector_vitess_spark.sources.fixtures import (
+        cached_fixture_dir,
+        write_wire_replay_fixture,
+    )
+
+    n1 = QUERIES["cdc_envelope_wire"](spark, sf_dir).count()
+    d = cached_fixture_dir("wire_replay", sf_dir, write_wire_replay_fixture, tx_size=10)
+    mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+    n2 = QUERIES["cdc_envelope_wire"](spark, sf_dir).count()
+    assert n1 == n2 > 0
+    d2 = cached_fixture_dir("wire_replay", sf_dir, write_wire_replay_fixture, tx_size=10)
+    assert d2 == d
+    assert {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)} == mtimes
+
+
+def test_watermark_dir_caps_first_batch_after_restart(tmp_path):
+    """E3 cold-start cap: after a restart past a clean commit the engine asks
+    latestOffset before the reader ever learns the start position, so without
+    state the first batch drains the whole backlog. With watermarkDir the
+    planned watermark survives the restart and the first batch is bounded,
+    still landing on a transaction boundary."""
+    from debezium_connector_vitess_spark.sources.replay import VitessReplayStreamReader
+
+    d = str(tmp_path / "replay")
+    wm = str(tmp_path / "wm")
+    _write_tx_file(d, "0", [(i, 1) for i in range(1, 11)])  # 10 txs × 3 lines
+    opts = {"path": d, "maxrecordsperbatch": "7", "watermarkdir": wm}
+    r1 = VitessReplayStreamReader(opts)
+    r1.initialOffset()
+    end1 = r1.latestOffset()
+    assert end1 == {"0": 6}  # capped from the start of stream
+    r1.commit(end1)
+    # restart after clean commit: fresh reader, latestOffset called FIRST
+    r2 = VitessReplayStreamReader(opts)
+    end2 = r2.latestOffset()
+    assert end2 == {"0": 12}  # bounded relative to the persisted watermark
+    # without the sidecar the documented uncapped cold start drains the file
+    r3 = VitessReplayStreamReader({"path": d, "maxrecordsperbatch": "7"})
+    assert r3.latestOffset() == {"0": 30}
