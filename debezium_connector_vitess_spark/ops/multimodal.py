@@ -92,18 +92,100 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return (64 + n % 512, 64 + (n // 2) % 512, 3)
 
 
+def is_jpeg(payload: bytes) -> bool:
+    return len(payload) >= 4 and payload[:2] == b"\xff\xd8"
+
+
+# SOF0..SOF15 carry frame dimensions, EXCEPT DHT (C4), JPG (C8), DAC (CC)
+_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
+
+
+def parse_jpeg_dims(payload: bytes) -> tuple[int, int, int]:
+    """JPEG dimensions from the SOF frame header (stdlib only): walk the
+    marker segments after SOI until a SOFn marker (baseline SOF0, progressive
+    SOF2, …), whose payload is precision(1) height(2) width(2) components(1)
+    — the same bytes PIL reads. Raises ValueError on a stream with no frame
+    header (truncated/malformed)."""
+    if not is_jpeg(payload):
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        (seg_len,) = _struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+            if pos + 4 + 6 > n:
+                raise ValueError("truncated JPEG SOF segment")
+            _prec, height, width, components = _struct.unpack(
+                ">BHHB", payload[pos + 4 : pos + 10]
+            )
+            return width, height, components
+        if marker == 0xDA:  # SOS: entropy-coded data follows, no SOF seen
+            break
+        pos += 2 + seg_len
+    raise ValueError("JPEG stream has no SOF frame header")
+
+
+def is_gif(payload: bytes) -> bool:
+    return payload[:6] in (b"GIF87a", b"GIF89a")
+
+
+def parse_gif_dims(payload: bytes) -> tuple[int, int, int]:
+    """GIF logical-screen dimensions: little-endian uint16 pair after the
+    6-byte signature. Palette-based → reported as 3-channel RGB."""
+    if len(payload) < 10:
+        raise ValueError("truncated GIF header")
+    width, height = _struct.unpack("<HH", payload[6:10])
+    return width, height, 3
+
+
+def is_bmp(payload: bytes) -> bool:
+    # 'BM' alone collides with plain text ("BMW …"); require a known DIB
+    # header size at offset 14 so only genuine bitmaps take this branch
+    if len(payload) < 30 or payload[:2] != b"BM":
+        return False
+    (dib,) = _struct.unpack("<I", payload[14:18])
+    return dib in (12, 40, 52, 56, 64, 108, 124)
+
+
+def parse_bmp_dims(payload: bytes) -> tuple[int, int, int]:
+    """BMP dimensions from the BITMAPINFOHEADER (int32 LE at offsets 18/22;
+    height may be negative for top-down rows); channels from the
+    bits-per-pixel field."""
+    if len(payload) < 30:
+        raise ValueError("truncated BMP header")
+    width, height = _struct.unpack("<ii", payload[18:26])
+    (bpp,) = _struct.unpack("<H", payload[28:30])
+    return width, abs(height), max(1, bpp // 8)
+
+
 def decode_image_dims(payload: bytes) -> tuple[int, int, int]:
     """REAL decode first, fake fallback last:
 
     1. PNG → parse the signature/IHDR with the pure-stdlib codec
        (``ops/png.py``) — genuine image decoding, no media library needed;
-    2. other formats with PIL present → PIL header decode;
-    3. anything else → the deterministic fake (synthetic non-image payloads).
+    2. JPEG/GIF/BMP → stdlib header parse (SOF markers / logical screen /
+       BITMAPINFOHEADER);
+    3. other formats with PIL present → PIL header decode;
+    4. anything else → the deterministic fake (synthetic non-image payloads).
     """
     from .png import is_png, parse_ihdr
 
     if is_png(payload):
         return parse_ihdr(payload)
+    if is_jpeg(payload):
+        return parse_jpeg_dims(payload)
+    if is_gif(payload):
+        return parse_gif_dims(payload)
+    if is_bmp(payload):
+        return parse_bmp_dims(payload)
     if HAVE_PIL:  # pragma: no cover - PIL not in this container
         import io
 

@@ -509,3 +509,50 @@ def test_checkpoint_scope_releases_minhash_blocks(spark, sf_dir):
         assert labels.count() == docs.count()
         assert persistent_count() > base  # checkpoints really were created
     assert persistent_count() == base
+
+
+def test_jpeg_gif_bmp_dims_stdlib(spark):
+    """Real header decode for JPEG (SOF marker walk), GIF (logical screen)
+    and BMP (BITMAPINFOHEADER) with stdlib only — these formats no longer
+    fall back to the deterministic fake, and the mapInPandas extractor
+    surfaces the parsed dimensions."""
+    import struct
+
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        decode_image_dims,
+        extract_image_metadata,
+        is_bmp,
+        parse_jpeg_dims,
+    )
+
+    def make_jpeg(w, h, components=3, progressive=False):
+        sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(components))
+        sof_payload = struct.pack(">BHHB", 8, h, w, components) + comp
+        sof = sof_marker + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
+        return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+    assert parse_jpeg_dims(make_jpeg(640, 480)) == (640, 480, 3)
+    assert decode_image_dims(make_jpeg(31, 17, 1, progressive=True)) == (31, 17, 1)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert decode_image_dims(gif) == (320, 200, 3)
+
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 150, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 64, -48, 1, 24) + b"\x00" * 40
+    )
+    assert decode_image_dims(bmp) == (64, 48, 3)
+    # plain text starting with 'BM' must NOT take the BMP branch
+    assert not is_bmp(b"BMW makes cars, " * 4)
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(make_jpeg(640, 480)), mime="image/jpeg"),
+            Row(doc_id=2, payload=bytearray(gif), mime="image/gif"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in extract_image_metadata(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (640, 480, 3)
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (320, 200, 3)
