@@ -85,9 +85,9 @@ class VitessCdcSimpleStreamReader(SimpleDataSourceStreamReader):
         if factory:
             self._channel_factory = _resolve_factory(factory)
         else:  # pragma: no cover - needs grpcio + live Vitess
-            from .vstream import VStreamConnection
+            from .grpc_adapter import GrpcVStreamChannel
 
-            self._channel_factory = lambda opts: VStreamConnection(self.config).connect()
+            self._channel_factory = lambda opts: GrpcVStreamChannel(self.config)
 
     def initialOffset(self) -> dict:
         return {"vgtid": self.config.resolve_start_vgtid().to_json()}

@@ -135,22 +135,16 @@ class VStreamConnection:
         self.retry = retry or RetryPolicy()
 
     def connect(self):  # pragma: no cover - needs live Vitess
-        if not HAVE_GRPC:
-            raise NotImplementedError(
-                "grpcio + vitess protobuf stubs are required for the live VStream "
-                "source; use the 'vitess-replay' source for recorded streams"
-            )
-        return grpc.insecure_channel(
-            self.config.vtgate_host,
-            options=[
-                ("grpc.max_receive_message_length", self.config.max_inbound_message_bytes),
-            ]
-            + (
-                [("grpc.keepalive_time_ms", self.config.keepalive_interval_ms)]
-                if self.config.keepalive_interval_ms
-                else []
-            ),
-        )
+        """Build the transport-compatible channel (``vstream(request)`` shape).
+
+        Serialization is the stdlib protobuf codec (sources/proto.py) handed
+        to ``unary_stream`` — no generated stubs; channel tuning (max inbound
+        message, keepalive — VitessReplicationConnection.java:374-385) lives
+        in grpc_adapter.channel_options. Raises with guidance when grpcio is
+        absent."""
+        from .grpc_adapter import GrpcVStreamChannel
+
+        return GrpcVStreamChannel(self.config)
 
     def stream_with_retry(self, consume_fn):  # pragma: no cover - needs live Vitess
         """E1/E2: reconnect from the last committed position on retriable
