@@ -34,15 +34,13 @@ def shingles_expr(text: Column, n: int = 3, *, distinct: bool = True) -> Column:
     ``zip_with`` — NOT ``element_at`` inside a ``transform`` lambda: an outer
     expression referenced in a HOF lambda body is re-evaluated per element,
     which would re-run the regex tokenization O(tokens²) times per document.
-    This shape evaluates the tokenization O(n) times per row.
+    This shape evaluates the tokenization O(n) times per row; when many
+    expressions consume the grams, stage the tokens as a real column and use
+    :func:`~..ops.text.shingles_from_tokens_expr` instead.
     """
-    toks = tokens_expr(text)
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    parts = [F.slice(toks, i + 1, m) for i in range(n)]
-    z = parts[0]
-    for p in parts[1:]:
-        z = F.zip_with(z, p, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(z) if distinct else z
+    from .text import shingles_from_tokens_expr
+
+    return shingles_from_tokens_expr(tokens_expr(text), n, distinct=distinct)
 
 
 def minhash_signature(

@@ -192,6 +192,90 @@ def hamming64_expr(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def shingles_from_tokens_expr(toks: Column, n: int = 3, *, distinct: bool = True) -> Column:
+    """Word n-gram shingles over an ALREADY-TOKENIZED array column.
+
+    The slices reference the token attribute, so staging the tokenization
+    once (a real column) and shingling from it costs one regex pass per row
+    regardless of how many downstream expressions consume the grams —
+    guaranteed by construction, where composing ``tokens_expr`` copies
+    leans on codegen-time subexpression elimination to dedupe them
+    (measured equivalent when CSE applies; staging also keeps the plan
+    readable and holds up when CSE can't fire, e.g. in interpreted mode).
+    """
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    z = parts[0]
+    for p in parts[1:]:
+        z = F.zip_with(z, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(z) if distinct else z
+
+
+def with_text_metrics(df, text_col: str = "text", *, gram_n: int = 3):
+    """Every per-document text signal in one staged narrow projection:
+    n_tokens, n_bpe_pieces, n_punct, mean_word_len, quality_score,
+    total_grams / distinct_grams / repeated_frac (duplicate-n-gram
+    repetition), fingerprint.
+
+    The expensive intermediates — token array, gram array, gram counts,
+    punctuation count, mean word length — are staged as real columns and
+    every output references the attributes, so the regex tokenization and
+    the shingle build each run ONCE per row by construction (the staged
+    aliases are non-cheap and multiply referenced, so CollapseProject keeps
+    the staging). Codegen-time subexpression elimination usually achieves
+    the same for naively composed copies; staging doesn't depend on it and
+    keeps the physical plan readable."""
+    t = F.col(text_col)
+    c_toks, c_grams = "__tm_toks", "__tm_grams"
+    c_tg, c_dg, c_punct, c_mwl = "__tm_tg", "__tm_dg", "__tm_punct", "__tm_mwl"
+    staged = (
+        df.withColumn(c_toks, tokens_expr(t))
+        .withColumn(c_grams, shingles_from_tokens_expr(F.col(c_toks), gram_n, distinct=False))
+        .withColumn(c_tg, F.size(F.col(c_grams)))
+        .withColumn(c_dg, F.size(F.array_distinct(F.col(c_grams))))
+        .withColumn(c_punct, punct_count_expr(t))
+        .withColumn(
+            c_mwl,
+            F.aggregate(F.col(c_toks), F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+            / F.greatest(F.size(F.col(c_toks)), F.lit(1)).cast("double"),
+        )
+    )
+    toks = F.col(c_toks)
+    n_chars = F.length(t).cast("double")
+    n_tokens_d = F.size(toks).cast("double")
+    stop_ratio = (
+        F.size(F.filter(F.transform(toks, F.lower), lambda x: x.isin(*STOPWORDS_EN)))
+        .cast("double")
+        / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    )
+    punct_ratio = F.col(c_punct).cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
+    mwl = F.col(c_mwl)
+    score = (
+        F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(n_tokens_d >= 20, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(
+            (punct_ratio <= 0.1) & (mwl >= 2.0) & (mwl <= 12.0), F.lit(0.25)
+        ).otherwise(F.lit(0.0))
+    )
+    total, distinct = F.col(c_tg), F.col(c_dg)
+    frac = F.when(
+        total > 0, 1.0 - distinct.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        staged.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_bpe_pieces", bpe_token_count_expr(t))
+        .withColumn("n_punct", F.col(c_punct))
+        .withColumn("mean_word_len", mwl)
+        .withColumn("quality_score", score)
+        .withColumn("total_grams", total)
+        .withColumn("distinct_grams", distinct)
+        .withColumn("repeated_frac", frac)
+        .withColumn("fingerprint", fingerprint_expr(t))
+        .drop(c_toks, c_grams, c_tg, c_dg, c_punct, c_mwl)
+    )
+
+
 def repetition_expr(text: Column, n: int = 3) -> tuple[Column, Column, Column]:
     """Repetition scoring (the duplicate-n-gram quality signal large-corpus
     filters use): (total n-grams, distinct n-grams, repeated fraction).

@@ -655,9 +655,6 @@ def tx_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ORACLE_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
-_ORACLE_TOKHASH = "('0x' || substr(md5(t), 1, 15))::BIGINT"
-
-
 _Q_STOP_EN = "('the','a','of','and','to','in','is','it','on','for')"
 
 
@@ -701,36 +698,22 @@ _Q_STOP_EN = "('the','a','of','and','to','in','is','it','on','for')"
     """,
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis suite in one narrow codegen'd projection: whitespace +
+    """Text analysis suite in one staged narrow projection: whitespace +
     BPE-ish token counting, punctuation density, mean word length, composite
     quality score (length/stopword/punct/word-length gates), duplicate
     3-gram repetition signal (the Gopher/RefinedWeb filter), and the
-    content-defined md5 fingerprint. One scan, no shuffle — each signal
-    remains an independent expression in ops/text.py, unit-tested there."""
-    from .ops.text import (
-        bpe_token_count_expr,
-        fingerprint_expr,
-        mean_word_len_expr,
-        punct_count_expr,
-        repetition_expr,
-        token_count_expr,
-        with_quality_score,
-    )
+    content-defined md5 fingerprint. One scan, no shuffle; the token and
+    gram arrays are staged once as real columns so the regex tokenization
+    runs once per row, not once per consuming expression (see
+    ops.text.with_text_metrics). Each signal also remains an independent
+    expression in ops/text.py, unit-tested there."""
+    from .ops.text import with_text_metrics
 
     docs = _documents(spark, sf_dir)
-    t = F.col("text")
-    total, distinct, frac = repetition_expr(t, 3)
-    return with_quality_score(docs, "text").select(
-        "doc_id",
-        token_count_expr(t).alias("n_tokens"),
-        bpe_token_count_expr(t).alias("n_bpe_pieces"),
-        punct_count_expr(t).alias("n_punct"),
-        mean_word_len_expr(t).alias("mean_word_len"),
-        "quality_score",
-        total.alias("total_grams"),
-        distinct.alias("distinct_grams"),
-        frac.alias("repeated_frac"),
-        fingerprint_expr(t).alias("fingerprint"),
+    return with_text_metrics(docs, "text").select(
+        "doc_id", "n_tokens", "n_bpe_pieces", "n_punct", "mean_word_len",
+        "quality_score", "total_grams", "distinct_grams", "repeated_frac",
+        "fingerprint",
     )
 
 
@@ -1587,6 +1570,69 @@ def tx_meta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.format("vitess-replay").option("path", replay_dir).load()
     meta = ordered_tx_metadata_stream(raw)
     sink = "tx_meta_stream_sink"
+    if sink in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(sink)
+    q = (
+        meta.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "tx_meta_stream_reshard",
+    oracle="""
+    WITH half AS (SELECT (max(event_id)+1)//2 AS h FROM events),
+    ev AS (
+      SELECT event_id, epoch_ms(ts) AS ts_ms, user_id,
+             CASE WHEN event_id < (SELECT h FROM half) THEN
+                    CASE WHEN user_id % 2 = 0 THEN '-80' ELSE '80-' END
+                  ELSE
+                    CASE WHEN user_id % 2 = 1 THEN '80-'
+                         WHEN user_id % 4 = 0 THEN '-40' ELSE '40-80' END
+             END AS shard
+      FROM events),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY event_id) - 1 AS rk
+      FROM ev),
+    tx AS (
+      SELECT shard, rk // 10 AS txn, max(event_id) + 100 AS seq,
+             arg_max(ts_ms, event_id) AS ts_ms
+      FROM ranked GROUP BY 1, 2)
+    SELECT shard,
+           '[{"keyspace":"ks0","shard":"' || shard || '","gtid":"MySQL56/host0:1-' || CAST(seq AS VARCHAR) || '"}]' AS tx_id,
+           'MySQL56/host0:1-' || CAST(seq AS VARCHAR) AS gtid,
+           ts_ms,
+           CAST(CASE WHEN shard IN ('-80','80-') THEN 1 ELSE 2 END AS BIGINT) AS transaction_epoch,
+           CAST(seq AS VARCHAR) AS transaction_rank
+    FROM tx
+    """,
+)
+def tx_meta_stream_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 STREAMING reshard-epoch lineage end to end: the replay includes a
+    2-way shard split (``-80`` → ``-40`` + ``40-80`` at the stream's
+    midpoint, ``80-`` streaming through untouched) and the KEYSPACE-keyed
+    ``applyInPandasWithState`` operator holds the whole shard→epoch map in
+    one group state, so the child shards' first transactions inherit
+    max(parent epochs)+1 from their key-range parents
+    (ShardLineage.java:26-94) instead of restarting at an overridden-start
+    epoch. Expected epochs: parents 1 (overridden start), children 2
+    (inherited 1+1) — the oracle replicates the split model exactly."""
+    from .sources import replay as replay_source
+    from .sources.fixtures import cached_fixture_dir, write_reshard_replay_fixture
+    from .txmeta.streaming import ordered_tx_metadata_stream_lineage
+
+    replay_source.register(spark)
+    replay_dir = cached_fixture_dir(
+        "reshard_replay", sf_dir, write_reshard_replay_fixture, tx_size=10
+    )
+    raw = spark.readStream.format("vitess-replay").option("path", replay_dir).load()
+    meta = ordered_tx_metadata_stream_lineage(raw)
+    sink = "tx_meta_stream_reshard_sink"
     if sink in [t.name for t in spark.catalog.listTables()]:
         spark.catalog.dropTempView(sink)
     q = (

@@ -110,6 +110,71 @@ def write_replay_fixture(
     return counts
 
 
+def write_reshard_replay_fixture(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    tx_size: int = 10,
+) -> dict[str, int]:
+    """Replay fixture modeling a 2-way shard split (Reshard, O7/T5).
+
+    Phase 1 (event_id < half, half = (max_event_id+1)//2): two shards,
+    ``-80`` (user_id even) and ``80-`` (user_id odd). Phase 2: ``-80`` splits
+    into ``-40`` (user_id % 4 == 0) and ``40-80`` (user_id % 4 == 2) — their
+    hex key ranges overlap the parent's, which is exactly what epoch lineage
+    keys on — while ``80-`` keeps streaming across both phases untouched.
+    Per shard, events ordered by event_id form transactions of ``tx_size``;
+    commit gtid seq = max(event_id)+100 on host0 (no failovers — any epoch
+    movement in this fixture comes from the reshard alone).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    (half,) = con.execute(
+        f"SELECT (max(event_id)+1)//2 FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    shard_preds = {
+        "-80": f"user_id % 2 = 0 AND event_id < {half}",
+        "80-": "user_id % 2 = 1",
+        "-40": f"user_id % 4 = 0 AND event_id >= {half}",
+        "40-80": f"user_id % 4 = 2 AND event_id >= {half}",
+    }
+    counts: dict[str, int] = {}
+    for shard, pred in shard_preds.items():
+        rows = con.execute(
+            f"""
+            SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props
+            FROM '{sf_dir}/events.parquet' WHERE {pred} ORDER BY event_id
+            """
+        ).fetchall()
+        path = os.path.join(out_dir, f"{shard}.jsonl")
+        n = 0
+        with open(path, "w", encoding="utf-8") as fh:
+            for t in range(0, len(rows), tx_size):
+                chunk = rows[t : t + tx_size]
+                seq = int(chunk[-1][0]) + 100
+                fh.write(json.dumps({"kind": "BEGIN", "keyspace": KEYSPACE,
+                                     "seq": int(chunk[0][0]) + 100,
+                                     "ts_ms": int(chunk[0][1])}) + "\n")
+                n += 1
+                for event_id, ts_ms, user_id, event_type, value, props in chunk:
+                    fh.write(json.dumps({
+                        "kind": "ROW", "keyspace": KEYSPACE,
+                        "table": f"tbl{int(user_id) % 3}",
+                        "seq": int(event_id) + 100, "ts_ms": int(ts_ms),
+                        "row_changes": [{"before": None, "after": {
+                            "user_id": str(user_id), "value": str(value),
+                            "props": props}}],
+                    }) + "\n")
+                    n += 1
+                fh.write(json.dumps({"kind": "COMMIT", "keyspace": KEYSPACE,
+                                     "seq": seq,
+                                     "ts_ms": int(chunk[-1][1])}) + "\n")
+                n += 1
+        counts[shard] = n
+    con.close()
+    return counts
+
+
 def write_wire_replay_fixture(
     sf_dir: str,
     out_dir: str,

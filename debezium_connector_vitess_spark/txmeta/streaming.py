@@ -83,6 +83,72 @@ def _process_shard(
     yield pd.DataFrame(out, columns=[f.name for f in TX_META_SCHEMA.fields])
 
 
+KS_STATE_SCHEMA = T.StructType(
+    [T.StructField("state_json", T.StringType(), True)]
+)
+
+
+def _process_keyspace(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Keyspace-keyed variant of :func:`_process_shard` carrying the WHOLE
+    shard→{prev_gtid, epoch} map in one group state, so a shard born from a
+    reshard can inherit max(parent epochs)+1 from its key-range parents
+    (T5, ShardLineage.java:26-94) — lineage that per-shard state cannot see
+    (SURVEY §7.4: keyed state by keyspace when lineage is needed)."""
+    import json
+
+    from .epoch import _overlaps
+
+    if state.exists:
+        shard_state: dict = json.loads(state.get[0])
+    else:
+        shard_state = {}
+    chunks = list(pdf_iter)
+    if not chunks:
+        yield pd.DataFrame(columns=[f.name for f in TX_META_SCHEMA.fields])
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    # chronological application across shards (the reference's single consumer
+    # thread): a child's first commit must observe its parent's final epoch
+    pdf = pdf.sort_values(["ts_ms", "seq_order"], kind="mergesort")
+    out: list[dict[str, Any]] = []
+    for row in pdf.itertuples(index=False):
+        shard = row.shard
+        st = shard_state.get(shard)
+        if st is None:
+            parents = [
+                s["epoch"] for sh, s in shard_state.items() if _overlaps(shard, sh)
+            ]
+            if parents:
+                # reshard: inherited epoch applies to the first tx as-is
+                epoch = max(parents) + 1
+                prev_gtid = None
+            else:
+                # genuinely new shard = overridden start (current): first
+                # real transaction increments (epoch_for_gtid below)
+                prev_gtid, epoch = "current", 0
+        else:
+            prev_gtid, epoch = st["prev_gtid"], st["epoch"]
+        if prev_gtid is not None:
+            epoch = epoch_for_gtid(epoch, prev_gtid, row.gtid)
+        shard_state[shard] = {"prev_gtid": row.gtid, "epoch": epoch}
+        out.append(
+            {
+                "shard": shard,
+                "tx_id": row.tx_id,
+                "gtid": row.gtid,
+                "ts_ms": row.ts_ms,
+                "transaction_epoch": epoch,
+                "transaction_rank": str(get_rank(row.gtid)),
+            }
+        )
+    state.update((json.dumps(shard_state, sort_keys=True),))
+    yield pd.DataFrame(out, columns=[f.name for f in TX_META_SCHEMA.fields])
+
+
 def ordered_tx_metadata_stream(raw_df: DataFrame) -> DataFrame:
     """Raw VEvent stream → per-transaction (epoch, rank) records.
 
@@ -106,6 +172,36 @@ def ordered_tx_metadata_stream(raw_df: DataFrame) -> DataFrame:
         _process_shard,
         outputStructType=TX_META_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ordered_tx_metadata_stream_lineage(raw_df: DataFrame) -> DataFrame:
+    """Ordered-tx metadata WITH reshard-epoch lineage (T4/T5/T7 streaming).
+
+    Keyed by keyspace instead of shard: one group state holds the keyspace's
+    entire shard→{prev_gtid, epoch} map (small — shard counts are tens to
+    hundreds, and only this operator's state, not the data, concentrates per
+    keyspace), so when a reshard makes a never-seen shard appear mid-stream
+    its epoch is inherited from the key-range-overlapping parents
+    (max(parent epochs)+1, ShardLineage.java:26-94) rather than restarting
+    at an overridden-start epoch.
+    """
+    from .batch import rank_expr
+
+    commits = raw_df.filter(F.col("event_kind") == "COMMIT").select(
+        "keyspace",
+        "shard",
+        "tx_id",
+        "gtid",
+        F.unix_millis("ts").alias("ts_ms"),
+        rank_expr(F.col("gtid")).alias("seq_order"),
+    )
+    return commits.groupBy("keyspace").applyInPandasWithState(
+        _process_keyspace,
+        outputStructType=TX_META_SCHEMA,
+        stateStructType=KS_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -107,3 +107,64 @@ def test_shard_epoch_map_json():
     m = ShardEpochMap({"80-": 1, "-80": 0})
     assert m.to_json() == '{"-80":0,"80-":1}'
     assert ShardEpochMap.from_json(m.to_json()) == m
+
+
+class _FakeGroupState:
+    def __init__(self, value=None):
+        self._value = value
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+
+def test_keyspace_lineage_inherits_epoch_across_reshard():
+    """T5 streaming state machine (driven directly, no Spark): a shard that
+    appears mid-stream inherits max(parent epochs)+1 from key-range-
+    overlapping parents; a non-overlapping new shard gets overridden-start
+    semantics; the state JSON round-trips across micro-batches."""
+    import json
+
+    import pandas as pd
+
+    from debezium_connector_vitess_spark.txmeta.streaming import _process_keyspace
+
+    def batch(rows):
+        return pd.DataFrame(
+            rows, columns=["keyspace", "shard", "tx_id", "gtid", "ts_ms", "seq_order"]
+        )
+
+    state = _FakeGroupState()
+    # batch 1: parent '-80' commits twice (epoch 1 = overridden start +1)
+    out1 = next(_process_keyspace(
+        ("ks",),
+        iter([batch([
+            ("ks", "-80", "t1", "MySQL56/hostA:1-10", 100, 10),
+            ("ks", "-80", "t2", "MySQL56/hostA:1-20", 200, 20),
+        ])]),
+        state,
+    ))
+    assert list(out1["transaction_epoch"]) == [1, 1]
+    assert json.loads(state.get[0])["-80"]["epoch"] == 1
+
+    # batch 2 (restart boundary): children of the '-80' split inherit 1+1=2
+    # from the persisted state; unrelated new shard '80-' starts fresh at 1
+    out2 = next(_process_keyspace(
+        ("ks",),
+        iter([batch([
+            ("ks", "-40", "t3", "MySQL56/hostA:1-5", 300, 5),
+            ("ks", "40-80", "t4", "MySQL56/hostA:1-6", 310, 6),
+            ("ks", "80-", "t5", "MySQL56/hostA:1-7", 320, 7),
+            ("ks", "-40", "t6", "MySQL56/hostB:1-8", 330, 8),  # failover on child
+        ])]),
+        state,
+    ))
+    got = dict(zip(out2["tx_id"], out2["transaction_epoch"]))
+    assert got == {"t3": 2, "t4": 2, "t5": 1, "t6": 3}
