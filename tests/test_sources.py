@@ -498,3 +498,58 @@ def test_watermark_dir_caps_first_batch_after_restart(tmp_path):
     # without the sidecar the documented uncapped cold start drains the file
     r3 = VitessReplayStreamReader({"path": d, "maxrecordsperbatch": "7"})
     assert r3.latestOffset() == {"0": 30}
+
+
+def test_lineage_stream_restart_inherits_across_checkpoint(spark, tmp_path):
+    """T5 streaming across a REAL checkpoint restart: parents stream in run 1,
+    the stream stops, the split lands (child shard files appear), and on
+    restart the keyspace-keyed state recovered from the checkpoint gives the
+    children max(parent epochs)+1 while the surviving shard's chain
+    continues unbroken."""
+    from debezium_connector_vitess_spark.sources.replay import register
+    from debezium_connector_vitess_spark.txmeta.streaming import (
+        ordered_tx_metadata_stream_lineage,
+    )
+
+    register(spark)
+    d = str(tmp_path / "lineage_replay")
+    ckpt = str(tmp_path / "ckpt_lineage")
+    out = str(tmp_path / "out_lineage")
+    _write_tx_file(d, "-80", [(10, 1), (20, 1)])
+    _write_tx_file(d, "80-", [(11, 1)])
+
+    def run_once():
+        raw = spark.readStream.format("vitess-replay").option("path", d).load()
+        meta = ordered_tx_metadata_stream_lineage(raw)
+        q = (
+            meta.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    got1 = {
+        (r["shard"], r["gtid"]): r["transaction_epoch"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got1) == 3 and set(got1.values()) == {1}
+
+    # split lands while the stream is down; '80-' also keeps committing
+    _write_tx_file(d, "-40", [(30, 1)])
+    _write_tx_file(d, "40-80", [(31, 1)])
+    _write_tx_file(d, "80-", [(21, 1)], append=True)
+    run_once()
+    got2 = {
+        (r["shard"], r["gtid"]): r["transaction_epoch"]
+        for r in spark.read.parquet(out).collect()
+        if (r["shard"], r["gtid"]) not in got1
+    }
+    assert got2 == {
+        ("-40", "MySQL56/host0:1-30"): 2,
+        ("40-80", "MySQL56/host0:1-31"): 2,
+        ("80-", "MySQL56/host0:1-21"): 1,
+    }
