@@ -14,7 +14,10 @@ Message shapes and field numbers follow the PUBLIC Apache-2.0 Vitess protos
 ``proto/topodata.proto``) — the same messages the reference drives through
 its generated Java stubs (VitessReplicationConnection.java:302-343).
 Unknown incoming fields are skipped by wire type, so newer server versions
-remain readable.
+remain readable; a KNOWN field number arriving with the wrong wire type is
+treated as unknown and skipped too (protobuf-runtime behavior) — decoders
+never interpret a varint as a length, so a malformed or hostile frame can't
+trigger huge allocations; it either decodes or raises ValueError.
 
 Field numbers marked BEST-EFFORT below were added to vtgate.proto recently
 for the CDC use case and could not be cross-checked in this environment;
@@ -214,7 +217,7 @@ def decode_row(buf: bytes) -> WireRow:
                 lengths.append(zigzag_decode(n))
         elif field_no == 1 and wt == _WT_VARINT:  # unpacked fallback
             lengths.append(zigzag_decode(val))
-        elif field_no == 2:
+        elif field_no == 2 and wt == _WT_LEN:
             values = bytes(val)
     return WireRow(lengths=tuple(lengths), values=values)
 
@@ -234,14 +237,14 @@ def decode_field(buf: bytes) -> WireField:
     name = column_type = ""
     type_name = "NULL_TYPE"
     flags = 0
-    for field_no, _wt, val in iter_fields(buf):
-        if field_no == 1:
+    for field_no, wt, val in iter_fields(buf):
+        if field_no == 1 and wt == _WT_LEN:
             name = bytes(val).decode("utf-8")
-        elif field_no == 2:
+        elif field_no == 2 and wt == _WT_VARINT:
             type_name = INT_TO_QUERY_TYPE.get(int(val), "NULL_TYPE")
-        elif field_no == 10:
+        elif field_no == 10 and wt == _WT_VARINT:
             flags = int(val)
-        elif field_no == 11:
+        elif field_no == 11 and wt == _WT_LEN:
             column_type = bytes(val).decode("utf-8")
     return WireField(name=name, type=type_name, column_type=column_type, flags=flags)
 
@@ -269,14 +272,14 @@ def _encode_lastpk_result(lastpk: dict) -> bytes:
 def _decode_lastpk_result(buf: bytes) -> dict:
     fields: list[dict] = []
     rows: list[str] = []
-    for field_no, _wt, val in iter_fields(buf):
-        if field_no == 1:
+    for field_no, wt, val in iter_fields(buf):
+        if field_no == 1 and wt == _WT_LEN:
             f = decode_field(bytes(val))
             d = {"name": f.name}
             if f.type != "NULL_TYPE":
                 d["type"] = f.type
             fields.append(d)
-        elif field_no == 4:
+        elif field_no == 4 and wt == _WT_LEN:
             row = decode_row(bytes(val))
             off = 0
             for ln in row.lengths:
@@ -310,10 +313,10 @@ def encode_table_last_pk(tpk: TableLastPK) -> bytes:
 def decode_table_last_pk(buf: bytes) -> TableLastPK:
     table_name = ""
     lastpk: dict = {}
-    for field_no, _wt, val in iter_fields(buf):
-        if field_no == 1:
+    for field_no, wt, val in iter_fields(buf):
+        if field_no == 1 and wt == _WT_LEN:
             table_name = bytes(val).decode("utf-8")
-        elif field_no == 3:
+        elif field_no == 3 and wt == _WT_LEN:
             lastpk = _decode_lastpk_result(bytes(val))
     return TableLastPK(table_name=table_name, lastpk=lastpk)
 
@@ -332,7 +335,9 @@ def encode_shard_gtid(sg: ShardGtid) -> bytes:
 def decode_shard_gtid(buf: bytes) -> ShardGtid:
     keyspace = shard = gtid = ""
     tpks: list[TableLastPK] = []
-    for field_no, _wt, val in iter_fields(buf):
+    for field_no, wt, val in iter_fields(buf):
+        if wt != _WT_LEN:
+            continue
         if field_no == 1:
             keyspace = bytes(val).decode("utf-8")
         elif field_no == 2:
@@ -355,8 +360,8 @@ def encode_vgtid(shard_gtids) -> bytes:
 def decode_vgtid(buf: bytes) -> WireVgtid:
     sgs = [
         decode_shard_gtid(bytes(val))
-        for field_no, _wt, val in iter_fields(buf)
-        if field_no == 1
+        for field_no, wt, val in iter_fields(buf)
+        if field_no == 1 and wt == _WT_LEN
     ]
     return WireVgtid(shard_gtids=tuple(sgs))
 
@@ -389,10 +394,10 @@ def encode_row_change(rc: WireRowChange) -> bytes:
 
 def decode_row_change(buf: bytes) -> WireRowChange:
     before = after = None
-    for field_no, _wt, val in iter_fields(buf):
-        if field_no == 1:
+    for field_no, wt, val in iter_fields(buf):
+        if field_no == 1 and wt == _WT_LEN:
             before = decode_row(bytes(val))
-        elif field_no == 2:
+        elif field_no == 2 and wt == _WT_LEN:
             after = decode_row(bytes(val))
     return WireRowChange(before=before, after=after)
 
@@ -411,7 +416,9 @@ def encode_row_event(ev: WireRowEvent) -> bytes:
 def decode_row_event(buf: bytes) -> WireRowEvent:
     table_name = keyspace = shard = ""
     rcs: list[WireRowChange] = []
-    for field_no, _wt, val in iter_fields(buf):
+    for field_no, wt, val in iter_fields(buf):
+        if wt != _WT_LEN:
+            continue
         if field_no == 1:
             table_name = bytes(val).decode("utf-8")
         elif field_no == 2:
@@ -443,16 +450,16 @@ def decode_field_event(buf: bytes) -> WireFieldEvent:
     table_name = keyspace = shard = ""
     fields: list[WireField] = []
     enum_set = False
-    for field_no, _wt, val in iter_fields(buf):
-        if field_no == 1:
+    for field_no, wt, val in iter_fields(buf):
+        if field_no == 1 and wt == _WT_LEN:
             table_name = bytes(val).decode("utf-8")
-        elif field_no == 2:
+        elif field_no == 2 and wt == _WT_LEN:
             fields.append(decode_field(bytes(val)))
-        elif field_no == 3:
+        elif field_no == 3 and wt == _WT_LEN:
             keyspace = bytes(val).decode("utf-8")
-        elif field_no == 4:
+        elif field_no == 4 and wt == _WT_LEN:
             shard = bytes(val).decode("utf-8")
-        elif field_no == 25:
+        elif field_no == 25 and wt == _WT_VARINT:
             enum_set = bool(val)
     return WireFieldEvent(
         table_name=table_name, fields=tuple(fields), keyspace=keyspace,
@@ -485,24 +492,24 @@ def decode_vevent(buf: bytes) -> WireVEvent:
     statement = None
     row_event = field_event = vgtid = None
     keyspace = shard = ""
-    for field_no, _wt, val in iter_fields(buf):
-        if field_no == 1:
+    for field_no, wt, val in iter_fields(buf):
+        if field_no == 1 and wt == _WT_VARINT:
             type_name = INT_TO_VEVENT_TYPE.get(int(val), "UNKNOWN")
-        elif field_no == 2:
+        elif field_no == 2 and wt == _WT_VARINT:
             timestamp = int(val)
-        elif field_no == 4:
+        elif field_no == 4 and wt == _WT_LEN:
             statement = bytes(val).decode("utf-8")
-        elif field_no == 5:
+        elif field_no == 5 and wt == _WT_LEN:
             row_event = decode_row_event(bytes(val))
-        elif field_no == 6:
+        elif field_no == 6 and wt == _WT_LEN:
             field_event = decode_field_event(bytes(val))
-        elif field_no == 7:
+        elif field_no == 7 and wt == _WT_LEN:
             vgtid = decode_vgtid(bytes(val))
-        elif field_no == 20:
+        elif field_no == 20 and wt == _WT_VARINT:
             current_time = int(val)
-        elif field_no == 22:
+        elif field_no == 22 and wt == _WT_LEN:
             keyspace = bytes(val).decode("utf-8")
-        elif field_no == 23:
+        elif field_no == 23 and wt == _WT_LEN:
             shard = bytes(val).decode("utf-8")
     return WireVEvent(
         type=type_name, timestamp=timestamp, current_time=current_time,
@@ -553,16 +560,18 @@ def decode_vstream_request(buf: bytes) -> dict:
     """Request decode (fake-server side of tests): tablet_type + vgtid +
     rule (match, filter) pairs, enough to assert what a client sent."""
     out: dict = {"tablet_type": 0, "shard_gtids": [], "rules": []}
-    for field_no, _wt, val in iter_fields(buf):
-        if field_no == 2:
+    for field_no, wt, val in iter_fields(buf):
+        if field_no == 2 and wt == _WT_VARINT:
             out["tablet_type"] = int(val)
-        elif field_no == 3:
+        elif field_no == 3 and wt == _WT_LEN:
             out["shard_gtids"] = list(decode_vgtid(bytes(val)).shard_gtids)
-        elif field_no == 4:
-            for f_no, _w, rv in iter_fields(bytes(val)):
-                if f_no == 1:
+        elif field_no == 4 and wt == _WT_LEN:
+            for f_no, f_wt, rv in iter_fields(bytes(val)):
+                if f_no == 1 and f_wt == _WT_LEN:
                     match = filt = ""
-                    for r_no, _x, x in iter_fields(bytes(rv)):
+                    for r_no, r_wt, x in iter_fields(bytes(rv)):
+                        if r_wt != _WT_LEN:
+                            continue
                         if r_no == 1:
                             match = bytes(x).decode("utf-8")
                         elif r_no == 2:
@@ -585,7 +594,7 @@ def decode_vstream_response(buf: bytes) -> VStreamResponse:
     observer/decoder machine consumes."""
     events = [
         decode_vevent(bytes(val))
-        for field_no, _wt, val in iter_fields(buf)
-        if field_no == 1
+        for field_no, wt, val in iter_fields(buf)
+        if field_no == 1 and wt == _WT_LEN
     ]
     return VStreamResponse(events=tuple(events))

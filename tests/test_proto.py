@@ -299,3 +299,28 @@ class TestGrpcAdapter:
             pytest.skip("grpcio installed")
         with pytest.raises(NotImplementedError, match="grpcio"):
             GrpcVStreamChannel(self._config())
+
+
+class TestFuzz:
+    @given(st.binary(max_size=200))
+    @settings(max_examples=300)
+    def test_decode_arbitrary_bytes_never_hangs(self, data):
+        """Garbage frames either decode to SOME response or raise ValueError /
+        UnicodeDecodeError — never hang, crash the interpreter, or leak other
+        exception types (a malicious/corrupt server frame fails the batch
+        cleanly and Spark's retry takes over)."""
+        try:
+            P.decode_vstream_response(data)
+        except (ValueError, UnicodeDecodeError):
+            pass
+
+    @given(st.binary(max_size=100))
+    @settings(max_examples=200)
+    def test_roundtrip_after_successful_decode(self, data):
+        """Any frame that DOES decode re-encodes to something that decodes to
+        the same response (the codec subset is self-consistent)."""
+        try:
+            resp = P.decode_vstream_response(data)
+        except (ValueError, UnicodeDecodeError):
+            return
+        assert P.decode_vstream_response(P.encode_vstream_response(resp)) == resp
