@@ -1,0 +1,79 @@
+"""Physical-plan shape regressions: the plans we designed for 100 TB stay
+the plans Catalyst actually picks. These assertions catch silent
+regressions (a broadcast degrading to sort-merge, a filter no longer
+reaching the scan, Python sneaking into a codegen'd path) that row-level
+correctness tests cannot see."""
+
+from __future__ import annotations
+
+import pytest
+
+from debezium_connector_vitess_spark.registry import QUERIES
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_revenue_by_nation_broadcasts_dimensions(spark, sf_dir):
+    """customer/nation are dimension tables: they must broadcast; only the
+    lineitem⋈orders fact join may shuffle."""
+    plan = _formatted(QUERIES["revenue_by_nation"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark, sf_dir):
+    """The shipdate predicate reaches the parquet scan and the scan reads
+    only the referenced columns — at 100 TB this is the difference between
+    scanning 5 columns and scanning the table."""
+    plan = _formatted(QUERIES["pricing_summary"](spark, sf_dir))
+    scan = plan[plan.index("(1) Scan parquet") :]
+    scan = scan[: scan.index("\n\n")]
+    assert "PushedFilters" in scan and "l_shipdate" in scan.split("PushedFilters", 1)[1]
+    read_schema = scan.split("ReadSchema:", 1)[1]
+    for col in ("l_returnflag", "l_linestatus", "l_quantity"):
+        assert col in read_schema
+    assert "l_comment" not in read_schema  # pruned
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["cdc_envelope", "text_metrics", "smt_enforce_record_size", "type_decode_all"],
+)
+def test_catalyst_only_paths_have_no_python_eval(spark, sf_dir, name):
+    """The decode spine, SMTs, and text analysis are pure Catalyst — no
+    row-at-a-time or Arrow Python evaluation nodes may appear."""
+    plan = _formatted(QUERIES[name](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_minhash_candidates_join_is_hash_equi_join(spark, sf_dir):
+    """The LSH candidate self-join must be an equi-join on (band, bhash) —
+    never a cartesian/broadcast-nested-loop (the all-pairs failure mode)."""
+    from debezium_connector_vitess_spark.ops.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted(minhash_dedup_pairs(docs, "text", "doc_id", materialize=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
+    """Brute-force top-k broadcasts the small query side so the corpus never
+    shuffles."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    plan = _formatted(brute_force_topk(emb, queries, k=5))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
