@@ -283,6 +283,60 @@ def sampled_centroid_frame(
     )
 
 
+def _collect_centroids(cent_df: DataFrame) -> list[tuple[int, list[float]]]:
+    """The quantizer table is tiny (n_centroids × dim) — the one frame IVF is
+    allowed to collect."""
+    return sorted(
+        ((int(r["centroid_id"]), [float(x) for x in r["cent_vec"]]) for r in cent_df.collect())
+    )
+
+
+def _centroid_pick_expr(
+    cents: list[tuple[int, list[float]]], vec: Column
+) -> Column:
+    """Array of (cosine score, −centroid_id) structs against LITERAL centroid
+    vectors — ONE narrow projection per row, no row inflation, no shuffle.
+
+    This replaces the broadcast-cross-join + row_number window, whose
+    ``partitionBy(row id)`` shuffles the n_centroids×-inflated frame WITH the
+    vectors — the exact pattern that dies at 100 TB. Ordering by the struct
+    gives (score desc, centroid_id asc) because the id is negated; centroid
+    norms are precomputed driver-side with the same left-fold double
+    arithmetic Catalyst uses, so scores are bit-identical to the join form.
+    """
+    vnorm = norm_expr(vec)
+    entries = []
+    for cid, cvec in cents:
+        cnorm = math.sqrt(sum(x * x for x in cvec))
+        lit_vec = F.array(*[F.lit(x) for x in cvec])
+        score = dot_expr(vec, lit_vec) / (vnorm * F.lit(cnorm))
+        entries.append(F.struct(score.alias("s"), F.lit(-cid).alias("nid")))
+    return F.array(*entries)
+
+
+def assign_centroids(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    *,
+    vec_col: str,
+    out_col: str = "bucket",
+    n: int = 1,
+) -> DataFrame:
+    """Attach each row's ``n`` nearest centroid ids (max cosine, smallest id
+    on ties) as ``out_col`` — one row per (input row, probe). Narrow: the
+    only fan-out is the explode of ``n`` small ints on the probe side."""
+    picks = _centroid_pick_expr(cents, F.col(vec_col))
+    if n == 1:
+        best = F.array_max(picks)
+        return df.withColumn(out_col, (-best["nid"]).cast("long"))
+    top = F.slice(F.reverse(F.array_sort(picks)), 1, n)
+    return (
+        df.withColumn("__pick", F.explode(top))
+        .withColumn(out_col, (-F.col("__pick.nid")).cast("long"))
+        .drop("__pick")
+    )
+
+
 def kmeans_centroid_frame(
     corpus: DataFrame,
     *,
@@ -293,28 +347,21 @@ def kmeans_centroid_frame(
     dim: int = 64,
 ) -> DataFrame:
     """Lloyd-refined quantizer: seeded-sample init, then ``iters`` rounds of
-    assign (broadcast argmax, narrow pass) + per-component mean (posexplode →
+    assign (literal-centroid argmax — a genuinely narrow pass, see
+    :func:`_centroid_pick_expr`) + per-component mean (posexplode →
     partial-agg groupBy — the shuffle carries n·dim scalars, never pairs).
     Deterministic up to float summation order; only the tiny
     ``n_centroids × dim`` centroid table is ever collected. Empty cells keep
     their previous centroid."""
     spark = corpus.sparkSession
-    cent_df = sampled_centroid_frame(
-        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    cents = _collect_centroids(
+        sampled_centroid_frame(
+            corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+        )
     )
     vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     for _ in range(iters):
-        cent = F.broadcast(cent_df)
-        scored = vecs.join(cent, how="cross").select(
-            "vid",
-            "vec",
-            "centroid_id",
-            cosine_expr(F.col("vec"), F.col("cent_vec")).alias("cscore"),
-        )
-        w = Window.partitionBy("vid").orderBy(F.desc("cscore"), F.asc("centroid_id"))
-        assigned = scored.withColumn("crank", F.row_number().over(w)).filter(
-            F.col("crank") == 1
-        )
+        assigned = assign_centroids(vecs, cents, vec_col="vec", out_col="centroid_id")
         means = (
             assigned.select("centroid_id", F.posexplode("vec").alias("pos", "comp"))
             .groupBy("centroid_id", "pos")
@@ -327,13 +374,11 @@ def kmeans_centroid_frame(
                 ).alias("new_vec")
             )
         )
-        updated = {r["centroid_id"]: r["new_vec"] for r in means.collect()}
-        prev = {r["centroid_id"]: list(r["cent_vec"]) for r in cent_df.collect()}
-        rows = [
-            (cid, [float(x) for x in updated.get(cid, prev[cid])]) for cid in sorted(prev)
-        ]
-        cent_df = spark.createDataFrame(rows, "centroid_id long, cent_vec array<double>")
-    return cent_df
+        updated = {int(r["centroid_id"]): [float(x) for x in r["new_vec"]] for r in means.collect()}
+        cents = [(cid, updated.get(cid, prev)) for cid, prev in cents]
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "centroid_id long, cent_vec array<double>"
+    )
 
 
 def ivf_topk(
@@ -358,12 +403,13 @@ def ivf_topk(
       probe; recall vs brute force is asserted in tests;
     - ``first``: lowest-id vectors (legacy test artifact).
 
-    Every corpus vector is assigned to its max-cosine centroid (one broadcast
-    join + per-id argmax, a narrow pass); each query probes its ``n_probe``
-    nearest centroids and scores only those inverted lists. At 100 TB the
-    corpus is hash-partitioned by ``centroid_id``, so a probe touches
-    n_probe/n_centroids of the data and the per-bucket join shuffles only the
-    probed lists.
+    Every corpus vector is assigned to its max-cosine centroid via the
+    LITERAL-centroid argmax expression (:func:`_centroid_pick_expr`) — a
+    genuinely narrow projection with no row inflation and no shuffle; each
+    query probes its ``n_probe`` nearest centroids and scores only those
+    inverted lists. At 100 TB the corpus is hash-partitioned by
+    ``centroid_id``, so a probe touches n_probe/n_centroids of the data and
+    the per-bucket join shuffles only the probed lists.
     """
     if quantizer == "kmeans":
         cent_df = kmeans_centroid_frame(
@@ -380,26 +426,15 @@ def ivf_topk(
         )
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
-    cent = F.broadcast(cent_df)
+    cents = _collect_centroids(cent_df)
 
-    def assign(df: DataFrame, idc: str, vecc: str, out: str, n: int) -> DataFrame:
-        scored = df.join(cent, how="cross").select(
-            df["*"],
-            F.col("centroid_id"),
-            cosine_expr(F.col(vecc), F.col("cent_vec")).alias("cscore"),
-        )
-        w = Window.partitionBy(idc).orderBy(F.desc("cscore"), F.asc("centroid_id"))
-        return scored.withColumn("crank", F.row_number().over(w)).filter(
-            F.col("crank") <= n
-        ).select(df["*"], F.col("centroid_id").alias(out))
-
-    c_assigned = assign(
+    c_assigned = assign_centroids(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
-        "neighbor_id", "cvec", "bucket", 1,
+        cents, vec_col="cvec", out_col="bucket", n=1,
     )
-    q_assigned = assign(
+    q_assigned = assign_centroids(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
-        "query_id", "qvec", "bucket", n_probe,
+        cents, vec_col="qvec", out_col="bucket", n=n_probe,
     )
     scored = c_assigned.join(F.broadcast(q_assigned), on="bucket").filter(
         F.col("neighbor_id") != F.col("query_id")

@@ -77,3 +77,28 @@ def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
     plan = _formatted(brute_force_topk(emb, queries, k=5))
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_corpus_assignment_is_narrow(spark, sf_dir):
+    """IVF centroid assignment must be a literal-centroid projection: no
+    cross-join row inflation and no window shuffle carrying the corpus
+    vectors (the pattern that dies at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.similarity import (
+        _collect_centroids,
+        assign_centroids,
+        sampled_centroid_frame,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = _collect_centroids(
+        sampled_centroid_frame(emb, id_col="vec_id", vec_col="embedding", n_centroids=16)
+    )
+    assigned = assign_centroids(
+        emb.select("vec_id", F.col("embedding").alias("cvec")), cents, vec_col="cvec"
+    )
+    plan = _formatted(assigned)
+    assert "Exchange" not in plan  # zero shuffles
+    assert "Window" not in plan
+    assert "Join" not in plan
