@@ -102,3 +102,22 @@ def test_ivf_corpus_assignment_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan  # zero shuffles
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_brute_force_topk_prunes_before_shuffle(spark, sf_dir):
+    """The rank<=k filter must push a PARTIAL WindowGroupLimit below the
+    exchange, so each map partition ships at most k rows per query — the
+    shuffle carries ~k·|Q|·partitions triples, never the scored corpus."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and ", Partial" in plan and ", Final" in plan
+    # the Partial group-limit appears BELOW (after, in tree print order) the
+    # hash exchange that feeds the Final one
+    exchange_pos = plan.index("Exchange hashpartitioning(query_id")
+    partial_pos = plan.index(", Partial")
+    assert partial_pos > exchange_pos
