@@ -299,10 +299,19 @@ def _centroid_pick_expr(
 
     This replaces the broadcast-cross-join + row_number window, whose
     ``partitionBy(row id)`` shuffles the n_centroids×-inflated frame WITH the
-    vectors — the exact pattern that dies at 100 TB. Ordering by the struct
+    vectors — a full-corpus vector shuffle at 100 TB. Ordering by the struct
     gives (score desc, centroid_id asc) because the id is negated; centroid
     norms are precomputed driver-side with the same left-fold double
     arithmetic Catalyst uses, so scores are bit-identical to the join form.
+
+    Measured tradeoff (sf0.1, local[32]): higher-order functions are
+    CodegenFallback, so the 16 interpreted cosine folds make this ~2.4×
+    slower per row than the join+window form locally (3.1 s vs 1.3 s for the
+    whole query) — the price of eliminating the corpus-wide shuffle, which
+    dominates at cluster scale. Scalar-expanding the dots into ~3000 codegen
+    nodes was measured FAR worse (16.5 s — tree-size planning/codegen cost),
+    and numpy-in-Arrow would break bit-exactness with the SQL oracle
+    (pairwise vs left-fold summation), so the HOF form is the keeper.
     """
     vnorm = norm_expr(vec)
     entries = []
