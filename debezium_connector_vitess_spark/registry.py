@@ -154,6 +154,66 @@ def cdc_extract_new_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_new_record_state(env).select("user_id", "value", "props", "op")
 
 
+@register(
+    "cdc_materialize",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, value, props,
+             {_ORACLE_OP} AS op,
+             {_ORACLE_TABLE} AS table_name
+      FROM events),
+    last AS (
+      SELECT table_name, user_id,
+             arg_max(op, event_id) AS last_op,
+             arg_max(value, event_id) AS value,
+             arg_max(props, event_id) AS props
+      FROM ev GROUP BY table_name, user_id)
+    SELECT table_name, user_id, value, props
+    FROM last
+    WHERE last_op <> 'd'
+    """,
+)
+def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state materialization: apply the decoded CDC envelope stream to
+    derive the current snapshot of every source table — the standard
+    downstream-consumer pattern for the reference's records (Debezium users
+    sink the envelope into a table via JDBC-sink upsert / ksqlDB; here it is
+    a first-class engine operator). Semantics: per (table, key), the row
+    image of the change with the highest GTID sequence wins; a last-op
+    DELETE removes the key from the snapshot.
+
+    Scale design: ONE partial-aggregable shuffle — ``max_by`` per
+    (table, key) aggregates map-side before the exchange, so 100 TB of
+    changelog reduces to |live keys| without a sort or a window. The GTID
+    sequence is parsed from the envelope's own ``gtid`` (the reference's tx
+    ordering key, Vgtid.java:26-106) — no reliance on file ordering."""
+    raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
+    parts = [
+        decode_table(raw, changelog.change_table_schema(t))
+        for t in ("tbl0", "tbl1", "tbl2")
+    ]
+    env = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    seq = F.regexp_extract(F.col("gtid"), r"-(\d+)$", 1).cast("long")
+    flat = env.select(
+        F.col("source.table").alias("table_name"),
+        F.coalesce(F.col("after.user_id"), F.col("before.user_id")).alias("user_id"),
+        F.col("op"),
+        F.col("after.value").alias("value"),
+        F.col("after.props").alias("props"),
+        seq.alias("seq"),
+    )
+    return (
+        flat.groupBy("table_name", "user_id")
+        .agg(
+            F.expr("max_by(op, seq)").alias("last_op"),
+            F.expr("max_by(value, seq)").alias("value"),
+            F.expr("max_by(props, seq)").alias("props"),
+        )
+        .filter(F.col("last_op") != "d")
+        .select("table_name", "user_id", "value", "props")
+    )
+
+
 # Wire-path model: per shard, events ranked by event_id form transactions of
 # 10; all events in a tx carry the commit VGTID (tx id = the VGTID string).
 _WIRE_TX = """
@@ -1167,7 +1227,8 @@ def multimodal_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            (16 + (doc_id // 2) % 16)::INT AS height,
            (10 + (doc_id % 3) * 5)::INT AS fps,
            ((4 + octet_length(encode(text)) % 28) * 1000
-            // (10 + (doc_id % 3) * 5))::BIGINT AS duration_ms
+            // (10 + (doc_id % 3) * 5))::BIGINT AS duration_ms,
+           ((4 + octet_length(encode(text)) % 28) + 4) // 5 AS sampled_frames
     FROM documents
     """,
 )
@@ -1175,29 +1236,20 @@ def multimodal_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video container decode end to end: deterministic minimal AVI
     blobs per doc (RIFF chunk tree with avih header + movi frame chunks);
     the extractor walks the actual chunk structure and cross-checks the
-    header frame count against the movi '00dc' chunks. The oracle replicates
-    the generation formulas, so a misparsed container goes red."""
-    from .ops.multimodal import attach_avi_payload, extract_video_metadata
+    header frame count against the movi '00dc' chunks. ``sample_frames``
+    runs on the same real AVI payloads (every-5th-frame sampling over the
+    container's decoded frame count) and joins in its ``sampled_frames``
+    column — both ops keep a driver-green oracle row from this one entry.
+    The oracle replicates the generation formulas, so a misparsed container
+    goes red. (The headerless 256-byte-frame sampling model remains
+    unit-tested in tests/test_ops.py.)"""
+    from .ops.multimodal import attach_avi_payload, extract_video_metadata, sample_frames
 
     docs = _documents(spark, sf_dir)
-    return extract_video_metadata(attach_avi_payload(docs))
-
-
-@register(
-    "multimodal_frame_sample",
-    oracle="""
-    SELECT doc_id,
-           (octet_length(encode(text)) + 255) // 256 AS n_frames,
-           (((octet_length(encode(text)) + 255) // 256) + 4) // 5 AS sampled_frames
-    FROM documents
-    """,
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling stub over 'video' payloads (every 5th of 256-byte frames)."""
-    from .ops.multimodal import attach_binary_payload, sample_frames
-
-    docs = _documents(spark, sf_dir)
-    return sample_frames(attach_binary_payload(docs))
+    avi = attach_avi_payload(docs)
+    meta = extract_video_metadata(avi)
+    sampled = sample_frames(avi).select("doc_id", "sampled_frames")
+    return meta.join(sampled, "doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -121,3 +121,14 @@ def test_brute_force_topk_prunes_before_shuffle(spark, sf_dir):
     exchange_pos = plan.index("Exchange hashpartitioning(query_id")
     partial_pos = plan.index(", Partial")
     assert partial_pos > exchange_pos
+
+
+def test_cdc_materialize_is_partial_agg_not_window(spark, sf_dir):
+    """Latest-state materialization must reduce map-side (max_by partial
+    aggregation) — never a per-key sort window. At 100 TB of changelog the
+    exchange then carries ~|live keys|, not the full event stream."""
+    plan = _formatted(QUERIES["cdc_materialize"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "max_by" in plan
+    # partial aggregate below the exchange, final above it
+    assert "partial_max_by" in plan or plan.count("HashAggregate") >= 2
