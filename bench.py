@@ -36,8 +36,7 @@ HEADLINE = [
     "dedup_clusters",
     "ann_topk",
     "text_lang_id",
-    "multimodal_image_metadata",
-    "multimodal_resize",
+    "multimodal_image_metadata",  # incl. resize (merged entry)
     "decontaminate_eval",
     "sample_stratified",
     "pack_sequences",

@@ -1,0 +1,164 @@
+"""Latest-state materialization: changelog → current table snapshot.
+
+The standard downstream-consumer pattern for the reference's output records
+(reference README.md:28: consumers sink the CDC envelope into a queryable
+table via JDBC-sink upsert or a compacted Kafka topic keyed by the record
+key, VitessChangeRecordEmitter.java:31-114 / record keys
+VStreamOutputMessageDecoder.java:436-447). Here it is a first-class engine
+operator, in two execution shapes:
+
+- **Batch** (:func:`materialize_latest`): ONE partial-aggregable shuffle —
+  ``max_by`` per (table, key) aggregates map-side before the exchange, so
+  100 TB of changelog reduces to ~|live keys| without a sort or a window.
+- **Streaming** (:func:`materialize_stream`): ``applyInPandasWithState``
+  keyed by (table, record key); per-key state = {seq, op, after_json}; each
+  micro-batch emits one compacted upsert record per touched key (the Kafka
+  log-compaction analog — a tombstone for a last-op DELETE). State lives in
+  the Spark streaming checkpoint, partitioned by the group key, so state
+  size scales with |live keys| per executor, not with stream length.
+
+Ordering key: any per-shard monotone sequence. The default parses the
+trailing sequence number of the envelope's own ``gtid`` (a MySQL GTID's
+per-host sequence only grows within a shard, Vgtid.java:26-106); a key
+lives in exactly one shard at a time, so shard-local monotonicity is
+sufficient for per-key last-write-wins.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OP_DELETE = "d"
+
+
+def gtid_seq(gtid: Column) -> Column:
+    """Trailing sequence number of a single-host GTID string → long."""
+    return F.regexp_extract(gtid, r"-(\d+)$", 1).cast("long")
+
+
+def materialize_latest(
+    env: DataFrame,
+    *,
+    key_cols: list[str],
+    value_cols: list[str],
+    seq: Column | None = None,
+) -> DataFrame:
+    """Batch latest-state snapshot of a decoded CDC envelope frame.
+
+    ``key_cols`` are the table's PK columns (taken from the after image,
+    before image for deletes); ``value_cols`` are the after-image columns to
+    materialize. Per (table, key), the image at the highest ``seq`` wins; a
+    last-op DELETE removes the key. Single ``max_by`` aggregation —
+    partial-aggregable, no sort, no window (pinned by
+    tests/test_plans.py::test_cdc_materialize_is_partial_agg_not_window).
+    """
+    if seq is None:
+        seq = gtid_seq(F.col("gtid"))
+
+    def image(k: str) -> Column:
+        return F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}"))
+
+    flat = env.select(
+        F.col("source.table").alias("table_name"),
+        *[image(k).alias(k) for k in key_cols],
+        F.col("op"),
+        *[F.col(f"after.{c}").alias(c) for c in value_cols],
+        seq.alias("seq"),
+    )
+    aggs = [F.max_by(F.col("op"), F.col("seq")).alias("_last_op")] + [
+        F.max_by(F.col(c), F.col("seq")).alias(c) for c in value_cols
+    ]
+    return (
+        flat.groupBy("table_name", *key_cols)
+        .agg(*aggs)
+        .filter(F.col("_last_op") != OP_DELETE)
+        .drop("_last_op")
+    )
+
+
+MAT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("after_json", T.StringType(), True),
+    ]
+)
+
+MAT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("after_json", T.StringType(), True),
+    ]
+)
+
+
+def _process_key(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    table_name, rec_key = key
+    if state.exists:
+        seq, op, after_json = state.get
+    else:
+        seq, op, after_json = -1, None, None
+
+    chunks = list(pdf_iter)
+    if not chunks:
+        yield pd.DataFrame(columns=[f.name for f in MAT_STREAM_SCHEMA.fields])
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    # last-write-wins within the batch, then against the stored state
+    i = int(pdf["seq"].idxmax())
+    if int(pdf["seq"].iloc[i]) > seq:
+        seq = int(pdf["seq"].iloc[i])
+        op = pdf["op"].iloc[i]
+        aj = pdf["after_json"].iloc[i]
+        after_json = None if pd.isna(aj) else aj
+    state.update((seq, op, after_json))
+    out: dict[str, Any] = {
+        "table_name": table_name,
+        "key": rec_key,
+        "seq": seq,
+        "op": op,
+        # tombstone for deletes: the compacted record carries no image
+        "after_json": None if op == OP_DELETE else after_json,
+    }
+    yield pd.DataFrame([out], columns=[f.name for f in MAT_STREAM_SCHEMA.fields])
+
+
+def materialize_stream(keyed_env: DataFrame, *, seq: Column | None = None) -> DataFrame:
+    """Streaming latest-state compaction of a keyed CDC envelope stream.
+
+    Input: a (possibly multi-table union of) decoded envelope stream(s) that
+    already carry the record ``key`` column (envelope.with_record_key, D12).
+    Output: per micro-batch, ONE compacted record per touched (table, key) —
+    the current image serialized as JSON, or a tombstone (null ``after_json``)
+    when the key's last operation is a DELETE. Exactly the contract of a
+    compacted Kafka topic / JDBC-sink upsert feed.
+    """
+    if seq is None:
+        seq = gtid_seq(F.col("gtid"))
+    flat = keyed_env.select(
+        F.col("source.table").alias("table_name"),
+        F.col("key"),
+        seq.alias("seq"),
+        F.col("op"),
+        F.to_json(F.col("after")).alias("after_json"),
+    )
+    return flat.groupBy("table_name", "key").applyInPandasWithState(
+        _process_key,
+        outputStructType=MAT_STREAM_SCHEMA,
+        stateStructType=MAT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

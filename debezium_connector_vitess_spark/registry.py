@@ -14,6 +14,7 @@ Conventions:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Optional
 
@@ -187,30 +188,128 @@ def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     changelog reduces to |live keys| without a sort or a window. The GTID
     sequence is parsed from the envelope's own ``gtid`` (the reference's tx
     ordering key, Vgtid.java:26-106) — no reliance on file ordering."""
+    from .materialize import materialize_latest
+
     raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
     parts = [
         decode_table(raw, changelog.change_table_schema(t))
         for t in ("tbl0", "tbl1", "tbl2")
     ]
     env = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    seq = F.regexp_extract(F.col("gtid"), r"-(\d+)$", 1).cast("long")
-    flat = env.select(
-        F.col("source.table").alias("table_name"),
-        F.coalesce(F.col("after.user_id"), F.col("before.user_id")).alias("user_id"),
-        F.col("op"),
-        F.col("after.value").alias("value"),
-        F.col("after.props").alias("props"),
-        seq.alias("seq"),
+    return materialize_latest(
+        env, key_cols=["user_id"], value_cols=["value", "props"]
+    ).select("table_name", "user_id", "value", "props")
+
+
+@register(
+    "cdc_materialize_stream",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, value, props,
+             {_ORACLE_OP} AS op,
+             {_ORACLE_TABLE} AS table_name
+      FROM events),
+    last AS (
+      SELECT table_name, user_id,
+             arg_max(op, event_id) AS last_op,
+             arg_max(value, event_id) AS value,
+             arg_max(props, event_id) AS props
+      FROM ev GROUP BY table_name, user_id)
+    SELECT table_name, user_id, value, props
+    FROM last
+    WHERE last_op <> 'd'
+    """,
+)
+def cdc_materialize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING latest-state materialization end to end, with per-key state
+    genuinely crossing micro-batch AND restart boundaries: the replay source
+    runs with a pre-seeded ``watermarkDir`` so every ``availableNow`` run
+    processes exactly ONE capped micro-batch (E3's restart cap), and the
+    query is restarted from the same checkpoint until the stream is drained
+    — the ``applyInPandasWithState`` compactor's state lives in the
+    checkpoint the whole way. Each batch emits one compacted
+    upsert/tombstone record per touched (table, key) — the Kafka
+    log-compaction contract of reference consumers. The final snapshot
+    (last emission per key, deletes dropped) must equal the BATCH
+    ``cdc_materialize`` answer — one oracle, two execution shapes."""
+    import json as _json
+    import tempfile
+
+    from .decode import decode_table as _dt
+    from .envelope import with_record_key
+    from .materialize import MAT_STREAM_SCHEMA, materialize_stream
+    from .sources import replay as replay_source
+    from .sources.fixtures import cached_fixture_dir, write_replay_fixture
+
+    replay_source.register(spark)
+    replay_dir = cached_fixture_dir(
+        "txmeta_replay", sf_dir, write_replay_fixture, tx_size=10, host_period=10
     )
-    return (
-        flat.groupBy("table_name", "user_id")
-        .agg(
-            F.expr("max_by(op, seq)").alias("last_op"),
-            F.expr("max_by(value, seq)").alias("value"),
-            F.expr("max_by(props, seq)").alias("props"),
+    ckpt = tempfile.mkdtemp(prefix="cdc_mat_stream_ckpt_")
+    wm_dir = tempfile.mkdtemp(prefix="cdc_mat_stream_wm_")
+    wm_file = os.path.join(wm_dir, "planned_watermark.json")
+    with open(wm_file, "w", encoding="utf-8") as fh:
+        _json.dump({s: 0 for s in changelog.SHARDS}, fh)
+    # cap sized for ~3 micro-batches regardless of scale factor (each run is
+    # a full query restart — the point is crossing state boundaries, not
+    # paying 50 restarts at sf1)
+    biggest_shard = max(
+        sum(1 for _ in open(os.path.join(replay_dir, f), encoding="utf-8"))
+        for f in os.listdir(replay_dir)
+        if f.endswith(".jsonl")
+    )
+    cap = max(120, biggest_shard // 3)
+
+    collected: list = []
+
+    def capture(df, _batch_id) -> None:
+        collected.extend(df.collect())  # compacted: small (≤ touched keys)
+
+    prev_wm = None
+    for _ in range(64):  # bound; actual runs = ceil(stream / cap)
+        raw = (
+            spark.readStream.format("vitess-replay")
+            .option("path", replay_dir)
+            .option("maxRecordsPerBatch", cap)
+            .option("watermarkDir", wm_dir)
+            .load()
         )
-        .filter(F.col("last_op") != "d")
-        .select("table_name", "user_id", "value", "props")
+        parts = []
+        for t in ("tbl0", "tbl1", "tbl2"):
+            schema = changelog.change_table_schema(t)
+            parts.append(with_record_key(_dt(raw, schema), schema))
+        keyed = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        q = (
+            materialize_stream(keyed)
+            .writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(wm_file, "r", encoding="utf-8") as fh:
+            wm = fh.read()
+        if wm == prev_wm:
+            break  # watermark stopped advancing: stream drained
+        prev_wm = wm
+
+    # final snapshot = last emission per key (seq is monotone per key),
+    # tombstones dropped, image parsed back to typed columns
+    out = spark.createDataFrame(collected, MAT_STREAM_SCHEMA)
+    last = (
+        out.groupBy("table_name", "key")
+        .agg(F.max_by(F.struct("op", "after_json"), F.col("seq")).alias("last"))
+        .filter(F.col("last.op") != "d")
+    )
+    img = F.from_json(
+        F.col("last.after_json"), "user_id bigint, value double, props string"
+    )
+    return last.select(
+        "table_name",
+        img["user_id"].alias("user_id"),
+        img["value"].alias("value"),
+        img["props"].alias("props"),
     )
 
 
@@ -1171,26 +1270,37 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_image_metadata",
     oracle="""
-    SELECT doc_id,
-           (8 + octet_length(encode(text)) % 24)::INT AS width,
-           (8 + (octet_length(encode(text)) // 2) % 24)::INT AS height,
-           3 AS channels
-    FROM documents
+    WITH d AS (
+      SELECT doc_id,
+             (8 + octet_length(encode(text)) % 24)::INT AS width,
+             (8 + (octet_length(encode(text)) // 2) % 24)::INT AS height
+      FROM documents)
+    SELECT doc_id, width, height, 3 AS channels,
+           224 AS target_w, 224 AS target_h,
+           least(224.0 / width, 224.0 / height) AS scale
+    FROM d
     """,
 )
 def multimodal_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end to end: deterministic PNGs are generated per doc
     (stdlib encoder) and the mapInPandas metadata extractor parses the actual
     PNG signature/IHDR bytes over Arrow batches — no fake, no PIL dependency.
-    The oracle replicates the generation formulas, so a decoder that misreads
-    the header goes red. (byte_len/content_md5 are also extracted on the same
-    pass — unit-tested; not oracle-expressible since DuckDB can't re-encode
-    the PNG bytes.)"""
-    from .ops.multimodal import attach_png_payload, extract_image_metadata
+    ``resize_images`` runs on the SAME real PNG payloads (aspect-preserving
+    scale for a 224×224 target from the decoded dims) and joins in its
+    ``target_w/target_h/scale`` columns — both ops keep a driver-green oracle
+    row from this one entry. The oracle replicates the generation formulas,
+    so a decoder that misreads the header goes red. (byte_len/content_md5
+    are also extracted on the same pass — unit-tested; not oracle-expressible
+    since DuckDB can't re-encode the PNG bytes.)"""
+    from .ops.multimodal import attach_png_payload, extract_image_metadata, resize_images
 
     docs = _documents(spark, sf_dir)
-    meta = extract_image_metadata(attach_png_payload(docs))
-    return meta.select("doc_id", "width", "height", "channels")
+    png = attach_png_payload(docs)
+    meta = extract_image_metadata(png)
+    resized = resize_images(png, target_w=224, target_h=224).select(
+        "doc_id", "target_w", "target_h", "scale"
+    )
+    return meta.select("doc_id", "width", "height", "channels").join(resized, "doc_id")
 
 
 @register(
@@ -1905,28 +2015,6 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     return _pack(docs, "text", "doc_id", stream_col="source", block_tokens=2048)
-
-
-@register(
-    "multimodal_resize",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id,
-             (64 + octet_length(encode(text)) % 512)::INT AS width,
-             (64 + (octet_length(encode(text)) // 2) % 512)::INT AS height
-      FROM documents)
-    SELECT doc_id, width, height, 224 AS target_w, 224 AS target_h,
-           least(224.0 / width, 224.0 / height) AS scale
-    FROM d
-    """,
-)
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing: mapInPandas batch computing aspect-preserving scale
-    for a 224×224 target from (fake-)decoded dims."""
-    from .ops.multimodal import attach_binary_payload, resize_images
-
-    docs = _documents(spark, sf_dir)
-    return resize_images(attach_binary_payload(docs), target_w=224, target_h=224)
 
 
 @register(

@@ -1,0 +1,143 @@
+"""Latest-state materialization: batch/stream equivalence, per-batch
+compaction contract, and tombstone semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from debezium_connector_vitess_spark import changelog
+from debezium_connector_vitess_spark.decode import decode_table
+from debezium_connector_vitess_spark.envelope import with_record_key
+from debezium_connector_vitess_spark.materialize import (
+    materialize_latest,
+    materialize_stream,
+)
+from debezium_connector_vitess_spark.sources import replay as replay_source
+from debezium_connector_vitess_spark.sources.fixtures import (
+    cached_fixture_dir,
+    write_replay_fixture,
+)
+
+
+def _keyed_env(raw):
+    parts = []
+    for t in ("tbl0", "tbl1", "tbl2"):
+        schema = changelog.change_table_schema(t)
+        parts.append(with_record_key(decode_table(raw, schema), schema))
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+def test_stream_matches_batch_across_many_microbatches(spark, sf_dir, tmp_path):
+    """With the replay watermark pre-seeded and a small batch cap, each
+    availableNow run processes exactly one capped micro-batch (E3 restart
+    cap); restarting from the same checkpoint until drained forces per-key
+    state across batch AND restart boundaries. The final compacted snapshot
+    must equal the one-shot batch materialization, and each micro-batch's
+    output must be compacted — at most ONE record per (table, key)."""
+    import json
+    import os
+
+    replay_source.register(spark)
+    replay_dir = cached_fixture_dir(
+        "txmeta_replay", sf_dir, write_replay_fixture, tx_size=10, host_period=10
+    )
+    ckpt = str(tmp_path / "ckpt")
+    wm_dir = str(tmp_path / "wm")
+    os.makedirs(wm_dir)
+    wm_file = os.path.join(wm_dir, "planned_watermark.json")
+    with open(wm_file, "w", encoding="utf-8") as fh:
+        json.dump({s: 0 for s in changelog.SHARDS}, fh)
+
+    batches: list[pd.DataFrame] = []
+
+    def capture(df, batch_id):
+        pdf = df.toPandas()
+        if len(pdf):
+            batches.append(pdf)
+
+    prev_wm = None
+    for _ in range(64):
+        raw = (
+            spark.readStream.format("vitess-replay")
+            .option("path", replay_dir)
+            .option("maxRecordsPerBatch", 100)
+            .option("watermarkDir", wm_dir)
+            .load()
+        )
+        q = (
+            materialize_stream(_keyed_env(raw))
+            .writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(wm_file, "r", encoding="utf-8") as fh:
+            wm = fh.read()
+        if wm == prev_wm:
+            break
+        prev_wm = wm
+
+    assert len(batches) > 2, "batch cap must force several micro-batches"
+    for pdf in batches:
+        if len(pdf):
+            assert not pdf.duplicated(["table_name", "key"]).any()
+
+    out = pd.concat(batches, ignore_index=True)
+    # final snapshot: last emission per key (seq monotone), tombstones dropped
+    last = out.sort_values("seq").groupby(["table_name", "key"], as_index=False).last()
+    stream_final = last[last["op"] != "d"]
+
+    # tombstones never carry an image
+    assert out[out["op"] == "d"]["after_json"].isna().all()
+
+    batch_raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
+    parts = [
+        decode_table(batch_raw, changelog.change_table_schema(t))
+        for t in ("tbl0", "tbl1", "tbl2")
+    ]
+    env = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    batch_final = (
+        materialize_latest(env, key_cols=["user_id"], value_cols=["value", "props"])
+        .select("table_name", "user_id", "value")
+        .toPandas()
+    )
+
+    img = pd.json_normalize(stream_final["after_json"].map(__import__("json").loads))
+    got = pd.DataFrame(
+        {
+            "table_name": stream_final["table_name"].values,
+            "user_id": img["user_id"].astype("int64").values,
+            "value": img["value"].astype("float64").values,
+        }
+    ).sort_values(["table_name", "user_id"]).reset_index(drop=True)
+    want = batch_final.sort_values(["table_name", "user_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_materialize_latest_last_op_delete_removes_key(spark):
+    """An insert followed by a higher-seq delete leaves no row; a delete
+    followed by a higher-seq re-insert resurrects the key."""
+    env = spark.createDataFrame(
+        [
+            # key 1: c then d  -> gone
+            ("c", "MySQL56/h:1-1", (None, None), (1, 10.0), ("t", )),
+            ("d", "MySQL56/h:1-2", (1, 10.0), (None, None), ("t", )),
+            # key 2: c, d, then c again -> present with the new image
+            ("c", "MySQL56/h:1-3", (None, None), (2, 20.0), ("t", )),
+            ("d", "MySQL56/h:1-4", (2, 20.0), (None, None), ("t", )),
+            ("c", "MySQL56/h:1-5", (None, None), (2, 21.0), ("t", )),
+        ],
+        "op string, gtid string,"
+        " before struct<user_id:int, value:double>,"
+        " after struct<user_id:int, value:double>,"
+        " source struct<table:string>",
+    )
+    got = (
+        materialize_latest(env, key_cols=["user_id"], value_cols=["value"])
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [(r.user_id, r.value) for r in got] == [(2, 21.0)]
