@@ -117,6 +117,43 @@ def test_stream_matches_batch_across_many_microbatches(spark, sf_dir, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_materialize_latest_matches_sequential_fold(spark):
+    """Randomized (seeded) op stream over a small key space: the one-shuffle
+    max_by materialization must equal a literal sequential fold of the
+    changelog (dict replay in arrival order)."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    state: dict[int, float | None] = {}
+    for seq in range(1, 401):
+        uid = rng.randrange(12)
+        op = rng.choice(["c", "u", "d"])
+        val = round(rng.uniform(0, 100), 3)
+        if op == "d":
+            state[uid] = None
+            before, after = (uid, val), (None, None)
+        else:
+            state[uid] = val
+            before, after = (None, None), (uid, val)
+        rows.append((op, f"MySQL56/h:1-{seq}", before, after, ("t",)))
+    env = spark.createDataFrame(
+        rows,
+        "op string, gtid string,"
+        " before struct<user_id:int, value:double>,"
+        " after struct<user_id:int, value:double>,"
+        " source struct<table:string>",
+    )
+    got = {
+        r.user_id: r.value
+        for r in materialize_latest(
+            env, key_cols=["user_id"], value_cols=["value"]
+        ).collect()
+    }
+    want = {k: v for k, v in state.items() if v is not None}
+    assert got == want
+
+
 def test_materialize_latest_last_op_delete_removes_key(spark):
     """An insert followed by a higher-seq delete leaves no row; a delete
     followed by a higher-seq re-insert resurrects the key."""
