@@ -238,6 +238,22 @@ class VitessCdcEngine:
             schema_change_records(raw, server_name=self.server_name)
         )
 
+    def transaction_metadata(self, raw: DataFrame) -> DataFrame:
+        """``provide.transaction.metadata``'s ordered-tx stream (epoch/rank);
+        ``vitess.inherit.epoch`` selects the keyspace-keyed lineage variant
+        whose reshard children inherit max(parent epochs)+1
+        (VitessConnectorConfig inherit.epoch; ShardLineage.java:26-94)."""
+        if not _truthy(self.props.get("provide.transaction.metadata")):
+            raise ValueError("provide.transaction.metadata is not enabled")
+        from .txmeta.streaming import (
+            ordered_tx_metadata_stream,
+            ordered_tx_metadata_stream_lineage,
+        )
+
+        if _truthy(self.props.get("vitess.inherit.epoch")):
+            return ordered_tx_metadata_stream_lineage(raw)
+        return ordered_tx_metadata_stream(raw)
+
     # -- SMT chain -------------------------------------------------------
 
     def _parse_transforms(self):

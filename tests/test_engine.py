@@ -164,3 +164,27 @@ def test_extract_new_record_state_chain(spark, sf_dir):
     out = _drain(eng.envelope(raw, _schemas()), "engine_enrs_sink", spark)
     assert {"user_id", "value", "props", "op"} <= set(out.columns)
     assert {r.op for r in out.select("op").distinct().collect()} <= {"c", "u"}
+
+
+def test_transaction_metadata_property_wiring(spark, sf_dir):
+    """provide.transaction.metadata exposes the ordered-tx stream; epochs
+    advance through the fixture's host failovers (epoch = 1 + txn//10)."""
+    replay_source.register(spark)
+    replay_dir = cached_fixture_dir(
+        "txmeta_replay", sf_dir, write_replay_fixture, tx_size=10, host_period=10
+    )
+    eng = VitessCdcEngine(spark, {
+        **BASE_PROPS,
+        "provide.transaction.metadata": "true",
+    })
+    raw = eng.raw_stream("vitess-replay", path=replay_dir)
+    out = _drain(eng.transaction_metadata(raw), "engine_txmeta_sink", spark)
+    rows = out.collect()
+    assert rows
+    assert {"shard", "tx_id", "gtid", "transaction_epoch", "transaction_rank"} <= set(
+        out.columns
+    )
+    assert max(r.transaction_epoch for r in rows) >= 2  # failovers advanced it
+
+    with pytest.raises(ValueError, match="provide.transaction.metadata"):
+        VitessCdcEngine(spark, BASE_PROPS).transaction_metadata(raw)
