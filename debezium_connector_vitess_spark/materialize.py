@@ -82,6 +82,88 @@ def materialize_latest(
     )
 
 
+def materialize_latest_multi(
+    raw_df: DataFrame,
+    schemas: list,
+    *,
+    seq: Column | None = None,
+    materialize: bool = True,
+) -> dict[tuple[str, str], DataFrame]:
+    """One-pass MULTI-TABLE latest-state snapshot from the raw event stream.
+
+    ``materialize_latest`` consumes a per-table decoded envelope, so
+    materializing T tables costs T scans of the changelog. At 100 TB the scan
+    dominates — this variant compacts FIRST and decodes LAST:
+
+    1. explode row changes once (one scan of the raw stream);
+    2. key each change by its table's PK values pulled straight from the
+       undecoded string image map (a when-chain over the bounded table list —
+       narrow, codegen'd);
+    3. ONE ``max_by`` shuffle over (keyspace, table, key) carrying the raw
+       image maps — partial-aggregable, so the exchange ships ~|live keys|;
+    4. typed decode (``typed_row_struct``) only for the survivors, per table.
+
+    Returns {(keyspace, table): snapshot DataFrame (key + typed columns)}.
+
+    With ``materialize=True`` (default) the compacted snapshot is eagerly
+    ``localCheckpoint``-ed, so the scan+shuffle execute exactly ONCE and
+    every per-table branch reads the checkpointed blocks (pinned by
+    tests/test_plans.py). Without it, Catalyst pushes each branch's table
+    filter below the exchange — three different exchanges, three scans
+    (ReuseExchange cannot fire on non-identical exchanges). At 100 TB this
+    in-memory materialization is exactly the "write the snapshot once, then
+    read it per table" shape; callers that own the job lifecycle reclaim the
+    blocks with ``cache.checkpoint_scope`` (bench.py wraps every query).
+    """
+    from .decode import explode_row_changes, typed_row_struct
+
+    if seq is None:
+        seq = gtid_seq(F.col("gtid"))
+    changes = explode_row_changes(raw_df)
+    pred = None
+    for s in schemas:
+        c = (F.col("keyspace") == s.keyspace) & (F.col("table_name") == s.table)
+        pred = c if pred is None else (pred | c)
+    changes = changes.filter(pred)
+
+    image = F.coalesce(F.col("change.after"), F.col("change.before"))
+    key_expr = F.lit(None).cast("string")
+    for s in schemas:
+        cond = (F.col("keyspace") == s.keyspace) & (F.col("table_name") == s.table)
+        k = F.to_json(
+            F.struct(*[image.getItem(c).alias(c) for c in s.key_columns])
+        )
+        key_expr = F.when(cond, k).otherwise(key_expr)
+
+    flat = changes.select(
+        F.col("keyspace"),
+        F.col("table_name"),
+        key_expr.alias("key"),
+        F.col("op"),
+        F.col("change.after").alias("after_map"),
+        seq.alias("seq"),
+    )
+    live = (
+        flat.groupBy("keyspace", "table_name", "key")
+        .agg(F.max_by(F.struct("op", "after_map"), F.col("seq")).alias("last"))
+        .filter(F.col("last.op") != OP_DELETE)
+    )
+    if materialize:
+        live = live.localCheckpoint(eager=True)
+    out: dict[tuple[str, str], DataFrame] = {}
+    for s in schemas:
+        part = live.filter(
+            (F.col("keyspace") == s.keyspace) & (F.col("table_name") == s.table)
+        )
+        out[(s.keyspace, s.table)] = part.select(
+            "keyspace",
+            "table_name",
+            "key",
+            typed_row_struct(F.col("last.after_map"), s).alias("row"),
+        )
+    return out
+
+
 MAT_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("table_name", T.StringType(), False),

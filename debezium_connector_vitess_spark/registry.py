@@ -183,22 +183,32 @@ def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     image of the change with the highest GTID sequence wins; a last-op
     DELETE removes the key from the snapshot.
 
-    Scale design: ONE partial-aggregable shuffle — ``max_by`` per
-    (table, key) aggregates map-side before the exchange, so 100 TB of
-    changelog reduces to |live keys| without a sort or a window. The GTID
-    sequence is parsed from the envelope's own ``gtid`` (the reference's tx
-    ordering key, Vgtid.java:26-106) — no reliance on file ordering."""
-    from .materialize import materialize_latest
+    Scale design: compact FIRST, decode LAST — ONE scan of the changelog
+    and ONE partial-aggregable ``max_by`` shuffle over the raw string
+    images for ALL tables (the per-table branches reuse the same exchange),
+    typed decode only for the surviving |live keys|. The GTID sequence is
+    parsed from the event's own ``gtid`` (the reference's tx ordering key,
+    Vgtid.java:26-106) — no reliance on file ordering. (The per-table
+    envelope variant is ``materialize.materialize_latest``; this entry pins
+    the one-scan multi-table path.)"""
+    from .materialize import materialize_latest_multi
 
     raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
+    schemas = [changelog.change_table_schema(t) for t in ("tbl0", "tbl1", "tbl2")]
+    snaps = materialize_latest_multi(raw, schemas)
     parts = [
-        decode_table(raw, changelog.change_table_schema(t))
-        for t in ("tbl0", "tbl1", "tbl2")
+        df.select(
+            "table_name",
+            F.col("row.user_id").alias("user_id"),
+            F.col("row.value").alias("value"),
+            F.col("row.props").alias("props"),
+        )
+        for (_, t), df in sorted(snaps.items())
     ]
-    env = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    return materialize_latest(
-        env, key_cols=["user_id"], value_cols=["value", "props"]
-    ).select("table_name", "user_id", "value", "props")
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 @register(

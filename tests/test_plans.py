@@ -127,8 +127,29 @@ def test_cdc_materialize_is_partial_agg_not_window(spark, sf_dir):
     """Latest-state materialization must reduce map-side (max_by partial
     aggregation) — never a per-key sort window. At 100 TB of changelog the
     exchange then carries ~|live keys|, not the full event stream."""
-    plan = _formatted(QUERIES["cdc_materialize"](spark, sf_dir))
+    from debezium_connector_vitess_spark import changelog
+    from debezium_connector_vitess_spark.materialize import materialize_latest_multi
+
+    raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
+    schemas = [changelog.change_table_schema(t) for t in ("tbl0", "tbl1", "tbl2")]
+    snaps = materialize_latest_multi(raw, schemas, materialize=False)
+    plan = _formatted(next(iter(snaps.values())))
     assert "Window" not in plan
     assert "max_by" in plan
     # partial aggregate below the exchange, final above it
     assert "partial_max_by" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_cdc_materialize_compacts_in_one_pass(spark, sf_dir):
+    """The multi-table materialization scans the changelog ONCE: the compacted
+    snapshot is checkpointed at construction, so every per-table consumer
+    plan reads the checkpointed blocks — zero parquet scans downstream.
+    (Without the materialization Catalyst pushes each branch's table filter
+    below the exchange and the scan runs once per table.)"""
+    from debezium_connector_vitess_spark.cache import checkpoint_scope
+
+    with checkpoint_scope(spark):
+        plan = _formatted(QUERIES["cdc_materialize"](spark, sf_dir))
+        assert "Scan parquet" not in plan
+        assert "ExistingRDD" in plan
+        assert "Window" not in plan
