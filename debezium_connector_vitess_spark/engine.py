@@ -254,6 +254,19 @@ class VitessCdcEngine:
             return ordered_tx_metadata_stream_lineage(raw)
         return ordered_tx_metadata_stream(raw)
 
+    def materialize(self, raw: DataFrame, schemas: list[TableSchema]):
+        """Latest-state snapshot of every (table-filter-included) table from
+        one pass over the raw changelog — the JDBC-sink-upsert/compacted-topic
+        consumer pattern, in-engine (materialize.materialize_latest_multi)."""
+        from .materialize import materialize_latest_multi
+
+        kept = [
+            s for s in schemas if self.table_filter.matches(s.keyspace, s.table)
+        ]
+        if not kept:
+            raise ValueError("table filters exclude every provided schema")
+        return materialize_latest_multi(raw, kept)
+
     # -- SMT chain -------------------------------------------------------
 
     def _parse_transforms(self):

@@ -188,3 +188,22 @@ def test_transaction_metadata_property_wiring(spark, sf_dir):
 
     with pytest.raises(ValueError, match="provide.transaction.metadata"):
         VitessCdcEngine(spark, BASE_PROPS).transaction_metadata(raw)
+
+
+def test_materialize_from_facade(spark, sf_dir):
+    """engine.materialize: one-pass latest-state snapshots for the included
+    tables, matching the batch materialization's row count for tbl1."""
+    from debezium_connector_vitess_spark.cache import checkpoint_scope
+
+    eng = VitessCdcEngine(spark, {**BASE_PROPS, "table.include.list": "ks0.tbl1"})
+    raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
+    with checkpoint_scope(spark):
+        snaps = eng.materialize(raw, _schemas())
+        assert set(snaps) == {("ks0", "tbl1")}
+        snap = snaps[("ks0", "tbl1")]
+        rows = snap.collect()
+        assert rows and all(r.table_name == "tbl1" for r in rows)
+        # every live key appears exactly once
+        keys = [r.key for r in rows]
+        assert len(keys) == len(set(keys))
+        assert all(r.row.user_id is not None for r in rows)
