@@ -207,3 +207,31 @@ def test_materialize_from_facade(spark, sf_dir):
         keys = [r.key for r in rows]
         assert len(keys) == len(set(keys))
         assert all(r.row.user_id is not None for r in rows)
+
+
+def test_schema_changes_and_heartbeats_from_properties(spark, sf_dir):
+    """include.schema.changes gates the DDL side-output and routes it to the
+    schema-change topic (the sanitized prefix by default); heartbeat.interval.ms
+    densifies positions from the raw stream."""
+    eng = VitessCdcEngine(spark, {
+        **BASE_PROPS,
+        "include.schema.changes": "true",
+        "heartbeat.interval.ms": "60000",
+    })
+    raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
+    ddl = raw.limit(0).unionByName(
+        raw.limit(3)
+        .withColumn("event_kind", F.lit("DDL"))
+        .withColumn("statement", F.lit("ALTER TABLE tbl1 ADD COLUMN c INT"))
+    )
+    out = eng.schema_changes(ddl).collect()
+    assert out and all(r.operation == "ALTER" and r.table_name == "tbl1" for r in out)
+    assert {r.topic for r in out} == {"prod.cdc"}
+
+    hb = eng.heartbeats(raw)
+    n = hb.count()
+    assert 0 < n <= raw.count()
+    assert {"vgtid", "ts_ms"} <= set(hb.columns)
+
+    with pytest.raises(ValueError, match="include.schema.changes"):
+        VitessCdcEngine(spark, BASE_PROPS).schema_changes(ddl)
