@@ -2030,16 +2030,23 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_audio_chunks",
     oracle="""
-    WITH a AS (SELECT doc_id, octet_length(encode(text)) // 2 AS total FROM documents)
+    WITH a AS (
+      SELECT doc_id, (200 + octet_length(encode(text)) % 800) AS total
+      FROM documents)
     SELECT doc_id, i::INT AS chunk_idx, (i * 64)::BIGINT AS start_sample,
            least(64, total - i * 64)::BIGINT AS n_samples
     FROM a, unnest(range(0, (total + 63) // 64)) AS t(i)
     """,
 )
 def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio chunking plumbing: one row per 64-sample PCM chunk via a
-    row-fan-out mapInPandas batch (no explode, no shuffle)."""
-    from .ops.multimodal import attach_binary_payload, chunk_audio
+    """Audio chunking over REAL RIFF/WAVE payloads: the chunker decodes the
+    container's per-channel frame count (stdlib ``wave``) and fans out one
+    row per 64-sample chunk via mapInPandas (no explode, no shuffle). The
+    oracle replicates the WAV generation formula (frames = 200 + len % 800),
+    so a chunker that misreads the header — or falls back to the headerless
+    byte model — goes red. (The headerless raw-PCM model stays unit-tested
+    in tests/test_ops.py.)"""
+    from .ops.multimodal import attach_wav_payload, chunk_audio
 
     docs = _documents(spark, sf_dir)
-    return chunk_audio(attach_binary_payload(docs), bytes_per_sample=2, chunk_samples=64)
+    return chunk_audio(attach_wav_payload(docs), chunk_samples=64)
