@@ -559,3 +559,22 @@ def test_jpeg_gif_bmp_dims_stdlib(spark):
     got = {r["doc_id"]: r for r in extract_image_metadata(df).collect()}
     assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (640, 480, 3)
     assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (320, 200, 3)
+
+
+def test_chunk_audio_headerless_raw_pcm_model(spark):
+    """Non-RIFF payloads chunk as raw PCM at bytes_per_sample — the
+    headerless fallback the registry's WAV-backed query must NOT hit."""
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        attach_binary_payload,
+        chunk_audio,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="x" * 300)])  # 300 bytes
+    chunks = chunk_audio(
+        attach_binary_payload(docs), bytes_per_sample=2, chunk_samples=64
+    ).collect()  # 150 samples -> 64 + 64 + 22
+    assert [r["n_samples"] for r in sorted(chunks, key=lambda r: r["chunk_idx"])] == [
+        64,
+        64,
+        22,
+    ]
