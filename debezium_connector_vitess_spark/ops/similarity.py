@@ -43,6 +43,16 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with the norms already materialized as columns. Higher-order
+    array folds are CodegenFallback (interpreted), so evaluating each row's
+    norm ONCE in an upstream projection instead of once per candidate pair
+    cuts the per-pair work from 3 folds to 1. Same fold order as
+    :func:`cosine_expr` (norm(a)·norm(b) in that order), so scores are
+    bit-identical to the inline form and to the SQL oracles."""
+    return dot_expr(a, b) / (na * nb)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,13 +64,21 @@ def brute_force_topk(
     """Exact cosine top-k per query. The query side is broadcast (no corpus
     shuffle); ranking window is partitioned by query id."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm_expr(F.col(vec_col)).alias("qnorm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm_expr(F.col(vec_col)).alias("cnorm"),
+    )
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        cosine_expr(F.col("qvec"), F.col("cvec")).alias("score"),
+        cosine_from_norms(
+            F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -145,12 +163,14 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        norm_expr(F.col(vec_col)).alias("cnorm"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
     qb = lsh_bucket_expr(F.col(vec_col), planes)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm_expr(F.col(vec_col)).alias("qnorm"),
         F.explode(
             F.array(*[qb.bitwiseXOR(F.lit(m)).cast("long") for m in _probe_masks(num_planes, probe_radius)])
         ).alias("bucket"),
@@ -158,7 +178,11 @@ def lsh_topk(
     scored = c.join(F.broadcast(q), on="bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     ).select(
-        "query_id", "neighbor_id", cosine_expr(F.col("qvec"), F.col("cvec")).alias("score")
+        "query_id",
+        "neighbor_id",
+        cosine_from_norms(
+            F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -259,12 +283,23 @@ def lsh_banded_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_expr(F.col(vec_col)).alias("na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(F.col(vec_col)).alias("nb"),
+    )
     return (
         cand.join(va, on="id_a")
         .join(vb, on="id_b")
-        .filter(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        .filter(
+            cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            >= threshold
+        )
         .select("id_a", "id_b")
     )
 
@@ -292,7 +327,7 @@ def _collect_centroids(cent_df: DataFrame) -> list[tuple[int, list[float]]]:
 
 
 def _centroid_pick_expr(
-    cents: list[tuple[int, list[float]]], vec: Column
+    cents: list[tuple[int, list[float]]], vec: Column, vnorm: Column | None = None
 ) -> Column:
     """Array of (cosine score, −centroid_id) structs against LITERAL centroid
     vectors — ONE narrow projection per row, no row inflation, no shuffle.
@@ -313,7 +348,8 @@ def _centroid_pick_expr(
     and numpy-in-Arrow would break bit-exactness with the SQL oracle
     (pairwise vs left-fold summation), so the HOF form is the keeper.
     """
-    vnorm = norm_expr(vec)
+    if vnorm is None:
+        vnorm = norm_expr(vec)
     entries = []
     for cid, cvec in cents:
         cnorm = math.sqrt(sum(x * x for x in cvec))
@@ -330,19 +366,29 @@ def assign_centroids(
     vec_col: str,
     out_col: str = "bucket",
     n: int = 1,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Attach each row's ``n`` nearest centroid ids (max cosine, smallest id
     on ties) as ``out_col`` — one row per (input row, probe). Narrow: the
-    only fan-out is the explode of ``n`` small ints on the probe side."""
-    picks = _centroid_pick_expr(cents, F.col(vec_col))
+    only fan-out is the explode of ``n`` small ints on the probe side.
+
+    The row's norm is staged as a real column first so the interpreted
+    array-fold runs once per row, not once per centroid entry (expression
+    trees are inlined per use; CSE is not guaranteed outside codegen)."""
+    if norm_col is None:
+        staged = df.withColumn("__vnorm", norm_expr(F.col(vec_col)))
+        vnorm, drop_cols = F.col("__vnorm"), ["__vnorm"]
+    else:
+        staged, vnorm, drop_cols = df, F.col(norm_col), []
+    picks = _centroid_pick_expr(cents, F.col(vec_col), vnorm)
     if n == 1:
         best = F.array_max(picks)
-        return df.withColumn(out_col, (-best["nid"]).cast("long"))
+        return staged.withColumn(out_col, (-best["nid"]).cast("long")).drop(*drop_cols)
     top = F.slice(F.reverse(F.array_sort(picks)), 1, n)
     return (
-        df.withColumn("__pick", F.explode(top))
+        staged.withColumn("__pick", F.explode(top))
         .withColumn(out_col, (-F.col("__pick.nid")).cast("long"))
-        .drop("__pick")
+        .drop("__pick", *drop_cols)
     )
 
 
@@ -438,17 +484,29 @@ def ivf_topk(
     cents = _collect_centroids(cent_df)
 
     c_assigned = assign_centroids(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
-        cents, vec_col="cvec", out_col="bucket", n=1,
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            norm_expr(F.col(vec_col)).alias("cnorm"),
+        ),
+        cents, vec_col="cvec", out_col="bucket", n=1, norm_col="cnorm",
     )
     q_assigned = assign_centroids(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
-        cents, vec_col="qvec", out_col="bucket", n=n_probe,
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm_expr(F.col(vec_col)).alias("qnorm"),
+        ),
+        cents, vec_col="qvec", out_col="bucket", n=n_probe, norm_col="qnorm",
     )
     scored = c_assigned.join(F.broadcast(q_assigned), on="bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     ).select(
-        "query_id", "neighbor_id", cosine_expr(F.col("qvec"), F.col("cvec")).alias("score")
+        "query_id",
+        "neighbor_id",
+        cosine_from_norms(
+            F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
