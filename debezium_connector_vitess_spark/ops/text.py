@@ -290,3 +290,46 @@ def repetition_expr(text: Column, n: int = 3) -> tuple[Column, Column, Column]:
         F.lit(0.0)
     )
     return total, distinct, frac
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (the CCNet/Dolma-style scrub step a training
+# pipeline runs before tokenization). Patterns deliberately avoid
+# lookaround/backreferences so Java-regex (Spark) and RE2 (DuckDB oracles)
+# match identically; counting uses regexp_count / non-overlapping leftmost
+# semantics, which both engines share.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+# intl/us phone shapes: optional +, then >=9 chars of digits/space/()-, ending
+# in a digit. Dots are excluded from the body so IPv4 octets never qualify.
+PII_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+_PII_ORDER = (  # email first so phone can't eat a numeric local-part
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+
+def pii_count_exprs(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ipv4, n_phones) — three codegen'd regexp_count passes,
+    no shuffle. Phone counting runs on the email-redacted text so an address
+    like 12345678@host counts once, as an email."""
+    deph = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL)),
+        F.regexp_count(text, F.lit(PII_IPV4)),
+        F.regexp_count(deph, F.lit(PII_PHONE)),
+    )
+
+
+def redact_pii_expr(text: Column) -> Column:
+    """Replace emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>, in that
+    order (email before phone so numeric local parts redact as emails; IP
+    before phone as a guard even though the phone body excludes dots)."""
+    out = text
+    for pat, token in _PII_ORDER:
+        out = F.regexp_replace(out, pat, token)
+    return out

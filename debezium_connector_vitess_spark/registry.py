@@ -826,12 +826,30 @@ def tx_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 _Q_STOP_EN = "('the','a','of','and','to','in','is','it','on','for')"
 
+# PII model: the synthetic corpus carries no natural PII, so both sides
+# append the SAME deterministic PII suffix (email on doc_id%3=0, phone on
+# %4=0, IPv4 on %5=0) before detection — the regex machinery is exercised on
+# real, varied matches. Patterns shared with ops.text (Java regex ∩ RE2).
+from .ops.text import PII_EMAIL as _P_EMAIL  # noqa: E402
+from .ops.text import PII_IPV4 as _P_IPV4  # noqa: E402
+from .ops.text import PII_PHONE as _P_PHONE  # noqa: E402
+
+_ORACLE_PII_SUFFIX = (
+    "CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' call +1 (202) 555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END"
+)
+
 
 @register(
     "text_metrics",
     oracle=f"""
     WITH m AS (
       SELECT doc_id, text,
+             text || {_ORACLE_PII_SUFFIX} AS ptext,
              {_ORACLE_TOKENS} AS toks,
              length(text)::DOUBLE AS n_chars
       FROM documents),
@@ -862,7 +880,15 @@ _Q_STOP_EN = "('the','a','of','and','to','in','is','it','on','for')"
                 THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE
                 ELSE 0.0 END AS repeated_frac,
            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-                                   '\\s+', ' ', 'g'))) AS fingerprint
+                                   '\\s+', ' ', 'g'))) AS fingerprint,
+           len(regexp_extract_all(ptext, '{_P_EMAIL}', 0)) AS n_pii_emails,
+           len(regexp_extract_all(ptext, '{_P_IPV4}', 0)) AS n_pii_ipv4,
+           len(regexp_extract_all(regexp_replace(ptext, '{_P_EMAIL}', '<EMAIL>', 'g'),
+                                  '{_P_PHONE}', 0)) AS n_pii_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+                 '{_P_EMAIL}', '<EMAIL>', 'g'),
+                 '{_P_IPV4}', '<IP>', 'g'),
+                 '{_P_PHONE}', '<PHONE>', 'g')) AS redacted_fingerprint
     FROM g
     """,
 )
@@ -871,18 +897,52 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-ish token counting, punctuation density, mean word length, composite
     quality score (length/stopword/punct/word-length gates), duplicate
     3-gram repetition signal (the Gopher/RefinedWeb filter), and the
-    content-defined md5 fingerprint. One scan, no shuffle; the token and
-    gram arrays are staged once as real columns so the regex tokenization
-    runs once per row, not once per consuming expression (see
-    ops.text.with_text_metrics). Each signal also remains an independent
-    expression in ops/text.py, unit-tested there."""
-    from .ops.text import with_text_metrics
+    content-defined md5 fingerprint, and PII detection/redaction counts
+    (emails/IPv4/phones found + md5 of the scrubbed text — the CCNet/Dolma
+    scrub step; the corpus carries no natural PII, so a deterministic PII
+    suffix keyed on doc_id is appended identically on both sides). One
+    scan, no shuffle; the token and gram arrays are staged once as real
+    columns so the regex tokenization runs once per row, not once per
+    consuming expression (see ops.text.with_text_metrics). Each signal also
+    remains an independent expression in ops/text.py, unit-tested there."""
+    from .ops.text import pii_count_exprs, redact_pii_expr, with_text_metrics
 
     docs = _documents(spark, sf_dir)
-    return with_text_metrics(docs, "text").select(
+    did = F.col("doc_id")
+    suffix = F.concat(
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact u"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call +1 (202) 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" ip 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    staged = with_text_metrics(docs, "text").withColumn(
+        "__ptext", F.concat(F.col("text"), suffix)
+    )
+    n_emails, n_ipv4, n_phones = pii_count_exprs(F.col("__ptext"))
+    return staged.select(
         "doc_id", "n_tokens", "n_bpe_pieces", "n_punct", "mean_word_len",
         "quality_score", "total_grams", "distinct_grams", "repeated_frac",
         "fingerprint",
+        n_emails.alias("n_pii_emails"),
+        n_ipv4.alias("n_pii_ipv4"),
+        n_phones.alias("n_pii_phones"),
+        F.md5(redact_pii_expr(F.col("__ptext"))).alias("redacted_fingerprint"),
     )
 
 

@@ -578,3 +578,47 @@ def test_chunk_audio_headerless_raw_pcm_model(spark):
         64,
         22,
     ]
+
+
+def test_pii_detect_and_redact_literals(spark):
+    """PII patterns on hand-built strings: counts and redaction tokens, plus
+    the ordering contracts (numeric local-part counts as email not phone;
+    IPv4 octets never match the phone pattern)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.text import (
+        pii_count_exprs,
+        redact_pii_expr,
+    )
+
+    rows = [
+        Row(id=1, text="mail a.b+c@sub.example.org and bob@x.io now"),
+        Row(id=2, text="call +1 (415) 555-0100 or 020 7946 0958 today"),
+        Row(id=3, text="host 192.168.1.1 and 10.0.255.7 up"),
+        Row(id=4, text="12345678901@bank.com is an email, not a phone"),
+        Row(id=5, text="plain text, no pii at all"),
+    ]
+    df = spark.createDataFrame(rows)
+    e, i, p = pii_count_exprs(F.col("text"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            e.alias("e"),
+            i.alias("i"),
+            p.alias("p"),
+            redact_pii_expr(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (got[1]["e"], got[1]["i"], got[1]["p"]) == (2, 0, 0)
+    assert got[1]["red"] == "mail <EMAIL> and <EMAIL> now"
+    assert (got[2]["e"], got[2]["i"], got[2]["p"]) == (0, 0, 2)
+    assert got[2]["red"] == "call <PHONE> or <PHONE> today"
+    assert (got[3]["e"], got[3]["i"], got[3]["p"]) == (0, 2, 0)
+    assert got[3]["red"] == "host <IP> and <IP> up"
+    # the 11-digit local part is an email; phone counting runs on the
+    # email-redacted text so it is NOT double-counted as a phone
+    assert (got[4]["e"], got[4]["p"]) == (1, 0)
+    assert got[4]["red"].startswith("<EMAIL> is an email")
+    assert (got[5]["e"], got[5]["i"], got[5]["p"]) == (0, 0, 0)
+    assert got[5]["red"] == rows[4].text
