@@ -84,6 +84,38 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return survivors
 
 
+def exact_dedup_stream(
+    df: DataFrame,
+    text_col: str,
+    *,
+    hash_col: str = "content_hash",
+    event_time_col: Optional[str] = None,
+    dedup_window: Optional[str] = None,
+) -> DataFrame:
+    """Streaming exact dedup: emit each normalized-content hash's FIRST
+    arrival, suppress every later duplicate — across micro-batches and
+    checkpoint restarts (the state lives in the state store). The streaming
+    counterpart of :func:`exact_dedup` for continuously ingested corpora;
+    first-arrival-wins replaces batch's min-id-wins (a stream can't see the
+    future), which is the standard ingestion-dedup contract.
+
+    Scale: state is one row per DISTINCT content hash, keyed by the 16-byte
+    hash (hash-partitioned across executors; RocksDB state store spills it
+    off-heap). Unbounded corpora should pass ``event_time_col`` +
+    ``dedup_window`` (e.g. ``"24 hours"``) to use
+    ``dropDuplicatesWithinWatermark`` — duplicates are then only suppressed
+    within the watermark horizon, and state is evicted past it.
+    """
+    hashed = df.withColumn(hash_col, F.md5(normalize_text_expr(F.col(text_col))))
+    if dedup_window is not None:
+        if event_time_col is None:
+            raise ValueError("dedup_window requires event_time_col")
+        return hashed.withWatermark(event_time_col, dedup_window).dropDuplicatesWithinWatermark(
+            [hash_col]
+        )
+    return hashed.dropDuplicates([hash_col])
+
+
 def minhash_signature_expr(shingles: Column, num_perm: int = 64) -> Column:
     """Single-expression MinHash signature (array form). Only for small
     ``num_perm`` in unit tests: at 64 perms the nested-array tree, once

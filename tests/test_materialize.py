@@ -178,3 +178,81 @@ def test_materialize_latest_last_op_delete_removes_key(spark):
         .collect()
     )
     assert [(r.user_id, r.value) for r in got] == [(2, 21.0)]
+
+
+def test_exact_dedup_stream_across_batches_and_restarts(spark, sf_dir, tmp_path):
+    """Streaming exact dedup holds its seen-hash state across micro-batches
+    AND checkpoint restarts: content is collapsed to a low-cardinality
+    derivative so duplicates are guaranteed to span batch boundaries, the
+    stream runs as capped availableNow restarts, and every distinct hash
+    must be emitted exactly once over the WHOLE run."""
+    import json
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark import changelog
+    from debezium_connector_vitess_spark.ops.dedup import exact_dedup_stream
+    from debezium_connector_vitess_spark.sources import replay as replay_source
+    from debezium_connector_vitess_spark.sources.fixtures import (
+        cached_fixture_dir,
+        write_replay_fixture,
+    )
+
+    replay_source.register(spark)
+    replay_dir = cached_fixture_dir(
+        "txmeta_replay", sf_dir, write_replay_fixture, tx_size=10, host_period=10
+    )
+    ckpt = str(tmp_path / "ckpt")
+    wm_dir = str(tmp_path / "wm")
+    os.makedirs(wm_dir)
+    wm_file = os.path.join(wm_dir, "planned_watermark.json")
+    with open(wm_file, "w", encoding="utf-8") as fh:
+        json.dump({s: 0 for s in changelog.SHARDS}, fh)
+
+    batches: list[pd.DataFrame] = []
+
+    def capture(df, batch_id):
+        pdf = df.toPandas()
+        if len(pdf):
+            batches.append(pdf)
+
+    prev_wm = None
+    for _ in range(64):
+        raw = (
+            spark.readStream.format("vitess-replay")
+            .option("path", replay_dir)
+            .option("maxRecordsPerBatch", 100)
+            .option("watermarkDir", wm_dir)
+            .load()
+        )
+        # 12 distinct contents over thousands of events: duplicates cross
+        # every batch and restart boundary
+        content = raw.select(
+            F.concat(
+                F.lit("doc "), F.abs(F.xxhash64("gtid") % 12).cast("string")
+            ).alias("text")
+        )
+        q = (
+            exact_dedup_stream(content, "text")
+            .writeStream.foreachBatch(capture)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(wm_file, "r", encoding="utf-8") as fh:
+            wm = fh.read()
+        if wm == prev_wm:
+            break
+        prev_wm = wm
+
+    out = pd.concat(batches, ignore_index=True)
+    # every distinct hash exactly once across ALL batches and restarts —
+    # a re-emission after a restart would mean the state store lost the key
+    assert not out["content_hash"].duplicated().any()
+    assert sorted(out["text"].unique()) == sorted(out["text"])
+    # and the survivors cover every distinct content in the stream
+    assert len(out) == 12
