@@ -93,11 +93,19 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         runs: list[float] = []
-        for _ in range(3):
+        # adaptive attempts: stop once the two best post-warmup runs agree
+        # within 25% (+0.15 s floor) — a host stall inflates single attempts
+        # by 3-10× here, so a min over runs that never stabilized would still
+        # misreport; cap at 6 attempts to bound the sweep
+        while True:
             with checkpoint_scope(spark):
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 runs.append(round(time.perf_counter() - t0, 3))
+            if len(runs) >= 3:
+                best2 = sorted(runs)[:2]
+                if best2[1] <= best2[0] * 1.25 + 0.15 or len(runs) >= 6:
+                    break
         attempts[name] = runs
         timings[name] = min(runs)
     load_after = os.getloadavg()

@@ -260,15 +260,16 @@ def cdc_materialize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm_file = os.path.join(wm_dir, "planned_watermark.json")
     with open(wm_file, "w", encoding="utf-8") as fh:
         _json.dump({s: 0 for s in changelog.SHARDS}, fh)
-    # cap sized for ~3 micro-batches regardless of scale factor (each run is
-    # a full query restart — the point is crossing state boundaries, not
-    # paying 50 restarts at sf1)
+    # cap sized for 2 micro-batches regardless of scale factor (each run is
+    # a full query restart at ~3-4 s fixed streaming-startup cost — one
+    # batch boundary and one restart boundary prove the state contract; a
+    # third batch would re-prove it for another ~4 s)
     biggest_shard = max(
         sum(1 for _ in open(os.path.join(replay_dir, f), encoding="utf-8"))
         for f in os.listdir(replay_dir)
         if f.endswith(".jsonl")
     )
-    cap = max(120, biggest_shard // 3)
+    cap = max(120, biggest_shard // 2 + 1)
 
     collected: list = []
 
