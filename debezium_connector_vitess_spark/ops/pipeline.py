@@ -90,6 +90,72 @@ def sample_by_hash(
     return df.filter(hash_uniform_expr(F.col(id_col), salt) < rate_pct)
 
 
+def unigram_logprobs(df: DataFrame, text_col: str, *, alpha: float = 0.5) -> DataFrame:
+    """Corpus unigram language model: (token, logp) with add-``alpha``
+    smoothing over the observed vocabulary.
+
+    logp(t) = ln((count(t) + alpha) / (N + alpha·|V|)). One explode +
+    groupBy(token) with map-side partial agg (the same shuffle shape as
+    :func:`vocab_topk`); the two scalars N and |V| ride along via a window
+    over the aggregated vocabulary (|V| rows, not the token stream), so no
+    second pass over the corpus and no driver collect."""
+    toks = df.select(F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy()
+    return vocab.select(
+        "token",
+        F.log(
+            (F.col("cnt") + F.lit(alpha))
+            / (F.sum("cnt").over(w) + F.lit(alpha) * F.count("*").over(w))
+        ).alias("logp"),
+    )
+
+
+def doc_perplexity(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lm: DataFrame,
+) -> DataFrame:
+    """Per-document perplexity under a unigram LM — the CCNet-style quality
+    gate (low perplexity ≈ in-domain fluent text, high ≈ noise/boilerplate).
+
+    Returns (id_col, n_tokens, avg_neg_logp, perplexity = exp(avg_neg_logp)).
+    Tokens are exploded and joined against the LM table: at 100 TB the LM is
+    a bounded vocabulary (≤ a few million rows), so the join is a BROADCAST
+    hash join — the corpus never shuffles. Out-of-vocabulary tokens score
+    half the rarest seen token's probability (min(logp) + ln 1/2), computed
+    from the LM frame itself with one tiny aggregate joined in broadcast —
+    no driver collect.
+
+    Empty documents (zero tokens) are dropped — perplexity is undefined.
+
+    The LM frame is materialized once (``localCheckpoint``): it feeds BOTH
+    the broadcast join and the OOV-floor aggregate, and without the barrier
+    each consumer would re-train the LM — a second full corpus scan. The
+    blocks are reclaimed by the caller's ``cache.checkpoint_scope`` (the
+    registry/bench convention), matching the MinHash materialization
+    pattern.
+    """
+    from ..cache import eager_localcheckpoint
+
+    lm, _release = eager_localcheckpoint(lm)
+    floor = lm.select((F.min("logp") + F.log(F.lit(0.5))).alias("oov_logp"))
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("token")
+    )
+    scored = (
+        toks.join(F.broadcast(lm), on="token", how="left")
+        .crossJoin(F.broadcast(floor))
+        .select(id_col, F.coalesce(F.col("logp"), F.col("oov_logp")).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        (-F.avg("lp")).alias("avg_neg_logp"),
+        F.exp(-F.avg("lp")).alias("perplexity"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str,

@@ -622,3 +622,60 @@ def test_pii_detect_and_redact_literals(spark):
     assert got[4]["red"].startswith("<EMAIL> is an email")
     assert (got[5]["e"], got[5]["i"], got[5]["p"]) == (0, 0, 0)
     assert got[5]["red"] == rows[4].text
+
+
+def test_unigram_perplexity_matches_duckdb(spark, sf_dir):
+    """Unigram-LM perplexity (train LM on the corpus, score each doc)
+    against a DuckDB replica of the same smoothing/OOV model — the local
+    oracle-parity bar for an op the 50-entry driver registry can't hold."""
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        doc_perplexity,
+        unigram_logprobs,
+    )
+    from tests.oracle_harness import compare
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = unigram_logprobs(docs, "text", alpha=0.5)
+    got = doc_perplexity(docs, "text", "doc_id", lm).select(
+        "doc_id", "n_tokens", "avg_neg_logp", "perplexity"
+    )
+    oracle = """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    lm AS (
+      SELECT token,
+             ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ())) AS logp
+      FROM vocab),
+    scored AS (
+      SELECT t.doc_id, coalesce(lm.logp, (SELECT min(logp) + ln(0.5) FROM lm)) AS lp
+      FROM toks t LEFT JOIN lm USING (token))
+    SELECT doc_id, count(*) AS n_tokens,
+           -avg(lp) AS avg_neg_logp, exp(-avg(lp)) AS perplexity
+    FROM scored GROUP BY doc_id
+    """
+    compare(got, oracle, sf_dir, float_rtol=1e-9)
+
+
+def test_perplexity_plan_broadcasts_lm(spark, sf_dir):
+    """The LM join must be a broadcast hash join — the corpus side never
+    shuffles on token."""
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        doc_perplexity,
+        unigram_logprobs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = unigram_logprobs(docs, "text")
+    plan = (
+        doc_perplexity(docs, "text", "doc_id", lm)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only token-keyed exchange is the LM's own vocab aggregation
+    assert plan.count("Exchange hashpartitioning(token") <= 1
