@@ -679,3 +679,23 @@ def test_perplexity_plan_broadcasts_lm(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # the only token-keyed exchange is the LM's own vocab aggregation
     assert plan.count("Exchange hashpartitioning(token") <= 1
+
+
+def test_write_training_shards_balanced_and_clustered(spark, sf_dir, tmp_path):
+    """Shard geometry contract: requested rows-per-shard yields the expected
+    file count, files hold non-overlapping sort-key ranges (footer min/max
+    prunes file-level), and sampling keeps them balanced."""
+    from debezium_connector_vitess_spark.ops.layout import write_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    manifest = write_training_shards(
+        docs, str(tmp_path / "shards"), sort_col="doc_id", rows_per_shard=100
+    ).collect()
+    assert len(manifest) == -(-n // 100)
+    assert sum(r["rows"] for r in manifest) == n
+    spans = sorted((r["min_doc_id"], r["max_doc_id"], r["rows"]) for r in manifest)
+    for (_, hi_prev, _), (lo, _, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo  # globally non-overlapping ranges
+    rows = [r for _, _, r in spans]
+    assert max(rows) <= 3 * max(min(rows), 1)  # balanced up to sampling error
