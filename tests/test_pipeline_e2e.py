@@ -1,0 +1,76 @@
+"""End-to-end training-data pipeline composition: the ops are designed to
+chain into one lazy Spark plan — dedup survivors → PII scrub → quality +
+perplexity gates → sequence packing → balanced shard write. This test runs
+the whole chain on the documents table and checks the contracts hold at the
+seams (no op breaks another's invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_connector_vitess_spark.ops.dedup import exact_dedup
+from debezium_connector_vitess_spark.ops.layout import write_training_shards
+from debezium_connector_vitess_spark.ops.pipeline import (
+    doc_perplexity,
+    pack_sequences,
+    unigram_logprobs,
+)
+from debezium_connector_vitess_spark.ops.text import (
+    redact_pii_expr,
+    with_quality_score,
+)
+
+
+def test_training_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_raw = docs.count()
+
+    # 1. exact dedup — survivors keyed by lowest doc_id per content hash
+    survivors = exact_dedup(docs, "text", "doc_id")
+    deduped = docs.join(survivors.select("doc_id"), on="doc_id", how="left_semi")
+    n_dedup = deduped.count()
+    assert 0 < n_dedup <= n_raw
+
+    # 2. PII scrub (idempotent on this corpus's clean text)
+    scrubbed = deduped.withColumn("text", redact_pii_expr(F.col("text")))
+
+    # 3. quality gates: composite score + unigram-LM perplexity, both
+    #    computed on the scrubbed text the trainer would actually see
+    lm = unigram_logprobs(scrubbed, "text")
+    ppl = doc_perplexity(scrubbed, "text", "doc_id", lm)
+    gated = (
+        with_quality_score(scrubbed, "text")
+        .join(ppl.select("doc_id", "perplexity"), on="doc_id")
+        .filter((F.col("quality_score") >= 0.25) & F.col("perplexity").isNotNull())
+    )
+    n_gated = gated.count()
+    assert 0 < n_gated <= n_dedup
+
+    # 4. sequence packing into per-lang streams of 512-token blocks
+    packed = pack_sequences(
+        gated, "text", "doc_id", stream_col="lang", block_tokens=512
+    )
+    pk = packed.collect()
+    assert len(pk) == n_gated
+    by_stream: dict[str, list] = {}
+    for r in sorted(pk, key=lambda r: (r["lang"], r["doc_id"])):
+        by_stream.setdefault(r["lang"], []).append(r)
+    for rows in by_stream.values():
+        # offsets are a contiguous running total within each stream
+        run = 0
+        for r in rows:
+            assert r["start_offset"] == run
+            assert r["block_id"] == run // 512
+            run += r["n_tokens"]
+
+    # 5. balanced shard write of the gated corpus
+    manifest = write_training_shards(
+        gated.select("doc_id", "text", "lang"),
+        str(tmp_path / "shards"),
+        sort_col="doc_id",
+        num_shards=4,
+    ).collect()
+    assert sum(r["rows"] for r in manifest) == n_gated
+    spans = sorted((r["min_doc_id"], r["max_doc_id"]) for r in manifest)
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo
