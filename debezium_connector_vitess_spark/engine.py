@@ -108,6 +108,7 @@ class VitessCdcEngine:
                 if "vitess.keepalive.interval.ms" in self.props
                 else None
             ),
+            load_balancing_policy=p("vitess.grpc.default.load.balancing.policy"),
             heartbeat_interval_s=heartbeat_ms // 1000,
         )
         self.heartbeat_interval_ms = heartbeat_ms
@@ -182,6 +183,8 @@ class VitessCdcEngine:
             opts["grpcheaders"] = ";".join(f"{k}:{v}" for k, v in c.grpc_headers.items())
         if c.table_include_list:
             opts["tables"] = ",".join(c.table_include_list)
+        if c.load_balancing_policy:
+            opts["loadbalancingpolicy"] = c.load_balancing_policy
         return opts
 
     def raw_stream(self, fmt: str = "vitess-cdc", **extra_options: str) -> DataFrame:

@@ -31,11 +31,18 @@ except ImportError:
 VSTREAM_METHOD = "/vtgateservice.Vitess/VStream"
 
 
-def channel_options(config: VStreamConfig) -> list[tuple[str, int]]:
+def channel_options(config: VStreamConfig) -> list[tuple[str, object]]:
     """The reference's channel tuning as grpc channel options."""
-    opts = [("grpc.max_receive_message_length", config.max_inbound_message_bytes)]
+    opts: list[tuple[str, object]] = [
+        ("grpc.max_receive_message_length", config.max_inbound_message_bytes)
+    ]
     if config.keepalive_interval_ms:
         opts.append(("grpc.keepalive_time_ms", config.keepalive_interval_ms))
+    if config.load_balancing_policy:
+        # defaultLoadBalancingPolicy(...) in the reference
+        # (VitessReplicationConnection.java:376); grpcio spells it as the
+        # lb_policy_name channel arg
+        opts.append(("grpc.lb_policy_name", config.load_balancing_policy))
     return opts
 
 
@@ -106,5 +113,6 @@ def grpc_channel_factory(options: dict) -> GrpcVStreamChannel:
             if options.get("keepaliveintervalms")
             else None
         ),
+        load_balancing_policy=options.get("loadbalancingpolicy"),
     )
     return GrpcVStreamChannel(config)

@@ -90,6 +90,10 @@ class VStreamConfig:
     keyspace_heartbeats: bool = False
     max_inbound_message_bytes: int = 4 * 1024 * 1024  # VitessConnectorConfig.java:349-356
     keepalive_interval_ms: Optional[int] = None  # disabled by default (:332-339)
+    # channel-level LB policy, e.g. 'pick_first' / 'round_robin'
+    # (VitessConnectorConfig.java:361-368 GRPC_DEFAULT_LOAD_BALANCING_POLICY;
+    # default = gRPC's own default, so None means "don't set the option")
+    load_balancing_policy: Optional[str] = None
     heartbeat_interval_s: int = 0
 
     def __post_init__(self) -> None:

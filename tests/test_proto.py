@@ -288,6 +288,9 @@ class TestGrpcAdapter:
         assert opts["grpc.keepalive_time_ms"] == 5000
         cfg2 = VStreamConfig()
         assert "grpc.keepalive_time_ms" not in dict(channel_options(cfg2))
+        assert "grpc.lb_policy_name" not in dict(channel_options(cfg2))
+        cfg3 = VStreamConfig(load_balancing_policy="round_robin")
+        assert dict(channel_options(cfg3))["grpc.lb_policy_name"] == "round_robin"
 
     @pytest.mark.skipif(not HAVE_GRPC, reason="grpcio not installed")
     def test_real_channel_construction(self):  # pragma: no cover
