@@ -293,6 +293,94 @@ def repetition_expr(text: Column, n: int = 3) -> tuple[Column, Column, Column]:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the rolling-hash
+# document fingerprinting used by MOSS): hash every character k-gram, then
+# keep the minimum hash of each sliding window of w consecutive k-grams.
+# Guarantee: any shared substring of length ≥ w + k - 1 yields a shared
+# fingerprint, while only ~2/(w+1) of the gram hashes are kept. Entirely
+# narrow Catalyst expressions — a map-only pass at 100 TB; the fingerprint
+# SET (array_distinct) makes the tie-breaking rule immaterial.
+# ---------------------------------------------------------------------------
+
+
+def char_gram_hashes_expr(chars: Column, k: int = 5) -> Column:
+    """64-bit hashes of the character k-grams of a STAGED char-array column
+    (``F.split(text, '')``). The array must be a real column — an inline
+    expression would re-evaluate once per gram inside the lambda."""
+    n_grams = F.size(chars) - (k - 1)
+    # sequence(1, 0) counts DOWN ([1, 0]) — empty docs need an explicit guard
+    idx = F.when(n_grams < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), n_grams)
+    )
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(chars, i, k), ""))
+    )
+
+
+def winnow_expr(gram_hashes: Column, window: int = 4) -> Column:
+    """Distinct window-minimum hashes of a STAGED gram-hash array column.
+    Documents shorter than one full window keep their global minimum (the
+    standard short-document degenerate case)."""
+    m = F.size(gram_hashes)
+    n_windows = F.greatest(m - (window - 1), F.least(m, F.lit(1)))
+    idx = F.when(m < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), n_windows)
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda j: F.array_min(F.slice(gram_hashes, j, window)))
+    )
+
+
+def with_winnow_fingerprints(
+    df,
+    text_col: str = "text",
+    *,
+    k: int = 5,
+    window: int = 4,
+    out_col: str = "fingerprints",
+):
+    """Attach the winnowing fingerprint set (array<long>) per document.
+    Intermediates are staged as real columns so the char split and the gram
+    hashing each run once per row (CollapseProject keeps non-cheap
+    multiply-referenced aliases staged)."""
+    staged = df.withColumn("__wf_chars", F.split(F.col(text_col), "")).withColumn(
+        "__wf_grams", char_gram_hashes_expr(F.col("__wf_chars"), k)
+    )
+    return staged.withColumn(out_col, winnow_expr(F.col("__wf_grams"), window)).drop(
+        "__wf_chars", "__wf_grams"
+    )
+
+
+def winnow_match_pairs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 1,
+):
+    """Candidate near-copy pairs sharing ≥ ``min_shared`` winnowing
+    fingerprints — the MOSS-style containment detector (catches copied
+    PASSAGES, which whole-document MinHash dilutes away). Explode the
+    fingerprint sets and equi-join on the fingerprint: only (id, 8-byte
+    hash) rows shuffle, never the text, and the join keyspace is the
+    fingerprint domain — the same bounded-join shape as MinHash banding."""
+    fps = with_winnow_fingerprints(df, text_col, k=k, window=window).select(
+        F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
+    )
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII detection / redaction (the CCNet/Dolma-style scrub step a training
 # pipeline runs before tokenization). Patterns deliberately avoid
 # lookaround/backreferences so Java-regex (Spark) and RE2 (DuckDB oracles)

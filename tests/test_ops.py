@@ -699,3 +699,60 @@ def test_write_training_shards_balanced_and_clustered(spark, sf_dir, tmp_path):
         assert hi_prev < lo  # globally non-overlapping ranges
     rows = [r for _, _, r in spans]
     assert max(rows) <= 3 * max(min(rows), 1)  # balanced up to sampling error
+
+
+def test_winnow_fingerprints_selection_and_guarantee(spark):
+    """Winnowing contract on constructed docs: (a) the selection equals a
+    literal Python winnow over the SAME Spark-computed gram hashes, (b) two
+    docs sharing a >= w+k-1 char substring share a fingerprint, (c) short
+    docs degrade to the global-min fingerprint."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.text import (
+        char_gram_hashes_expr,
+        with_winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    k, w = 5, 4
+    shared = "the quick brown fox jumps"
+    rows = [
+        Row(doc_id=1, text=f"AAAA {shared} BBBB"),
+        Row(doc_id=2, text=f"XXXXXXX {shared} YYY"),
+        Row(doc_id=3, text="completely different content here"),
+        Row(doc_id=4, text="tiny"),  # shorter than k: zero grams
+        Row(doc_id=5, text="sixchr"),  # 2 grams < w: global min
+    ]
+    df = spark.createDataFrame(rows)
+
+    # (a) selection logic vs a literal Python winnow over the same hashes
+    hashes = {
+        r["doc_id"]: list(r["g"])
+        for r in df.withColumn("__c", F.split("text", ""))
+        .select("doc_id", char_gram_hashes_expr(F.col("__c"), k).alias("g"))
+        .collect()
+    }
+    got = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in with_winnow_fingerprints(df, "text", k=k, window=w).collect()
+    }
+    for did, g in hashes.items():
+        if not g:
+            want = set()
+        elif len(g) < w:
+            want = {min(g)}
+        else:
+            want = {min(g[j : j + w]) for j in range(len(g) - w + 1)}
+        assert got[did] == want, did
+
+    # (b) shared >= w+k-1 substring => shared fingerprint
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_match_pairs(df, "text", "doc_id", k=k, window=w).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p or 4 in p for p in pairs)
+
+    # (c) degenerate sizes
+    assert got[4] == set()
+    assert len(got[5]) == 1
