@@ -21,6 +21,15 @@ Scale strategy (100 TB):
   shuffle keyed by the stream column; giant streams are split upstream by
   bucketing the stream key. Block id/offset are pure arithmetic on the
   running total.
+- **token-budget mixture sampling**: two-level cumulative fill — docs are
+  hash-bucketed inside each domain, bucket totals are cumulated on a tiny
+  (domains × buckets) frame, and the per-doc cumsum runs per (domain,
+  bucket). A domain's fill is never a single reducer task: parallelism is
+  ``n_buckets`` per domain no matter how large the domain.
+- **DSIR importance weighting**: hashed n-gram count features (Xie et al.,
+  "Data Selection for Language Models via Importance Resampling", 2023).
+  The bucket log-ratio table is ≤ ``dim`` rows → BROADCAST join; the corpus
+  explode never shuffles on the feature key.
 """
 
 from __future__ import annotations
@@ -29,7 +38,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingles_expr
-from .text import token_count_expr, tokens_expr
+from .text import shingles_from_tokens_expr, token_count_expr, tokens_expr
 
 
 def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
@@ -153,6 +162,209 @@ def doc_perplexity(
         F.count("*").alias("n_tokens"),
         (-F.avg("lp")).alias("avg_neg_logp"),
         F.exp(-F.avg("lp")).alias("perplexity"),
+    )
+
+
+def _md5_long_expr(key: Column, salt: str) -> Column:
+    """Deterministic 60-bit non-negative long from md5(salt || key) — the
+    engine-agnostic hash (DuckDB mirror: ``('0x' || substr(md5(s), 1, 15))::BIGINT``)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def sample_token_budget(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    domain_col: str,
+    budgets: DataFrame,
+    n_buckets: int = 256,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministic per-domain token-budget fill — the data-mixture sampler:
+    given target token budgets per domain (e.g. web 60%, code 20%, ... of a
+    total token count), select documents domain-by-domain in a fixed
+    hash-random order until each domain's budget is met.
+
+    ``budgets`` is a small frame (domain_col, budget_tokens). Returns the
+    selected documents as (id, domain, n_tokens, doc_start) where
+    ``doc_start`` is the document's offset in its domain's fill order; the
+    first document to cross the budget is kept (so every non-empty budget
+    selects at least one document), all later ones are dropped.
+
+    Scale shape: a naive ``sum() over (partition by domain order by hash)``
+    serializes each domain onto one task. Instead the fill order is
+    (bucket, hash, id): bucket totals are cumulated on the aggregated
+    (domains × n_buckets) frame — broadcast back — and the per-document
+    cumsum partitions by (domain, bucket), giving ``n_buckets``-way
+    parallelism inside every domain. Selection is identical to the
+    single-window formulation, deterministic, and engine-reproducible.
+    """
+    h = _md5_long_expr(F.col(id_col), salt)
+    base = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        token_count_expr(F.col(text_col)).cast("long").alias("n_tokens"),
+        (h % n_buckets).alias("__bucket"),
+        h.alias("__h"),
+    )
+    bucket_totals = base.groupBy(domain_col, "__bucket").agg(
+        F.sum("n_tokens").alias("__bucket_tokens")
+    )
+    wb = (
+        Window.partitionBy(domain_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucket_starts = bucket_totals.select(
+        domain_col,
+        "__bucket",
+        (F.sum("__bucket_tokens").over(wb) - F.col("__bucket_tokens")).alias(
+            "__bucket_start"
+        ),
+    )
+    ww = (
+        Window.partitionBy(domain_col, "__bucket")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = (
+        base.join(F.broadcast(bucket_starts), on=[domain_col, "__bucket"])
+        .withColumn(
+            "doc_start",
+            F.col("__bucket_start") + F.sum("n_tokens").over(ww) - F.col("n_tokens"),
+        )
+    )
+    return (
+        placed.join(F.broadcast(budgets), on=domain_col)
+        .filter(F.col("doc_start") < F.col("budget_tokens"))
+        .select(id_col, domain_col, "n_tokens", "doc_start")
+    )
+
+
+def hashed_gram_buckets_expr(toks: Column, *, dim: int, salt: str = "dsir") -> Column:
+    """Hashed unigram+bigram count features over an already-tokenized array:
+    every occurrence (multiset, not distinct) mapped to a bucket in
+    [0, dim) — the DSIR feature map."""
+    grams = F.concat(toks, shingles_from_tokens_expr(toks, 2, distinct=False))
+    return F.transform(
+        grams,
+        lambda g: F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), g)), 1, 15), 16, 10
+        ).cast("long")
+        % dim,
+    )
+
+
+DSIR_DEFAULT_BUCKET = -1  # sentinel row carrying the unseen-bucket log-ratio
+
+
+def dsir_logratios(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str,
+    *,
+    dim: int = 4096,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Hashed-n-gram importance log-ratio table (bucket, log_ratio):
+    ln p_target(bucket) − ln p_raw(bucket) with add-``alpha`` smoothing over
+    all ``dim`` buckets, estimated from a target (in-domain) corpus and the
+    raw corpus. Buckets observed in neither corpus share one smoothed ratio,
+    emitted as a sentinel row with bucket = :data:`DSIR_DEFAULT_BUCKET`.
+
+    One explode + groupBy(bucket) per corpus (map-side partial agg — the
+    shuffle carries ≤ ``dim`` rows per partition); the corpus-total scalars
+    ride along via a window over the ≤ ``dim``-row aggregated frame.
+    """
+
+    def counts(df: DataFrame, col: str) -> DataFrame:
+        toks = tokens_expr(F.lower(F.col(text_col)))
+        return (
+            df.select(
+                F.explode(hashed_gram_buckets_expr(toks, dim=dim, salt=salt)).alias(
+                    "bucket"
+                )
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias(col))
+        )
+
+    joined = counts(target, "ct").join(counts(raw, "cr"), on="bucket", how="full").select(
+        "bucket",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+    )
+    w = Window.partitionBy()
+    scored = joined.select(
+        "bucket",
+        "ct",
+        "cr",
+        F.sum("ct").over(w).alias("nt"),
+        F.sum("cr").over(w).alias("nr"),
+    )
+    denom_t = F.col("nt") + F.lit(alpha * dim)
+    denom_r = F.col("nr") + F.lit(alpha * dim)
+    ratios = scored.select(
+        "bucket",
+        (
+            F.log((F.col("ct") + F.lit(alpha)) / denom_t)
+            - F.log((F.col("cr") + F.lit(alpha)) / denom_r)
+        ).alias("log_ratio"),
+    )
+    default = scored.limit(1).select(
+        F.lit(DSIR_DEFAULT_BUCKET).cast("long").alias("bucket"),
+        (F.log(F.lit(alpha) / denom_t) - F.log(F.lit(alpha) / denom_r)).alias(
+            "log_ratio"
+        ),
+    )
+    return ratios.unionAll(default)
+
+
+def dsir_importance(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    logratios: DataFrame,
+    *,
+    dim: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: Σ over hashed-gram
+    occurrences of the bucket's log p_target/p_raw. Returns
+    (id, n_grams, log_weight); documents with zero grams are dropped
+    (no features ⇒ weight undefined). Select by ``log_weight`` top-k or
+    a Gumbel-free hash-threshold downstream.
+
+    The log-ratio table is ≤ dim+1 rows → BROADCAST hash join; the corpus
+    side never shuffles on the bucket. The table is materialized once
+    (it feeds both the join and the sentinel-default lookup); blocks are
+    reclaimed by the caller's ``cache.checkpoint_scope``.
+    """
+    from ..cache import eager_localcheckpoint
+
+    logratios, _release = eager_localcheckpoint(logratios)
+    default = logratios.filter(F.col("bucket") == DSIR_DEFAULT_BUCKET).select(
+        F.col("log_ratio").alias("__default_lr")
+    )
+    table = logratios.filter(F.col("bucket") != DSIR_DEFAULT_BUCKET)
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(hashed_gram_buckets_expr(toks, dim=dim, salt=salt)).alias("bucket"),
+    )
+    scored = (
+        exploded.join(F.broadcast(table), on="bucket", how="left")
+        .crossJoin(F.broadcast(default))
+        .select(
+            id_col, F.coalesce(F.col("log_ratio"), F.col("__default_lr")).alias("lr")
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"), F.sum("lr").alias("log_weight")
     )
 
 

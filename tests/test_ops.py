@@ -756,3 +756,174 @@ def test_winnow_fingerprints_selection_and_guarantee(spark):
     # (c) degenerate sizes
     assert got[4] == set()
     assert len(got[5]) == 1
+
+
+def test_sample_token_budget_matches_duckdb(spark, sf_dir):
+    """Token-budget mixture sampler against a single-window DuckDB replica:
+    the two-level (bucket-cumsum + within-bucket cumsum) formulation must
+    select exactly the docs a global per-domain fill order would."""
+    from debezium_connector_vitess_spark.ops.pipeline import sample_token_budget
+    from tests.oracle_harness import compare
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budgets = spark.createDataFrame(
+        [("src0", 800), ("src1", 600), ("src2", 300), ("src3", 0)],
+        "source string, budget_tokens long",
+    )
+    got = sample_token_budget(
+        docs, "text", "doc_id", domain_col="source", budgets=budgets, n_buckets=8
+    )
+    oracle = """
+    WITH base AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT
+               AS n_tokens,
+             ('0x' || substr(md5('mixture' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM documents),
+    budgets(source, budget_tokens) AS (
+      VALUES ('src0', 800), ('src1', 600), ('src2', 300), ('src3', 0)),
+    placed AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY h % 8, h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS doc_start
+      FROM base)
+    SELECT p.doc_id, p.source, p.n_tokens, p.doc_start
+    FROM placed p JOIN budgets b USING (source)
+    WHERE p.doc_start < b.budget_tokens
+    """
+    compare(got, oracle, sf_dir)
+
+
+def test_sample_token_budget_fill_contract(spark, sf_dir):
+    """Greedy-fill contract: per domain, selected tokens minus the crossing
+    doc stay under budget; every non-empty-budget domain with data selects
+    at least one doc; zero budget selects none; re-run is identical."""
+    from debezium_connector_vitess_spark.ops.pipeline import sample_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budgets = spark.createDataFrame(
+        [("src0", 700), ("src1", 1), ("src2", 0)],
+        "source string, budget_tokens long",
+    )
+    sel = sample_token_budget(
+        docs, "text", "doc_id", domain_col="source", budgets=budgets, n_buckets=8
+    )
+    rows = sel.collect()
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r["source"], []).append(r)
+    assert "src2" not in by_dom
+    assert len(by_dom["src1"]) == 1  # budget 1: exactly the first doc
+    web = sorted(by_dom["src0"], key=lambda r: r["doc_start"])
+    # all but the final (crossing) doc fit inside the budget
+    assert web[-2]["doc_start"] + web[-2]["n_tokens"] <= 700
+    assert web[-1]["doc_start"] < 700
+    # deterministic across invocations
+    again = sorted(
+        (r["doc_id"], r["doc_start"])
+        for r in sample_token_budget(
+            docs, "text", "doc_id", domain_col="source", budgets=budgets, n_buckets=8
+        ).collect()
+    )
+    assert again == sorted((r["doc_id"], r["doc_start"]) for r in rows)
+
+
+def test_dsir_importance_matches_duckdb(spark, sf_dir):
+    """DSIR hashed-n-gram importance weights (target = English docs, raw =
+    whole corpus) against a DuckDB replica of the same feature hash,
+    smoothing, and sentinel default."""
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        dsir_importance,
+        dsir_logratios,
+    )
+    from tests.oracle_harness import compare
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter("lang = 'en'")
+    lr = dsir_logratios(target, docs, "text", dim=512, alpha=1.0)
+    got = dsir_importance(docs, "text", "doc_id", lr, dim=512)
+    oracle = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, lang, unnest(t) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+                                                 i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks),
+    feats AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('dsir' || g), 1, 15))::BIGINT % 512 AS bucket
+      FROM grams),
+    ct AS (SELECT bucket, count(*) AS c FROM feats WHERE lang = 'en' GROUP BY bucket),
+    cr AS (SELECT bucket, count(*) AS c FROM feats GROUP BY bucket),
+    tot AS (SELECT (SELECT sum(c) FROM ct) AS nt, (SELECT sum(c) FROM cr) AS nr),
+    lr AS (
+      SELECT cr.bucket,
+             ln((coalesce(ct.c, 0) + 1.0) / (tot.nt + 512.0))
+               - ln((cr.c + 1.0) / (tot.nr + 512.0)) AS log_ratio
+      FROM cr LEFT JOIN ct USING (bucket), tot)
+    SELECT f.doc_id, count(*) AS n_grams, sum(lr.log_ratio) AS log_weight
+    FROM feats f JOIN lr USING (bucket)
+    GROUP BY f.doc_id
+    """
+    # raw = whole corpus => every observed bucket has cr >= 1; the sentinel
+    # default never fires here (it is exercised in the unit test below).
+    compare(got, oracle, sf_dir, float_rtol=1e-9)
+
+
+def test_dsir_default_bucket_and_plan(spark):
+    """Buckets unseen in training score the sentinel smoothed ratio, and the
+    scoring join broadcasts the <= dim-row ratio table."""
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        DSIR_DEFAULT_BUCKET,
+        dsir_importance,
+        dsir_logratios,
+    )
+
+    target = spark.createDataFrame([("alpha beta",)], "text string")
+    raw = spark.createDataFrame([("alpha gamma",)], "text string")
+    lr = dsir_logratios(target, raw, "text", dim=64, alpha=1.0)
+    rows = {r["bucket"]: r["log_ratio"] for r in lr.collect()}
+    assert DSIR_DEFAULT_BUCKET in rows
+    # nt = 3 grams (alpha, beta, 'alpha beta'); nr = 3 likewise => default = 0
+    assert abs(rows[DSIR_DEFAULT_BUCKET]) < 1e-12
+
+    score_df = spark.createDataFrame([(1, "zeta eta"),], "doc_id long, text string")
+    scored = dsir_importance(score_df, "text", "doc_id", lr, dim=64)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(bucket" not in plan
+    row = scored.collect()[0]
+    assert row["n_grams"] == 3
+    # every gram of the scored doc is unseen => n_grams x default ratio = 0
+    assert abs(row["log_weight"]) < 1e-9
+
+
+def test_sample_token_budget_plan_parallel_fill(spark, sf_dir):
+    """The per-doc cumsum must partition by (domain, bucket) — n_buckets-way
+    parallelism inside a domain — and the bucket-starts/budgets joins must
+    broadcast (the corpus never shuffles for them)."""
+    from debezium_connector_vitess_spark.ops.pipeline import sample_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budgets = spark.createDataFrame(
+        [("src0", 800)], "source string, budget_tokens long"
+    )
+    plan = (
+        sample_token_budget(
+            docs, "text", "doc_id", domain_col="source", budgets=budgets, n_buckets=8
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partitionBy=[source#" in plan.replace("partition by", "partitionBy=") or (
+        "windowspecdefinition(source" in plan
+    )
+    assert "windowspecdefinition(source#" in plan and "__bucket" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
