@@ -327,7 +327,7 @@ def _collect_centroids(cent_df: DataFrame) -> list[tuple[int, list[float]]]:
 
 
 def _centroid_pick_expr(
-    cents: list[tuple[int, list[float]]], vec: Column, vnorm: Column | None = None
+    cents: list[tuple[int, list[float]]], vec: str, vnorm: str | None = None
 ) -> Column:
     """Array of (cosine score, −centroid_id) structs against LITERAL centroid
     vectors — ONE narrow projection per row, no row inflation, no shuffle.
@@ -347,16 +347,45 @@ def _centroid_pick_expr(
     nodes was measured FAR worse (16.5 s — tree-size planning/codegen cost),
     and numpy-in-Arrow would break bit-exactness with the SQL oracle
     (pairwise vs left-fold summation), so the HOF form is the keeper.
+
+    Built as ONE SQL string → one ``F.expr`` parse: composing it through the
+    Column API issues a Py4J round trip per literal (n_centroids × dim
+    ``lit`` calls ≈ 1.5–2 s of driver time per assignment — measured as the
+    dominant cost of the whole IVF query at sf0.1). Double literals are
+    ``repr``-formatted (shortest exact round-trip, parsed by Java
+    ``Double.parseDouble``), so the expression tree — and every score — is
+    bit-identical to the Column-API form (regression-tested).
     """
-    if vnorm is None:
-        vnorm = norm_expr(vec)
+    vec_sql = vec
+    vnorm_sql = vnorm if vnorm is not None else _sql_norm(vec)
     entries = []
     for cid, cvec in cents:
         cnorm = math.sqrt(sum(x * x for x in cvec))
-        lit_vec = F.array(*[F.lit(x) for x in cvec])
-        score = dot_expr(vec, lit_vec) / (vnorm * F.lit(cnorm))
-        entries.append(F.struct(score.alias("s"), F.lit(-cid).alias("nid")))
-    return F.array(*entries)
+        arr = ", ".join(_dlit(x) for x in cvec)
+        dot = (
+            f"aggregate(zip_with({vec_sql}, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"{_dlit(0.0)}, (acc, x) -> acc + x)"
+        )
+        score = f"{dot} / ({vnorm_sql} * {_dlit(cnorm)})"
+        entries.append(f"named_struct('s', {score}, 'nid', {-cid}L)")
+    return F.expr("array(" + ", ".join(entries) + ")")
+
+
+def _dlit(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest string that
+    round-trips through Double.parseDouble (what the SQL parser's ``D``
+    suffix literal uses)."""
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite centroid component: {x}")
+    return f"{x!r}D"
+
+
+def _sql_norm(vec_sql: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({vec_sql}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), {_dlit(0.0)}, (acc, x) -> acc + x))"
+    )
 
 
 def assign_centroids(
@@ -377,10 +406,10 @@ def assign_centroids(
     trees are inlined per use; CSE is not guaranteed outside codegen)."""
     if norm_col is None:
         staged = df.withColumn("__vnorm", norm_expr(F.col(vec_col)))
-        vnorm, drop_cols = F.col("__vnorm"), ["__vnorm"]
+        vnorm, drop_cols = "`__vnorm`", ["__vnorm"]
     else:
-        staged, vnorm, drop_cols = df, F.col(norm_col), []
-    picks = _centroid_pick_expr(cents, F.col(vec_col), vnorm)
+        staged, vnorm, drop_cols = df, f"`{norm_col}`", []
+    picks = _centroid_pick_expr(cents, f"`{vec_col}`", vnorm)
     if n == 1:
         best = F.array_max(picks)
         return staged.withColumn(out_col, (-best["nid"]).cast("long")).drop(*drop_cols)

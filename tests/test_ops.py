@@ -927,3 +927,19 @@ def test_sample_token_budget_plan_parallel_fill(spark, sf_dir):
     )
     assert "windowspecdefinition(source#" in plan and "__bucket" in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_sql_double_literal_roundtrip(spark):
+    """_dlit must round-trip every double exactly through the SQL parser —
+    the bit-exactness foundation of the one-parse literal-centroid build."""
+    import struct as _struct
+
+    from debezium_connector_vitess_spark.ops.similarity import _dlit
+
+    vals = [0.0, -0.0, 1e-17, 0.1, 2.0 / 3.0, 1.7976931348623157e308,
+            5e-324, -123.456789012345678, 3.0000000000000004]
+    row = spark.sql(
+        "SELECT " + ", ".join(f"{_dlit(v)} AS c{i}" for i, v in enumerate(vals))
+    ).collect()[0]
+    for i, v in enumerate(vals):
+        assert _struct.pack("<d", row[f"c{i}"]) == _struct.pack("<d", v), v
