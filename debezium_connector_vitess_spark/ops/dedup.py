@@ -226,9 +226,20 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     materialize: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates + exact verification at jaccard ≥ num/den
     (integer compare — no float thresholds).
+
+    ``max_bucket_size`` caps LSH bucket membership: buckets larger than the
+    cap are dropped BEFORE the self-join. An n-member bucket fans out to
+    n·(n−1)/2 candidate pairs, so one boilerplate cluster (a million copies
+    of the same cookie banner) turns the join into ~10¹² pairs that AQE can
+    split but not shrink. Oversized buckets are near-certain exact/near-exact
+    duplicate clusters — collapse those with exact dedup FIRST (cheaper and
+    lossless), then run MinHash with a cap (10–100× the expected near-dup
+    cluster size) as the backstop. Recall loss is confined to pairs whose
+    EVERY shared band lands in an oversized bucket. Default ``None`` = off.
 
     Each shingle string is hashed ONCE to a 64-bit key; the per-permutation
     hashes are hash-of-hash on that long (an equally valid min-wise family,
@@ -257,6 +268,16 @@ def minhash_dedup_pairs(
         # size lookup; materializing it runs the 64-min aggregation once
         sig = sig.localCheckpoint(eager=True)
     banded = minhash_band_keys(sig, num_perm=num_perm, bands=bands)
+    if max_bucket_size is not None:
+        oversized = (
+            banded.groupBy("band", "bhash")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "bhash")
+        )
+        # left_anti on the same (band, bhash) key the self-join shuffles on —
+        # colocated, no extra exchange of the banded frame
+        banded = banded.join(oversized, on=["band", "bhash"], how="left_anti")
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

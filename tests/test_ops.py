@@ -943,3 +943,26 @@ def test_sql_double_literal_roundtrip(spark):
     ).collect()[0]
     for i, v in enumerate(vals):
         assert _struct.pack("<d", row[f"c{i}"]) == _struct.pack("<d", v), v
+
+
+def test_minhash_bucket_cap_drops_boilerplate(spark):
+    """max_bucket_size: a giant exact-duplicate cluster stops fanning out
+    into O(n^2) candidate pairs, while ordinary near-dup pairs survive."""
+    from debezium_connector_vitess_spark.ops.dedup import minhash_dedup_pairs
+
+    boiler = [(i, "accept all cookies to continue reading this site today") for i in range(40)]
+    near = [
+        (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (101, "the quick brown fox jumps over the lazy dog near the river bend"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+
+    uncapped = minhash_dedup_pairs(df, "text", "doc_id", materialize=False)
+    capped = minhash_dedup_pairs(
+        df, "text", "doc_id", materialize=False, max_bucket_size=10
+    )
+    un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in un and len(un) >= 40 * 39 // 2  # boilerplate explodes
+    assert (100, 101) in cp  # small-bucket near-dup pair survives the cap
+    assert not any(a < 100 and b < 100 for a, b in cp)  # boilerplate dropped
