@@ -368,6 +368,169 @@ def dsir_importance(
     )
 
 
+def doc_feature_counts(
+    df: DataFrame, text_col: str, id_col: str, *, dim: int, salt: str = "qlr"
+) -> DataFrame:
+    """Per-document hashed-gram frequency features: (id, bucket, x) with
+    x = occurrences(bucket) / total grams — the normalized bag-of-hashed-
+    n-grams both the DSIR weights and the quality classifier consume.
+    Documents with zero grams are dropped."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(hashed_gram_buckets_expr(toks, dim=dim, salt=salt)).alias("bucket"),
+    )
+    counts = exploded.groupBy(id_col, "bucket").agg(F.count("*").alias("cnt"))
+    wdoc = Window.partitionBy(id_col)
+    return counts.select(
+        id_col,
+        "bucket",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(wdoc)).alias("x"),
+    )
+
+
+def train_quality_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    dim: int = 4096,
+    iters: int = 12,
+    learn_rate: float = 10.0,
+    l2: float = 1e-4,
+    salt: str = "qlr",
+) -> DataFrame:
+    """Logistic-regression quality classifier over hashed n-gram frequency
+    features — the standard discriminative corpus-quality filter (curated
+    corpus = positive class, raw crawl = negative), trained entirely
+    in-engine with full-batch gradient descent.
+
+    Each iteration is ONE distributed pass over the materialized feature
+    frame: margins via a BROADCAST join of the ≤ dim-row weight table +
+    groupBy(doc) sum, per-bucket gradients via groupBy(bucket) sum; only the
+    (dim+1)-element weight vector (plus bias, bucket = −1) ever reaches the
+    driver. The feature frame is localCheckpoint-materialized once, so the
+    corpus is tokenized/hashed a single time regardless of ``iters``;
+    blocks are reclaimed by the caller's ``cache.checkpoint_scope``.
+
+    At 100 TB you train on a sample (classifier quality saturates in the
+    millions of examples) and score the full corpus with
+    :func:`score_quality` — one broadcast join, no shuffle of the corpus.
+
+    Returns the weight table (bucket, weight) with bias at bucket = −1.
+    Float-sum reduction order varies across runs, so weights are
+    reproducible to ~1e-12 relative, not bit-exact (documented; scoring
+    against a FIXED weight table is exactly oracle-replicable).
+    """
+    from ..cache import eager_localcheckpoint
+
+    pos = positive.select(
+        F.col(id_col).alias("did"), F.col(text_col).alias("txt"), F.lit(1.0).alias("y")
+    )
+    neg = negative.select(
+        F.col(id_col).alias("did"), F.col(text_col).alias("txt"), F.lit(0.0).alias("y")
+    )
+    # disjoint synthetic keys so the same document may appear in both classes
+    both = pos.withColumn("did", F.concat(F.lit("p"), F.col("did"))).unionAll(
+        neg.withColumn("did", F.concat(F.lit("n"), F.col("did")))
+    )
+    feats = doc_feature_counts(both, "txt", "did", dim=dim, salt=salt).join(
+        both.select("did", "y"), on="did"
+    )
+    feats, _release = eager_localcheckpoint(feats)
+    n_examples = feats.select("did").distinct().count()
+
+    spark = positive.sparkSession
+    weights = {b: 0.0 for b in range(-1, dim)}  # -1 = bias
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            list(weights.items()), "bucket long, weight double"
+        )
+        margins = (
+            feats.join(F.broadcast(wdf), on="bucket")
+            .groupBy("did", "y")
+            .agg(F.sum(F.col("x") * F.col("weight")).alias("wx"))
+            .select(
+                "did",
+                "y",
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("wx") + F.lit(weights[-1]))))
+                    - F.col("y")
+                ).alias("err"),
+            )
+        )
+        grad_rows = (
+            feats.join(margins.select("did", "err"), on="did")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("err") * F.col("x")).alias("g"))
+            .unionAll(
+                margins.select(
+                    F.lit(-1).cast("long").alias("bucket"), F.col("err").alias("g")
+                )
+                .groupBy("bucket")
+                .agg(F.sum("g").alias("g"))
+            )
+            .collect()
+        )
+        for r in grad_rows:
+            b = int(r["bucket"])
+            g = float(r["g"]) / n_examples + (l2 * weights[b] if b != -1 else 0.0)
+            weights[b] = weights[b] - learn_rate * g
+    return spark.createDataFrame(list(weights.items()), "bucket long, weight double")
+
+
+def score_quality(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: DataFrame,
+    *,
+    dim: int = 4096,
+    salt: str = "qlr",
+) -> DataFrame:
+    """Quality probability per document under a trained (or fixed) weight
+    table: sigmoid(bias + Σ w[bucket]·x[bucket]). One broadcast join of the
+    ≤ dim+1-row table — the corpus never shuffles on the feature key; at
+    100 TB this is the map-side scoring pass after sample-training.
+    Returns (id, n_grams, quality_prob)."""
+    from ..cache import eager_localcheckpoint
+
+    weights, _release = eager_localcheckpoint(weights)
+    bias = weights.filter(F.col("bucket") == -1).select(
+        F.col("weight").alias("__bias")
+    )
+    table = weights.filter(F.col("bucket") != -1)
+    feats = doc_feature_counts(df, text_col, id_col, dim=dim, salt=salt)
+    n_grams = (
+        df.select(
+            F.col(id_col),
+            F.size(
+                hashed_gram_buckets_expr(
+                    tokens_expr(F.lower(F.col(text_col))), dim=dim, salt=salt
+                )
+            ).alias("n_grams"),
+        )
+        .filter(F.col("n_grams") > 0)
+    )
+    wx = (
+        feats.join(F.broadcast(table), on="bucket", how="left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0.0)) * F.col("x")).alias("wx"))
+    )
+    return (
+        wx.join(n_grams, on=id_col)
+        .crossJoin(F.broadcast(bias))
+        .select(
+            id_col,
+            "n_grams",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("wx") + F.col("__bias"))))).alias(
+                "quality_prob"
+            ),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str,

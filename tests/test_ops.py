@@ -966,3 +966,88 @@ def test_minhash_bucket_cap_drops_boilerplate(spark):
     assert (100, 101) in un and len(un) >= 40 * 39 // 2  # boilerplate explodes
     assert (100, 101) in cp  # small-bucket near-dup pair survives the cap
     assert not any(a < 100 and b < 100 for a, b in cp)  # boilerplate dropped
+
+
+def test_quality_classifier_separates_and_scores(spark):
+    """Full-batch LR on hashed gram features: trained on a separable corpus,
+    the classifier must rank clean held-out docs above noisy ones."""
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    clean = [(i, "the quick brown fox jumps over the lazy dog in the field") for i in range(8)]
+    noise = [(i, "xz9 qq7 kk3 zz1 vv8 jj2 ww5 gg4 hh6 xx0 yy9 uu7") for i in range(8)]
+    pos = spark.createDataFrame(clean, "doc_id long, text string")
+    neg = spark.createDataFrame(noise, "doc_id long, text string")
+    w = train_quality_classifier(
+        pos, neg, "text", "doc_id", dim=256, iters=20, learn_rate=15.0
+    )
+
+    held = spark.createDataFrame(
+        [(100, "a quick brown fox and a lazy dog in the sunny field"),
+         (200, "qq7 zz1 jj2 gg4 xx0 uu7 kk3 vv8")],
+        "doc_id long, text string",
+    )
+    scores = {r["doc_id"]: r["quality_prob"] for r in
+              score_quality(held, "text", "doc_id", w, dim=256).collect()}
+    assert scores[100] > 0.5 > scores[200]
+    assert scores[100] - scores[200] > 0.3
+
+
+def test_score_quality_matches_duckdb(spark, sf_dir):
+    """Scoring under a FIXED weight table is exactly oracle-replicable:
+    same hash, same frequency normalization, same sigmoid."""
+    from debezium_connector_vitess_spark.ops.pipeline import score_quality
+    from tests.oracle_harness import compare
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fixed = [(-1, 0.25)] + [(b, ((b * 37) % 11 - 5) / 10.0) for b in range(0, 64)]
+    w = spark.createDataFrame(fixed, "bucket long, weight double")
+    got = score_quality(docs, "text", "doc_id", w, dim=64)
+    weight_rows = ", ".join(f"({b}, {wt!r})" for b, wt in fixed)
+    oracle = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(t) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks),
+    feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('qlr' || g), 1, 15))::BIGINT % 64 AS bucket
+      FROM grams),
+    x AS (
+      SELECT doc_id, bucket,
+             count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY doc_id) AS x
+      FROM feats GROUP BY doc_id, bucket),
+    w(bucket, weight) AS (VALUES {weight_rows}),
+    wx AS (
+      SELECT x.doc_id, sum(coalesce(w.weight, 0.0) * x.x) AS wx
+      FROM x LEFT JOIN w ON x.bucket = w.bucket AND w.bucket <> -1
+      GROUP BY x.doc_id),
+    n AS (SELECT doc_id, count(*) AS n_grams FROM feats GROUP BY doc_id)
+    SELECT wx.doc_id, n.n_grams,
+           1.0 / (1.0 + exp(-(wx.wx + 0.25))) AS quality_prob
+    FROM wx JOIN n USING (doc_id)
+    """
+    compare(got, oracle, sf_dir, float_rtol=1e-9)
+
+
+def test_score_quality_plan_broadcasts(spark, sf_dir):
+    """The weight join must broadcast; the only corpus shuffles are the two
+    doc-keyed aggregations (feature counts, margin sum)."""
+    from debezium_connector_vitess_spark.ops.pipeline import score_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = spark.createDataFrame([(-1, 0.1), (3, 0.5)], "bucket long, weight double")
+    plan = (
+        score_quality(docs, "text", "doc_id", w, dim=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(bucket" not in plan
