@@ -385,6 +385,7 @@ def doc_feature_counts(
     return counts.select(
         id_col,
         "bucket",
+        F.col("cnt"),
         (F.col("cnt").cast("double") / F.sum("cnt").over(wdoc)).alias("x"),
     )
 
@@ -406,13 +407,13 @@ def train_quality_classifier(
     corpus = positive class, raw crawl = negative), trained entirely
     in-engine with full-batch gradient descent.
 
-    Each iteration is ONE distributed pass over the materialized feature
-    frame: margins via a BROADCAST join of the ≤ dim-row weight table +
-    groupBy(doc) sum, per-bucket gradients via groupBy(bucket) sum; only the
-    (dim+1)-element weight vector (plus bias, bucket = −1) ever reaches the
-    driver. The feature frame is localCheckpoint-materialized once, so the
-    corpus is tokenized/hashed a single time regardless of ``iters``;
-    blocks are reclaimed by the caller's ``cache.checkpoint_scope``.
+    The bias is folded in as a constant feature (bucket = −1, x = 1), so
+    each iteration is exactly one BROADCAST join of the ≤ dim+1-row weight
+    table + a groupBy(doc) margin sum + a groupBy(bucket) gradient sum; only
+    the weight vector ever reaches the driver. The feature frame is
+    localCheckpoint-materialized once, so the corpus is tokenized/hashed a
+    single time regardless of ``iters``; blocks are reclaimed by the
+    caller's ``cache.checkpoint_scope``.
 
     At 100 TB you train on a sample (classifier quality saturates in the
     millions of examples) and score the full corpus with
@@ -435,11 +436,15 @@ def train_quality_classifier(
     both = pos.withColumn("did", F.concat(F.lit("p"), F.col("did"))).unionAll(
         neg.withColumn("did", F.concat(F.lit("n"), F.col("did")))
     )
-    feats = doc_feature_counts(both, "txt", "did", dim=dim, salt=salt).join(
-        both.select("did", "y"), on="did"
+    gram_feats = doc_feature_counts(both, "txt", "did", dim=dim, salt=salt).select(
+        "did", "bucket", "x"
     )
+    bias_feats = both.select(
+        "did", F.lit(-1).cast("long").alias("bucket"), F.lit(1.0).alias("x")
+    )
+    feats = gram_feats.unionAll(bias_feats).join(both.select("did", "y"), on="did")
     feats, _release = eager_localcheckpoint(feats)
-    n_examples = feats.select("did").distinct().count()
+    n_examples = feats.filter(F.col("bucket") == -1).count()
 
     spark = positive.sparkSession
     weights = {b: 0.0 for b in range(-1, dim)}  # -1 = bias
@@ -453,24 +458,15 @@ def train_quality_classifier(
             .agg(F.sum(F.col("x") * F.col("weight")).alias("wx"))
             .select(
                 "did",
-                "y",
-                (
-                    F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("wx") + F.lit(weights[-1]))))
-                    - F.col("y")
-                ).alias("err"),
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("wx"))) - F.col("y")).alias(
+                    "err"
+                ),
             )
         )
         grad_rows = (
-            feats.join(margins.select("did", "err"), on="did")
+            feats.join(margins, on="did")
             .groupBy("bucket")
             .agg(F.sum(F.col("err") * F.col("x")).alias("g"))
-            .unionAll(
-                margins.select(
-                    F.lit(-1).cast("long").alias("bucket"), F.col("err").alias("g")
-                )
-                .groupBy("bucket")
-                .agg(F.sum("g").alias("g"))
-            )
             .collect()
         )
         for r in grad_rows:
@@ -502,32 +498,21 @@ def score_quality(
     )
     table = weights.filter(F.col("bucket") != -1)
     feats = doc_feature_counts(df, text_col, id_col, dim=dim, salt=salt)
-    n_grams = (
-        df.select(
-            F.col(id_col),
-            F.size(
-                hashed_gram_buckets_expr(
-                    tokens_expr(F.lower(F.col(text_col))), dim=dim, salt=salt
-                )
-            ).alias("n_grams"),
-        )
-        .filter(F.col("n_grams") > 0)
-    )
+    # one pass over the feature frame: margin and gram count together
     wx = (
         feats.join(F.broadcast(table), on="bucket", how="left")
         .groupBy(id_col)
-        .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0.0)) * F.col("x")).alias("wx"))
-    )
-    return (
-        wx.join(n_grams, on=id_col)
-        .crossJoin(F.broadcast(bias))
-        .select(
-            id_col,
-            "n_grams",
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("wx") + F.col("__bias"))))).alias(
-                "quality_prob"
-            ),
+        .agg(
+            F.sum(F.coalesce(F.col("weight"), F.lit(0.0)) * F.col("x")).alias("wx"),
+            F.sum("cnt").alias("n_grams"),
         )
+    )
+    return wx.crossJoin(F.broadcast(bias)).select(
+        id_col,
+        "n_grams",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("wx") + F.col("__bias"))))).alias(
+            "quality_prob"
+        ),
     )
 
 
