@@ -202,23 +202,46 @@ def convert_raw(
         return set_bitmask_to_csv(raw, resolved.enum_values)
     if fam == "YEAR":
         return _cast(raw, T.IntegerType())
+    # isostring temporal mode: raw VStream string passes through untouched
+    # (ReplicationMessageColumnValueResolver.java:63-73)
+    if fam in ("DATE", "TIME", "DATETIME", "TIMESTAMP") and isinstance(
+        resolved.spark_type, T.StringType
+    ) and resolved.logical_name is None:
+        return raw
     if fam == "DATE":
         guarded = _zero_date_guard(raw, ZERO_DATE, nullable_zero_dates, F.lit("1970-01-01"))
         return _cast(guarded, T.DateType())
     if fam == "TIME":
-        return time_to_micros(raw)
+        micros = time_to_micros(raw)
+        if resolved.logical_name == "org.apache.kafka.connect.data.Time":
+            # connect mode: millis-since-midnight, fraction truncated toward
+            # zero (Duration.toMillis semantics; negative TIME keeps sign)
+            return ((micros - micros % 1000) / F.lit(1000)).cast("long")
+        return micros
     if fam == "DATETIME":
         guarded = _zero_date_guard(
             raw, ZERO_DATE, nullable_zero_dates, F.lit("1970-01-01 00:00:00")
         )
+        if resolved.logical_name == "org.apache.kafka.connect.data.Timestamp":
+            # connect mode: millisecond precision — drop fraction digits > 3
+            guarded = F.regexp_replace(guarded, r"(\.\d{1,3})\d*$", r"$1")
         return _cast(guarded, T.TimestampNTZType())
     if fam == "TIMESTAMP":
         # VStream sends UTC 'yyyy-MM-dd HH:mm:ss[.f]'; emit ISO-8601 Z string
         # (io.debezium.time.ZonedTimestamp; VitessValueConverter.java:446-511)
         guarded = _zero_date_guard(raw, ZERO_DATE, nullable_zero_dates, F.lit("1970-01-01 00:00:00"))
-        return F.when(
-            guarded.isNotNull(), F.concat(F.regexp_replace(guarded, " ", "T"), F.lit("Z"))
-        )
+        iso = F.concat(F.regexp_replace(guarded, " ", "T"), F.lit("Z"))
+        if resolved.logical_name == "org.apache.kafka.connect.data.Timestamp":
+            # connect mode: Spark TimestampType at millisecond precision; the
+            # explicit Z keeps the parse session-timezone-independent
+            iso = F.concat(
+                F.regexp_replace(
+                    F.regexp_replace(guarded, r"(\.\d{1,3})\d*$", r"$1"), " ", "T"
+                ),
+                F.lit("Z"),
+            )
+            return _cast(iso, T.TimestampType())
+        return F.when(guarded.isNotNull(), iso)
     if fam in ("BLOB", "BINARY"):
         # transport is base64 for binary columns
         if binary_mode is BinaryHandlingMode.BASE64:

@@ -195,22 +195,43 @@ def resolve(
             return ResolvedType(family, T.StringType())
         return ResolvedType(family, T.DateType())
     if family == "TIME":
-        # No Spark TimeType: micros-since-midnight LongType
-        # (reference io.debezium.time.MicroTime, VitessValueConverter.java:365-399)
+        # No Spark TimeType: micros-since-midnight LongType (reference
+        # io.debezium.time.MicroTime, VitessValueConverter.java:365-399);
+        # connect mode = millis (org.apache.kafka.connect.data.Time analog,
+        # VitessValueConverter.java:128-152 via JdbcValueConverters connect)
         if temporal_mode is TemporalPrecisionMode.ISOSTRING:
             return ResolvedType(family, T.StringType(), precision=decimals)
+        if temporal_mode is TemporalPrecisionMode.CONNECT:
+            return ResolvedType(
+                family, T.LongType(),
+                logical_name="org.apache.kafka.connect.data.Time", precision=decimals,
+            )
         return ResolvedType(
             family, T.LongType(), logical_name="io.debezium.time.MicroTime", precision=decimals
         )
     if family == "DATETIME":
         if temporal_mode is TemporalPrecisionMode.ISOSTRING:
             return ResolvedType(family, T.StringType(), precision=decimals)
+        if temporal_mode is TemporalPrecisionMode.CONNECT:
+            # Connect Timestamp = epoch millis: same Spark type, value
+            # truncated to millisecond precision at conversion
+            return ResolvedType(
+                family, T.TimestampNTZType(),
+                logical_name="org.apache.kafka.connect.data.Timestamp",
+                precision=decimals,
+            )
         return ResolvedType(family, T.TimestampNTZType(), precision=decimals)
     if family == "TIMESTAMP":
         # UTC ZonedTimestamp string in reference default mode
         # (VitessValueConverter.java:446-511); Spark-native TimestampType (UTC)
+        if temporal_mode is TemporalPrecisionMode.ISOSTRING:
+            return ResolvedType(family, T.StringType(), precision=decimals)
         if temporal_mode is TemporalPrecisionMode.CONNECT:
-            return ResolvedType(family, T.TimestampType(), precision=decimals)
+            return ResolvedType(
+                family, T.TimestampType(),
+                logical_name="org.apache.kafka.connect.data.Timestamp",
+                precision=decimals,
+            )
         return ResolvedType(
             family, T.StringType(), logical_name="io.debezium.time.ZonedTimestamp",
             precision=decimals,

@@ -294,3 +294,58 @@ def test_load_events_ts_is_session_timezone_independent(spark, sf_dir):
             assert got == {k: v for k, v in expect.items() if k < 50}, tz
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_connect_and_isostring_temporal_modes(spark):
+    """time.precision.mode=connect (millis truncation, Connect logical
+    types) and isostring (raw VStream string passthrough) — reference
+    VitessValueConverter connect path + ReplicationMessageColumnValueResolver
+    isostring passthrough (:63-73)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from debezium_connector_vitess_spark.decode import convert_raw
+    from debezium_connector_vitess_spark.types import TemporalPrecisionMode, resolve
+
+    df = spark.createDataFrame(
+        [("11:22:33.123456", "-100:30:00.999", "2024-03-05 10:20:30.123456",
+          "2024-03-05 10:20:30.123456")],
+        "t string, tneg string, dt string, ts string",
+    )
+    conn = lambda fam: resolve(fam, temporal_mode=TemporalPrecisionMode.CONNECT)
+    iso = lambda fam: resolve(fam, temporal_mode=TemporalPrecisionMode.ISOSTRING)
+    out = df.select(
+        convert_raw(F.col("t"), conn("TIME")).alias("t_ms"),
+        convert_raw(F.col("tneg"), conn("TIME")).alias("tneg_ms"),
+        convert_raw(F.col("dt"), conn("DATETIME")).alias("dt_conn"),
+        convert_raw(F.col("ts"), conn("TIMESTAMP")).alias("ts_conn"),
+        convert_raw(F.col("t"), iso("TIME")).alias("t_iso"),
+        convert_raw(F.col("ts"), iso("TIMESTAMP")).alias("ts_iso"),
+    )
+    assert out.schema["ts_conn"].dataType == T.TimestampType()
+    assert out.schema["dt_conn"].dataType == T.TimestampNTZType()
+    r = out.collect()[0]
+    assert r["t_ms"] == (11 * 3600 + 22 * 60 + 33) * 1000 + 123
+    assert r["tneg_ms"] == -((100 * 3600 + 30 * 60) * 1000 + 999)
+    assert r["dt_conn"] == datetime.datetime(2024, 3, 5, 10, 20, 30, 123000)
+    # session tz pinned UTC in conftest; connect TIMESTAMP is millis-truncated
+    assert r["ts_conn"] == datetime.datetime(2024, 3, 5, 10, 20, 30, 123000)
+    # isostring: untouched VStream strings
+    assert r["t_iso"] == "11:22:33.123456"
+    assert r["ts_iso"] == "2024-03-05 10:20:30.123456"
+
+
+def test_connect_time_resolution_logical_names():
+    from pyspark.sql import types as T
+
+    from debezium_connector_vitess_spark.types import TemporalPrecisionMode, resolve
+
+    t = resolve("TIME", temporal_mode=TemporalPrecisionMode.CONNECT)
+    assert t.spark_type == T.LongType()
+    assert t.logical_name == "org.apache.kafka.connect.data.Time"
+    dt = resolve("DATETIME", temporal_mode=TemporalPrecisionMode.CONNECT)
+    assert dt.logical_name == "org.apache.kafka.connect.data.Timestamp"
+    ts_iso = resolve("TIMESTAMP", temporal_mode=TemporalPrecisionMode.ISOSTRING)
+    assert ts_iso.spark_type == T.StringType() and ts_iso.logical_name is None
