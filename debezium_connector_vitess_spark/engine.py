@@ -32,6 +32,9 @@ Property → engine map (citations against the reference):
   ``override.datetime.to.nullable`` (:482-491),
   ``event.processing.failure.handling.mode`` (fail|warn|skip)
   → decode modes (warn/skip = permissive try_cast decode, E4)
+- ``time.precision.mode`` (:493-514; plain ``adaptive`` rejected, as the
+  reference) → ``resolve_modes`` consumed by :meth:`schema_from_field_event`
+  (schemas capture temporal resolution at build time)
 - ``topic.prefix``, ``override.data.change.topic.prefix`` (+
   ``.exclude.list``), ``include.schema.changes`` (:380-390)
   → ``sinks.TopicNamingStrategy``
@@ -56,7 +59,12 @@ from .filters import ColumnFilter, TableFilter
 from .sinks import TopicNamingStrategy, heartbeat_records, kafka_records
 from .sources.vstream import VStreamConfig
 from .transforms import schema_change_records
-from .types import BigIntUnsignedHandlingMode, BinaryHandlingMode, TableSchema
+from .types import (
+    BigIntUnsignedHandlingMode,
+    BinaryHandlingMode,
+    TableSchema,
+    TemporalPrecisionMode,
+)
 
 _TRUE = {"true", "1", "yes"}
 
@@ -157,8 +165,29 @@ class VitessCdcEngine:
             ),
             "permissive": fail_mode in ("warn", "skip"),
         }
+        # schema-resolution modes: temporal precision is captured when a
+        # FIELD event becomes a TableSchema (resolve-time), not at convert
+        # time — mirrors VitessValueConverter being constructed per config
+        self.resolve_modes = {
+            "bigint_unsigned_mode": self.decode_modes["bigint_unsigned_mode"],
+            "binary_mode": self.decode_modes["binary_mode"],
+            "temporal_mode": TemporalPrecisionMode(
+                p("time.precision.mode", "adaptive_time_microseconds")
+            ),
+        }
 
         self._smt_chain = self._parse_transforms()
+
+    def schema_from_field_event(
+        self, keyspace: str, shard: str, table: str, fields, **kwargs
+    ) -> TableSchema:
+        """FIELD event → :class:`TableSchema` under this engine's configured
+        resolution modes (incl. ``time.precision.mode``)."""
+        from .types import field_event_to_schema
+
+        return field_event_to_schema(
+            keyspace, shard, table, fields, **{**self.resolve_modes, **kwargs}
+        )
 
     # -- source ----------------------------------------------------------
 

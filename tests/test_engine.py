@@ -235,3 +235,29 @@ def test_schema_changes_and_heartbeats_from_properties(spark, sf_dir):
 
     with pytest.raises(ValueError, match="include.schema.changes"):
         VitessCdcEngine(spark, BASE_PROPS).schema_changes(ddl)
+
+
+def test_time_precision_mode_through_engine(spark):
+    """time.precision.mode flows from the reference property into schema
+    resolution: connect -> Connect Time/Timestamp logical types; adaptive
+    (plain) rejected like VitessConnectorConfig.java:493-514."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from debezium_connector_vitess_spark.engine import VitessCdcEngine
+
+    props = dict(BASE_PROPS)
+    props["time.precision.mode"] = "connect"
+    eng = VitessCdcEngine(spark, props)
+    schema = eng.schema_from_field_event(
+        "ks0", "-80", "t",
+        [{"name": "created", "type": "TIME", "column_type": "time(3)"},
+         {"name": "ts", "type": "TIMESTAMP", "column_type": "timestamp"}],
+    )
+    by_name = {c.name: c.resolved for c in schema.columns}
+    assert by_name["created"].logical_name == "org.apache.kafka.connect.data.Time"
+    assert by_name["ts"].spark_type == T.TimestampType()
+
+    props["time.precision.mode"] = "adaptive"
+    with pytest.raises(ValueError):
+        VitessCdcEngine(spark, props)
