@@ -1051,3 +1051,65 @@ def test_score_quality_plan_broadcasts(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning(bucket" not in plan
+
+
+def test_sample_token_budget_property(spark):
+    """Property: the two-level fill selects EXACTLY the docs a sequential
+    per-domain greedy fill (ordered by (bucket, md5, id)) would, with the
+    same doc_start offsets — for arbitrary corpora and budgets."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from debezium_connector_vitess_spark.ops.pipeline import sample_token_budget
+
+    docs_st = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),   # doc_id
+            st.sampled_from(["a", "b", "c"]),             # domain
+            st.integers(min_value=0, max_value=40),       # n tokens
+        ),
+        min_size=0, max_size=25, unique_by=lambda t: t[0],
+    )
+    budget_st = st.fixed_dictionaries(
+        {d: st.integers(min_value=0, max_value=300) for d in ("a", "b", "c")}
+    )
+
+    @given(docs_st, budget_st)
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(rows, budgets):
+        n_buckets = 4
+        df = spark.createDataFrame(
+            [(i, d, " ".join(["w"] * n)) for i, d, n in rows],
+            "doc_id long, source string, text string",
+        )
+        bdf = spark.createDataFrame(
+            list(budgets.items()), "source string, budget_tokens long"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["doc_start"])
+            for r in sample_token_budget(
+                df, "text", "doc_id", domain_col="source",
+                budgets=bdf, n_buckets=n_buckets,
+            ).collect()
+        }
+        # sequential reference fill
+        expect = {}
+        for dom in ("a", "b", "c"):
+            members = []
+            for i, d, n in rows:
+                if d != dom:
+                    continue
+                h = int(hashlib.md5(f"mixture{i}".encode()).hexdigest()[:15], 16)
+                members.append((h % n_buckets, h, i, n))
+            members.sort()
+            start = 0
+            for _, _, i, n in members:
+                if start < budgets[dom]:
+                    expect[i] = (n, start)
+                start += n
+        assert got == expect
+
+    check()
