@@ -177,6 +177,88 @@ def ordered_tx_metadata_stream(raw_df: DataFrame) -> DataFrame:
     )
 
 
+try:  # the tws API ships with Spark 4.x; keep module import safe elsewhere
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor as _StatefulProcessorBase,
+    )
+except ImportError:  # pragma: no cover
+    _StatefulProcessorBase = object  # type: ignore[assignment,misc]
+
+
+class _OrderedTxProcessor(_StatefulProcessorBase):
+    """StatefulProcessor for :func:`ordered_tx_metadata_stream_tws` — same
+    per-shard state machine as :func:`_process_shard` on the
+    current-generation stateful API (ValueState instead of GroupState)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("tx_state", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        shard = key[0]
+        stored = self._state.get() if self._state.exists() else None
+        prev_gtid, epoch = stored if stored is not None else ("current", 0)
+        chunks = list(rows)
+        if not chunks:
+            yield pd.DataFrame(columns=[f.name for f in TX_META_SCHEMA.fields])
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values("seq_order", kind="mergesort")
+        out: list[dict[str, Any]] = []
+        for row in pdf.itertuples(index=False):
+            epoch = epoch_for_gtid(epoch, prev_gtid, row.gtid)
+            prev_gtid = row.gtid
+            out.append(
+                {
+                    "shard": shard,
+                    "tx_id": row.tx_id,
+                    "gtid": row.gtid,
+                    "ts_ms": row.ts_ms,
+                    "transaction_epoch": epoch,
+                    "transaction_rank": str(get_rank(row.gtid)),
+                }
+            )
+        self._state.update((prev_gtid, epoch))
+        yield pd.DataFrame(out, columns=[f.name for f in TX_META_SCHEMA.fields])
+
+    def close(self) -> None:
+        pass
+
+
+def ordered_tx_metadata_stream_tws(raw_df: DataFrame) -> DataFrame:
+    """T4/T7 on ``transformWithStateInPandas`` (the current-generation Spark
+    stateful API, Spark 4.x): per-shard ``ValueState`` {prev_gtid, epoch}.
+
+    Same output contract as :func:`ordered_tx_metadata_stream` (the parity
+    test runs both over the same replay stream and compares row sets).
+    Requires (a) the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) and (b) the ``google.protobuf``
+    runtime, which tws's Python state-server protocol imports
+    (``pyspark.sql.streaming.proto``). This container ships neither
+    protobuf nor pip access, so HERE the parity test skips — the same
+    environmental gate as the grpcio live channel; plan construction is
+    exercised, execution is not. The ``applyInPandasWithState`` form
+    remains the default registry/bench path; this one is the
+    forward-compatible implementation (and the base to hang per-key TTL
+    timers on)."""
+    from .batch import rank_expr
+
+    proc = _OrderedTxProcessor()
+    commits = raw_df.filter(F.col("event_kind") == "COMMIT").select(
+        "shard",
+        "tx_id",
+        "gtid",
+        F.unix_millis("ts").alias("ts_ms"),
+        rank_expr(F.col("gtid")).alias("seq_order"),
+    )
+    return commits.groupBy("shard").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=TX_META_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def ordered_tx_metadata_stream_lineage(raw_df: DataFrame) -> DataFrame:
     """Ordered-tx metadata WITH reshard-epoch lineage (T4/T5/T7 streaming).
 

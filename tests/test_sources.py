@@ -553,3 +553,78 @@ def test_lineage_stream_restart_inherits_across_checkpoint(spark, tmp_path):
         ("40-80", "MySQL56/host0:1-31"): 2,
         ("80-", "MySQL56/host0:1-21"): 1,
     }
+
+
+def test_stateful_tx_metadata_stream_tws(spark, replay_dir, tmp_path):
+    """The transformWithStateInPandas implementation must produce exactly the
+    applyInPandasWithState operator's output over the same replay stream
+    (same epochs, ranks, ordering contract).
+
+    Skipped where the google.protobuf runtime is absent: tws's state-server
+    protocol needs it (pyspark.sql.streaming.proto), and this container does
+    not ship it — same environmental gate as the grpcio live-channel tests."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from debezium_connector_vitess_spark.sources.replay import register
+    from debezium_connector_vitess_spark.txmeta.streaming import (
+        ordered_tx_metadata_stream,
+        ordered_tx_metadata_stream_tws,
+    )
+
+    register(spark)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        raw = spark.readStream.format("vitess-replay").option("path", replay_dir).load()
+        q = (
+            ordered_tx_metadata_stream_tws(raw)
+            .writeStream.format("memory")
+            .queryName("txmeta_tws")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        raw2 = spark.readStream.format("vitess-replay").option("path", replay_dir).load()
+        q2 = (
+            ordered_tx_metadata_stream(raw2)
+            .writeStream.format("memory")
+            .queryName("txmeta_aip")
+            .option("checkpointLocation", str(tmp_path / "ckpt_aip"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    tws = sorted(map(tuple, spark.sql("SELECT * FROM txmeta_tws").collect()))
+    aip = sorted(map(tuple, spark.sql("SELECT * FROM txmeta_aip").collect()))
+    assert len(tws) > 0
+    assert tws == aip
+
+
+def test_tws_operator_plan_construction(spark, replay_dir):
+    """Building the tws operator's plan (schema, grouping) needs no protobuf
+    runtime — only execution does; the unresolved plan must carry the same
+    output schema as the applyInPandasWithState operator."""
+    from debezium_connector_vitess_spark.sources.replay import register
+    from debezium_connector_vitess_spark.txmeta.streaming import (
+        ordered_tx_metadata_stream,
+        ordered_tx_metadata_stream_tws,
+    )
+
+    register(spark)
+    raw = spark.readStream.format("vitess-replay").option("path", replay_dir).load()
+    tws = ordered_tx_metadata_stream_tws(raw)
+    aip = ordered_tx_metadata_stream(raw)
+    assert tws.schema == aip.schema
+    assert tws.isStreaming
