@@ -201,6 +201,10 @@ def sample_token_budget(
     cumsum partitions by (domain, bucket), giving ``n_buckets``-way
     parallelism inside every domain. Selection is identical to the
     single-window formulation, deterministic, and engine-reproducible.
+    The broadcast frame is |domains| × ``n_buckets`` rows; with very high
+    domain cardinality (millions of fine-grained domains — where per-domain
+    fill order hardly matters anyway) lower ``n_buckets`` or drop the
+    broadcast hint and let AQE pick the join side.
     """
     h = _md5_long_expr(F.col(id_col), salt)
     base = df.select(
@@ -282,12 +286,15 @@ def dsir_logratios(
     """
 
     def counts(df: DataFrame, col: str) -> DataFrame:
-        toks = tokens_expr(F.lower(F.col(text_col)))
+        # stage tokens as a real column: the grams expression references the
+        # token array twice (unigrams + bigram slices), and staging guarantees
+        # one tokenization pass per row (see shingles_from_tokens_expr)
+        staged = df.select(tokens_expr(F.lower(F.col(text_col))).alias("__toks"))
         return (
-            df.select(
-                F.explode(hashed_gram_buckets_expr(toks, dim=dim, salt=salt)).alias(
-                    "bucket"
-                )
+            staged.select(
+                F.explode(
+                    hashed_gram_buckets_expr(F.col("__toks"), dim=dim, salt=salt)
+                ).alias("bucket")
             )
             .groupBy("bucket")
             .agg(F.count("*").alias(col))
@@ -351,10 +358,14 @@ def dsir_importance(
         F.col("log_ratio").alias("__default_lr")
     )
     table = logratios.filter(F.col("bucket") != DSIR_DEFAULT_BUCKET)
-    toks = tokens_expr(F.lower(F.col(text_col)))
-    exploded = df.select(
+    staged = df.select(
+        F.col(id_col), tokens_expr(F.lower(F.col(text_col))).alias("__toks")
+    )
+    exploded = staged.select(
         F.col(id_col),
-        F.explode(hashed_gram_buckets_expr(toks, dim=dim, salt=salt)).alias("bucket"),
+        F.explode(
+            hashed_gram_buckets_expr(F.col("__toks"), dim=dim, salt=salt)
+        ).alias("bucket"),
     )
     scored = (
         exploded.join(F.broadcast(table), on="bucket", how="left")
@@ -375,10 +386,14 @@ def doc_feature_counts(
     x = occurrences(bucket) / total grams — the normalized bag-of-hashed-
     n-grams both the DSIR weights and the quality classifier consume.
     Documents with zero grams are dropped."""
-    toks = tokens_expr(F.lower(F.col(text_col)))
-    exploded = df.select(
+    staged = df.select(
+        F.col(id_col), tokens_expr(F.lower(F.col(text_col))).alias("__toks")
+    )
+    exploded = staged.select(
         F.col(id_col),
-        F.explode(hashed_gram_buckets_expr(toks, dim=dim, salt=salt)).alias("bucket"),
+        F.explode(
+            hashed_gram_buckets_expr(F.col("__toks"), dim=dim, salt=salt)
+        ).alias("bucket"),
     )
     counts = exploded.groupBy(id_col, "bucket").agg(F.count("*").alias("cnt"))
     wdoc = Window.partitionBy(id_col)
