@@ -421,3 +421,84 @@ def redact_pii_expr(text: Column) -> Column:
     for pat, token in _PII_ORDER:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+# --- paragraph-level dedup (the Dolma/CCNet cleaning pass) -----------------
+
+PARAGRAPH_SPLIT = r"\n{2,}"
+
+
+def paragraphs_expr(text: Column) -> Column:
+    """Paragraph array: split on blank lines, trimmed, empties dropped."""
+    return F.filter(
+        F.transform(F.split(text, PARAGRAPH_SPLIT), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+
+
+def dedup_paragraphs_within(df, text_col: str, out_col: str | None = None):
+    """Intra-document paragraph dedup: keep the FIRST occurrence of each
+    repeated paragraph inside a document, preserving order
+    (``array_distinct`` keeps first-occurrence order), and rebuild the text
+    with a canonical blank-line separator. Pure narrow Catalyst projection —
+    no shuffle, no Python; at 100 TB this is a map-only cleaning pass."""
+    out_col = out_col or text_col
+    return df.withColumn(
+        out_col,
+        F.array_join(F.array_distinct(paragraphs_expr(F.col(text_col))), "\n\n"),
+    )
+
+
+def drop_duplicate_paragraphs(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    min_chars: int = 1,
+    out_col: str | None = None,
+):
+    """Corpus-level paragraph dedup: a paragraph that appears in multiple
+    documents survives ONLY in the document where it first appears (lowest
+    ``id_col``; within a document, its first position). Boilerplate shorter
+    than ``min_chars`` is exempt from cross-document matching (tiny
+    paragraphs like headings legitimately repeat).
+
+    Scale shape: paragraphs travel the shuffle as 16-byte md5 keys plus
+    (id, pos) coordinates, never as strings; one groupBy(hash) min-winner
+    pass, one colocated left-semi back-join, one groupBy(doc) rebuild with
+    order restored via array_sort on (pos, paragraph) structs. Returns
+    (id_col, out_col) with documents whose every paragraph was claimed
+    elsewhere becoming empty strings.
+    """
+    out_col = out_col or text_col
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(paragraphs_expr(F.col(text_col))).alias("pos", "para"),
+    ).withColumn("phash", F.md5(F.col("para")))
+    keyed = paras.withColumn("__long", F.length("para") >= min_chars)
+    winners = (
+        keyed.filter(F.col("__long"))
+        .groupBy("phash")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+        .select("phash", F.col("w." + id_col).alias("__wid"), F.col("w.pos").alias("__wpos"))
+    )
+    kept = keyed.join(winners, on="phash", how="left").filter(
+        (~F.col("__long"))
+        | ((F.col(id_col) == F.col("__wid")) & (F.col("pos") == F.col("__wpos")))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias(out_col)
+    )
+    # documents whose every paragraph was claimed elsewhere (or were empty)
+    # come back as empty strings, not missing rows
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, on=id_col, how="left")
+        .select(F.col(id_col), F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
+    )

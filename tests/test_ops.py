@@ -1113,3 +1113,84 @@ def test_sample_token_budget_property(spark):
         assert got == expect
 
     check()
+
+
+def test_dedup_paragraphs_within(spark):
+    from debezium_connector_vitess_spark.ops.text import dedup_paragraphs_within
+
+    df = spark.createDataFrame(
+        [(1, "intro here\n\nsame para\n\nmiddle bit\n\n\nsame para\n\nend"),
+         (2, "only one paragraph"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           dedup_paragraphs_within(df, "text").collect()}
+    assert out[1] == "intro here\n\nsame para\n\nmiddle bit\n\nend"
+    assert out[2] == "only one paragraph"
+    assert out[3] == ""
+
+
+def test_drop_duplicate_paragraphs_corpus(spark):
+    """Corpus-level: a repeated paragraph survives only at its first
+    appearance (lowest doc, then lowest position); short boilerplate under
+    min_chars repeats freely; fully-claimed docs come back empty."""
+    from debezium_connector_vitess_spark.ops.text import drop_duplicate_paragraphs
+
+    boiler = "subscribe to our newsletter for updates and offers"
+    df = spark.createDataFrame(
+        [(1, f"unique one\n\n{boiler}\n\nmore text"),
+         (2, f"{boiler}\n\nsecond doc body"),
+         (3, boiler),
+         (4, f"hi\n\n{boiler}")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           drop_duplicate_paragraphs(df, "text", "doc_id", min_chars=10).collect()}
+    assert out[1] == f"unique one\n\n{boiler}\n\nmore text"
+    assert out[2] == "second doc body"
+    assert out[3] == ""
+    assert out[4] == "hi"
+
+    # min_chars exemption: short headings repeat everywhere
+    short = drop_duplicate_paragraphs(df, "text", "doc_id", min_chars=100)
+    kept = {r["doc_id"]: r["text"] for r in short.collect()}
+    assert kept[3] == boiler  # nothing long enough to claim
+
+
+def test_drop_duplicate_paragraphs_matches_duckdb(spark, sf_dir):
+    """DuckDB parity for the corpus-level pass on real documents (md5 keys,
+    min-(doc,pos) winners, order-preserving rebuild)."""
+    from debezium_connector_vitess_spark.ops.text import drop_duplicate_paragraphs
+    from tests.oracle_harness import compare
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = drop_duplicate_paragraphs(docs, "text", "doc_id", min_chars=20)
+    oracle = """
+    WITH paras AS (
+      SELECT doc_id, u.p AS para, u.i - 1 AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(list_transform(string_split_regex(text, '\\n{2,}'),
+                                          x -> trim(x)), x -> x <> '') AS ps
+        FROM documents),
+        LATERAL (SELECT unnest(ps) AS p,
+                        generate_subscripts(ps, 1) AS i) u),
+    keyed AS (
+      SELECT doc_id, pos, para, md5(para) AS phash,
+             length(para) >= 20 AS long FROM paras),
+    winners AS (
+      SELECT phash, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+      FROM keyed WHERE long GROUP BY phash),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.para FROM keyed k LEFT JOIN winners w USING (phash)
+      WHERE (NOT k.long) OR (k.doc_id = w.w.doc_id AND k.pos = w.w.pos)),
+    rebuilt AS (
+      SELECT doc_id,
+             list_aggr(list_transform(list_sort(list(struct_pack(pos := pos, para := para))),
+                                      s -> s.para), 'string_agg', e'\\n\\n') AS text
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(r.text, '') AS text
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """
+    compare(got, oracle, sf_dir)
