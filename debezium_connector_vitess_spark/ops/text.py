@@ -463,42 +463,54 @@ def drop_duplicate_paragraphs(
     than ``min_chars`` is exempt from cross-document matching (tiny
     paragraphs like headings legitimately repeat).
 
-    Scale shape: paragraphs travel the shuffle as 16-byte md5 keys plus
-    (id, pos) coordinates, never as strings; one groupBy(hash) min-winner
-    pass, one colocated left-semi back-join, one groupBy(doc) rebuild with
-    order restored via array_sort on (pos, paragraph) structs. Returns
+    Scale shape: the dedup logic runs entirely on (16-byte md5, doc, pos)
+    COORDINATES — paragraph strings are hashed map-side and never enter the
+    winner shuffle. One groupBy(hash) min-(doc,pos) pass, a colocated
+    back-join on hash, a groupBy(doc) that collects the surviving position
+    list (small ints), and ONE corpus join on the doc id whose rebuild is a
+    narrow index-filtered projection over the re-split text. Returns
     (id_col, out_col) with documents whose every paragraph was claimed
     elsewhere becoming empty strings.
     """
     out_col = out_col or text_col
-    paras = df.select(
+    coords = df.select(
         F.col(id_col),
         F.posexplode(paragraphs_expr(F.col(text_col))).alias("pos", "para"),
-    ).withColumn("phash", F.md5(F.col("para")))
-    keyed = paras.withColumn("__long", F.length("para") >= min_chars)
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.md5(F.col("para")).alias("phash"),
+        (F.length("para") >= min_chars).alias("__long"),
+    )
     winners = (
-        keyed.filter(F.col("__long"))
+        coords.filter(F.col("__long"))
         .groupBy("phash")
         .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
         .select("phash", F.col("w." + id_col).alias("__wid"), F.col("w.pos").alias("__wpos"))
     )
-    kept = keyed.join(winners, on="phash", how="left").filter(
-        (~F.col("__long"))
-        | ((F.col(id_col) == F.col("__wid")) & (F.col("pos") == F.col("__wpos")))
+    kept_pos = (
+        coords.join(winners, on="phash", how="left")
+        .filter(
+            (~F.col("__long"))
+            | ((F.col(id_col) == F.col("__wid")) & (F.col("pos") == F.col("__wpos")))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__keep"))
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda s: s["para"],
-            ),
-            "\n\n",
-        ).alias(out_col)
+    rebuilt = F.array_join(
+        F.filter(
+            paragraphs_expr(F.col(text_col)),
+            lambda p, i: F.array_contains(F.col("__keep"), i),
+        ),
+        "\n\n",
     )
-    # documents whose every paragraph was claimed elsewhere (or were empty)
-    # come back as empty strings, not missing rows
     return (
-        df.select(F.col(id_col))
-        .join(rebuilt, on=id_col, how="left")
-        .select(F.col(id_col), F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
+        df.select(F.col(id_col), F.col(text_col))
+        .join(kept_pos, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__keep").isNotNull(), rebuilt).otherwise(F.lit("")).alias(
+                out_col
+            ),
+        )
     )
