@@ -79,3 +79,46 @@ def write_training_shards(
             F.max(sort_col).alias(f"max_{sort_col}"),
         )
     )
+
+
+def read_shard_range(
+    spark,
+    path: str,
+    *,
+    sort_col: str,
+    lo,
+    hi,
+    manifest: Optional[DataFrame] = None,
+    format: str = "parquet",
+) -> DataFrame:
+    """Manifest-pruned range read — the consumption side the range-clustered
+    layout exists for: load ONLY the shard files whose [min, max] key span
+    overlaps [lo, hi] (inclusive), then filter exactly.
+
+    ``manifest`` is the frame :func:`write_training_shards` returned; pass
+    ``None`` to rebuild it from the written footers. The manifest is
+    file-list-sized (one row per output file) so collecting it driver-side
+    is the same class of operation as Spark's own file-listing; the pruned
+    read plus the pushed-down ``BETWEEN`` filter means unselected shards are
+    never opened.
+    """
+    if manifest is None:
+        manifest = (
+            spark.read.format(format)
+            .load(path)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.min(sort_col).alias(f"min_{sort_col}"),
+                F.max(sort_col).alias(f"max_{sort_col}"),
+            )
+        )
+    files = [
+        r["file"]
+        for r in manifest.filter(
+            (F.col(f"min_{sort_col}") <= hi) & (F.col(f"max_{sort_col}") >= lo)
+        ).collect()
+    ]
+    base = spark.read.format(format)
+    if not files:
+        return base.load(path).filter(F.lit(False))
+    return base.load(files).filter(F.col(sort_col).between(lo, hi))

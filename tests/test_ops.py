@@ -1194,3 +1194,33 @@ def test_drop_duplicate_paragraphs_matches_duckdb(spark, sf_dir):
     FROM documents d LEFT JOIN rebuilt r USING (doc_id)
     """
     compare(got, oracle, sf_dir)
+
+
+def test_read_shard_range_prunes_files(spark, sf_dir, tmp_path):
+    """The manifest-pruned range reader must open only overlapping shard
+    files and return exactly the rows a full-scan filter would."""
+    from debezium_connector_vitess_spark.ops.layout import (
+        read_shard_range,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, path, sort_col="doc_id", num_shards=8)
+    assert manifest.count() == 8
+
+    out = read_shard_range(
+        spark, path, sort_col="doc_id", lo=100, hi=160, manifest=manifest
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    want = sorted(
+        r["doc_id"] for r in docs.filter("doc_id BETWEEN 100 AND 160").collect()
+    )
+    assert got == want and len(got) > 0
+    # pruning: fewer files opened than written
+    assert 0 < len(out.inputFiles()) < 8
+    # empty range loads nothing but keeps the schema
+    empty = read_shard_range(
+        spark, path, sort_col="doc_id", lo=10**9, hi=2 * 10**9, manifest=manifest
+    )
+    assert empty.count() == 0 and empty.schema == out.schema
