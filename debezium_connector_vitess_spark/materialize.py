@@ -187,6 +187,7 @@ def _process_key(
     key: tuple,
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
+    evict_deleted: bool = False,
 ) -> Iterator[pd.DataFrame]:
     table_name, rec_key = key
     if state.exists:
@@ -206,7 +207,14 @@ def _process_key(
         op = pdf["op"].iloc[i]
         aj = pdf["after_json"].iloc[i]
         after_json = None if pd.isna(aj) else aj
-    state.update((seq, op, after_json))
+    if evict_deleted and op == OP_DELETE:
+        # the key's image is gone; per-shard ordered delivery means any later
+        # event for this key carries a HIGHER seq, so fresh state after a
+        # re-insert still wins correctly — state need not outlive the
+        # tombstone
+        state.remove()
+    else:
+        state.update((seq, op, after_json))
     out: dict[str, Any] = {
         "table_name": table_name,
         "key": rec_key,
@@ -218,7 +226,12 @@ def _process_key(
     yield pd.DataFrame([out], columns=[f.name for f in MAT_STREAM_SCHEMA.fields])
 
 
-def materialize_stream(keyed_env: DataFrame, *, seq: Column | None = None) -> DataFrame:
+def materialize_stream(
+    keyed_env: DataFrame,
+    *,
+    seq: Column | None = None,
+    evict_deleted: bool = False,
+) -> DataFrame:
     """Streaming latest-state compaction of a keyed CDC envelope stream.
 
     Input: a (possibly multi-table union of) decoded envelope stream(s) that
@@ -227,6 +240,14 @@ def materialize_stream(keyed_env: DataFrame, *, seq: Column | None = None) -> Da
     the current image serialized as JSON, or a tombstone (null ``after_json``)
     when the key's last operation is a DELETE. Exactly the contract of a
     compacted Kafka topic / JDBC-sink upsert feed.
+
+    ``evict_deleted=True`` removes a key's state once its tombstone is
+    emitted, so state size tracks |LIVE keys| instead of |keys ever seen| —
+    the difference between bounded and unbounded state on a delete-heavy
+    100 TB workload. Safe under the engine's delivery contract (a key lives
+    in one shard; shard delivery is seq-ordered, so post-delete events always
+    carry higher seqs and last-write-wins is preserved); leave False if the
+    upstream can replay out of order past a delete.
     """
     if seq is None:
         seq = gtid_seq(F.col("gtid"))
@@ -237,8 +258,12 @@ def materialize_stream(keyed_env: DataFrame, *, seq: Column | None = None) -> Da
         F.col("op"),
         F.to_json(F.col("after")).alias("after_json"),
     )
+
+    def process(key, pdf_iter, state):
+        return _process_key(key, pdf_iter, state, evict_deleted=evict_deleted)
+
     return flat.groupBy("table_name", "key").applyInPandasWithState(
-        _process_key,
+        process,
         outputStructType=MAT_STREAM_SCHEMA,
         stateStructType=MAT_STATE_SCHEMA,
         outputMode="update",

@@ -256,3 +256,46 @@ def test_exact_dedup_stream_across_batches_and_restarts(spark, sf_dir, tmp_path)
     assert sorted(out["text"].unique()) == sorted(out["text"])
     # and the survivors cover every distinct content in the stream
     assert len(out) == 12
+
+
+def test_materialize_stream_evict_deleted_state(spark, sf_dir, tmp_path):
+    """evict_deleted=True: identical compacted output (per-shard ordered
+    delivery keeps last-write-wins intact), strictly smaller state store —
+    observed via the state operator's numRowsTotal metric."""
+    replay_source.register(spark)
+    replay_dir = cached_fixture_dir(
+        "txmeta_replay", sf_dir, write_replay_fixture, tx_size=10, host_period=10
+    )
+
+    def run(evict, name):
+        raw = (
+            spark.readStream.format("vitess-replay").option("path", replay_dir).load()
+        )
+        q = (
+            materialize_stream(_keyed_env(raw), evict_deleted=evict)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        out = spark.sql(
+            f"SELECT table_name, key, seq, op, after_json FROM {name}"
+        ).collect()
+        # final record per key (highest seq wins across micro-batches)
+        final = {}
+        for r in out:
+            k = (r["table_name"], r["key"])
+            if k not in final or r["seq"] > final[k]["seq"]:
+                final[k] = r
+        return state_rows, {k: (v["op"], v["after_json"]) for k, v in final.items()}
+
+    kept_rows, kept_final = run(False, "mat_keep")
+    evict_rows, evict_final = run(True, "mat_evict")
+    assert evict_final == kept_final
+    n_deleted = sum(1 for op, _ in kept_final.items() if _[0] == "d")
+    assert n_deleted > 0  # fixture has delete-terminated keys
+    assert evict_rows == kept_rows - n_deleted
