@@ -74,3 +74,67 @@ def test_training_pipeline_end_to_end(spark, sf_dir, tmp_path):
     spans = sorted((r["min_doc_id"], r["max_doc_id"]) for r in manifest)
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi < lo
+
+
+def test_curation_pipeline_end_to_end(spark, sf_dir):
+    """The round-4 curation ops chain the same way: paragraph dedup →
+    trained-classifier quality scoring → DSIR importance → token-budget
+    mixture sampling, one lazy plan over the documents table, contracts
+    checked at every seam."""
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        dsir_importance,
+        dsir_logratios,
+        sample_token_budget,
+        score_quality,
+        train_quality_classifier,
+    )
+    from debezium_connector_vitess_spark.ops.text import drop_duplicate_paragraphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_raw = docs.count()
+
+    # 1. corpus-level paragraph dedup; rebuilt text replaces the original
+    cleaned = (
+        drop_duplicate_paragraphs(docs, "text", "doc_id", min_chars=20)
+        .withColumnRenamed("text", "ctext")
+        .join(docs.drop("text"), on="doc_id")
+        .filter(F.length("ctext") > 0)
+        .withColumnRenamed("ctext", "text")
+    )
+    n_clean = cleaned.count()
+    assert 0 < n_clean <= n_raw
+
+    # 2. quality classifier: English docs as the curated class, the rest raw
+    pos = cleaned.filter("lang = 'en'")
+    neg = cleaned.filter("lang <> 'en'")
+    w = train_quality_classifier(pos, neg, "text", "doc_id", dim=512, iters=4)
+    scored = score_quality(cleaned, "text", "doc_id", w, dim=512)
+    en_mean = (
+        scored.join(cleaned.select("doc_id", "lang"), on="doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("quality_prob").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in en_mean}
+    assert means[True] > means[False]  # classifier orders the classes
+
+    # 3. DSIR importance toward the same target distribution
+    lr = dsir_logratios(pos, cleaned, "text", dim=512)
+    weights = dsir_importance(cleaned, "text", "doc_id", lr, dim=512)
+    assert weights.count() == n_clean
+
+    # 4. mixture sampling under per-source token budgets over the curated set
+    budgets = spark.createDataFrame(
+        [("src0", 500), ("src1", 300)], "source string, budget_tokens long"
+    )
+    sel = sample_token_budget(
+        cleaned, "text", "doc_id", domain_col="source", budgets=budgets
+    ).collect()
+    assert len(sel) > 0
+    for dom, cap in (("src0", 500), ("src1", 300)):
+        rows = sorted(
+            (r for r in sel if r["source"] == dom), key=lambda r: r["doc_start"]
+        )
+        if len(rows) > 1:
+            assert rows[-2]["doc_start"] + rows[-2]["n_tokens"] <= cap
+        assert all(r["doc_start"] < cap for r in rows)
