@@ -514,3 +514,51 @@ def drop_duplicate_paragraphs(
             ),
         )
     )
+
+
+# --- HTML → text extraction (crawl-pipeline boilerplate strip) -------------
+
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+)
+
+
+def html_to_text_expr(html: Column) -> Column:
+    """Crawl-page text extraction as a chain of codegen'd ``regexp_replace``
+    passes — no parser dependency, no Python, a narrow map-only projection
+    at 100 TB:
+
+    1. drop ``<script>``/``<style>`` blocks wholesale (their text is code),
+       and HTML comments;
+    2. turn block-level closers (``</p>``, ``</div>``, ``</li>``, headings,
+       ``<br>``) into newlines so paragraph structure survives for the
+       downstream paragraph ops;
+    3. strip every remaining tag;
+    4. decode the common entities (``&amp;`` last so double-escapes don't
+       over-decode);
+    5. collapse horizontal whitespace, trim line edges, and squeeze blank
+       runs to the blank-line separator :func:`paragraphs_expr` splits on.
+
+    Regex-based extraction is the Common-Crawl-pipeline tradeoff (exact
+    DOM semantics need a parser; boilerplate quality gates come AFTER this
+    pass) — deterministic and engine-reproducible.
+    """
+    t = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)\s*>", "\n\n"
+    )
+    t = F.regexp_replace(t, r"(?i)<br\s*/?>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.regexp_replace(t, ent, rep)
+    t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    return F.regexp_replace(t, r"^\s+|\s+$", "")

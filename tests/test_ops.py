@@ -1263,3 +1263,47 @@ def test_lsh_cross_near_pairs_decontamination(spark, sf_dir):
         .collect()[0]["c"]
     )
     assert abs(direct - got[(a, b)]) < 1e-12
+
+
+def test_html_to_text_extraction(spark):
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.text import html_to_text_expr
+
+    html = (
+        "<html><head><style>p {color: red}</style>"
+        "<script type='text/js'>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- nav boilerplate --><h1>Title &amp; More</h1>"
+        "<p>First   paragraph with <b>bold</b> and &lt;escaped&gt;.</p>"
+        "<div>Second block</div><ul><li>item one</li><li>item two</li></ul>"
+        "<p>A&nbsp;B &amp;lt; C</p></body></html>"
+    )
+    out = (
+        spark.createDataFrame([(html,)], "h string")
+        .select(html_to_text_expr(F.col("h")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert "var x" not in out and "color" not in out and "boilerplate" not in out
+    assert "Title & More" in out
+    assert "First paragraph with bold and <escaped>." in out
+    assert "item one\n\nitem two" in out or "item one\nitem two" in out
+    assert "A B &lt; C" in out  # &amp;lt; decodes once, not twice
+    # block structure survives for the paragraph ops
+    assert out.count("\n\n") >= 3
+
+
+def test_html_to_text_feeds_paragraph_ops(spark):
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.text import (
+        html_to_text_expr,
+        paragraphs_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "<p>alpha</p><p>alpha</p><p>beta</p>")], "doc_id long, h string"
+    )
+    paras = df.select(
+        paragraphs_expr(html_to_text_expr(F.col("h"))).alias("ps")
+    ).collect()[0]["ps"]
+    assert paras == ["alpha", "alpha", "beta"]
