@@ -567,3 +567,78 @@ def pack_sequences(
         F.floor(F.col("start_offset") / block_tokens).cast("long").alias("block_id"),
         (F.col("start_offset") % block_tokens).cast("long").alias("offset_in_block"),
     )
+
+
+def plan_token_budgets(
+    df: DataFrame,
+    text_col: str,
+    *,
+    domain_col: str,
+    total_tokens: int,
+    proportions: dict[str, float],
+) -> DataFrame:
+    """Turn target mixture PROPORTIONS into per-domain token BUDGETS against
+    what the corpus actually has — the planning half of
+    :func:`sample_token_budget` (which consumes the returned frame).
+
+    Water-filling: each domain wants ``total_tokens × p_d`` (proportions are
+    normalized); a domain short of tokens is capped at its available count
+    and the shortfall is redistributed across the uncapped domains in
+    proportion, iterating until stable (≤ |domains| rounds). Result:
+    Σ budgets = min(total_tokens, Σ available over named domains), no budget
+    exceeds availability, and uncapped domains stay in the requested ratio.
+
+    One distributed aggregation (per-domain token totals — |domains| rows);
+    the fill itself is driver arithmetic on that tiny frame. Returns
+    (domain_col, budget_tokens, available_tokens).
+    """
+    if total_tokens < 0:
+        raise ValueError("total_tokens must be >= 0")
+    if not proportions or any(p < 0 for p in proportions.values()):
+        raise ValueError("proportions must be non-negative and non-empty")
+    avail_rows = (
+        df.filter(F.col(domain_col).isin(*proportions.keys()))
+        .groupBy(domain_col)
+        .agg(F.sum(token_count_expr(F.col(text_col)).cast("long")).alias("avail"))
+        .collect()
+    )
+    avail = {r[domain_col]: int(r["avail"]) for r in avail_rows}
+    for d in proportions:
+        avail.setdefault(d, 0)
+
+    budgets = {d: 0 for d in proportions}
+    capped: set = set()
+    remaining = total_tokens
+    while remaining > 0:
+        open_w = {d: p for d, p in proportions.items() if d not in capped and p > 0}
+        wsum = sum(open_w.values())
+        if not open_w or wsum == 0:
+            break
+        newly_capped = False
+        alloc_round = 0
+        for d, p in open_w.items():
+            want = int(remaining * (p / wsum))
+            room = avail[d] - budgets[d]
+            take = min(want, room)
+            budgets[d] += take
+            alloc_round += take
+            if budgets[d] >= avail[d]:
+                capped.add(d)
+                newly_capped = True
+        remaining -= alloc_round
+        if not newly_capped and alloc_round == 0:
+            # integer-rounding tail: hand the remainder to the largest-weight
+            # open domain with room, deterministically
+            for d in sorted(open_w, key=lambda x: (-open_w[x], x)):
+                room = avail[d] - budgets[d]
+                if room > 0:
+                    take = min(remaining, room)
+                    budgets[d] += take
+                    remaining -= take
+                    break
+            break
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(d, budgets[d], avail[d]) for d in sorted(proportions)],
+        f"{domain_col} string, budget_tokens long, available_tokens long",
+    )

@@ -1307,3 +1307,52 @@ def test_html_to_text_feeds_paragraph_ops(spark):
         paragraphs_expr(html_to_text_expr(F.col("h"))).alias("ps")
     ).collect()[0]["ps"]
     assert paras == ["alpha", "alpha", "beta"]
+
+
+def test_plan_token_budgets_water_filling(spark, sf_dir):
+    """Budget planning invariants: never exceed availability, conserve the
+    total (up to what exists), redistribute a capped domain's shortfall to
+    the others in proportion, and feed sample_token_budget directly."""
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        plan_token_budgets,
+        sample_token_budget,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # src0..src3 have ~1.2-1.6k tokens each
+    props = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    plan = plan_token_budgets(
+        docs, "text", domain_col="source", total_tokens=3000, proportions=props
+    ).collect()
+    by = {r["source"]: r for r in plan}
+    for d in props:
+        assert 0 <= by[d]["budget_tokens"] <= by[d]["available_tokens"]
+    assert sum(r["budget_tokens"] for r in plan) == 3000  # corpus can cover it
+
+    # ask for more than src0 has: src0 caps at availability, excess flows on
+    big = plan_token_budgets(
+        docs, "text", domain_col="source", total_tokens=4000,
+        proportions={"src0": 0.9, "src1": 0.1},
+    ).collect()
+    bigb = {r["source"]: r for r in big}
+    assert bigb["src0"]["budget_tokens"] == bigb["src0"]["available_tokens"]
+    total = bigb["src0"]["budget_tokens"] + bigb["src1"]["budget_tokens"]
+    cap = min(4000, bigb["src0"]["available_tokens"] + bigb["src1"]["available_tokens"])
+    assert total == cap
+
+    # asking for more than the whole corpus: budgets = availability
+    allof = plan_token_budgets(
+        docs, "text", domain_col="source", total_tokens=10**9,
+        proportions={"src0": 1.0, "src1": 1.0},
+    ).collect()
+    for r in allof:
+        assert r["budget_tokens"] == r["available_tokens"]
+
+    # composes with the sampler
+    budgets = plan_token_budgets(
+        docs, "text", domain_col="source", total_tokens=1500, proportions=props
+    ).select("source", "budget_tokens")
+    sel = sample_token_budget(
+        docs, "text", "doc_id", domain_col="source", budgets=budgets
+    )
+    assert sel.count() > 0
