@@ -562,3 +562,34 @@ def html_to_text_expr(html: Column) -> Column:
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{3,}", "\n\n")
     return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+def with_compression_ratio(
+    df, text_col: str = "text", out_col: str = "compression_ratio", *, level: int = 6
+):
+    """zlib compression ratio per document (compressed/raw bytes) — the
+    classic entropy-proxy quality signal: templated/repetitive boilerplate
+    compresses far below fluent prose, random noise barely compresses at
+    all. No Catalyst expression can run DEFLATE, so this is an honest
+    Arrow-batched ``mapInPandas`` seam (stdlib zlib, fixed ``level`` for
+    determinism); everything else in this module stays JVM-side. Empty
+    documents get ratio null."""
+    import zlib
+
+    from pyspark.sql import types as T
+
+    fields = df.schema.fields + [T.StructField(out_col, T.DoubleType(), True)]
+    schema = T.StructType(fields)
+
+    def op(batches):
+        for pdf in batches:
+            def ratio(s):
+                b = (s or "").encode("utf-8")
+                if not b:
+                    return None
+                return len(zlib.compress(b, level)) / len(b)
+
+            pdf[out_col] = pdf[text_col].map(ratio)
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema)

@@ -1356,3 +1356,31 @@ def test_plan_token_budgets_water_filling(spark, sf_dir):
         docs, "text", "doc_id", domain_col="source", budgets=budgets
     )
     assert sel.count() > 0
+
+
+def test_compression_ratio_orders_text_classes(spark):
+    """Repetitive boilerplate compresses much harder than fluent prose,
+    which compresses harder than hex noise; empty text → null; fixed zlib
+    level makes the signal deterministic across runs."""
+    import os
+
+    from debezium_connector_vitess_spark.ops.text import with_compression_ratio
+
+    prose = (
+        "The committee reviewed the proposal on Tuesday and suggested several "
+        "amendments concerning the budget, the timeline, and community input."
+    )
+    rows = [
+        (1, "subscribe now! " * 40),
+        (2, prose * 3),
+        (3, os.urandom(600).hex()),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["compression_ratio"] for r in
+           with_compression_ratio(df, "text").collect()}
+    assert out[1] < out[2] < out[3]
+    assert out[4] is None
+    again = {r["doc_id"]: r["compression_ratio"] for r in
+             with_compression_ratio(df, "text").collect()}
+    assert again == out
