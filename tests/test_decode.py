@@ -349,3 +349,41 @@ def test_connect_time_resolution_logical_names():
     assert dt.logical_name == "org.apache.kafka.connect.data.Timestamp"
     ts_iso = resolve("TIMESTAMP", temporal_mode=TemporalPrecisionMode.ISOSTRING)
     assert ts_iso.spark_type == T.StringType() and ts_iso.logical_name is None
+
+
+def test_connect_time_millis_many_cases(spark):
+    """Connect-mode TIME millis vs a Python reference over generated cases:
+    negatives, zero, max range (838:59:59), every fractional width."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.decode import convert_raw
+    from debezium_connector_vitess_spark.types import TemporalPrecisionMode, resolve
+
+    cases = []
+    for h, m, s, frac in [
+        (0, 0, 0, ""), (0, 0, 1, ".9"), (1, 2, 3, ".04"), (12, 34, 56, ".789"),
+        (99, 59, 59, ".9999"), (100, 30, 0, ".99999"), (838, 59, 59, ".999999"),
+        (8, 0, 0, ".000001"), (23, 59, 59, ".5"),
+    ]:
+        base = f"{h}:{m:02d}:{s:02d}{frac}"
+        cases.append(base)
+        cases.append("-" + base)
+
+    def expect(t):
+        neg = t.startswith("-")
+        body = t.lstrip("-")
+        hms, _, frac = body.partition(".")
+        h, m, s = (int(x) for x in hms.split(":"))
+        micros = int((frac + "000000")[:6]) if frac else 0
+        total_us = (h * 3600 + m * 60 + s) * 1_000_000 + micros
+        ms = total_us // 1000  # toward zero on the magnitude
+        return -ms if neg else ms
+
+    r = resolve("TIME", temporal_mode=TemporalPrecisionMode.CONNECT)
+    df = spark.createDataFrame([(c,) for c in cases], "raw string")
+    got = {
+        row["raw"]: row["ms"]
+        for row in df.select("raw", convert_raw(F.col("raw"), r).alias("ms")).collect()
+    }
+    for c in cases:
+        assert got[c] == expect(c), (c, got[c], expect(c))
