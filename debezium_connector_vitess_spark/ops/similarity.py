@@ -108,21 +108,20 @@ def _hyperplanes(dim: int, count: int, seed: str = "vitess-cdc-lsh") -> list[lis
     return planes
 
 
-def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from hyperplane dot products."""
-    acc = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(v) for v in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
+def lsh_bucket_expr(vec: "Column | str", planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from hyperplane dot products. Takes the vector as
+    a SQL fragment — built as ONE SQL parse (see :func:`_plane_dot_sql`)."""
+    if not isinstance(vec, str):
+        raise TypeError(
+            "lsh_bucket_expr takes the vector as a SQL fragment, e.g. '`embedding`'"
         )
-        acc = acc + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-    return acc
+    terms = ["CAST(0 AS BIGINT)"]
+    for i, plane in enumerate(planes):
+        terms.append(
+            f"CAST(CASE WHEN {_plane_dot_sql(vec, plane)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END AS BIGINT)"
+        )
+    return F.expr(" + ".join(terms))
 
 
 def _probe_masks(num_planes: int, radius: int) -> list[int]:
@@ -164,9 +163,9 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm_expr(F.col(vec_col)).alias("cnorm"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket_expr(f"`{vec_col}`", planes).alias("bucket"),
     )
-    qb = lsh_bucket_expr(F.col(vec_col), planes)
+    qb = lsh_bucket_expr(f"`{vec_col}`", planes)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -214,8 +213,25 @@ def embedding_near_dup_pairs(
     )
 
 
-def plane_dot_expr(vec: Column, plane: list[float]) -> Column:
-    """Dot of a vector column with a constant hyperplane (codegen'd, no UDF)."""
+def _plane_dot_sql(vec_sql: str, plane: list[float]) -> str:
+    """SQL text of the vector·hyperplane dot — one parse instead of one Py4J
+    round trip per component (the same driver-time fix as the IVF literal
+    centroids; a 16-plane×64-dim signature otherwise costs ~1024 lit()
+    calls per call site). Arithmetic is the identical left fold, so bucket
+    ids and oracle parity are unchanged."""
+    arr = ", ".join(_dlit(v) for v in plane)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def plane_dot_expr(vec: "Column | str", plane: list[float]) -> Column:
+    """Dot of a vector column with a constant hyperplane (codegen'd, no UDF).
+    Pass the column as a SQL fragment (e.g. ``\"`embedding`\"``) for the
+    one-parse build; a Column is accepted for compatibility (slow path)."""
+    if isinstance(vec, str):
+        return F.expr(_plane_dot_sql(vec, plane))
     return F.aggregate(
         F.zip_with(
             vec,
@@ -227,19 +243,24 @@ def plane_dot_expr(vec: Column, plane: list[float]) -> Column:
     )
 
 
-def band_key_exprs(vec: Column, planes: list[list[float]], num_bands: int) -> list[Column]:
+def band_key_exprs(
+    vec: "Column | str", planes: list[list[float]], num_bands: int
+) -> list[Column]:
     """Split the hyperplane sign bits into ``num_bands`` contiguous bands; one
     small integer key per band (the minhash-banding trick applied to
-    hyperplane signatures)."""
+    hyperplane signatures). Built as one SQL parse per band key."""
+    if not isinstance(vec, str):
+        raise TypeError("band_key_exprs takes the vector as a SQL fragment")
     per = len(planes) // num_bands
     keys: list[Column] = []
     for b in range(num_bands):
-        acc = F.lit(0)
+        terms = ["0"]
         for i, plane in enumerate(planes[b * per : (b + 1) * per]):
-            acc = acc + F.when(plane_dot_expr(vec, plane) >= 0, F.lit(1 << i)).otherwise(
-                F.lit(0)
+            terms.append(
+                f"(CASE WHEN {_plane_dot_sql(vec, plane)} >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
             )
-        keys.append(acc.cast("int"))
+        keys.append(F.expr("CAST(" + " + ".join(terms) + " AS INT)"))
     return keys
 
 
@@ -270,7 +291,7 @@ def lsh_banded_near_dup_pairs(
     higher recall, wider bands (more bits) → bigger candidate cut.
     """
     planes = _hyperplanes(dim, num_planes)
-    keys = band_key_exprs(F.col(vec_col), planes, num_bands)
+    keys = band_key_exprs(f"`{vec_col}`", planes, num_bands)
     sigs = df.select(
         F.col(id_col).alias("vid"),
         F.posexplode(F.array(*keys)).alias("band", "bkey"),
@@ -599,7 +620,7 @@ def lsh_cross_near_pairs(
     planes = _hyperplanes(dim, num_planes)
 
     def sigs(df: DataFrame, out: str) -> DataFrame:
-        keys = band_key_exprs(F.col(vec_col), planes, num_bands)
+        keys = band_key_exprs(f"`{vec_col}`", planes, num_bands)
         return df.select(
             F.col(id_col).alias(out),
             F.posexplode(F.array(*keys)).alias("band", "bkey"),

@@ -30,7 +30,7 @@ def test_lsh_buckets_partition_corpus(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     planes = _hyperplanes(64, 4)
-    buckets = emb.select(lsh_bucket_expr(F.col("embedding"), planes).alias("b")).groupBy(
+    buckets = emb.select(lsh_bucket_expr("`embedding`", planes).alias("b")).groupBy(
         "b"
     ).count().collect()
     assert len(buckets) > 1  # corpus actually splits
