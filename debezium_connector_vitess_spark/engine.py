@@ -92,16 +92,39 @@ class VitessCdcEngine:
         host = p("database.hostname", "localhost")
         port = p("database.port", "15991")
         heartbeat_ms = int(p("heartbeat.interval.ms", "0"))
+        # database.user/password → static-auth per-call metadata: the
+        # reference attaches io.vitess StaticAuthCredentials (username/
+        # password metadata keys read by vtgate's grpc static-auth plugin,
+        # VitessReplicationConnection.java:367-369); our channel adapter
+        # carries the same keys through grpc_headers
+        auth_headers = {}
+        if p("database.user") is not None and p("database.password") is not None:
+            auth_headers = {
+                "username": p("database.user"),
+                "password": p("database.password"),
+            }
+        # vitess.gtid is the deprecated alias of vitess.vgtid (same VGTID
+        # JSON, same validation — VitessConnectorConfig.java:282-296,679-705)
+        explicit_vgtid = p("vitess.vgtid")
+        if explicit_vgtid is None:
+            gtid = p("vitess.gtid")
+            if gtid is not None and gtid not in ("current", ""):
+                explicit_vgtid = gtid
         self.config = VStreamConfig(
             vtgate_host=f"{host}:{port}",
             keyspace=p("vitess.keyspace", ""),
             shards=_csv(p("vitess.shard")),
             snapshot_mode=p("snapshot.mode", "initial"),
-            explicit_vgtid=p("vitess.vgtid"),
+            explicit_vgtid=explicit_vgtid,
             tablet_type=p("vitess.tablet.type", "MASTER"),
-            grpc_headers=dict(
-                h.split(":", 1) for h in _csv(p("vitess.grpc.headers")) if ":" in h
-            ),
+            grpc_headers={
+                **dict(
+                    h.split(":", 1)
+                    for h in _csv(p("vitess.grpc.headers"))
+                    if ":" in h
+                ),
+                **auth_headers,
+            },
             table_include_list=_csv(p("table.include.list")),
             stop_on_reshard=_truthy(p("vitess.stop_on_reshard")),
             exclude_keyspace_from_table_name=_truthy(
@@ -285,6 +308,22 @@ class VitessCdcEngine:
         if _truthy(self.props.get("vitess.inherit.epoch")):
             return ordered_tx_metadata_stream_lineage(raw)
         return ordered_tx_metadata_stream(raw)
+
+    def epoch_provider(self):
+        """``vitess.shard.epoch.map`` (seed map) / ``vitess.connector.generation``
+        (bump-all on change) / ``vitess.inherit.epoch`` →
+        :class:`txmeta.epoch.EpochProvider` (VitessConnectorConfig.java:271-281,
+        448-458; VitessEpochProvider.java:105-149)."""
+        from .txmeta.epoch import EpochProvider, ShardEpochMap
+
+        seed = self.props.get("vitess.shard.epoch.map")
+        return EpochProvider(
+            ShardEpochMap.from_json(seed) if seed else None,
+            inherit_epoch=_truthy(self.props.get("vitess.inherit.epoch")),
+            connector_generation=int(
+                self.props.get("vitess.connector.generation", "0")
+            ),
+        )
 
     def materialize(self, raw: DataFrame, schemas: list[TableSchema]):
         """Latest-state snapshot of every (table-filter-included) table from
