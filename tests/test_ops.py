@@ -1384,3 +1384,80 @@ def test_compression_ratio_orders_text_classes(spark):
     again = {r["doc_id"]: r["compression_ratio"] for r in
              with_compression_ratio(df, "text").collect()}
     assert again == out
+
+
+def test_drop_duplicate_paragraphs_property(spark):
+    """Property: corpus-level paragraph dedup equals a sequential Python
+    model (first (doc,pos) occurrence wins among long paragraphs; short
+    ones always survive; rebuild preserves in-document order)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from debezium_connector_vitess_spark.ops.text import drop_duplicate_paragraphs
+
+    para_st = st.sampled_from(
+        ["aaaa bbbb cccc", "dddd eeee ffff", "long paragraph gggg hhhh",
+         "x", "yy", "shared boiler text zzzz"]
+    )
+    docs_st = st.lists(
+        st.tuples(st.integers(0, 50), st.lists(para_st, min_size=0, max_size=5)),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    )
+
+    @given(docs_st, st.sampled_from([1, 5, 14]))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(rows, min_chars):
+        df = spark.createDataFrame(
+            [(i, "\n\n".join(ps)) for i, ps in rows], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["text"] for r in
+               drop_duplicate_paragraphs(df, "text", "doc_id", min_chars=min_chars)
+               .collect()}
+        # python model
+        winners = {}
+        for i, ps in sorted(rows):
+            for pos, p in enumerate(ps):
+                if len(p) >= min_chars and p not in winners:
+                    winners[p] = (i, pos)
+        expect = {}
+        for i, ps in rows:
+            kept = [p for pos, p in enumerate(ps)
+                    if len(p) < min_chars or winners.get(p) == (i, pos)]
+            expect[i] = "\n\n".join(kept)
+        assert got == expect
+
+    check()
+
+
+def test_html_to_text_never_leaks_tags_property(spark):
+    """Random tag soup: extraction never throws, never leaves a tag or a
+    script body in the output."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.text import html_to_text_expr
+
+    piece = st.sampled_from(
+        ["<p>", "</p>", "<div class='x'>", "</div>", "<script>SECRET()",
+         "</script>", "<b>", "</b>", "plain words here", "&amp;", "&lt;tag&gt;",
+         "<br>", "<!-- note -->", "text & more", "<unclosed", ">stray"]
+    )
+
+    @given(st.lists(piece, min_size=0, max_size=12))
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(pieces):
+        html = " ".join(pieces)
+        out = (
+            spark.createDataFrame([(html,)], "h string")
+            .select(html_to_text_expr(F.col("h")).alias("t"))
+            .collect()[0]["t"]
+        )
+        assert "<p>" not in out and "</div>" not in out and "<br" not in out
+        # script bodies vanish when the block is closed
+        if "</script>" in html and html.index("</script>") > html.find("<script>") >= 0:
+            assert "SECRET" not in out
+
+    check()
