@@ -91,6 +91,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     attempts: dict[str, list[float]] = {}
     for name in HEADLINE:
+        # measurement hygiene: collect the previous query's garbage before
+        # timing this one — accumulated heap pressure otherwise surfaces as
+        # multi-second GC pauses attributed to whichever query runs next
+        # (observed: a 1.1 s query measuring 3+ s on every attempt late in a
+        # sweep, while isolated runs stay at 1.1 s)
+        spark._jvm.System.gc()
         fn = QUERIES[name]
         runs: list[float] = []
         # adaptive attempts: stop once the two best post-warmup runs agree
