@@ -103,13 +103,23 @@ class VitessCdcEngine:
                 "username": p("database.user"),
                 "password": p("database.password"),
             }
-        # vitess.gtid is the deprecated alias of vitess.vgtid (same VGTID
-        # JSON, same validation — VitessConnectorConfig.java:282-296,679-705)
+        # vitess.gtid is the DEPRECATED field: the reference validates and
+        # warns about it but never consumes it as the start position —
+        # getVgtid() reads only vitess.vgtid (VitessConnectorConfig.java:
+        # 655-661; the deprecated field is declared at :282-296). Mirroring
+        # that: accept + warn, ignore for position, so a config that streams
+        # from 'current' on the reference behaves identically here.
         explicit_vgtid = p("vitess.vgtid")
-        if explicit_vgtid is None:
-            gtid = p("vitess.gtid")
-            if gtid is not None and gtid not in ("current", ""):
-                explicit_vgtid = gtid
+        if p("vitess.gtid") is not None:
+            import warnings
+
+            warnings.warn(
+                "'vitess.gtid' is deprecated and ignored for the start "
+                "position (reference getVgtid() reads only 'vitess.vgtid', "
+                "VitessConnectorConfig.java:655-661); set 'vitess.vgtid'",
+                DeprecationWarning,
+                stacklevel=2,
+            )
         self.config = VStreamConfig(
             vtgate_host=f"{host}:{port}",
             keyspace=p("vitess.keyspace", ""),

@@ -188,8 +188,16 @@ def _process_key(
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
     evict_deleted: bool = False,
+    idle_ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     table_name, rec_key = key
+    if idle_ttl_ms is not None and state.hasTimedOut:
+        # key idle past the TTL: release its state, emit nothing (the compacted
+        # image didn't change — downstream already holds the latest record);
+        # a later re-arrival starts fresh and wins by seq against seq = -1
+        state.remove()
+        yield pd.DataFrame(columns=[f.name for f in MAT_STREAM_SCHEMA.fields])
+        return
     if state.exists:
         seq, op, after_json = state.get
     else:
@@ -211,10 +219,17 @@ def _process_key(
         # the key's image is gone; per-shard ordered delivery means any later
         # event for this key carries a HIGHER seq, so fresh state after a
         # re-insert still wins correctly — state need not outlive the
-        # tombstone
-        state.remove()
+        # tombstone. NOTE this trades the stored seq for bounded state: a
+        # REPLAYED lower-seq event arriving after the eviction would be
+        # applied as fresh — that's why evict_deleted is opt-in (default
+        # False) and requires the ordered-delivery contract documented on
+        # materialize_stream.
+        if state.exists:
+            state.remove()
     else:
         state.update((seq, op, after_json))
+        if idle_ttl_ms is not None:
+            state.setTimeoutDuration(idle_ttl_ms)
     out: dict[str, Any] = {
         "table_name": table_name,
         "key": rec_key,
@@ -231,6 +246,7 @@ def materialize_stream(
     *,
     seq: Column | None = None,
     evict_deleted: bool = False,
+    idle_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming latest-state compaction of a keyed CDC envelope stream.
 
@@ -247,7 +263,16 @@ def materialize_stream(
     100 TB workload. Safe under the engine's delivery contract (a key lives
     in one shard; shard delivery is seq-ordered, so post-delete events always
     carry higher seqs and last-write-wins is preserved); leave False if the
-    upstream can replay out of order past a delete.
+    upstream can replay out of order past a delete — an evicted key's seq is
+    gone, so a replayed lower-seq event would be applied as fresh state.
+
+    ``idle_ttl_ms`` bounds state on key-churn workloads WITHOUT deletes
+    (e.g. session-style keys that are written once and never touched again):
+    a key idle for longer than the TTL is dropped from the state store
+    (ProcessingTimeTimeout; no output row — the compacted image did not
+    change). A re-arrival after eviction starts from seq = -1 and therefore
+    still wins by seq. Choose a TTL comfortably above the upstream's maximum
+    replay window so a checkpoint-restart replay can't observe the eviction.
     """
     if seq is None:
         seq = gtid_seq(F.col("gtid"))
@@ -260,12 +285,19 @@ def materialize_stream(
     )
 
     def process(key, pdf_iter, state):
-        return _process_key(key, pdf_iter, state, evict_deleted=evict_deleted)
+        return _process_key(
+            key, pdf_iter, state, evict_deleted=evict_deleted, idle_ttl_ms=idle_ttl_ms
+        )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return flat.groupBy("table_name", "key").applyInPandasWithState(
         process,
         outputStructType=MAT_STREAM_SCHEMA,
         stateStructType=MAT_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

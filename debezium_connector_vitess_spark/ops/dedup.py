@@ -423,11 +423,32 @@ def ngram_jaccard_pairs_bruteforce(
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str, id_col: str, *, bits: int = 32, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bits: int = 60,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: split the signature into max_hamming+1
     segments (pigeonhole: any pair within the hamming radius agrees on ≥1
-    whole segment), bucket-join per segment, verify hamming ≤ radius."""
+    whole segment), bucket-join per segment, verify hamming ≤ radius.
+
+    Default geometry is scale-sized: 60-bit signatures / 15-bit segment keys
+    ⇒ 32,768 buckets per segment, so bucket occupancy (and the n²/buckets
+    candidate volume) is ~128× smaller than the old 32-bit/8-bit default.
+    60 rather than 64 because the portable token hash is the 15-hex-digit
+    md5 prefix (60 bits — the widest value that fits signed BIGINT in every
+    engine, see ``token_hash_expr``): bits 60-63 of a "64-bit" signature
+    would be structurally zero for every document, adding sign-overflow
+    hazards at bit 63 without adding any discrimination.
+
+    ``max_bucket_size`` additionally caps segment-bucket membership, same
+    guard as MinHash banding (``minhash_dedup_pairs``): a bucket with n
+    members fans out n·(n−1)/2 candidate pairs, and boilerplate-heavy
+    corpora concentrate near-identical signatures in few buckets. Recall
+    loss is confined to pairs whose EVERY agreeing segment is oversized."""
     seg_bits = bits // (max_hamming + 1)
     mask = (1 << seg_bits) - 1
     sh = df.select(
@@ -448,6 +469,16 @@ def simhash_near_dup_pairs(
             )
         ).alias("k"),
     ).select("id", "sim", "k.seg", "k.skey")
+    if max_bucket_size is not None:
+        oversized = (
+            keyed.groupBy("seg", "skey")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("seg", "skey")
+        )
+        # left_anti on the (seg, skey) join key — colocated with the
+        # self-join shuffle, no extra exchange of the keyed frame
+        keyed = keyed.join(oversized, on=["seg", "skey"], how="left_anti")
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(

@@ -10,9 +10,10 @@ Scale strategy (100 TB):
   the aggregated vocabulary, not a full sort.
 - **decontamination**: distinct n-gram sets on both corpora, LEFT SEMI join
   eval-grams against train-grams on the gram. One shuffle keyed by gram;
-  the train side deduplicates map-side via aggregation before the join. At
-  100 TB the gram would be an 8-byte hash (see ``token_hash_expr``) rather
-  than the string — semantics identical, shuffle ~10× narrower.
+  the train side deduplicates map-side via aggregation before the join.
+  Grams are hashed to 8-byte longs map-side by default (``hashed=True`` via
+  ``token_hash_expr``), so the shuffle never carries gram strings —
+  semantics identical up to 60-bit collisions, shuffle ~10× narrower.
 - **hash sampling**: pure narrow projection — a deterministic md5-derived
   uniform in [0,100) per row, no shuffle, no RNG state, reproducible across
   engines and re-runs (the property that matters for dataset versioning).
@@ -38,7 +39,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingles_expr
-from .text import shingles_from_tokens_expr, token_count_expr, tokens_expr
+from .text import (
+    shingles_from_tokens_expr,
+    token_count_expr,
+    token_hash_expr,
+    tokens_expr,
+)
 
 
 def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
@@ -55,6 +61,7 @@ def decontaminate(
     id_col: str,
     *,
     ngram: int = 5,
+    hashed: bool = True,
 ) -> DataFrame:
     """Eval documents sharing ≥1 word n-gram with the train corpus, with the
     number of distinct overlapping grams (test-set contamination check).
@@ -62,14 +69,20 @@ def decontaminate(
     Returns (id_col, n_hits). Grams within a document are distinct by
     construction (``shingles_expr``), so ``count(*)`` after the join counts
     distinct shared grams without a count-distinct.
-    """
-    tr = (
-        train.select(F.explode(shingles_expr(F.col(text_col), ngram)).alias("gram"))
-        .distinct()
-    )
-    ev = eval_df.select(
-        F.col(id_col), F.explode(shingles_expr(F.col(text_col), ngram)).alias("gram")
-    )
+
+    ``hashed=True`` (the default — the 100 TB shape) maps each gram to its
+    portable 60-bit hash (``token_hash_expr``) map-side, so the train-side
+    distinct and the semi-join shuffle carry 8-byte longs instead of n-gram
+    STRINGS (~10× narrower for 5-grams of English text). Semantics are
+    identical up to 60-bit collisions — both within a document
+    (``array_distinct`` runs on the hashes) and across the join; an
+    engine-mirror oracle reproduces the same hash exactly. ``hashed=False``
+    keeps the string-keyed join."""
+    g = shingles_expr(F.col(text_col), ngram)
+    if hashed:
+        g = F.array_distinct(F.transform(g, lambda x: token_hash_expr(x)))
+    tr = train.select(F.explode(g).alias("gram")).distinct()
+    ev = eval_df.select(F.col(id_col), F.explode(g).alias("gram"))
     return (
         ev.join(tr, on="gram", how="left_semi")
         .groupBy(id_col)

@@ -108,13 +108,25 @@ def _hyperplanes(dim: int, count: int, seed: str = "vitess-cdc-lsh") -> list[lis
     return planes
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a column name for a SQL fragment, escaping embedded
+    backticks (`` ` `` → ```` `` ````) so unusual names can't produce
+    malformed SQL."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def lsh_bucket_expr(vec: "Column | str", planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from hyperplane dot products. Takes the vector as
-    a SQL fragment — built as ONE SQL parse (see :func:`_plane_dot_sql`)."""
+    a SQL fragment — built as ONE SQL parse (see :func:`_plane_dot_sql`); a
+    Column is accepted for compatibility (slow path: one Py4J round trip per
+    plane component, same arithmetic and bucket ids)."""
     if not isinstance(vec, str):
-        raise TypeError(
-            "lsh_bucket_expr takes the vector as a SQL fragment, e.g. '`embedding`'"
-        )
+        out = F.lit(0).cast("long")
+        for i, plane in enumerate(planes):
+            out = out + F.when(
+                plane_dot_expr(vec, plane) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0)).cast("long")
+        return out
     terms = ["CAST(0 AS BIGINT)"]
     for i, plane in enumerate(planes):
         terms.append(
@@ -163,9 +175,9 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm_expr(F.col(vec_col)).alias("cnorm"),
-        lsh_bucket_expr(f"`{vec_col}`", planes).alias("bucket"),
+        lsh_bucket_expr(_quote_ident(vec_col), planes).alias("bucket"),
     )
-    qb = lsh_bucket_expr(f"`{vec_col}`", planes)
+    qb = lsh_bucket_expr(_quote_ident(vec_col), planes)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -248,9 +260,19 @@ def band_key_exprs(
 ) -> list[Column]:
     """Split the hyperplane sign bits into ``num_bands`` contiguous bands; one
     small integer key per band (the minhash-banding trick applied to
-    hyperplane signatures). Built as one SQL parse per band key."""
+    hyperplane signatures). Built as one SQL parse per band key; a Column is
+    accepted for compatibility (slow path, identical keys)."""
     if not isinstance(vec, str):
-        raise TypeError("band_key_exprs takes the vector as a SQL fragment")
+        per = len(planes) // num_bands
+        keys = []
+        for b in range(num_bands):
+            key = F.lit(0)
+            for i, plane in enumerate(planes[b * per : (b + 1) * per]):
+                key = key + F.when(
+                    plane_dot_expr(vec, plane) >= 0, F.lit(1 << i)
+                ).otherwise(F.lit(0))
+            keys.append(key.cast("int"))
+        return keys
     per = len(planes) // num_bands
     keys: list[Column] = []
     for b in range(num_bands):
@@ -291,7 +313,7 @@ def lsh_banded_near_dup_pairs(
     higher recall, wider bands (more bits) → bigger candidate cut.
     """
     planes = _hyperplanes(dim, num_planes)
-    keys = band_key_exprs(f"`{vec_col}`", planes, num_bands)
+    keys = band_key_exprs(_quote_ident(vec_col), planes, num_bands)
     sigs = df.select(
         F.col(id_col).alias("vid"),
         F.posexplode(F.array(*keys)).alias("band", "bkey"),
@@ -429,8 +451,8 @@ def assign_centroids(
         staged = df.withColumn("__vnorm", norm_expr(F.col(vec_col)))
         vnorm, drop_cols = "`__vnorm`", ["__vnorm"]
     else:
-        staged, vnorm, drop_cols = df, f"`{norm_col}`", []
-    picks = _centroid_pick_expr(cents, f"`{vec_col}`", vnorm)
+        staged, vnorm, drop_cols = df, _quote_ident(norm_col), []
+    picks = _centroid_pick_expr(cents, _quote_ident(vec_col), vnorm)
     if n == 1:
         best = F.array_max(picks)
         return staged.withColumn(out_col, (-best["nid"]).cast("long")).drop(*drop_cols)
@@ -620,7 +642,7 @@ def lsh_cross_near_pairs(
     planes = _hyperplanes(dim, num_planes)
 
     def sigs(df: DataFrame, out: str) -> DataFrame:
-        keys = band_key_exprs(f"`{vec_col}`", planes, num_bands)
+        keys = band_key_exprs(_quote_ident(vec_col), planes, num_bands)
         return df.select(
             F.col(id_col).alias(out),
             F.posexplode(F.array(*keys)).alias("band", "bkey"),

@@ -359,16 +359,35 @@ def winnow_match_pairs(
     k: int = 5,
     window: int = 4,
     min_shared: int = 1,
+    max_doc_freq: int | None = 1000,
 ):
     """Candidate near-copy pairs sharing ≥ ``min_shared`` winnowing
     fingerprints — the MOSS-style containment detector (catches copied
     PASSAGES, which whole-document MinHash dilutes away). Explode the
     fingerprint sets and equi-join on the fingerprint: only (id, 8-byte
     hash) rows shuffle, never the text, and the join keyspace is the
-    fingerprint domain — the same bounded-join shape as MinHash banding."""
+    fingerprint domain — the same bounded-join shape as MinHash banding.
+
+    ``max_doc_freq`` caps fingerprint document frequency BEFORE the
+    self-join (standard MOSS practice): a fingerprint shared by n documents
+    fans out n·(n−1)/2 candidate rows, so ONE boilerplate passage (license
+    header, cookie banner) in 10⁶ documents would emit ~5·10¹¹ pairs from a
+    single key. Over-common fingerprints carry no copy signal — MOSS drops
+    them for relevance as much as cost — so the cap loses only pairs whose
+    EVERY shared fingerprint is boilerplate-common. Same left_anti shape as
+    MinHash's ``max_bucket_size`` (``dedup.minhash_dedup_pairs``), keyed on
+    ``fp`` — colocated with the self-join shuffle. ``None`` disables."""
     fps = with_winnow_fingerprints(df, text_col, k=k, window=window).select(
         F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
     )
+    if max_doc_freq is not None:
+        common = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("fp")
+        )
+        fps = fps.join(common, on="fp", how="left_anti")
     a = fps.select(F.col("id").alias("id_a"), "fp")
     b = fps.select(F.col("id").alias("id_b"), "fp")
     return (

@@ -1104,15 +1104,18 @@ def _simhash_oracle_sql(bits: int = 32, max_hamming: int = 3) -> str:
     """
 
 
-@register("dedup_simhash", oracle=_simhash_oracle_sql())
+@register("dedup_simhash", oracle=_simhash_oracle_sql(bits=60))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3 over 32-bit signatures). Candidates
-    via pigeonhole segment buckets (exhaustive within the radius), verified by
-    exact hamming — so the LSH output equals the brute-force oracle."""
+    """SimHash near-dup pairs (hamming ≤ 3 over 60-bit signatures — the
+    scale default: 15-bit segment keys ⇒ 32,768 buckets per segment, so
+    candidate volume grows ~n²/32768 instead of the old 32-bit default's
+    n²/256). Candidates via pigeonhole segment buckets (exhaustive within
+    the radius), verified by exact hamming — so the LSH output equals the
+    brute-force oracle."""
     from .ops.dedup import simhash_near_dup_pairs
 
     docs = _documents(spark, sf_dir)
-    return simhash_near_dup_pairs(docs, "text", "doc_id", bits=32, max_hamming=3)
+    return simhash_near_dup_pairs(docs, "text", "doc_id", bits=60, max_hamming=3)
 
 
 _ORACLE_COS = (
@@ -2010,7 +2013,10 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontaminate_eval",
     oracle=f"""
     WITH toks AS (SELECT doc_id, source, {_ORACLE_TOKENS} AS lt FROM documents),
-    g AS (SELECT doc_id, source, unnest({_ORACLE_SHINGLES5}) AS gram FROM toks),
+    g AS (SELECT doc_id, source,
+          unnest(list_distinct(list_transform({_ORACLE_SHINGLES5},
+                 s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))) AS gram
+          FROM toks),
     tr AS (SELECT DISTINCT gram FROM g WHERE source <> 'src0'),
     ev AS (SELECT doc_id, gram FROM g WHERE source = 'src0')
     SELECT doc_id, count(*) AS n_hits FROM ev JOIN tr USING (gram) GROUP BY 1
@@ -2020,7 +2026,9 @@ def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: eval docs (source=src0) sharing any word
     5-gram with the train corpus (every other source), with distinct-gram hit
     counts — the standard test-set contamination sweep, one semi-join keyed
-    by gram."""
+    by the gram's portable 60-bit hash (the default ``hashed=True`` path: the
+    shuffle carries longs, never gram strings; the oracle mirrors the same
+    md5-prefix hash)."""
     from .ops.pipeline import decontaminate
 
     docs = _documents(spark, sf_dir)

@@ -184,9 +184,21 @@ class VitessReplayStreamReader(DataSourceStreamReader):
         self._max_records = int(max_records) if max_records is not None else None
         self._watermark_file = None
         wm_dir = options.get("watermarkdir") or options.get("watermarkDir")
+        if not wm_dir and self._max_records is not None:
+            # DEFAULT-ON restart cap: when batches are capped, the sidecar is
+            # derived from the source path (`<path>/_watermark`) so a cold
+            # start against a large backlog is bounded with no extra options.
+            # (The Python streaming-source API never lets the reader see the
+            # checkpoint dir, so the source path is the stable anchor.) A
+            # read-only source path degrades gracefully to the documented
+            # uncapped-first-batch behavior.
+            wm_dir = os.path.join(self._path, "_watermark")
         if wm_dir:
-            os.makedirs(wm_dir, exist_ok=True)
-            self._watermark_file = os.path.join(wm_dir, "planned_watermark.json")
+            try:
+                os.makedirs(wm_dir, exist_ok=True)
+                self._watermark_file = os.path.join(wm_dir, "planned_watermark.json")
+            except OSError:
+                self._watermark_file = None
         self._wire = _truthy(options.get("wireformat") or options.get("wireFormat") or "")
         self._keyspace = options.get("keyspace", "")
         self._exclude_keyspace = _truthy(
@@ -226,8 +238,12 @@ class VitessReplayStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # start of stream = empty position per shard (snapshot.mode analog:
-        # replay files begin with the copy-phase transactions)
+        # replay files begin with the copy-phase transactions). Only FRESH
+        # queries reach here (restarts resume from the checkpoint), so also
+        # reset the sidecar: a stale watermark left by a previous query over
+        # the same replay dir must not leak into this query's capping.
         self._planned = {shard: 0 for shard in self._files}
+        self._save_watermark()
         return {shard: 0 for shard in self._files}
 
     def latestOffset(self) -> dict:

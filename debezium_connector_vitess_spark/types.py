@@ -223,9 +223,12 @@ def resolve(
         return ResolvedType(family, T.TimestampNTZType(), precision=decimals)
     if family == "TIMESTAMP":
         # UTC ZonedTimestamp string in reference default mode
-        # (VitessValueConverter.java:446-511); Spark-native TimestampType (UTC)
-        if temporal_mode is TemporalPrecisionMode.ISOSTRING:
-            return ResolvedType(family, T.StringType(), precision=decimals)
+        # (VitessValueConverter.java:446-511); Spark-native TimestampType (UTC).
+        # NOTE: TIMESTAMP is deliberately EXCLUDED from isostring —
+        # VitessValueConverter.isTemporal() covers only DATE/TIME/DATETIME
+        # (VitessValueConverter.java:138-146), so TIMESTAMP always goes
+        # through ZonedTimestamp and emits 'yyyy-MM-ddTHH:mm:ss[.f]Z'
+        # regardless of time.precision.mode=isostring.
         if temporal_mode is TemporalPrecisionMode.CONNECT:
             return ResolvedType(
                 family, T.TimestampType(),

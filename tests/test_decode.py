@@ -332,9 +332,12 @@ def test_connect_and_isostring_temporal_modes(spark):
     assert r["dt_conn"] == datetime.datetime(2024, 3, 5, 10, 20, 30, 123000)
     # session tz pinned UTC in conftest; connect TIMESTAMP is millis-truncated
     assert r["ts_conn"] == datetime.datetime(2024, 3, 5, 10, 20, 30, 123000)
-    # isostring: untouched VStream strings
+    # isostring: untouched VStream strings for DATE/TIME/DATETIME — but
+    # TIMESTAMP is excluded from isostring (VitessValueConverter.isTemporal()
+    # covers only DATE/TIME/DATETIME, VitessValueConverter.java:138-146), so
+    # it still emits the ZonedTimestamp ISO-8601 Z form
     assert r["t_iso"] == "11:22:33.123456"
-    assert r["ts_iso"] == "2024-03-05 10:20:30.123456"
+    assert r["ts_iso"] == "2024-03-05T10:20:30.123456Z"
 
 
 def test_connect_time_resolution_logical_names():
@@ -347,8 +350,11 @@ def test_connect_time_resolution_logical_names():
     assert t.logical_name == "org.apache.kafka.connect.data.Time"
     dt = resolve("DATETIME", temporal_mode=TemporalPrecisionMode.CONNECT)
     assert dt.logical_name == "org.apache.kafka.connect.data.Timestamp"
+    # TIMESTAMP is excluded from isostring: always ZonedTimestamp
+    # (VitessValueConverter.java:138-146 — isTemporal() omits TIMESTAMP)
     ts_iso = resolve("TIMESTAMP", temporal_mode=TemporalPrecisionMode.ISOSTRING)
-    assert ts_iso.spark_type == T.StringType() and ts_iso.logical_name is None
+    assert ts_iso.spark_type == T.StringType()
+    assert ts_iso.logical_name == "io.debezium.time.ZonedTimestamp"
 
 
 def test_connect_time_millis_many_cases(spark):

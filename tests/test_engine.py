@@ -265,9 +265,12 @@ def test_time_precision_mode_through_engine(spark):
 
 def test_auth_gtid_alias_and_epoch_seed_properties(spark):
     """database.user/password attach static-auth metadata (the reference's
-    StaticAuthCredentials keys); deprecated vitess.gtid seeds the explicit
-    VGTID when vitess.vgtid is absent; vitess.shard.epoch.map /
+    StaticAuthCredentials keys); deprecated vitess.gtid warns and is IGNORED
+    for the start position (reference getVgtid() reads only vitess.vgtid,
+    VitessConnectorConfig.java:655-661); vitess.shard.epoch.map /
     vitess.connector.generation seed the epoch provider."""
+    import warnings
+
     from debezium_connector_vitess_spark.engine import VitessCdcEngine
 
     vg = '[{"keyspace":"ks","shard":"-80","gtid":"MySQL56/host:1-5"}]'
@@ -279,19 +282,19 @@ def test_auth_gtid_alias_and_epoch_seed_properties(spark):
         "vitess.shard.epoch.map": '{"-80": 3}',
         "vitess.connector.generation": "2",
     })
-    eng = VitessCdcEngine(spark, props)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        eng = VitessCdcEngine(spark, props)
+    assert any(issubclass(w.category, DeprecationWarning) for w in caught)
     assert eng.config.grpc_headers["username"] == "cdc_user"
     assert eng.config.grpc_headers["password"] == "s3cret"
-    assert eng.config.explicit_vgtid == vg
+    # deprecated alias is NOT consumed as the start position
+    assert eng.config.explicit_vgtid is None
     prov = eng.epoch_provider()
     assert prov.epochs.get("-80") == 3
     assert prov.connector_generation == 2
 
-    # vitess.vgtid wins over the deprecated alias
+    # vitess.vgtid is the only field that sets the explicit position
     props["vitess.vgtid"] = '[{"keyspace":"ks","shard":"-80","gtid":"MySQL56/host:1-9"}]'
     eng2 = VitessCdcEngine(spark, props)
     assert "1-9" in eng2.config.explicit_vgtid
-    # 'current' sentinel in the alias means no explicit position
-    del props["vitess.vgtid"]
-    props["vitess.gtid"] = "current"
-    assert VitessCdcEngine(spark, props).config.explicit_vgtid is None

@@ -299,3 +299,76 @@ def test_materialize_stream_evict_deleted_state(spark, sf_dir, tmp_path):
     n_deleted = sum(1 for op, _ in kept_final.items() if _[0] == "d")
     assert n_deleted > 0  # fixture has delete-terminated keys
     assert evict_rows == kept_rows - n_deleted
+
+
+def test_materialize_stream_idle_ttl_evicts_state(spark, sf_dir, tmp_path):
+    """idle_ttl_ms: keys idle past the TTL leave the state store (strictly
+    fewer state rows than the no-TTL run after the same capped-batch drain),
+    while the compacted output is unchanged — a re-arrival after eviction
+    starts from seq = -1 and still wins by seq."""
+    import json
+    import os
+    import time
+
+    replay_source.register(spark)
+    replay_dir = cached_fixture_dir(
+        "txmeta_replay", sf_dir, write_replay_fixture, tx_size=10, host_period=10
+    )
+
+    def run(ttl, name):
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        wm_dir = str(tmp_path / f"wm_{name}")
+        os.makedirs(wm_dir)
+        with open(
+            os.path.join(wm_dir, "planned_watermark.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump({s: 0 for s in changelog.SHARDS}, fh)
+        rows: list = []
+
+        def capture(df, _batch_id):
+            rows.extend(df.collect())
+
+        state_rows = 0
+        prev_wm = None
+        for _ in range(64):
+            raw = (
+                spark.readStream.format("vitess-replay")
+                .option("path", replay_dir)
+                .option("maxRecordsPerBatch", 100)
+                .option("watermarkDir", wm_dir)
+                .load()
+            )
+            q = (
+                materialize_stream(_keyed_env(raw), idle_ttl_ms=ttl)
+                .writeStream.foreachBatch(capture)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            if q.lastProgress and q.lastProgress.get("stateOperators"):
+                state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+            with open(
+                os.path.join(wm_dir, "planned_watermark.json"), encoding="utf-8"
+            ) as fh:
+                wm = fh.read()
+            if wm == prev_wm:
+                break
+            prev_wm = wm
+            if ttl is not None:
+                time.sleep(0.05)  # let every idle key age past the 1 ms TTL
+        final = {}
+        for r in rows:
+            k = (r["table_name"], r["key"])
+            if k not in final or r["seq"] > final[k]["seq"]:
+                final[k] = r
+        return state_rows, {k: (v["op"], v["after_json"]) for k, v in final.items()}
+
+    kept_rows, kept_final = run(None, "mat_nottl")
+    # 1 ms TTL: keys idle across a restart boundary time out, so only keys
+    # touched near the end of the drain survive in the store — yet the
+    # compacted record stream is identical (re-arrivals win by seq vs -1)
+    ttl_rows, ttl_final = run(1, "mat_ttl")
+    assert ttl_final == kept_final
+    assert ttl_rows < kept_rows

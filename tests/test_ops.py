@@ -1461,3 +1461,100 @@ def test_html_to_text_never_leaks_tags_property(spark):
             assert "SECRET" not in out
 
     check()
+
+
+def test_simhash_bucket_cap_and_60bit_default(spark):
+    """SimHash scale guards: max_bucket_size keeps a giant boilerplate
+    cluster from fanning out into O(n^2) candidate pairs while a 2-doc
+    near-dup pair still matches; the default signature is 60-bit (15-bit
+    segment keys), and its pairs equal a brute-force hamming join."""
+    from debezium_connector_vitess_spark.ops.dedup import simhash_near_dup_pairs
+    from debezium_connector_vitess_spark.ops.text import hamming64_expr, simhash_expr
+
+    boiler = [(i, "accept all cookies to continue reading this site today") for i in range(40)]
+    near = [
+        (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (101, "the quick brown fox jumps over the lazy dog near the river bend"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+
+    uncapped = simhash_near_dup_pairs(df, "text", "doc_id")
+    capped = simhash_near_dup_pairs(df, "text", "doc_id", max_bucket_size=10)
+    un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in un and len(un) >= 40 * 39 // 2  # boilerplate explodes
+    assert (100, 101) in cp  # small-bucket near-dup pair survives the cap
+    assert not any(a < 100 and b < 100 for a, b in cp)  # boilerplate dropped
+
+    # pigeonhole completeness at the 60-bit default: segment-bucket candidates
+    # + hamming verify == brute-force all-pairs hamming join
+    sigs = df.select("doc_id", simhash_expr(F.col("text"), 60).alias("sim"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming64_expr(F.col("a.sim"), F.col("b.sim")).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert un == brute
+
+
+def test_winnow_doc_freq_cap_drops_boilerplate(spark):
+    """max_doc_freq: a passage shared by more docs than the cap produces
+    ZERO candidate rows from its fingerprints, while a 2-doc shared passage
+    is still found; the plan remains an equi-join (no cartesian)."""
+    from debezium_connector_vitess_spark.ops.text import winnow_match_pairs
+
+    header = "permission is hereby granted free of charge to any person obtaining a copy"
+    # per-doc tails share no 5-char substring across docs below the cap
+    # (leading-digit families like 'tail1'/'tail1x' span 11 docs — above it)
+    boiler = [(i, f"{header} tail{i}zz") for i in range(30)]
+    near = [
+        (100, "zebras gallop across the painted desert while meteors streak overhead"),
+        (101, "zebras gallop across the painted desert while comets streak overhead"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+
+    capped = winnow_match_pairs(df, "text", "doc_id", max_doc_freq=10)
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in cp  # 2-doc shared passage survives
+    assert not any(a < 100 and b < 100 for a, b in cp)  # boilerplate key muted
+
+    uncapped = winnow_match_pairs(df, "text", "doc_id", max_doc_freq=None)
+    un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert len({p for p in un if p[0] < 100 and p[1] < 100}) >= 30 * 29 // 2
+
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_hashed_exchange_carries_longs(spark, sf_dir):
+    """hashed=True (default): the semi-join key is the 60-bit gram hash —
+    the gram exchange carries bigint, never n-gram strings — and the hashed
+    result matches the string-keyed path on real documents."""
+    from debezium_connector_vitess_spark.ops.pipeline import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter("source <> 'src0'")
+    ev = docs.filter("source = 'src0'")
+    hashed = decontaminate(train, ev, "text", "doc_id", ngram=5)
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    # the join/exchange key is the long-typed `gram` (the #..L suffix marks
+    # a bigint attribute); no string-typed gram attribute exists in the plan
+    import re
+
+    assert re.search(r"gram#\d+L", plan), f"no long gram key:\n{plan[:2000]}"
+    assert not re.search(r"gram#\d+(?!L)\b", plan), "string-typed gram leaked"
+    got_h = {r["doc_id"]: r["n_hits"] for r in hashed.collect()}
+    got_s = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(
+            train, ev, "text", "doc_id", ngram=5, hashed=False
+        ).collect()
+    }
+    assert got_h == got_s  # no collisions on this corpus: identical counts

@@ -628,3 +628,29 @@ def test_tws_operator_plan_construction(spark, replay_dir):
     aip = ordered_tx_metadata_stream(raw)
     assert tws.schema == aip.schema
     assert tws.isStreaming
+
+
+def test_restart_cap_default_on_without_watermark_option(tmp_path):
+    """E3 default-on restart cap: with ONLY maxRecordsPerBatch set (no
+    watermarkDir ceremony), the sidecar is derived from the source path, so
+    a cold start against a large backlog yields a first batch bounded by the
+    cap, landing on a transaction boundary; a FRESH query over the same dir
+    resets the sidecar instead of inheriting a stale watermark."""
+    from debezium_connector_vitess_spark.sources.replay import VitessReplayStreamReader
+
+    d = str(tmp_path / "replay")
+    _write_tx_file(d, "0", [(i, 1) for i in range(1, 11)])  # 10 txs × 3 lines
+    opts = {"path": d, "maxrecordsperbatch": "7"}
+    r1 = VitessReplayStreamReader(opts)
+    r1.initialOffset()
+    end1 = r1.latestOffset()
+    assert end1 == {"0": 6}
+    r1.commit(end1)
+    # restart after clean commit: latestOffset is called before the reader
+    # ever learns the start — the derived sidecar bounds the first batch
+    r2 = VitessReplayStreamReader(opts)
+    assert r2.latestOffset() == {"0": 12}
+    # a FRESH query (initialOffset called) resets the sidecar to 0
+    r3 = VitessReplayStreamReader(opts)
+    r3.initialOffset()
+    assert r3.latestOffset() == {"0": 6}
