@@ -303,15 +303,24 @@ def repetition_expr(text: Column, n: int = 3) -> tuple[Column, Column, Column]:
 # ---------------------------------------------------------------------------
 
 
-def char_gram_hashes_expr(chars: Column, k: int = 5) -> Column:
+def char_gram_hashes_expr(chars: Column, k: int = 5, *, portable: bool = False) -> Column:
     """64-bit hashes of the character k-grams of a STAGED char-array column
     (``F.split(text, '')``). The array must be a real column — an inline
-    expression would re-evaluate once per gram inside the lambda."""
+    expression would re-evaluate once per gram inside the lambda.
+
+    ``portable=True`` switches from ``xxhash64`` (Spark-private, the cheap
+    scale default) to the engine-agnostic 60-bit md5-prefix hash
+    (:func:`token_hash_expr`'s construction), so an external SQL oracle can
+    reproduce the fingerprints exactly."""
     n_grams = F.size(chars) - (k - 1)
     # sequence(1, 0) counts DOWN ([1, 0]) — empty docs need an explicit guard
     idx = F.when(n_grams < 1, F.array().cast("array<int>")).otherwise(
         F.sequence(F.lit(1), n_grams)
     )
+    if portable:
+        return F.transform(
+            idx, lambda i: token_hash_expr(F.array_join(F.slice(chars, i, k), ""))
+        )
     return F.transform(
         idx, lambda i: F.xxhash64(F.array_join(F.slice(chars, i, k), ""))
     )
@@ -331,6 +340,80 @@ def winnow_expr(gram_hashes: Column, window: int = 4) -> Column:
     )
 
 
+def winnow_fingerprints_expr(
+    chars: Column, *, k: int = 5, window: int = 4, portable: bool = False
+) -> Column:
+    """Winnowing fingerprint set in ONE ``aggregate`` fold over the char
+    array — the scale-safe formulation. The composed two-stage form
+    (:func:`char_gram_hashes_expr` + :func:`winnow_expr`) references its
+    staged arrays from multiple sub-expressions, and when the optimizer
+    collapses the staging projections each window-min re-evaluates the whole
+    gram build (O(chars × windows) re-hashing — measured minutes on 500
+    300-char docs at k=25/w=10). Here every intermediate lives inside a
+    single left fold, so the char split runs once and every gram is hashed
+    once BY CONSTRUCTION, independent of optimizer staging decisions.
+
+    The accumulator carries (last k−1 chars, last ≤window gram hashes, the
+    emitted window minima); per element the buffers are O(k + window) array
+    ops. A new window minimum is appended only when it differs from the
+    last appended value (the min of overlapping windows repeats for ~window
+    positions; the final set is ``array_distinct`` anyway), so the emitted
+    list stays ~2/(window+1) of the gram count and append cost is bounded
+    for realistic (≤100 KB) documents.
+
+    Semantics are exactly :func:`winnow_expr` over
+    :func:`char_gram_hashes_expr`: distinct window minima; documents shorter
+    than one full window keep their global minimum; < k chars ⇒ empty set.
+    ``portable=True`` selects the engine-agnostic md5-prefix gram hash."""
+
+    def hash_fn(gram: Column) -> Column:
+        return token_hash_expr(gram) if portable else F.xxhash64(gram)
+
+    zero = F.struct(
+        F.array().cast("array<string>").alias("cbuf"),
+        F.array().cast("array<long>").alias("hbuf"),
+        F.array().cast("array<long>").alias("mins"),
+    )
+
+    def step(acc: Column, c: Column) -> Column:
+        cbuf, hbuf, mins = acc["cbuf"], acc["hbuf"], acc["mins"]
+        full = F.size(cbuf) == (k - 1)  # current char completes a k-gram
+        h = hash_fn(F.concat(F.array_join(cbuf, ""), c))
+        hbuf2 = F.when(
+            full,
+            F.slice(
+                F.concat(hbuf, F.array(h)),
+                F.greatest(F.size(hbuf) + 2 - window, F.lit(1)),
+                window,
+            ),
+        ).otherwise(hbuf)
+        wmin = F.array_min(hbuf2)
+        emit = (
+            full
+            & (F.size(hbuf2) == window)
+            & ((F.size(mins) == 0) | (F.element_at(mins, -1) != wmin))
+        )
+        mins2 = F.when(emit, F.concat(mins, F.array(wmin))).otherwise(mins)
+        cbuf2 = F.slice(
+            F.concat(cbuf, F.array(c)),
+            F.greatest(F.size(cbuf) + 3 - k, F.lit(1)),
+            k - 1,
+        )
+        return F.struct(cbuf2.alias("cbuf"), hbuf2.alias("hbuf"), mins2.alias("mins"))
+
+    def finish(acc: Column) -> Column:
+        mins, hbuf = acc["mins"], acc["hbuf"]
+        # short-doc degenerate case: ≥1 gram but < window grams ⇒ global min
+        return F.array_distinct(
+            F.when(
+                (F.size(mins) == 0) & (F.size(hbuf) > 0),
+                F.array(F.array_min(hbuf)),
+            ).otherwise(mins)
+        )
+
+    return F.aggregate(chars, zero, step, finish)
+
+
 def with_winnow_fingerprints(
     df,
     text_col: str = "text",
@@ -338,16 +421,16 @@ def with_winnow_fingerprints(
     k: int = 5,
     window: int = 4,
     out_col: str = "fingerprints",
+    portable: bool = False,
 ):
-    """Attach the winnowing fingerprint set (array<long>) per document.
-    Intermediates are staged as real columns so the char split and the gram
-    hashing each run once per row (CollapseProject keeps non-cheap
-    multiply-referenced aliases staged)."""
-    staged = df.withColumn("__wf_chars", F.split(F.col(text_col), "")).withColumn(
-        "__wf_grams", char_gram_hashes_expr(F.col("__wf_chars"), k)
-    )
-    return staged.withColumn(out_col, winnow_expr(F.col("__wf_grams"), window)).drop(
-        "__wf_chars", "__wf_grams"
+    """Attach the winnowing fingerprint set (array<long>) per document —
+    one narrow map-only projection via the single-fold
+    :func:`winnow_fingerprints_expr`."""
+    return df.withColumn(
+        out_col,
+        winnow_fingerprints_expr(
+            F.split(F.col(text_col), ""), k=k, window=window, portable=portable
+        ),
     )
 
 
@@ -360,6 +443,7 @@ def winnow_match_pairs(
     window: int = 4,
     min_shared: int = 1,
     max_doc_freq: int | None = 1000,
+    portable: bool = False,
 ):
     """Candidate near-copy pairs sharing ≥ ``min_shared`` winnowing
     fingerprints — the MOSS-style containment detector (catches copied
@@ -376,10 +460,14 @@ def winnow_match_pairs(
     them for relevance as much as cost — so the cap loses only pairs whose
     EVERY shared fingerprint is boilerplate-common. Same left_anti shape as
     MinHash's ``max_bucket_size`` (``dedup.minhash_dedup_pairs``), keyed on
-    ``fp`` — colocated with the self-join shuffle. ``None`` disables."""
-    fps = with_winnow_fingerprints(df, text_col, k=k, window=window).select(
-        F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
-    )
+    ``fp`` — colocated with the self-join shuffle. ``None`` disables.
+
+    ``portable=True`` uses the engine-agnostic md5-prefix gram hash so a SQL
+    oracle reproduces the exact pair set (the default ``xxhash64`` is the
+    cheap scale path)."""
+    fps = with_winnow_fingerprints(
+        df, text_col, k=k, window=window, portable=portable
+    ).select(F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp"))
     if max_doc_freq is not None:
         common = (
             fps.groupBy("fp")

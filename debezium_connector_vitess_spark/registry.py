@@ -715,108 +715,108 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "tx_boundaries",
-    oracle="""
-    SELECT CAST(event_id // 10 AS VARCHAR) AS tx_id,
-           count(*) AS event_count,
-           min(epoch_ms(ts)) AS begin_ts_ms,
-           max(epoch_ms(ts)) AS end_ts_ms,
-           max_by('MySQL56/host0:1-' || CAST(event_id + 100 AS VARCHAR), event_id) AS end_gtid
-    FROM events GROUP BY 1
-    """,
-)
-def tx_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: transaction BEGIN/END summary records with event counts."""
-    raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
-    return transaction_boundaries(raw)
-
-
-@register(
-    "tx_rank",
-    oracle="""
-    SELECT event_id, (event_id + 100) + (user_id + 1) AS transaction_rank
-    FROM events
-    """,
-)
-def tx_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2+T3: GTID-set parse + rank = Σ max-sequence over hosts, as a pure
-    Catalyst expression over a two-host GTID."""
-    from .txmeta.batch import rank_expr
-
-    events = changelog.load_events(spark, sf_dir)
-    gtid = F.concat(
-        F.lit("MySQL56/hostA:1-"),
-        (F.col("event_id") + 100).cast("string"),
-        F.lit(",hostB:1-"),
-        (F.col("user_id") + 1).cast("string"),
-    )
-    return events.select(
-        "event_id", rank_expr(gtid).cast("long").alias("transaction_rank")
-    )
-
-
-@register(
-    "tx_epoch",
+    "tx_metadata",
     oracle=f"""
     WITH ev AS (
-      SELECT event_id, {_ORACLE_SHARD} AS shard, event_id // 40 AS txn
+      SELECT event_id, user_id, ts, {_ORACLE_SHARD} AS shard FROM events),
+    rank_t AS (
+      SELECT event_id, (event_id + 100) + (user_id + 1) AS transaction_rank
       FROM events),
+    etx_ev AS (SELECT event_id, shard, event_id // 40 AS txn FROM ev),
     tx AS (
       SELECT shard, txn, min(event_id) AS first_event, (txn // 10) % 3 AS h
-      FROM ev GROUP BY shard, txn),
+      FROM etx_ev GROUP BY shard, txn),
     etx AS (
       SELECT shard, txn,
              CAST(1 + SUM(CASE WHEN prev_h IS NOT NULL AND prev_h <> h THEN 1 ELSE 0 END)
                  OVER (PARTITION BY shard ORDER BY first_event) AS BIGINT) AS transaction_epoch
       FROM (SELECT *, LAG(h) OVER (PARTITION BY shard ORDER BY first_event) AS prev_h
-            FROM tx))
-    SELECT ev.event_id, ev.shard, etx.transaction_epoch
-    FROM ev JOIN etx ON ev.shard = etx.shard AND ev.txn = etx.txn
+            FROM tx)),
+    epoch_t AS (
+      SELECT ee.event_id, ee.shard, etx.transaction_epoch
+      FROM etx_ev ee JOIN etx ON ee.shard = etx.shard AND ee.txn = etx.txn),
+    ord_t AS (
+      SELECT event_id, CAST(event_id // 10 AS VARCHAR) AS tx_id,
+             ROW_NUMBER() OVER (PARTITION BY event_id // 10 ORDER BY event_id) AS total_order,
+             ROW_NUMBER() OVER (PARTITION BY event_id // 10, user_id % 3 ORDER BY event_id) AS data_collection_order
+      FROM events),
+    bnd AS (
+      SELECT CAST(event_id // 10 AS VARCHAR) AS tx_id,
+             count(*) AS event_count,
+             min(epoch_ms(ts)) AS begin_ts_ms,
+             max(epoch_ms(ts)) AS end_ts_ms,
+             max_by('MySQL56/host0:1-' || CAST(event_id + 100 AS VARCHAR), event_id) AS end_gtid
+      FROM events GROUP BY 1)
+    SELECT o.event_id, e.shard, e.transaction_epoch, r.transaction_rank,
+           o.tx_id, o.total_order, o.data_collection_order,
+           b.event_count, b.begin_ts_ms, b.end_ts_ms, b.end_gtid
+    FROM ord_t o
+    JOIN rank_t r USING (event_id)
+    JOIN epoch_t e USING (event_id)
+    JOIN bnd b USING (tx_id)
     """,
 )
-def tx_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4: per-shard epoch — running count of host-set breaks (failovers).
+def tx_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2+T3+T4+T8 in one per-event frame (the round-5 consolidation of
+    the former tx_boundaries/tx_rank/tx_epoch/tx_order entries — same
+    fixture, same oracles, one driver row):
 
-    Epoch is a per-transaction property (derived on BEGIN,
-    VitessOrderedTransactionContext.java:109-127): all events of a
-    transaction share one GTID, so the window runs over the deduplicated
-    ``(shard, tx)`` frame — ~10× smaller than the event frame — and joins
-    back. Model: a transaction = a 40-event commit group (events share the
-    group's host), host fails over every 10 transactions; initial epoch 1
-    models an overridden start."""
-    from .txmeta.batch import epoch_batch
+    - ``transaction_rank`` (T2+T3): GTID-set parse + Σ max-sequence over a
+      two-host GTID, a pure Catalyst expression.
+    - ``shard``/``transaction_epoch`` (T4): per-shard running count of
+      host-set breaks (failovers). Epoch is a per-transaction property
+      (derived on BEGIN, VitessOrderedTransactionContext.java:109-127), so
+      the window runs over the deduplicated (shard, tx) frame — ~10× smaller
+      than the event frame — and joins back. Model: a transaction = a
+      40-event commit group, host fails over every 10 transactions.
+    - ``total_order``/``data_collection_order`` (T8): per-transaction
+      counters over the raw vevent frame.
+    - ``event_count``/``begin_ts_ms``/``end_ts_ms``/``end_gtid`` (T1):
+      transaction boundary summaries, joined back per event.
+    """
+    from .txmeta.batch import epoch_batch, rank_expr, with_tx_order
 
     events = changelog.load_events(spark, sf_dir)
+    raw = changelog.events_to_raw_vevents(events)
+
+    rank_gtid = F.concat(
+        F.lit("MySQL56/hostA:1-"),
+        (F.col("event_id") + 100).cast("string"),
+        F.lit(",hostB:1-"),
+        (F.col("user_id") + 1).cast("string"),
+    )
+    ranked = events.select(
+        "event_id", rank_expr(rank_gtid).cast("long").alias("transaction_rank")
+    )
+
     host = (F.expr("event_id div 40 div 10") % 3).cast("string")
-    gtid = F.concat(
+    epoch_gtid = F.concat(
         F.lit("MySQL56/host"), host, F.lit(":1-"), F.col("event_id").cast("string")
     )
-    df = events.select(
-        "event_id",
-        changelog.shard_col().alias("shard"),
-        F.expr("event_id div 40").alias("tx_id"),
-        gtid.alias("gtid"),
+    epochd = epoch_batch(
+        events.select(
+            "event_id",
+            changelog.shard_col().alias("shard"),
+            F.expr("event_id div 40").alias("tx_id"),
+            epoch_gtid.alias("gtid"),
+        ),
+        tx_col="tx_id",
+    ).select("event_id", "shard", "transaction_epoch")
+
+    ordered = with_tx_order(raw).select(
+        "event_id", "tx_id", "total_order", "data_collection_order"
     )
-    return epoch_batch(df, tx_col="tx_id").select(
-        "event_id", "shard", "transaction_epoch"
+    bounds = transaction_boundaries(raw)
+    return (
+        ordered.join(ranked, "event_id")
+        .join(epochd, "event_id")
+        .join(bounds, "tx_id")
+        .select(
+            "event_id", "shard", "transaction_epoch", "transaction_rank",
+            "tx_id", "total_order", "data_collection_order",
+            "event_count", "begin_ts_ms", "end_ts_ms", "end_gtid",
+        )
     )
-
-
-@register(
-    "tx_order",
-    oracle="""
-    SELECT event_id,
-           ROW_NUMBER() OVER (PARTITION BY event_id // 10 ORDER BY event_id) AS total_order,
-           ROW_NUMBER() OVER (PARTITION BY event_id // 10, user_id % 3 ORDER BY event_id) AS data_collection_order
-    FROM events
-    """,
-)
-def tx_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T8: total_order / data_collection_order counters within a transaction."""
-    from .txmeta.batch import with_tx_order
-
-    raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
-    return with_tx_order(raw).select("event_id", "total_order", "data_collection_order")
 
 
 # ---------------------------------------------------------------------------
@@ -889,8 +889,27 @@ _ORACLE_PII_SUFFIX = (
            md5(regexp_replace(regexp_replace(regexp_replace(ptext,
                  '{_P_EMAIL}', '<EMAIL>', 'g'),
                  '{_P_IPV4}', '<IP>', 'g'),
-                 '{_P_PHONE}', '<PHONE>', 'g')) AS redacted_fingerprint
-    FROM g
+                 '{_P_PHONE}', '<PHONE>', 'g')) AS redacted_fingerprint,
+           CASE
+             WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+             WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+             WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+             WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+             WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+             ELSE 'fr' END AS lang_pred
+    FROM (
+      SELECT *,
+        len(list_filter(list_transform(toks, x -> lower(x)),
+                        x -> x IN {_Q_STOP_EN})) AS s_en,
+        len(list_filter(list_transform(toks, x -> lower(x)),
+            x -> x IN ('el','la','de','y','que','en','un','una','los','por'))) AS s_es,
+        len(list_filter(list_transform(toks, x -> lower(x)),
+            x -> x IN ('der','die','das','und','ist','ein','eine','zu','mit','von'))) AS s_de,
+        len(list_filter(list_transform(toks, x -> lower(x)),
+            x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS s_fr
+      FROM g)
     """,
 )
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -901,12 +920,20 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-defined md5 fingerprint, and PII detection/redaction counts
     (emails/IPv4/phones found + md5 of the scrubbed text — the CCNet/Dolma
     scrub step; the corpus carries no natural PII, so a deterministic PII
-    suffix keyed on doc_id is appended identically on both sides). One
-    scan, no shuffle; the token and gram arrays are staged once as real
-    columns so the regex tokenization runs once per row, not once per
-    consuming expression (see ops.text.with_text_metrics). Each signal also
-    remains an independent expression in ops/text.py, unit-tested there."""
-    from .ops.text import pii_count_exprs, redact_pii_expr, with_text_metrics
+    suffix keyed on doc_id is appended identically on both sides), plus the
+    per-document language-ID heuristic (script ranges, then the
+    stopword-family vote — folded in from the former text_lang_id entry,
+    round-5 registry consolidation). One scan, no shuffle; the token and
+    gram arrays are staged once as real columns so the regex tokenization
+    runs once per row, not once per consuming expression (see
+    ops.text.with_text_metrics). Each signal also remains an independent
+    expression in ops/text.py, unit-tested there."""
+    from .ops.text import (
+        lang_id_expr,
+        pii_count_exprs,
+        redact_pii_expr,
+        with_text_metrics,
+    )
 
     docs = _documents(spark, sf_dir)
     did = F.col("doc_id")
@@ -944,42 +971,8 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ipv4.alias("n_pii_ipv4"),
         n_phones.alias("n_pii_phones"),
         F.md5(redact_pii_expr(F.col("__ptext"))).alias("redacted_fingerprint"),
+        lang_id_expr(F.col("text")).alias("lang_pred"),
     )
-
-
-@register(
-    "text_lang_id",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, {_ORACLE_TOKENS.replace("text", "lower(text)")} AS lt, text FROM documents),
-    hits AS (
-      SELECT doc_id, text,
-        len(list_filter(lt, x -> x IN {_Q_STOP_EN})) AS en,
-        len(list_filter(lt, x -> x IN ('el','la','de','y','que','en','un','una','los','por'))) AS es,
-        len(list_filter(lt, x -> x IN ('der','die','das','und','ist','ein','eine','zu','mit','von'))) AS de,
-        len(list_filter(lt, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr
-      FROM toks)
-    SELECT CASE
-        WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
-        WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
-        WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
-        WHEN greatest(en, es, de, fr) = 0 THEN 'und'
-        WHEN en = greatest(en, es, de, fr) THEN 'en'
-        WHEN es = greatest(en, es, de, fr) THEN 'es'
-        WHEN de = greatest(en, es, de, fr) THEN 'de'
-        ELSE 'fr' END AS lang_pred,
-      count(*) AS n
-    FROM hits GROUP BY 1
-    """,
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: script ranges, then stopword-family vote."""
-    from .ops.text import lang_id_expr
-
-    docs = _documents(spark, sf_dir)
-    return docs.select(lang_id_expr(F.col("text")).alias("lang_pred")).groupBy(
-        "lang_pred"
-    ).agg(F.count("*").alias("n"))
 
 
 @register(
@@ -1342,98 +1335,94 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_image_metadata",
+    "multimodal_metadata",
     oracle="""
-    WITH d AS (
+    WITH img AS (
       SELECT doc_id,
              (8 + octet_length(encode(text)) % 24)::INT AS width,
              (8 + (octet_length(encode(text)) // 2) % 24)::INT AS height
       FROM documents)
-    SELECT doc_id, width, height, 3 AS channels,
+    SELECT d.doc_id,
+           img.width, img.height, 3 AS channels,
            224 AS target_w, 224 AS target_h,
-           least(224.0 / width, 224.0 / height) AS scale
-    FROM d
+           least(224.0 / img.width, 224.0 / img.height) AS scale,
+           (200 + octet_length(encode(d.text)) % 800)::BIGINT AS n_samples,
+           (8000 + (d.doc_id % 4) * 4000)::INT AS framerate,
+           (1 + d.doc_id % 2)::INT AS audio_channels,
+           2 AS sampwidth,
+           ((200 + octet_length(encode(d.text)) % 800) * 1000
+            // (8000 + (d.doc_id % 4) * 4000))::BIGINT AS audio_ms,
+           (4 + octet_length(encode(d.text)) % 28)::INT AS n_frames,
+           (16 + d.doc_id % 16)::INT AS frame_w,
+           (16 + (d.doc_id // 2) % 16)::INT AS frame_h,
+           (10 + (d.doc_id % 3) * 5)::INT AS fps,
+           ((4 + octet_length(encode(d.text)) % 28) * 1000
+            // (10 + (d.doc_id % 3) * 5))::BIGINT AS video_ms,
+           ((4 + octet_length(encode(d.text)) % 28) + 4) // 5 AS sampled_frames
+    FROM documents d JOIN img USING (doc_id)
     """,
 )
-def multimodal_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode end to end: deterministic PNGs are generated per doc
-    (stdlib encoder) and the mapInPandas metadata extractor parses the actual
-    PNG signature/IHDR bytes over Arrow batches — no fake, no PIL dependency.
-    ``resize_images`` runs on the SAME real PNG payloads (aspect-preserving
-    scale for a 224×224 target from the decoded dims) and joins in its
-    ``target_w/target_h/scale`` columns — both ops keep a driver-green oracle
-    row from this one entry. The oracle replicates the generation formulas,
-    so a decoder that misreads the header goes red. (byte_len/content_md5
-    are also extracted on the same pass — unit-tested; not oracle-expressible
-    since DuckDB can't re-encode the PNG bytes.)"""
-    from .ops.multimodal import attach_png_payload, extract_image_metadata, resize_images
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image + audio + video container decode end to end, one per-doc
+    frame (the round-5 consolidation of the former multimodal_image/_wav/
+    _video_metadata entries — same fixtures, same oracles, one driver row):
+
+    - IMAGE: deterministic PNGs generated per doc (stdlib encoder); the
+      mapInPandas extractor parses the actual PNG signature/IHDR bytes over
+      Arrow batches — no fake, no PIL. ``resize_images`` runs on the SAME
+      real payloads (aspect-preserving 224×224 target scale).
+    - AUDIO: deterministic RIFF/WAVE blobs (stdlib ``wave`` writer); the
+      extractor parses the real container header — frames, rate, channels,
+      sample width.
+    - VIDEO: deterministic minimal AVI blobs (RIFF chunk tree, avih header +
+      movi frame chunks); the extractor walks the actual chunk structure and
+      cross-checks header frame count against the '00dc' chunks;
+      ``sample_frames`` does every-5th-frame sampling on the same payloads.
+
+    The oracle replicates the generation formulas, so a decoder that
+    misreads any header goes red. (byte_len/content_md5 and the headerless
+    raw-PCM chunking model remain unit-tested — not oracle-expressible.)"""
+    from .ops.multimodal import (
+        attach_avi_payload,
+        attach_png_payload,
+        attach_wav_payload,
+        extract_audio_metadata,
+        extract_image_metadata,
+        extract_video_metadata,
+        resize_images,
+        sample_frames,
+    )
 
     docs = _documents(spark, sf_dir)
     png = attach_png_payload(docs)
-    meta = extract_image_metadata(png)
+    img = extract_image_metadata(png).select("doc_id", "width", "height", "channels")
     resized = resize_images(png, target_w=224, target_h=224).select(
         "doc_id", "target_w", "target_h", "scale"
     )
-    return meta.select("doc_id", "width", "height", "channels").join(resized, "doc_id")
-
-
-@register(
-    "multimodal_wav_metadata",
-    oracle="""
-    SELECT doc_id,
-           (200 + octet_length(encode(text)) % 800)::BIGINT AS n_samples,
-           (8000 + (doc_id % 4) * 4000)::INT AS framerate,
-           (1 + doc_id % 2)::INT AS channels,
-           2 AS sampwidth,
-           ((200 + octet_length(encode(text)) % 800) * 1000
-            // (8000 + (doc_id % 4) * 4000))::BIGINT AS duration_ms
-    FROM documents
-    """,
-)
-def multimodal_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode end to end: deterministic RIFF/WAVE blobs are
-    generated per doc (stdlib ``wave`` writer) and the metadata extractor
-    parses the actual container header — frames, rate, channels, sample
-    width. The oracle replicates the generation formulas, so a decoder that
-    misreads the header goes red."""
-    from .ops.multimodal import attach_wav_payload, extract_audio_metadata
-
-    docs = _documents(spark, sf_dir)
-    return extract_audio_metadata(attach_wav_payload(docs))
-
-
-@register(
-    "multimodal_video_metadata",
-    oracle="""
-    SELECT doc_id,
-           (4 + octet_length(encode(text)) % 28)::INT AS n_frames,
-           (16 + doc_id % 16)::INT AS width,
-           (16 + (doc_id // 2) % 16)::INT AS height,
-           (10 + (doc_id % 3) * 5)::INT AS fps,
-           ((4 + octet_length(encode(text)) % 28) * 1000
-            // (10 + (doc_id % 3) * 5))::BIGINT AS duration_ms,
-           ((4 + octet_length(encode(text)) % 28) + 4) // 5 AS sampled_frames
-    FROM documents
-    """,
-)
-def multimodal_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video container decode end to end: deterministic minimal AVI
-    blobs per doc (RIFF chunk tree with avih header + movi frame chunks);
-    the extractor walks the actual chunk structure and cross-checks the
-    header frame count against the movi '00dc' chunks. ``sample_frames``
-    runs on the same real AVI payloads (every-5th-frame sampling over the
-    container's decoded frame count) and joins in its ``sampled_frames``
-    column — both ops keep a driver-green oracle row from this one entry.
-    The oracle replicates the generation formulas, so a misparsed container
-    goes red. (The headerless 256-byte-frame sampling model remains
-    unit-tested in tests/test_ops.py.)"""
-    from .ops.multimodal import attach_avi_payload, extract_video_metadata, sample_frames
-
-    docs = _documents(spark, sf_dir)
+    wav = extract_audio_metadata(attach_wav_payload(docs)).select(
+        "doc_id",
+        "n_samples",
+        "framerate",
+        F.col("channels").alias("audio_channels"),
+        "sampwidth",
+        F.col("duration_ms").alias("audio_ms"),
+    )
     avi = attach_avi_payload(docs)
-    meta = extract_video_metadata(avi)
+    vid = extract_video_metadata(avi).select(
+        "doc_id",
+        "n_frames",
+        F.col("width").alias("frame_w"),
+        F.col("height").alias("frame_h"),
+        "fps",
+        F.col("duration_ms").alias("video_ms"),
+    )
     sampled = sample_frames(avi).select("doc_id", "sampled_frames")
-    return meta.join(sampled, "doc_id")
+    return (
+        img.join(resized, "doc_id")
+        .join(wav, "doc_id")
+        .join(vid, "doc_id")
+        .join(sampled, "doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2119,3 +2108,140 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     return chunk_audio(attach_wav_payload(docs), chunk_samples=64)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: the curation-family operators promoted into the driver
+# window (freed by the tx/lang/multimodal consolidations above).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_paragraphs",
+    oracle="""
+    WITH paras AS (
+      SELECT doc_id, u.p AS para, u.i - 1 AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(list_transform(string_split_regex(text, '\\n{2,}'),
+                                          x -> trim(x)), x -> x <> '') AS ps
+        FROM documents),
+        LATERAL (SELECT unnest(ps) AS p,
+                        generate_subscripts(ps, 1) AS i) u),
+    keyed AS (
+      SELECT doc_id, pos, para, md5(para) AS phash,
+             length(para) >= 20 AS long FROM paras),
+    winners AS (
+      SELECT phash, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+      FROM keyed WHERE long GROUP BY phash),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.para FROM keyed k LEFT JOIN winners w USING (phash)
+      WHERE (NOT k.long) OR (k.doc_id = w.w.doc_id AND k.pos = w.w.pos)),
+    rebuilt AS (
+      SELECT doc_id,
+             list_aggr(list_transform(list_sort(list(struct_pack(pos := pos, para := para))),
+                                      s -> s.para), 'string_agg', e'\\n\\n') AS text
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(r.text, '') AS text
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level paragraph dedup (the Dolma/CCNet cleaning pass): a
+    paragraph appearing in multiple documents survives only at its first
+    occurrence (lowest doc, then lowest position); paragraphs under 20 chars
+    are boilerplate-exempt. Scale shape: the winner shuffle carries (16-byte
+    md5, doc, pos) COORDINATES — paragraph strings are hashed map-side and
+    never enter the shuffle; the rebuild is one corpus join plus a narrow
+    index-filtered projection (ops/text.py drop_duplicate_paragraphs)."""
+    from .ops.text import drop_duplicate_paragraphs
+
+    docs = _documents(spark, sf_dir)
+    return drop_duplicate_paragraphs(docs, "text", "doc_id", min_chars=20)
+
+
+@register(
+    "doc_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    lm AS (
+      SELECT token,
+             ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ())) AS logp
+      FROM vocab),
+    scored AS (
+      SELECT t.doc_id, coalesce(lm.logp, (SELECT min(logp) + ln(0.5) FROM lm)) AS lp
+      FROM toks t LEFT JOIN lm USING (token))
+    SELECT doc_id, count(*) AS n_tokens,
+           round(-avg(lp), 4) AS avg_neg_logp_r4,
+           round(exp(-avg(lp)), 2) AS perplexity_r2
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity quality gate (CCNet-style): train the add-0.5
+    smoothed LM on the corpus, score every document; OOV tokens get half the
+    rarest token's probability. The LM join is a BROADCAST hash join — the
+    corpus never shuffles on the token (plan-pinned in
+    tests/test_ops.py::test_perplexity_plan_broadcasts_lm). Float outputs
+    are rounded (4/2 decimals) in BOTH engines: the per-doc average is a
+    cross-row float sum whose reduction order differs between engines at
+    ~1e-13 relative — far below the rounding grid, so the driver's exact
+    value-hash stays stable."""
+    from .ops.pipeline import doc_perplexity, unigram_logprobs
+
+    docs = _documents(spark, sf_dir)
+    lm = unigram_logprobs(docs, "text", alpha=0.5)
+    out = doc_perplexity(docs, "text", "doc_id", lm)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_neg_logp", 4).alias("avg_neg_logp_r4"),
+        F.round("perplexity", 2).alias("perplexity_r2"),
+    )
+
+
+@register(
+    "winnow_match_pairs",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+        list_transform(range(1, greatest(length(text) - 24, 0) + 1),
+          i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 25)), 1, 15))::BIGINT) AS hs
+      FROM documents),
+    fps AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, CASE WHEN len(hs) < 1 THEN 0
+                        ELSE greatest(len(hs) - 9, least(len(hs), 1)) END + 1),
+          j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j AS INT) + 9)))) AS fp_set
+      FROM grams),
+    fp AS (SELECT doc_id, unnest(fp_set) AS fp FROM fps),
+    keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 5),
+    f2 AS (SELECT doc_id, fp FROM fp JOIN keep USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def winnow_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing passage-copy detector (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS fingerprinting): hash every 25-char gram, keep each 10-gram
+    window's minimum, and report document pairs sharing ≥2 fingerprints —
+    any shared substring of ≥ 34 chars is guaranteed to surface. The
+    document-frequency cap (5) drops boilerplate fingerprints before the
+    self-join (the round-5 fan-out guard). This entry runs the PORTABLE
+    md5-prefix gram hash so the oracle reproduces the exact fingerprints;
+    the xxhash64 default is the cheap scale path (ops/text.py
+    winnow_match_pairs)."""
+    from .ops.text import winnow_match_pairs
+
+    docs = _documents(spark, sf_dir)
+    return winnow_match_pairs(
+        docs, "text", "doc_id",
+        k=25, window=10, min_shared=2, max_doc_freq=5, portable=True,
+    )
