@@ -2245,3 +2245,324 @@ def winnow_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id",
         k=25, window=10, min_shared=2, max_doc_freq=5, portable=True,
     )
+
+
+def _lsh_cross_oracle_sql(
+    threshold: float = 0.85,
+    num_planes: int = 16,
+    num_bands: int = 4,
+    dim: int = 64,
+    left_pred: str = "vec_id < 50",
+) -> str:
+    """DuckDB mirror of ``lsh_cross_near_pairs`` (two frames): identical
+    deterministic hyperplanes, band keys, cross-frame candidate equi-join,
+    exact-cosine verify — the approximate semantics are themselves checked,
+    as in ``_lsh_banded_oracle_sql``."""
+    from .ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_planes)
+    per = num_planes // num_bands
+    values = ",\n      ".join(
+        f"({pid}, [{', '.join(repr(v) for v in plane)}])"
+        for pid, plane in enumerate(planes)
+    )
+    cos = (
+        "list_dot_product(a.embedding, b.embedding) / "
+        "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
+        "sqrt(list_dot_product(b.embedding, b.embedding)))"
+    )
+    return f"""
+    WITH planes AS (
+      SELECT * FROM (VALUES
+      {values}) t(pid, pvec)),
+    sig AS (
+      SELECT e.vec_id, p.pid // {per} AS band,
+             CAST(sum(CASE WHEN list_dot_product(
+                        list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                        p.pvec) >= 0
+                      THEN (1 << (p.pid % {per})) ELSE 0 END) AS INT) AS bkey
+      FROM embeddings e, planes p
+      GROUP BY e.vec_id, p.pid // {per}),
+    cand AS (
+      SELECT DISTINCT s_a.vec_id AS left_id, s_b.vec_id AS right_id
+      FROM (SELECT * FROM sig WHERE {left_pred}) s_a
+      JOIN sig s_b ON s_a.band = s_b.band AND s_a.bkey = s_b.bkey)
+    SELECT cand.left_id, cand.right_id
+    FROM cand
+    JOIN embeddings a ON a.vec_id = cand.left_id
+    JOIN embeddings b ON b.vec_id = cand.right_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+@register("decontaminate_semantic", oracle=_lsh_cross_oracle_sql())
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus SEMANTIC decontamination (the embedding analog of the
+    n-gram decontaminate_eval): eval vectors (vec_id < 50) matched against
+    the whole training corpus through the banded hyperplane-LSH equi-join —
+    only (band, key, id) rows shuffle, vectors never do — then exact-cosine
+    verified at ≥ 0.85. Eval ⊂ train here, so every eval vector's self-match
+    (cosine 1) must surface: identical signatures agree on every band — a
+    recall canary built into the driver row. The float score stays
+    pytest-side (exactness asserted at 1e-12 in test_ops); the driver row
+    compares the integer pair set."""
+    from .ops.similarity import lsh_cross_near_pairs
+
+    emb = _embeddings(spark, sf_dir)
+    evals = emb.filter(F.col("vec_id") < 50)
+    return lsh_cross_near_pairs(
+        evals, emb, threshold=0.85, num_planes=16, num_bands=4
+    ).select("left_id", "right_id")
+
+
+@register(
+    "shard_layout",
+    oracle="""
+    SELECT doc_id, source, lang, length(text) AS n_chars
+    FROM documents WHERE doc_id BETWEEN 120 AND 330
+    """,
+)
+def shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard layout round trip: write the documents table as
+    range-clustered shards (rows_per_shard=100 ⇒ non-overlapping doc_id
+    ranges per file, parquet min/max footers prune file-level), then answer
+    a doc_id range query through the manifest-pruned reader — only shard
+    files overlapping [120, 330] are ever opened (file-count pruning is
+    pinned in tests/test_ops.py::test_read_shard_range_prunes_files). The
+    oracle is the plain range scan, so the writer/manifest/reader pipeline
+    must reproduce the source rows exactly — a shard that drops, duplicates,
+    or mis-ranges rows goes red."""
+    import tempfile
+
+    from .ops.layout import read_shard_range, write_training_shards
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "source", "lang", F.length("text").alias("n_chars")
+    )
+    path = tempfile.mkdtemp(prefix="shard_layout_")
+    manifest = write_training_shards(
+        docs, path, sort_col="doc_id", rows_per_shard=100
+    )
+    return read_shard_range(
+        spark, path, sort_col="doc_id", lo=120, hi=330, manifest=manifest
+    )
+
+
+_CURATION_BANNER = "subscribe to our newsletter for daily updates and offers"
+
+# DuckDB mirror of ops.text.html_to_text_expr (same regex chain; RE2 and
+# Java regex agree on every construct used — inline flags, lazy quantifiers,
+# classes). Applied to the column named `h`.
+_ORACLE_HTML_EXTRACT = """
+    regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+          '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+          '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)\\s*>', e'\\n\\n', 'g'),
+          '(?i)<br\\s*/?>', e'\\n', 'g'),
+          '(?s)<[^>]+>', ' ', 'g'),
+        '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        '&#39;', CHR(39), 'g'),
+      '&amp;', '&', 'g'),
+    '[ \\t\\r\\f]+', ' ', 'g'),
+    ' ?\\n ?', e'\\n', 'g'),
+    '\\n{3,}', e'\\n\\n', 'g'),
+    '^\\s+|\\s+$', '', 'g')
+"""
+
+_CURATION_FIXED_WEIGHTS = [(-1, 0.25)] + [
+    (b, ((b * 37) % 11 - 5) / 10.0) for b in range(0, 64)
+]
+
+
+def _curation_oracle_sql() -> str:
+    weight_rows = ", ".join(f"({b}, {wt!r})" for b, wt in _CURATION_FIXED_WEIGHTS)
+    return f"""
+    WITH html AS (
+      SELECT doc_id,
+        '<html><head><script>var t=1;</script><style>.x{{color:red}}</style></head><body>'
+        || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+        || '<p>' || text || '</p>'
+        || '<p>{_CURATION_BANNER}</p>'
+        || CASE WHEN doc_id % 7 = 0 THEN '<p>' || text || '</p>' ELSE '' END
+        || '<!-- tracking --></body></html>' AS h
+      FROM documents),
+    ext AS (SELECT doc_id, {_ORACLE_HTML_EXTRACT} AS text FROM html),
+    paras AS (
+      SELECT doc_id, u.p AS para, u.i - 1 AS pos
+      FROM (SELECT doc_id,
+              list_filter(list_transform(string_split_regex(text, '\\n{{2,}}'),
+                                         x -> trim(x)), x -> x <> '') AS ps
+            FROM ext),
+        LATERAL (SELECT unnest(ps) AS p, generate_subscripts(ps, 1) AS i) u),
+    keyed AS (
+      SELECT doc_id, pos, para, md5(para) AS phash, length(para) >= 20 AS long FROM paras),
+    winners AS (
+      SELECT phash, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+      FROM keyed WHERE long GROUP BY phash),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.para FROM keyed k LEFT JOIN winners w USING (phash)
+      WHERE (NOT k.long) OR (k.doc_id = w.w.doc_id AND k.pos = w.w.pos)),
+    rebuilt AS (
+      SELECT doc_id,
+             list_aggr(list_transform(list_sort(list(struct_pack(pos := pos, para := para))),
+                                      s -> s.para), 'string_agg', e'\\n\\n') AS text
+      FROM kept GROUP BY doc_id),
+    base AS (
+      SELECT d.doc_id, coalesce(r.text, '') AS text, d.source, d.lang
+      FROM documents d LEFT JOIN rebuilt r USING (doc_id)),
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      FROM base),
+    grams AS (
+      SELECT doc_id, unnest(t) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks),
+    qfeats AS (
+      SELECT doc_id, ('0x' || substr(md5('qlr' || g), 1, 15))::BIGINT % 64 AS bucket FROM grams),
+    qx AS (
+      SELECT doc_id, bucket, count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY doc_id) AS x
+      FROM qfeats GROUP BY doc_id, bucket),
+    w(bucket, weight) AS (VALUES {weight_rows}),
+    qwx AS (
+      SELECT qx.doc_id, sum(coalesce(w.weight, 0.0) * qx.x) AS wx
+      FROM qx LEFT JOIN w ON qx.bucket = w.bucket AND w.bucket <> -1
+      GROUP BY qx.doc_id),
+    qn AS (SELECT doc_id, count(*) AS q_grams FROM qfeats GROUP BY doc_id),
+    quality AS (
+      SELECT qwx.doc_id, qn.q_grams,
+             round(1.0 / (1.0 + exp(-(qwx.wx + 0.25))), 6) AS quality_prob_r6
+      FROM qwx JOIN qn USING (doc_id)),
+    dfeats AS (
+      SELECT g.doc_id, b.lang,
+             ('0x' || substr(md5('dsir' || g.g), 1, 15))::BIGINT % 512 AS bucket
+      FROM grams g JOIN base b USING (doc_id)),
+    ct AS (SELECT bucket, count(*) AS c FROM dfeats WHERE lang = 'en' GROUP BY bucket),
+    cr AS (SELECT bucket, count(*) AS c FROM dfeats GROUP BY bucket),
+    tot AS (SELECT (SELECT sum(c) FROM ct) AS nt, (SELECT sum(c) FROM cr) AS nr),
+    lrt AS (
+      SELECT cr.bucket,
+             ln((coalesce(ct.c, 0) + 1.0) / (tot.nt + 512.0))
+               - ln((cr.c + 1.0) / (tot.nr + 512.0)) AS log_ratio
+      FROM cr LEFT JOIN ct USING (bucket), tot),
+    dsir AS (
+      SELECT f.doc_id, round(sum(lrt.log_ratio), 4) AS log_weight_r4
+      FROM dfeats f JOIN lrt USING (bucket) GROUP BY f.doc_id),
+    mix_base AS (
+      SELECT b.doc_id, b.source,
+             len(list_filter(string_split_regex(b.text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+             ('0x' || substr(md5('mixture' || CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      FROM base b WHERE b.source IN ('src0', 'src1')),
+    avail AS (SELECT source, sum(n_tokens) AS available_tokens FROM mix_base GROUP BY source),
+    budgets(source, budget_tokens) AS (VALUES ('src0', 800), ('src1', 800)),
+    placed AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY hh % 8, hh, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS doc_start
+      FROM mix_base)
+    SELECT p.doc_id, p.source, p.n_tokens, p.doc_start,
+           b.budget_tokens::BIGINT AS budget_tokens, a.available_tokens,
+           q.q_grams, q.quality_prob_r6, d.log_weight_r4
+    FROM placed p
+    JOIN budgets b USING (source)
+    JOIN avail a USING (source)
+    JOIN quality q USING (doc_id)
+    JOIN dsir d USING (doc_id)
+    WHERE p.doc_start < b.budget_tokens
+    """
+
+
+@register("curation_pipeline", oracle=_curation_oracle_sql())
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain as ONE driver row — the composition
+    test_pipeline_e2e proves, promoted to the CORRECTNESS gate (round-5
+    registry item). Synthetic crawl pages are built deterministically from
+    the documents table (script/style/comment noise, heading, the body
+    paragraph, a shared boilerplate banner paragraph, and for every 7th doc
+    a duplicated body paragraph), then:
+
+    1. HTML → text extraction (codegen'd regex chain, map-only);
+    2. corpus-level paragraph dedup — the banner survives only in the
+       lowest doc, the 7th-doc duplicate body collapses intra-doc;
+    3. quality classifier scoring under a FIXED weight table (dim=64,
+       broadcast join — the deterministically-reproducible half of the
+       in-engine LR classifier; training stays pytest-side, it is
+       float-order nondeterministic);
+    4. DSIR importance weighting toward the English-docs target (dim=512,
+       ≤dim-row broadcast log-ratio table);
+    5. water-filling budget planner (proportions 50/50 over src0/src1 at
+       1600 total tokens — uncapped single-round split; the capping and
+       redistribution paths are hypothesis-tested in test_ops) feeding the
+       token-budget mixture sampler (two-level bucket cumsum, n_buckets=8).
+
+    Output: the selected documents with their stage signals. Cross-row float
+    sums (quality_prob, log_weight) are rounded identically in both engines
+    (6/4 decimals; engine reduction orders differ at ~1e-13 relative)."""
+    from .ops.pipeline import (
+        dsir_importance,
+        dsir_logratios,
+        plan_token_budgets,
+        sample_token_budget,
+        score_quality,
+    )
+    from .ops.text import drop_duplicate_paragraphs, html_to_text_expr
+
+    docs = _documents(spark, sf_dir)
+    html = F.concat(
+        F.lit(
+            '<html><head><script>var t=1;</script>'
+            '<style>.x{color:red}</style></head><body>'
+        ),
+        F.lit("<h1>Doc "), F.col("doc_id").cast("string"), F.lit("</h1>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit(f"<p>{_CURATION_BANNER}</p>"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")),
+        ).otherwise(F.lit("")),
+        F.lit("<!-- tracking --></body></html>"),
+    )
+    extracted = docs.select("doc_id", html_to_text_expr(html).alias("text"))
+    cleaned = drop_duplicate_paragraphs(extracted, "text", "doc_id", min_chars=20)
+    base = cleaned.join(docs.select("doc_id", "source", "lang"), "doc_id")
+
+    wdf = spark.createDataFrame(
+        _CURATION_FIXED_WEIGHTS, "bucket long, weight double"
+    )
+    quality = score_quality(base, "text", "doc_id", wdf, dim=64).select(
+        "doc_id",
+        F.col("n_grams").alias("q_grams"),
+        F.round("quality_prob", 6).alias("quality_prob_r6"),
+    )
+    lr = dsir_logratios(base.filter("lang = 'en'"), base, "text", dim=512)
+    dsir = dsir_importance(base, "text", "doc_id", lr, dim=512).select(
+        "doc_id", F.round("log_weight", 4).alias("log_weight_r4")
+    )
+    budgets = plan_token_budgets(
+        base,
+        "text",
+        domain_col="source",
+        total_tokens=1600,
+        proportions={"src0": 0.5, "src1": 0.5},
+    )
+    sel = sample_token_budget(
+        base,
+        "text",
+        "doc_id",
+        domain_col="source",
+        budgets=budgets.select("source", "budget_tokens"),
+        n_buckets=8,
+    )
+    return (
+        sel.join(quality, "doc_id")
+        .join(dsir, "doc_id")
+        .join(budgets, "source")
+        .select(
+            "doc_id", "source", "n_tokens", "doc_start", "budget_tokens",
+            "available_tokens", "q_grams", "quality_prob_r6", "log_weight_r4",
+        )
+    )

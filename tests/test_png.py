@@ -107,5 +107,5 @@ class TestMultimodalRealDecode:
 
         from debezium_connector_vitess_spark import registry
 
-        df = registry.QUERIES["multimodal_image_metadata"](spark, sf_dir)
-        compare(df, registry.ORACLES["multimodal_image_metadata"], sf_dir)
+        df = registry.QUERIES["multimodal_metadata"](spark, sf_dir)
+        compare(df, registry.ORACLES["multimodal_metadata"], sf_dir)
