@@ -340,78 +340,31 @@ def winnow_expr(gram_hashes: Column, window: int = 4) -> Column:
     )
 
 
-def winnow_fingerprints_expr(
-    chars: Column, *, k: int = 5, window: int = 4, portable: bool = False
-) -> Column:
-    """Winnowing fingerprint set in ONE ``aggregate`` fold over the char
-    array — the scale-safe formulation. The composed two-stage form
-    (:func:`char_gram_hashes_expr` + :func:`winnow_expr`) references its
-    staged arrays from multiple sub-expressions, and when the optimizer
-    collapses the staging projections each window-min re-evaluates the whole
-    gram build (O(chars × windows) re-hashing — measured minutes on 500
-    300-char docs at k=25/w=10). Here every intermediate lives inside a
-    single left fold, so the char split runs once and every gram is hashed
-    once BY CONSTRUCTION, independent of optimizer staging decisions.
+def _winnow_fingerprints_py(text: "str | None", k: int, window: int) -> list:
+    """Reference winnowing over one document (shared by the mapInPandas op
+    and the tests): 60-bit md5-prefix hashes of the char k-grams, distinct
+    sliding-window minima; < window grams ⇒ global min; < k chars ⇒ empty."""
+    import hashlib
 
-    The accumulator carries (last k−1 chars, last ≤window gram hashes, the
-    emitted window minima); per element the buffers are O(k + window) array
-    ops. A new window minimum is appended only when it differs from the
-    last appended value (the min of overlapping windows repeats for ~window
-    positions; the final set is ``array_distinct`` anyway), so the emitted
-    list stays ~2/(window+1) of the gram count and append cost is bounded
-    for realistic (≤100 KB) documents.
+    import numpy as np
 
-    Semantics are exactly :func:`winnow_expr` over
-    :func:`char_gram_hashes_expr`: distinct window minima; documents shorter
-    than one full window keep their global minimum; < k chars ⇒ empty set.
-    ``portable=True`` selects the engine-agnostic md5-prefix gram hash."""
-
-    def hash_fn(gram: Column) -> Column:
-        return token_hash_expr(gram) if portable else F.xxhash64(gram)
-
-    zero = F.struct(
-        F.array().cast("array<string>").alias("cbuf"),
-        F.array().cast("array<long>").alias("hbuf"),
-        F.array().cast("array<long>").alias("mins"),
+    t = text or ""
+    n = len(t)
+    if n < k:
+        return []
+    hs = np.fromiter(
+        (
+            int(hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+            for i in range(n - k + 1)
+        ),
+        dtype=np.int64,
+        count=n - k + 1,
     )
+    if len(hs) < window:
+        return [int(hs.min())]
+    from numpy.lib.stride_tricks import sliding_window_view
 
-    def step(acc: Column, c: Column) -> Column:
-        cbuf, hbuf, mins = acc["cbuf"], acc["hbuf"], acc["mins"]
-        full = F.size(cbuf) == (k - 1)  # current char completes a k-gram
-        h = hash_fn(F.concat(F.array_join(cbuf, ""), c))
-        hbuf2 = F.when(
-            full,
-            F.slice(
-                F.concat(hbuf, F.array(h)),
-                F.greatest(F.size(hbuf) + 2 - window, F.lit(1)),
-                window,
-            ),
-        ).otherwise(hbuf)
-        wmin = F.array_min(hbuf2)
-        emit = (
-            full
-            & (F.size(hbuf2) == window)
-            & ((F.size(mins) == 0) | (F.element_at(mins, -1) != wmin))
-        )
-        mins2 = F.when(emit, F.concat(mins, F.array(wmin))).otherwise(mins)
-        cbuf2 = F.slice(
-            F.concat(cbuf, F.array(c)),
-            F.greatest(F.size(cbuf) + 3 - k, F.lit(1)),
-            k - 1,
-        )
-        return F.struct(cbuf2.alias("cbuf"), hbuf2.alias("hbuf"), mins2.alias("mins"))
-
-    def finish(acc: Column) -> Column:
-        mins, hbuf = acc["mins"], acc["hbuf"]
-        # short-doc degenerate case: ≥1 gram but < window grams ⇒ global min
-        return F.array_distinct(
-            F.when(
-                (F.size(mins) == 0) & (F.size(hbuf) > 0),
-                F.array(F.array_min(hbuf)),
-            ).otherwise(mins)
-        )
-
-    return F.aggregate(chars, zero, step, finish)
+    return np.unique(sliding_window_view(hs, window).min(axis=1)).tolist()
 
 
 def with_winnow_fingerprints(
@@ -421,17 +374,41 @@ def with_winnow_fingerprints(
     k: int = 5,
     window: int = 4,
     out_col: str = "fingerprints",
-    portable: bool = False,
 ):
     """Attach the winnowing fingerprint set (array<long>) per document —
-    one narrow map-only projection via the single-fold
-    :func:`winnow_fingerprints_expr`."""
-    return df.withColumn(
-        out_col,
-        winnow_fingerprints_expr(
-            F.split(F.col(text_col), ""), k=k, window=window, portable=portable
-        ),
-    )
+    an Arrow-batched ``mapInPandas`` seam, map-only at 100 TB (no shuffle,
+    no state; same class of honest Python seam as the multimodal codecs and
+    :func:`with_compression_ratio`).
+
+    Why not Catalyst: the rolling-window minimum needs the gram-hash array
+    referenced from several sub-expressions, and the optimizer inlines such
+    staged projections — each window-min then re-evaluates the whole gram
+    build, O(chars × windows) re-hashing (measured: minutes for 500
+    300-char docs at k=25/w=10). A single ``aggregate`` fold avoids the
+    re-evaluation but pays interpreted per-element struct copies (measured
+    39 s at sf0.1); the Arrow seam computes the same fingerprints in
+    vectorized numpy (sliding_window_view min) with one md5 per gram.
+
+    The gram hash is the engine-agnostic 60-bit md5 prefix — exactly
+    :func:`char_gram_hashes_expr` with ``portable=True``, so SQL oracles
+    reproduce the fingerprints; at extreme scale a faster non-cryptographic
+    hash can be swapped into :func:`_winnow_fingerprints_py` (one line) at
+    the cost of oracle replicability."""
+    from pyspark.sql import types as T
+
+    fields = df.schema.fields + [
+        T.StructField(out_col, T.ArrayType(T.LongType()), True)
+    ]
+    schema = T.StructType(fields)
+
+    def op(batches):
+        for pdf in batches:
+            pdf[out_col] = pdf[text_col].map(
+                lambda t: _winnow_fingerprints_py(t, k, window)
+            )
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema)
 
 
 def winnow_match_pairs(
@@ -443,7 +420,6 @@ def winnow_match_pairs(
     window: int = 4,
     min_shared: int = 1,
     max_doc_freq: int | None = 1000,
-    portable: bool = False,
 ):
     """Candidate near-copy pairs sharing ≥ ``min_shared`` winnowing
     fingerprints — the MOSS-style containment detector (catches copied
@@ -462,12 +438,12 @@ def winnow_match_pairs(
     MinHash's ``max_bucket_size`` (``dedup.minhash_dedup_pairs``), keyed on
     ``fp`` — colocated with the self-join shuffle. ``None`` disables.
 
-    ``portable=True`` uses the engine-agnostic md5-prefix gram hash so a SQL
-    oracle reproduces the exact pair set (the default ``xxhash64`` is the
-    cheap scale path)."""
-    fps = with_winnow_fingerprints(
-        df, text_col, k=k, window=window, portable=portable
-    ).select(F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp"))
+    Fingerprints use the engine-agnostic md5-prefix gram hash (see
+    :func:`with_winnow_fingerprints`), so SQL oracles reproduce the exact
+    pair set."""
+    fps = with_winnow_fingerprints(df, text_col, k=k, window=window).select(
+        F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
+    )
     if max_doc_freq is not None:
         common = (
             fps.groupBy("fp")

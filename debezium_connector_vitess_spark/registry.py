@@ -2234,16 +2234,16 @@ def winnow_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's minimum, and report document pairs sharing ≥2 fingerprints —
     any shared substring of ≥ 34 chars is guaranteed to surface. The
     document-frequency cap (5) drops boilerplate fingerprints before the
-    self-join (the round-5 fan-out guard). This entry runs the PORTABLE
-    md5-prefix gram hash so the oracle reproduces the exact fingerprints;
-    the xxhash64 default is the cheap scale path (ops/text.py
-    winnow_match_pairs)."""
+    self-join (the round-5 fan-out guard). Fingerprinting runs as an
+    Arrow-batched mapInPandas seam (vectorized sliding-window min; the
+    rolling minimum has no efficient Catalyst form — see
+    ops/text.py with_winnow_fingerprints) using the engine-agnostic
+    md5-prefix gram hash, which this oracle reproduces exactly."""
     from .ops.text import winnow_match_pairs
 
     docs = _documents(spark, sf_dir)
     return winnow_match_pairs(
-        docs, "text", "doc_id",
-        k=25, window=10, min_shared=2, max_doc_freq=5, portable=True,
+        docs, "text", "doc_id", k=25, window=10, min_shared=2, max_doc_freq=5
     )
 
 
@@ -2529,6 +2529,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted = docs.select("doc_id", html_to_text_expr(html).alias("text"))
     cleaned = drop_duplicate_paragraphs(extracted, "text", "doc_id", min_chars=20)
     base = cleaned.join(docs.select("doc_id", "source", "lang"), "doc_id")
+    # materialize the cleaned corpus ONCE: five downstream stages (quality,
+    # DSIR target + raw, planner, mixture) otherwise each re-run the whole
+    # HTML-extract + paragraph-dedup chain — 16 source scans at 100 TB.
+    # Blocks are reclaimed by the caller's cache.checkpoint_scope (the
+    # registry/bench convention, same as the MinHash/LM materializations).
+    from .cache import eager_localcheckpoint
+
+    base, _release = eager_localcheckpoint(base)
 
     wdf = spark.createDataFrame(
         _CURATION_FIXED_WEIGHTS, "bucket long, weight double"

@@ -726,10 +726,15 @@ def test_winnow_fingerprints_selection_and_guarantee(spark):
     df = spark.createDataFrame(rows)
 
     # (a) selection logic vs a literal Python winnow over the same hashes
+    # (the mapInPandas op hashes with the portable md5-prefix construction,
+    # which char_gram_hashes_expr(portable=True) reproduces JVM-side)
     hashes = {
         r["doc_id"]: list(r["g"])
         for r in df.withColumn("__c", F.split("text", ""))
-        .select("doc_id", char_gram_hashes_expr(F.col("__c"), k).alias("g"))
+        .select(
+            "doc_id",
+            char_gram_hashes_expr(F.col("__c"), k, portable=True).alias("g"),
+        )
         .collect()
     }
     got = {
