@@ -578,3 +578,114 @@ def extract_video_metadata(binary_df: DataFrame, *, errors: str = "fail") -> Dat
             )
 
     return binary_df.mapInPandas(op, schema=VIDEO_META_SCHEMA)
+
+
+MULTIMODAL_PAYLOADS_SCHEMA = "doc_id long, image binary, audio binary, video binary"
+
+MULTIMODAL_META_SCHEMA = (
+    "doc_id long, width int, height int, channels int,"
+    " target_w int, target_h int, scale double,"
+    " n_samples long, framerate int, audio_channels int, sampwidth int,"
+    " audio_ms long,"
+    " n_frames int, frame_w int, frame_h int, fps int, video_ms long,"
+    " sampled_frames long"
+)
+
+
+def attach_multimodal_payloads(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """All three deterministic media payloads (real PNG / WAV / AVI blobs,
+    same generation formulas as the per-modality attach_* fixtures) in ONE
+    Arrow pass — the typed-media-columns row shape a real pipeline carries:
+    one row per document, one binary column per modality."""
+    from .png import encode_png
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img, wav, avi = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did, n = int(did), len(text.encode("utf-8"))
+                w, h = 8 + n % 24, 8 + (n // 2) % 24
+                px = bytes([did % 256, (did * 7) % 256, (did * 13) % 256]) * (w * h)
+                img.append(encode_png(w, h, px, channels=3))
+                wav.append(_make_wav(did, n))
+                avi.append(_make_avi(did, n))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "image": img,
+                    "audio": wav,
+                    "video": avi,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        op, schema=MULTIMODAL_PAYLOADS_SCHEMA
+    )
+
+
+def extract_multimodal_metadata(
+    payloads: DataFrame,
+    *,
+    image_col: str = "image",
+    audio_col: str = "audio",
+    video_col: str = "video",
+    target_w: int = 224,
+    target_h: int = 224,
+    every: int = 5,
+) -> DataFrame:
+    """Image + audio + video metadata in ONE Arrow pass over typed media
+    columns: real PNG/JPEG/GIF/BMP dimension decode + aspect-preserving
+    resize scale, real WAV header decode (headerless 16-bit/16 kHz raw-PCM
+    fallback), real AVI container decode (header/chunk cross-check) +
+    every-``every``-th frame sampling. One mapInPandas seam instead of one
+    per modality — at 100 TB that is one corpus scan and zero joins versus
+    three scans plus five doc_id joins for the per-modality composition
+    (the per-modality ops remain the single-column surfaces; all decode
+    helpers are shared)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, ib, ab, vb in zip(
+                pdf["doc_id"], pdf[image_col], pdf[audio_col], pdf[video_col]
+            ):
+                w, h, ch = decode_image_dims(ib)
+                scale = min(target_w / w, target_h / h)
+                if is_wav(ab):
+                    n, rate, c, sw = decode_wav_meta(ab)
+                else:
+                    n, rate, c, sw = len(ab) // 2, 16000, 1, 2
+                nf, fw, fh, fps = decode_avi_meta(vb)
+                rows.append(
+                    (
+                        int(did), w, h, ch, target_w, target_h, scale,
+                        n, rate, c, sw, n * 1000 // rate,
+                        nf, fw, fh, fps, nf * 1000 // fps,
+                        len(range(0, nf, every)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "target_w", "target_h", "scale",
+                    "n_samples", "framerate", "audio_channels", "sampwidth",
+                    "audio_ms",
+                    "n_frames", "frame_w", "frame_h", "fps", "video_ms",
+                    "sampled_frames",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "width": "int32", "height": "int32",
+                    "channels": "int32", "target_w": "int32", "target_h": "int32",
+                    "scale": "float64", "n_samples": "int64", "framerate": "int32",
+                    "audio_channels": "int32", "sampwidth": "int32",
+                    "audio_ms": "int64", "n_frames": "int32", "frame_w": "int32",
+                    "frame_h": "int32", "fps": "int32", "video_ms": "int64",
+                    "sampled_frames": "int64",
+                }
+            )
+
+    return payloads.mapInPandas(op, schema=MULTIMODAL_META_SCHEMA)

@@ -1381,48 +1381,21 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle replicates the generation formulas, so a decoder that
     misreads any header goes red. (byte_len/content_md5 and the headerless
-    raw-PCM chunking model remain unit-tested — not oracle-expressible.)"""
+    raw-PCM chunking model remain unit-tested — not oracle-expressible.)
+
+    Plan shape: ONE payload-generation seam + ONE combined extraction seam
+    over typed media columns (``extract_multimodal_metadata``) — one corpus
+    scan and zero joins, versus three scans plus five doc_id joins for the
+    per-modality composition. The per-modality attach_*/extract_* ops stay
+    as the single-column library surfaces and share every decode helper
+    with the combined pass, so this row covers them all."""
     from .ops.multimodal import (
-        attach_avi_payload,
-        attach_png_payload,
-        attach_wav_payload,
-        extract_audio_metadata,
-        extract_image_metadata,
-        extract_video_metadata,
-        resize_images,
-        sample_frames,
+        attach_multimodal_payloads,
+        extract_multimodal_metadata,
     )
 
     docs = _documents(spark, sf_dir)
-    png = attach_png_payload(docs)
-    img = extract_image_metadata(png).select("doc_id", "width", "height", "channels")
-    resized = resize_images(png, target_w=224, target_h=224).select(
-        "doc_id", "target_w", "target_h", "scale"
-    )
-    wav = extract_audio_metadata(attach_wav_payload(docs)).select(
-        "doc_id",
-        "n_samples",
-        "framerate",
-        F.col("channels").alias("audio_channels"),
-        "sampwidth",
-        F.col("duration_ms").alias("audio_ms"),
-    )
-    avi = attach_avi_payload(docs)
-    vid = extract_video_metadata(avi).select(
-        "doc_id",
-        "n_frames",
-        F.col("width").alias("frame_w"),
-        F.col("height").alias("frame_h"),
-        "fps",
-        F.col("duration_ms").alias("video_ms"),
-    )
-    sampled = sample_frames(avi).select("doc_id", "sampled_frames")
-    return (
-        img.join(resized, "doc_id")
-        .join(wav, "doc_id")
-        .join(vid, "doc_id")
-        .join(sampled, "doc_id")
-    )
+    return extract_multimodal_metadata(attach_multimodal_payloads(docs))
 
 
 # ---------------------------------------------------------------------------

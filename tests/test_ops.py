@@ -1563,3 +1563,51 @@ def test_decontaminate_hashed_exchange_carries_longs(spark, sf_dir):
         ).collect()
     }
     assert got_h == got_s  # no collisions on this corpus: identical counts
+
+
+def test_extract_multimodal_metadata_matches_per_modality_ops(spark, sf_dir):
+    """The one-pass combined extractor must agree exactly with the three
+    per-modality ops composed over the same payloads (shared decoders), so
+    the merged driver row covers them all."""
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        attach_avi_payload,
+        attach_multimodal_payloads,
+        attach_png_payload,
+        attach_wav_payload,
+        extract_audio_metadata,
+        extract_image_metadata,
+        extract_multimodal_metadata,
+        extract_video_metadata,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    combined = {
+        r["doc_id"]: r.asDict()
+        for r in extract_multimodal_metadata(attach_multimodal_payloads(docs)).collect()
+    }
+
+    png = attach_png_payload(docs)
+    img = {r["doc_id"]: r for r in extract_image_metadata(png).collect()}
+    rsz = {r["doc_id"]: r for r in resize_images(png).collect()}
+    wav = {r["doc_id"]: r for r in extract_audio_metadata(attach_wav_payload(docs)).collect()}
+    avi = attach_avi_payload(docs)
+    vid = {r["doc_id"]: r for r in extract_video_metadata(avi).collect()}
+    smp = {r["doc_id"]: r for r in sample_frames(avi).collect()}
+
+    assert set(combined) == set(img)
+    for did, c in combined.items():
+        assert (c["width"], c["height"], c["channels"]) == (
+            img[did]["width"], img[did]["height"], img[did]["channels"])
+        assert (c["target_w"], c["target_h"], c["scale"]) == (
+            rsz[did]["target_w"], rsz[did]["target_h"], rsz[did]["scale"])
+        assert (c["n_samples"], c["framerate"], c["audio_channels"],
+                c["sampwidth"], c["audio_ms"]) == (
+            wav[did]["n_samples"], wav[did]["framerate"], wav[did]["channels"],
+            wav[did]["sampwidth"], wav[did]["duration_ms"])
+        assert (c["n_frames"], c["frame_w"], c["frame_h"], c["fps"],
+                c["video_ms"]) == (
+            vid[did]["n_frames"], vid[did]["width"], vid[did]["height"],
+            vid[did]["fps"], vid[did]["duration_ms"])
+        assert c["sampled_frames"] == smp[did]["sampled_frames"]
