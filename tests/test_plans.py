@@ -153,3 +153,54 @@ def test_cdc_materialize_compacts_in_one_pass(spark, sf_dir):
         assert "Scan parquet" not in plan
         assert "ExistingRDD" in plan
         assert "Window" not in plan
+
+
+def test_curation_pipeline_reads_materialized_base_once(spark, sf_dir):
+    """The five curation stages must all read the ONE localCheckpoint-
+    materialized cleaned corpus — zero parquet scans in the final plan (the
+    uncheckpointed form re-ran the HTML-extract + paragraph-dedup chain per
+    stage: 16 source scans). No cartesian products anywhere."""
+    from debezium_connector_vitess_spark.cache import checkpoint_scope
+
+    with checkpoint_scope(spark):
+        plan = _formatted(QUERIES["curation_pipeline"](spark, sf_dir))
+        assert "Scan parquet" not in plan
+        assert "ExistingRDD" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # fixed-weight / log-ratio tables
+
+
+def test_multimodal_metadata_is_one_scan_no_joins(spark, sf_dir):
+    """The combined extractor is one payload seam + one decode seam over a
+    single scan — zero joins (the per-modality composition costs three
+    scans plus five doc_id joins)."""
+    import re
+
+    plan = _formatted(QUERIES["multimodal_metadata"](spark, sf_dir))
+    # distinct scan NODES (formatted mode lists each node in the tree and
+    # again in the details section)
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+
+
+def test_winnow_pairs_join_is_capped_equi_join(spark, sf_dir):
+    """Winnowing candidates join on the 8-byte fingerprint hash (equi-join,
+    long key), with the document-frequency cap applied as a left_anti on
+    the same key — never a cartesian."""
+    import re
+
+    plan = _formatted(QUERIES["winnow_match_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"fp#\d+L", plan), "fingerprint key must be a long"
+    assert "LeftAnti" in plan  # the doc-frequency cap
+
+
+def test_simhash_segment_join_is_equi_join(spark, sf_dir):
+    """SimHash candidates join on (segment, 15-bit key) — an equi-join over
+    32,768 buckets per segment at the 60-bit default, never a cartesian."""
+    plan = _formatted(QUERIES["dedup_simhash"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
