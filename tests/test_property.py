@@ -320,3 +320,64 @@ def test_enforce_record_size_budget_invariant(spark, lengths, max_size):
         assert new_total == total
     else:
         assert new_total <= max_size
+
+
+# --- winnowing fingerprint properties (pure Python, no Spark session) -------
+
+
+def _naive_winnow(text: str, k: int, w: int) -> set:
+    """Straight-from-the-paper reference: hash every char k-gram, keep the
+    set of window minima (global min when fewer than w grams)."""
+    import hashlib
+
+    n = len(text)
+    if n < k:
+        return set()
+    hs = [
+        int(hashlib.md5(text[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+        for i in range(n - k + 1)
+    ]
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+@given(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=120,
+    ),
+    st.integers(1, 8),
+    st.integers(1, 6),
+)
+@settings(max_examples=200, deadline=None)
+def test_winnow_numpy_matches_naive(text, k, w):
+    """The vectorized sliding-window-min implementation behind the
+    mapInPandas op equals the naive literal winnow for arbitrary unicode
+    text and any (k, window) — including the short-document degenerate
+    cases (< k chars, < window grams)."""
+    from debezium_connector_vitess_spark.ops.text import _winnow_fingerprints_py
+
+    got = set(_winnow_fingerprints_py(text, k, w))
+    assert got == _naive_winnow(text, k, w)
+
+
+@given(
+    st.text(alphabet="ab \n", min_size=0, max_size=60),
+    st.text(alphabet="ab \n", min_size=0, max_size=60),
+    st.text(min_size=12, max_size=30),
+)
+@settings(max_examples=100, deadline=None)
+def test_winnow_shared_substring_guarantee(prefix, suffix, shared):
+    """Two texts sharing a substring of length ≥ w + k − 1 share at least
+    one fingerprint (the winnowing guarantee, Schleimer et al. 2003 §2)."""
+    from debezium_connector_vitess_spark.ops.text import _winnow_fingerprints_py
+
+    k, w = 5, 4  # guarantee threshold: 8 chars
+    if len(shared) < w + k - 1:
+        return
+    a = prefix + shared + suffix
+    b = suffix + shared + prefix
+    fa = set(_winnow_fingerprints_py(a, k, w))
+    fb = set(_winnow_fingerprints_py(b, k, w))
+    assert fa & fb
