@@ -118,17 +118,27 @@ def unigram_logprobs(df: DataFrame, text_col: str, *, alpha: float = 0.5) -> Dat
 
     logp(t) = ln((count(t) + alpha) / (N + alpha·|V|)). One explode +
     groupBy(token) with map-side partial agg (the same shuffle shape as
-    :func:`vocab_topk`); the two scalars N and |V| ride along via a window
-    over the aggregated vocabulary (|V| rows, not the token stream), so no
-    second pass over the corpus and no driver collect."""
+    :func:`vocab_topk`). The two scalars N and |V| come from a distributed
+    one-row aggregate of the vocab frame cross-joined back broadcast — NOT
+    a ``Window.partitionBy()`` over the vocabulary, which would funnel the
+    entire vocab (billions of distinct noise tokens at web scale) through a
+    single task. The vocab is materialized once (``localCheckpoint``): it
+    feeds both the totals aggregate and the final projection — without the
+    barrier each consumer would re-run the corpus explode. Blocks are
+    reclaimed by the caller's ``cache.checkpoint_scope``."""
+    from ..cache import eager_localcheckpoint
+
     toks = df.select(F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy()
-    return vocab.select(
+    vocab, _release = eager_localcheckpoint(vocab)
+    totals = vocab.agg(
+        F.sum("cnt").alias("__n"), F.count("*").alias("__v")
+    )
+    return vocab.crossJoin(F.broadcast(totals)).select(
         "token",
         F.log(
             (F.col("cnt") + F.lit(alpha))
-            / (F.sum("cnt").over(w) + F.lit(alpha) * F.count("*").over(w))
+            / (F.col("__n") + F.lit(alpha) * F.col("__v"))
         ).alias("logp"),
     )
 

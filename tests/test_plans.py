@@ -204,3 +204,15 @@ def test_simhash_segment_join_is_equi_join(spark, sf_dir):
     plan = _formatted(QUERIES["dedup_simhash"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_lm_has_no_single_partition_window(spark, sf_dir):
+    """The LM's corpus-total scalars must come from a distributed aggregate
+    + broadcast — a Window.partitionBy() over the vocabulary would funnel
+    every distinct token (billions at web scale) through one task."""
+    from debezium_connector_vitess_spark.ops.pipeline import unigram_logprobs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted(unigram_logprobs(docs, "text"))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
