@@ -561,6 +561,7 @@ def pack_sequences(
     *,
     stream_col: str,
     block_tokens: int = 2048,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Concat-and-chop sequence packing: documents are laid end-to-end per
     stream (ordered by id), and the token stream is cut into fixed
@@ -570,18 +571,64 @@ def pack_sequences(
     A document whose tokens straddle a boundary belongs to the block where it
     starts (the trainer reads it across the cut — this op computes placement,
     not the split payloads).
-    """
-    w = (
-        Window.partitionBy(stream_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+
+    ``n_buckets`` enables the ORDER-PRESERVING two-level cumsum (the same
+    treatment :func:`sample_token_budget` applies to its fill order): the
+    numeric id space is cut into ``n_buckets`` ranges via approxQuantile,
+    bucket totals are cumulated on the tiny (streams × buckets) frame and
+    broadcast back, and the per-document cumsum partitions by (stream,
+    bucket) — so a giant stream is ``n_buckets``-way parallel instead of one
+    reducer task. Because bucket boundaries cut the id ORDER, the computed
+    offsets are identical to the single-window formulation for ANY boundary
+    choice (boundaries only affect parallelism — approxQuantile's run-to-run
+    variation is harmless). ``None`` keeps the single window (fine when
+    streams are already bucketed upstream)."""
     n_tok = token_count_expr(F.col(text_col)).cast("long")
-    placed = df.select(
-        F.col(id_col),
-        F.col(stream_col),
-        n_tok.alias("n_tokens"),
-    ).withColumn("start_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"))
+    base = df.select(
+        F.col(id_col), F.col(stream_col), n_tok.alias("n_tokens")
+    )
+    if n_buckets and n_buckets > 1:
+        fracs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted(set(df.select(id_col).approxQuantile(id_col, fracs, 0.01)))
+        blits = F.array(*[F.lit(b) for b in bounds])
+        base = base.withColumn(
+            "__bucket", F.size(F.filter(blits, lambda b: b <= F.col(id_col)))
+        )
+        bucket_totals = base.groupBy(stream_col, "__bucket").agg(
+            F.sum("n_tokens").alias("__bt")
+        )
+        wb = (
+            Window.partitionBy(stream_col)
+            .orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bucket_starts = bucket_totals.select(
+            stream_col,
+            "__bucket",
+            (F.sum("__bt").over(wb) - F.col("__bt")).alias("__bstart"),
+        )
+        ww = (
+            Window.partitionBy(stream_col, "__bucket")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        placed = base.join(
+            F.broadcast(bucket_starts), on=[stream_col, "__bucket"]
+        ).withColumn(
+            "start_offset",
+            (
+                F.col("__bstart") + F.sum("n_tokens").over(ww) - F.col("n_tokens")
+            ).cast("long"),
+        )
+    else:
+        w = (
+            Window.partitionBy(stream_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        placed = base.withColumn(
+            "start_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+        )
     return placed.select(
         id_col,
         stream_col,

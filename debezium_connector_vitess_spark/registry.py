@@ -2049,13 +2049,18 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chop sequence packing: per-source running token offset
-    (window cumsum = one shuffle keyed by stream), block id/offset by
-    arithmetic. Standard LLM-pretraining packing placement."""
+    """Concat-and-chop sequence packing through the SCALE path: the
+    order-preserving two-level cumsum (id-range buckets, n_buckets=8) gives
+    every stream 8-way parallelism instead of one reducer task, with offsets
+    provably identical to the single-window formulation the oracle runs.
+    Block id/offset by arithmetic. Standard LLM-pretraining packing
+    placement."""
     from .ops.pipeline import pack_sequences as _pack
 
     docs = _documents(spark, sf_dir)
-    return _pack(docs, "text", "doc_id", stream_col="source", block_tokens=2048)
+    return _pack(
+        docs, "text", "doc_id", stream_col="source", block_tokens=2048, n_buckets=8
+    )
 
 
 @register(

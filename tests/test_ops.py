@@ -1611,3 +1611,32 @@ def test_extract_multimodal_metadata_matches_per_modality_ops(spark, sf_dir):
             vid[did]["n_frames"], vid[did]["width"], vid[did]["height"],
             vid[did]["fps"], vid[did]["duration_ms"])
         assert c["sampled_frames"] == smp[did]["sampled_frames"]
+
+
+def test_pack_sequences_bucketed_equals_single_window(spark, sf_dir):
+    """The order-preserving two-level cumsum (n_buckets) must produce
+    exactly the single-window placement for every document, and its per-doc
+    window must partition by (stream, bucket) — no whole-stream reducer."""
+    from debezium_connector_vitess_spark.ops.pipeline import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    single = {
+        r["doc_id"]: (r["start_offset"], r["block_id"], r["offset_in_block"])
+        for r in pack_sequences(
+            docs, "text", "doc_id", stream_col="source", block_tokens=512
+        ).collect()
+    }
+    bucketed_df = pack_sequences(
+        docs, "text", "doc_id", stream_col="source", block_tokens=512, n_buckets=8
+    )
+    bucketed = {
+        r["doc_id"]: (r["start_offset"], r["block_id"], r["offset_in_block"])
+        for r in bucketed_df.collect()
+    }
+    assert bucketed == single
+    plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+    # the per-document window partitions by (stream, __bucket): the bucket
+    # key appears in a window partition spec, so no whole-stream reducer
+    import re
+
+    assert re.search(r"windowspecdefinition\(source#\d+, __bucket#\d+", plan), plan[:1500]
