@@ -634,6 +634,7 @@ def extract_multimodal_metadata(
     target_w: int = 224,
     target_h: int = 224,
     every: int = 5,
+    errors: str = "fail",
 ) -> DataFrame:
     """Image + audio + video metadata in ONE Arrow pass over typed media
     columns: real PNG/JPEG/GIF/BMP dimension decode + aspect-preserving
@@ -643,7 +644,15 @@ def extract_multimodal_metadata(
     per modality — at 100 TB that is one corpus scan and zero joins versus
     three scans plus five doc_id joins for the per-modality composition
     (the per-modality ops remain the single-column surfaces; all decode
-    helpers are shared)."""
+    helpers are shared).
+
+    ``errors`` mirrors the per-modality video op's E4 failure modes for a
+    malformed container: ``fail`` raises (task error → restart from
+    checkpoint), ``null`` keeps the row with null metadata, ``skip`` drops
+    it — one truncated payload in a 100 TB corpus shouldn't kill the job
+    unless asked to."""
+    if errors not in ("fail", "null", "skip"):
+        raise ValueError(f"errors must be fail|null|skip, got {errors!r}")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -651,13 +660,21 @@ def extract_multimodal_metadata(
             for did, ib, ab, vb in zip(
                 pdf["doc_id"], pdf[image_col], pdf[audio_col], pdf[video_col]
             ):
-                w, h, ch = decode_image_dims(ib)
-                scale = min(target_w / w, target_h / h)
-                if is_wav(ab):
-                    n, rate, c, sw = decode_wav_meta(ab)
-                else:
-                    n, rate, c, sw = len(ab) // 2, 16000, 1, 2
-                nf, fw, fh, fps = decode_avi_meta(vb)
+                try:
+                    w, h, ch = decode_image_dims(ib)
+                    scale = min(target_w / w, target_h / h)
+                    if is_wav(ab):
+                        n, rate, c, sw = decode_wav_meta(ab)
+                    else:
+                        n, rate, c, sw = len(ab) // 2, 16000, 1, 2
+                    nf, fw, fh, fps = decode_avi_meta(vb)
+                except (*_AVI_DECODE_ERRORS, OSError, EOFError, TypeError):
+                    if errors == "fail":
+                        raise
+                    if errors == "skip":
+                        continue
+                    rows.append((int(did),) + (None,) * 17)
+                    continue
                 rows.append(
                     (
                         int(did), w, h, ch, target_w, target_h, scale,
@@ -678,13 +695,14 @@ def extract_multimodal_metadata(
                 ],
             ).astype(
                 {
-                    "doc_id": "int64", "width": "int32", "height": "int32",
-                    "channels": "int32", "target_w": "int32", "target_h": "int32",
-                    "scale": "float64", "n_samples": "int64", "framerate": "int32",
-                    "audio_channels": "int32", "sampwidth": "int32",
-                    "audio_ms": "int64", "n_frames": "int32", "frame_w": "int32",
-                    "frame_h": "int32", "fps": "int32", "video_ms": "int64",
-                    "sampled_frames": "int64",
+                    # pandas NULLABLE dtypes: errors="null" rows carry NA
+                    "doc_id": "int64", "width": "Int32", "height": "Int32",
+                    "channels": "Int32", "target_w": "Int32", "target_h": "Int32",
+                    "scale": "float64", "n_samples": "Int64", "framerate": "Int32",
+                    "audio_channels": "Int32", "sampwidth": "Int32",
+                    "audio_ms": "Int64", "n_frames": "Int32", "frame_w": "Int32",
+                    "frame_h": "Int32", "fps": "Int32", "video_ms": "Int64",
+                    "sampled_frames": "Int64",
                 }
             )
 

@@ -60,6 +60,13 @@ def epoch_batch(
     payload never enters the window. Without ``tx_col`` (per-event streams)
     the window still sorts only a narrow projection and joins back, so the
     per-shard sort never carries the event payload either way.
+
+    Parallelism is #shards — the per-shard running count is the reference's
+    own ordering contract (epochs are defined by each shard's sequential
+    history), so a shard's prefix cannot be computed out of order. For
+    unbounded histories the incremental path is the streaming operator
+    (txmeta.streaming), which carries the running state in the checkpoint
+    instead of re-sorting the backlog.
     """
     keys = [shard_col, tx_col] if tx_col is not None else [shard_col, order_col]
     if tx_col is not None:

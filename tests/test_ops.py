@@ -1640,3 +1640,34 @@ def test_pack_sequences_bucketed_equals_single_window(spark, sf_dir):
     import re
 
     assert re.search(r"windowspecdefinition\(source#\d+, __bucket#\d+", plan), plan[:1500]
+
+
+def test_extract_multimodal_metadata_error_modes(spark):
+    """E4 failure modes on the combined extractor: a malformed video
+    container raises under fail, nulls the row under null, drops it under
+    skip — matching the per-modality video op's contract."""
+    import pytest
+
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        _make_wav,
+        attach_multimodal_payloads,
+        extract_multimodal_metadata,
+    )
+    from debezium_connector_vitess_spark.ops.png import encode_png
+
+    good = attach_multimodal_payloads(
+        spark.createDataFrame([(1, "hello world document")], "doc_id long, text string")
+    ).collect()[0]
+    rows = [
+        (1, bytes(good["image"]), bytes(good["audio"]), bytes(good["video"])),
+        (2, encode_png(4, 4, bytes(48), channels=3), _make_wav(2, 10), b"RIFF\x08\x00\x00\x00AVI truncated"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, image binary, audio binary, video binary"
+    )
+    with pytest.raises(Exception):
+        extract_multimodal_metadata(df, errors="fail").collect()
+    nulled = {r["doc_id"]: r for r in extract_multimodal_metadata(df, errors="null").collect()}
+    assert nulled[2]["n_frames"] is None and nulled[1]["n_frames"] is not None
+    skipped = extract_multimodal_metadata(df, errors="skip").collect()
+    assert [r["doc_id"] for r in skipped] == [1]
