@@ -297,9 +297,13 @@ def repetition_expr(text: Column, n: int = 3) -> tuple[Column, Column, Column]:
 # document fingerprinting used by MOSS): hash every character k-gram, then
 # keep the minimum hash of each sliding window of w consecutive k-grams.
 # Guarantee: any shared substring of length ≥ w + k - 1 yields a shared
-# fingerprint, while only ~2/(w+1) of the gram hashes are kept. Entirely
-# narrow Catalyst expressions — a map-only pass at 100 TB; the fingerprint
-# SET (array_distinct) makes the tie-breaking rule immaterial.
+# fingerprint, while only ~2/(w+1) of the gram hashes are kept. The
+# fingerprint SET makes the tie-breaking rule immaterial. Fingerprinting is
+# an Arrow-batched mapInPandas seam (still a map-only pass at 100 TB):
+# Catalyst array formulations re-evaluate the gram build per window once the
+# optimizer inlines the staged projections — see with_winnow_fingerprints.
+# char_gram_hashes_expr stays as the JVM-side hash reference the tests pin
+# the Python implementation against.
 # ---------------------------------------------------------------------------
 
 
@@ -323,20 +327,6 @@ def char_gram_hashes_expr(chars: Column, k: int = 5, *, portable: bool = False) 
         )
     return F.transform(
         idx, lambda i: F.xxhash64(F.array_join(F.slice(chars, i, k), ""))
-    )
-
-
-def winnow_expr(gram_hashes: Column, window: int = 4) -> Column:
-    """Distinct window-minimum hashes of a STAGED gram-hash array column.
-    Documents shorter than one full window keep their global minimum (the
-    standard short-document degenerate case)."""
-    m = F.size(gram_hashes)
-    n_windows = F.greatest(m - (window - 1), F.least(m, F.lit(1)))
-    idx = F.when(m < 1, F.array().cast("array<int>")).otherwise(
-        F.sequence(F.lit(1), n_windows)
-    )
-    return F.array_distinct(
-        F.transform(idx, lambda j: F.array_min(F.slice(gram_hashes, j, window)))
     )
 
 
