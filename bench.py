@@ -93,6 +93,25 @@ def main() -> None:
     load_before = os.getloadavg()
     timings: dict[str, float] = {}
     attempts: dict[str, list[float]] = {}
+    plan_stats: dict[str, dict[str, int]] = {}
+
+    def _plan_stats(df) -> dict[str, int]:
+        """Physical-plan shape fingerprint recorded per query: the artifact
+        shows not just how fast the plan ran but what shape it was — a
+        broadcast degrading to sort-merge or a cartesian sneaking in is
+        visible across rounds without re-deriving the plan."""
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return {
+            "exchanges": plan.count("Exchange"),
+            "broadcast_joins": plan.count("BroadcastHashJoin"),
+            "sort_merge_joins": plan.count("SortMergeJoin"),
+            "cartesian": plan.count("CartesianProduct")
+            + plan.count("BroadcastNestedLoopJoin"),
+            "python_seams": plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas"),
+            "parquet_scans": plan.count("Scan parquet"),
+        }
+
     for name in HEADLINE:
         # measurement hygiene: collect the previous query's garbage before
         # timing this one — accumulated heap pressure otherwise surfaces as
@@ -109,8 +128,11 @@ def main() -> None:
         while True:
             with checkpoint_scope(spark):
                 t0 = time.perf_counter()
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
                 runs.append(round(time.perf_counter() - t0, 3))
+                if name not in plan_stats:
+                    plan_stats[name] = _plan_stats(df)
             if len(runs) >= 3:
                 best2 = sorted(runs)[:2]
                 if best2[1] <= best2[0] * 1.25 + 0.15 or len(runs) >= 6:
@@ -136,6 +158,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "attempts": attempts,
+                "plan_stats": plan_stats,
                 "noise_queries": noise_queries,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],

@@ -774,9 +774,16 @@ def tx_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``event_count``/``begin_ts_ms``/``end_ts_ms``/``end_gtid`` (T1):
       transaction boundary summaries, joined back per event.
     """
+    from .cache import eager_localcheckpoint
     from .txmeta.batch import epoch_batch, rank_expr, with_tx_order
 
-    events = changelog.load_events(spark, sf_dir)
+    # four sub-models read the same event log: materialize the narrow
+    # projection once so the source is scanned once, not five times (blocks
+    # reclaimed by the caller's cache.checkpoint_scope)
+    events = changelog.load_events(spark, sf_dir).select(
+        "event_id", "event_type", "user_id", "value", "props", "ts"
+    )
+    events, _release = eager_localcheckpoint(events)
     raw = changelog.events_to_raw_vevents(events)
 
     rank_gtid = F.concat(
