@@ -143,6 +143,77 @@ def unigram_logprobs(df: DataFrame, text_col: str, *, alpha: float = 0.5) -> Dat
     )
 
 
+def bigram_logprobs(
+    df: DataFrame, text_col: str, *, alpha: float = 0.5
+) -> DataFrame:
+    """Conditional bigram LM: (prev, token, logp) with add-``alpha``
+    smoothing over the observed unigram vocabulary V:
+    p(w | v) = (c(v,w) + alpha) / (c(v) + alpha·|V|).
+
+    The table is SELF-CONTAINED for scoring any corpus: besides the observed
+    bigrams it carries one sentinel default row per context v —
+    (prev=v, token=NULL, logp of an unseen bigram over v) — and one global
+    default row (prev=NULL, token=NULL, logp = ln 1/|V|) for unseen
+    contexts, all derived from the TRAINING corpus (the DSIR-sentinel
+    pattern), so :func:`doc_perplexity_interpolated` never has to
+    reconstruct training counts from the scoring corpus.
+
+    Scale shape: one explode per n-gram order with map-side partial agg; the
+    context totals c(v) join onto the bigram frame keyed by the context
+    token (aggregated-frame sizes, not the token stream), and the scalar |V|
+    comes from a one-row distributed aggregate broadcast — no
+    single-partition window anywhere. The bigram table is generally too
+    large to broadcast; the scorer joins it on the (prev, token) key — one
+    corpus-bigram shuffle, the honest cost of a conditional model."""
+    staged = df.select(tokens_expr(F.lower(F.col(text_col))).alias("__toks"))
+    uni = (
+        staged.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bi = (
+        staged.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__toks"), 1, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                    F.slice(F.col("__toks"), 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("token")),
+                )
+            ).alias("g")
+        )
+        .select("g.prev", "g.token")
+        .groupBy("prev", "token")
+        .agg(F.count("*").alias("bcnt"))
+    )
+    vsize = uni.agg(F.count("*").alias("__v"))
+    ctx = uni.select(F.col("token").alias("prev"), F.col("cnt").alias("ccnt"))
+    observed = (
+        bi.join(ctx, on="prev")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "prev",
+            "token",
+            F.log(
+                (F.col("bcnt") + F.lit(alpha))
+                / (F.col("ccnt") + F.lit(alpha) * F.col("__v"))
+            ).alias("logp"),
+        )
+    )
+    ctx_defaults = ctx.crossJoin(F.broadcast(vsize)).select(
+        "prev",
+        F.lit(None).cast("string").alias("token"),
+        F.log(F.lit(alpha) / (F.col("ccnt") + F.lit(alpha) * F.col("__v"))).alias(
+            "logp"
+        ),
+    )
+    global_default = vsize.select(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(None).cast("string").alias("token"),
+        F.log(F.lit(1.0) / F.col("__v")).alias("logp"),
+    )
+    return observed.unionAll(ctx_defaults).unionAll(global_default)
+
+
 def doc_perplexity(
     df: DataFrame,
     text_col: str,
@@ -185,6 +256,97 @@ def doc_perplexity(
         F.count("*").alias("n_tokens"),
         (-F.avg("lp")).alias("avg_neg_logp"),
         F.exp(-F.avg("lp")).alias("perplexity"),
+    )
+
+
+def doc_perplexity_interpolated(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    uni_lm: DataFrame,
+    bi_lm: DataFrame,
+    *,
+    lam: float = 0.7,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document perplexity under a Jelinek-Mercer interpolated bigram
+    LM — the stronger CCNet-style gate (a unigram model can't tell fluent
+    prose from a bag of frequent words; the bigram term can):
+
+        p(w_i | w_{i-1}) = λ·p_bi(w_i | w_{i-1}) + (1−λ)·p_uni(w_i),
+
+    with the document's first token scored by the unigram model alone.
+    Returns (id, n_tokens, avg_neg_logp, perplexity).
+
+    Backoff defaults — all carried INSIDE the training-corpus-derived LM
+    tables (see :func:`bigram_logprobs`'s sentinel rows), so scoring a
+    different corpus never mixes in scoring-side statistics: an
+    out-of-vocabulary token takes the unigram OOV floor (min logp + ln ½,
+    as :func:`doc_perplexity`); an UNSEEN BIGRAM over a seen context v
+    takes the per-context sentinel alpha/(c(v)+alpha·|V|); an unseen
+    context backs off to the global sentinel 1/|V|.
+
+    Scale shape: the unigram LM, the per-context defaults, and the scalar
+    floor/|V| frames are vocabulary-sized → BROADCAST joins; only the
+    (prev, token)-keyed join against the bigram table shuffles the exploded
+    corpus — the honest cost of a conditional model (the bigram table is
+    too large to broadcast at corpus scale). Both LM frames are materialized
+    once (localCheckpoint; blocks reclaimed by the caller's
+    ``cache.checkpoint_scope``)."""
+    from ..cache import eager_localcheckpoint
+
+    uni_lm, _r1 = eager_localcheckpoint(uni_lm)
+    bi_lm, _r2 = eager_localcheckpoint(bi_lm)
+    floor = uni_lm.select((F.min("logp") + F.log(F.lit(0.5))).alias("__oov"))
+
+    observed = bi_lm.filter(F.col("token").isNotNull())
+    ctx_default = bi_lm.filter(
+        F.col("token").isNull() & F.col("prev").isNotNull()
+    ).select("prev", F.col("logp").alias("__ctx0"))
+    global_default = bi_lm.filter(F.col("prev").isNull()).select(
+        F.col("logp").alias("__glob0")
+    )
+
+    staged = df.select(
+        F.col(id_col), tokens_expr(F.lower(F.col(text_col))).alias("__toks")
+    )
+    n = F.size("__toks")
+    pairs = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.concat(
+                    F.array(F.lit(None).cast("string")),
+                    F.slice(F.col("__toks"), 1, F.greatest(n - 1, F.lit(0))),
+                ),
+                F.col("__toks"),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("token")),
+            )
+        ).alias("g"),
+    ).select(id_col, "g.prev", "g.token")
+
+    scored = (
+        pairs.join(F.broadcast(uni_lm), on="token", how="left")
+        .withColumnRenamed("logp", "__lp_u")
+        .join(
+            observed.withColumnRenamed("logp", "__lp_b"),
+            on=["prev", "token"],
+            how="left",
+        )
+        .join(F.broadcast(ctx_default), on="prev", how="left")
+        .crossJoin(F.broadcast(floor))
+        .crossJoin(F.broadcast(global_default))
+    )
+    lp_u = F.coalesce(F.col("__lp_u"), F.col("__oov"))
+    lp_b = F.coalesce(F.col("__lp_b"), F.col("__ctx0"), F.col("__glob0"))
+    p = F.when(F.col("prev").isNull(), F.exp(lp_u)).otherwise(
+        F.lit(lam) * F.exp(lp_b) + F.lit(1.0 - lam) * F.exp(lp_u)
+    )
+    per_tok = scored.select(id_col, F.log(p).alias("__lp"))
+    return per_tok.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        (-F.avg("__lp")).alias("avg_neg_logp"),
+        F.exp(-F.avg("__lp")).alias("perplexity"),
     )
 
 

@@ -2148,46 +2148,97 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_perplexity",
     oracle="""
-    WITH toks AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                        x -> x <> '')) AS token
+    WITH tarr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
       FROM documents),
-    vocab AS (
-      SELECT token, count(*) AS cnt FROM toks GROUP BY token),
-    lm AS (
-      SELECT token,
-             ln((cnt + 0.5) / (sum(cnt) OVER () + 0.5 * count(*) OVER ())) AS logp
-      FROM vocab),
-    scored AS (
-      SELECT t.doc_id, coalesce(lm.logp, (SELECT min(logp) + ln(0.5) FROM lm)) AS lp
-      FROM toks t LEFT JOIN lm USING (token))
-    SELECT doc_id, count(*) AS n_tokens,
-           round(-avg(lp), 4) AS avg_neg_logp_r4,
-           round(exp(-avg(lp)), 2) AS perplexity_r2
-    FROM scored GROUP BY doc_id
+    toks AS (SELECT doc_id, unnest(t) AS token FROM tarr),
+    flat AS (
+      SELECT doc_id, t[u.i] AS token,
+             CASE WHEN u.i = 1 THEN NULL ELSE t[u.i - 1] END AS prev
+      FROM tarr, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u),
+    uni AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT sum(cnt) AS nt, count(*) AS v FROM uni),
+    ulm AS (SELECT token, ln((cnt + 0.5) / (tot.nt + 0.5 * tot.v)) AS lp_u
+            FROM uni, tot),
+    big AS (SELECT prev, token, count(*) AS bcnt FROM flat
+            WHERE prev IS NOT NULL GROUP BY prev, token),
+    blm AS (SELECT b.prev, b.token,
+                   ln((b.bcnt + 0.5) / (u.cnt + 0.5 * tot.v)) AS lp_b
+            FROM big b JOIN uni u ON u.token = b.prev, tot),
+    ctx0 AS (SELECT token AS prev, ln(0.5 / (cnt + 0.5 * tot.v)) AS c0
+             FROM uni, tot),
+    fl AS (SELECT min(lp_u) + ln(0.5) AS oov FROM ulm),
+    g0 AS (SELECT ln(1.0 / v) AS glob0 FROM tot),
+    u_scored AS (
+      SELECT t.doc_id, coalesce(ulm.lp_u, fl.oov) AS lp
+      FROM toks t LEFT JOIN ulm USING (token), fl),
+    u_agg AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             round(-avg(lp), 4) AS avg_neg_logp_r4,
+             round(exp(-avg(lp)), 2) AS perplexity_r2
+      FROM u_scored GROUP BY doc_id),
+    i_scored AS (
+      SELECT f.doc_id,
+        CASE WHEN f.prev IS NULL THEN exp(coalesce(ulm.lp_u, fl.oov))
+             ELSE 0.7 * exp(coalesce(blm.lp_b, ctx0.c0, g0.glob0))
+                  + 0.3 * exp(coalesce(ulm.lp_u, fl.oov)) END AS p
+      FROM flat f
+      LEFT JOIN ulm USING (token)
+      LEFT JOIN blm ON blm.prev = f.prev AND blm.token = f.token
+      LEFT JOIN ctx0 ON ctx0.prev = f.prev, fl, g0),
+    i_agg AS (
+      SELECT doc_id, round(-avg(ln(p)), 4) AS interp_neg_logp_r4,
+             round(exp(-avg(ln(p))), 2) AS interp_perplexity_r2
+      FROM i_scored GROUP BY doc_id)
+    SELECT u.doc_id, u.n_tokens, u.avg_neg_logp_r4, u.perplexity_r2,
+           i.interp_neg_logp_r4, i.interp_perplexity_r2
+    FROM u_agg u JOIN i_agg i USING (doc_id)
     """,
 )
 def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM perplexity quality gate (CCNet-style): train the add-0.5
-    smoothed LM on the corpus, score every document; OOV tokens get half the
-    rarest token's probability. The LM join is a BROADCAST hash join — the
-    corpus never shuffles on the token (plan-pinned in
-    tests/test_ops.py::test_perplexity_plan_broadcasts_lm). Float outputs
-    are rounded (4/2 decimals) in BOTH engines: the per-doc average is a
-    cross-row float sum whose reduction order differs between engines at
-    ~1e-13 relative — far below the rounding grid, so the driver's exact
-    value-hash stays stable."""
-    from .ops.pipeline import doc_perplexity, unigram_logprobs
+    """LM perplexity quality gates (CCNet-style), both model orders in one
+    driver row:
+
+    - UNIGRAM: add-0.5 smoothed corpus LM, OOV tokens at half the rarest
+      token's probability. The LM join is a BROADCAST hash join — the corpus
+      never shuffles on the token (plan-pinned in
+      tests/test_ops.py::test_perplexity_plan_broadcasts_lm).
+    - INTERPOLATED BIGRAM (Jelinek-Mercer, λ=0.7): p = λ·p_bi + (1−λ)·p_uni
+      with per-context unseen-bigram defaults — the stronger gate (a
+      unigram model can't tell fluent prose from a bag of frequent words).
+      Only the (prev, token) bigram join shuffles the exploded corpus; every
+      vocabulary-sized frame broadcasts (ops/pipeline.py
+      doc_perplexity_interpolated).
+
+    Float outputs are rounded (4/2 decimals) in BOTH engines: the per-doc
+    averages are cross-row float sums whose reduction order differs between
+    engines at ~1e-13 relative — far below the rounding grid, so the
+    driver's exact value-hash stays stable."""
+    from .ops.pipeline import (
+        bigram_logprobs,
+        doc_perplexity,
+        doc_perplexity_interpolated,
+        unigram_logprobs,
+    )
 
     docs = _documents(spark, sf_dir)
     lm = unigram_logprobs(docs, "text", alpha=0.5)
-    out = doc_perplexity(docs, "text", "doc_id", lm)
-    return out.select(
+    uni = doc_perplexity(docs, "text", "doc_id", lm).select(
         "doc_id",
         "n_tokens",
         F.round("avg_neg_logp", 4).alias("avg_neg_logp_r4"),
         F.round("perplexity", 2).alias("perplexity_r2"),
     )
+    bi = bigram_logprobs(docs, "text", alpha=0.5)
+    interp = doc_perplexity_interpolated(
+        docs, "text", "doc_id", lm, bi, lam=0.7, alpha=0.5
+    ).select(
+        "doc_id",
+        F.round("avg_neg_logp", 4).alias("interp_neg_logp_r4"),
+        F.round("perplexity", 2).alias("interp_perplexity_r2"),
+    )
+    return uni.join(interp, "doc_id")
 
 
 @register(

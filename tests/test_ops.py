@@ -1671,3 +1671,48 @@ def test_extract_multimodal_metadata_error_modes(spark):
     assert nulled[2]["n_frames"] is None and nulled[1]["n_frames"] is not None
     skipped = extract_multimodal_metadata(df, errors="skip").collect()
     assert [r["doc_id"] for r in skipped] == [1]
+
+
+def test_interpolated_perplexity_discriminates_word_order(spark):
+    """The bigram term must distinguish fluent word order from a shuffled
+    bag of the SAME words (identical unigram stats) — the capability the
+    unigram gate lacks — and the backoff defaults must fire: unseen bigram
+    over a seen context uses the per-context default, an OOV token the
+    unigram floor."""
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        bigram_logprobs,
+        doc_perplexity,
+        doc_perplexity_interpolated,
+        unigram_logprobs,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    words = fluent.split()
+    shuffled = " ".join(words[::2] + words[1::2])  # same multiset, broken order
+    train = spark.createDataFrame(
+        [(i, fluent) for i in range(10)], "doc_id long, text string"
+    )
+    uni = unigram_logprobs(train, "text", alpha=0.5)
+    bi = bigram_logprobs(train, "text", alpha=0.5)
+
+    test = spark.createDataFrame(
+        [(100, fluent), (101, shuffled), (102, "zzz qqq unseen tokens here")],
+        "doc_id long, text string",
+    )
+    interp = {
+        r["doc_id"]: r["perplexity"]
+        for r in doc_perplexity_interpolated(
+            test, "text", "doc_id", uni, bi
+        ).collect()
+    }
+    unig = {
+        r["doc_id"]: r["perplexity"]
+        for r in doc_perplexity(test, "text", "doc_id", uni).collect()
+    }
+    # unigram can't separate the word orders; the interpolated model must
+    assert abs(unig[100] - unig[101]) / unig[100] < 0.01
+    assert interp[101] > interp[100] * 1.5
+    # fully-OOV doc scores worse than the fluent in-domain doc (the floor
+    # and the global 1/|V| context default fire; with this 10-word toy
+    # vocabulary 1/|V| is generous, so compare against fluent, not shuffled)
+    assert interp[102] > interp[100] * 1.5
