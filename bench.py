@@ -105,8 +105,11 @@ def main() -> None:
             "exchanges": plan.count("Exchange"),
             "broadcast_joins": plan.count("BroadcastHashJoin"),
             "sort_merge_joins": plan.count("SortMergeJoin"),
-            "cartesian": plan.count("CartesianProduct")
-            + plan.count("BroadcastNestedLoopJoin"),
+            # true cartesians only; BNLJ is counted separately because here
+            # it only ever attaches 1-row broadcast scalar frames (floors,
+            # |V|, defaults) — the correct plan for scalar attachment
+            "cartesian": plan.count("CartesianProduct"),
+            "scalar_bnlj": plan.count("BroadcastNestedLoopJoin"),
             "python_seams": plan.count("MapInPandas")
             + plan.count("FlatMapGroupsInPandas"),
             "parquet_scans": plan.count("Scan parquet"),

@@ -430,10 +430,20 @@ def winnow_match_pairs(
 
     Fingerprints use the engine-agnostic md5-prefix gram hash (see
     :func:`with_winnow_fingerprints`), so SQL oracles reproduce the exact
-    pair set."""
+    pair set.
+
+    The exploded (id, fp) frame — 16 bytes/row — is materialized once
+    (``localCheckpoint``): the frequency cap and BOTH self-join sides read
+    it, and without the barrier the per-gram hashing seam re-runs up to 4×
+    (one full corpus re-fingerprint per consumer at 100 TB). Blocks are
+    reclaimed by the caller's ``cache.checkpoint_scope``, matching the
+    MinHash materialization pattern."""
+    from ..cache import eager_localcheckpoint
+
     fps = with_winnow_fingerprints(df, text_col, k=k, window=window).select(
         F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
     )
+    fps, _release = eager_localcheckpoint(fps)
     if max_doc_freq is not None:
         common = (
             fps.groupBy("fp")
@@ -546,6 +556,8 @@ def drop_duplicate_paragraphs(
     elsewhere becoming empty strings.
     """
     out_col = out_col or text_col
+    from ..cache import eager_localcheckpoint
+
     coords = df.select(
         F.col(id_col),
         F.posexplode(paragraphs_expr(F.col(text_col))).alias("pos", "para"),
@@ -555,6 +567,11 @@ def drop_duplicate_paragraphs(
         F.md5(F.col("para")).alias("phash"),
         (F.length("para") >= min_chars).alias("__long"),
     )
+    # materialize the (id, pos, 16-byte hash, flag) coordinates once: the
+    # winner aggregation AND the back-join both read them, and without the
+    # barrier each consumer re-splits and re-hashes the full corpus text
+    # (blocks reclaimed by the caller's cache.checkpoint_scope)
+    coords, _release = eager_localcheckpoint(coords)
     winners = (
         coords.filter(F.col("__long"))
         .groupBy("phash")
