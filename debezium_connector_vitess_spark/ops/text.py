@@ -463,6 +463,59 @@ def winnow_match_pairs(
     )
 
 
+def winnow_cross_match(
+    left,
+    right,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 1,
+    max_doc_freq: int | None = 1000,
+):
+    """Cross-corpus passage-copy detection: (left_id, right_id, n_shared)
+    pairs sharing ≥ ``min_shared`` winnowing fingerprints across two
+    DIFFERENT frames — eval-vs-train PASSAGE contamination (the stronger
+    complement of :func:`~..ops.pipeline.decontaminate`'s n-gram counting:
+    a verbatim passage of ≥ window+k−1 chars is guaranteed to surface even
+    when the surrounding document differs entirely), or two crawls for
+    cross-crawl dedup.
+
+    Scale shape mirrors :func:`winnow_match_pairs`: both sides fingerprint
+    through the Arrow seam ONCE (each exploded (id, fp) frame is
+    localCheckpoint-materialized — 16 bytes/row), the join is an equi-join
+    on the 8-byte fingerprint, and ``max_doc_freq`` caps the RIGHT
+    (train/large) side's fingerprint document frequency before the join —
+    boilerplate shared by the whole training corpus carries no
+    contamination signal, same MOSS practice as the self-join variant.
+    Blocks are reclaimed by the caller's ``cache.checkpoint_scope``."""
+    from ..cache import eager_localcheckpoint
+
+    def fp_frame(df, out):
+        f = with_winnow_fingerprints(df, text_col, k=k, window=window).select(
+            F.col(id_col).alias(out), F.explode("fingerprints").alias("fp")
+        )
+        return eager_localcheckpoint(f)[0]
+
+    lfp = fp_frame(left, "left_id")
+    rfp = fp_frame(right, "right_id")
+    if max_doc_freq is not None:
+        common = (
+            rfp.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("fp")
+        )
+        rfp = rfp.join(common, on="fp", how="left_anti")
+    return (
+        lfp.join(rfp, on="fp")
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction (the CCNet/Dolma-style scrub step a training
 # pipeline runs before tokenization). Patterns deliberately avoid

@@ -1716,3 +1716,69 @@ def test_interpolated_perplexity_discriminates_word_order(spark):
     # and the global 1/|V| context default fire; with this 10-word toy
     # vocabulary 1/|V| is generous, so compare against fluent, not shuffled)
     assert interp[102] > interp[100] * 1.5
+
+
+def test_winnow_cross_match_eval_vs_train(spark, sf_dir):
+    """Cross-corpus passage contamination: an eval doc embedding a verbatim
+    train passage (>= w+k-1 chars) must match exactly its source doc; clean
+    eval docs match nothing; a boilerplate passage present in more train
+    docs than the DF cap is muted; and the result agrees with a DuckDB
+    replica on real documents."""
+    from debezium_connector_vitess_spark.ops.text import winnow_cross_match
+    from tests.oracle_harness import compare
+
+    passage = "the venerable contraption wheezed across the cobblestone plaza at dawn"
+    boiler = "all rights reserved unauthorized reproduction strictly prohibited"
+    train = spark.createDataFrame(
+        [(i, f"train document {i} filler{i}zz " + (passage if i == 7 else f"unique{i}qq body")
+          + f" {boiler}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            (100, f"eval intro text {passage} eval outro text"),
+            (101, "a completely clean evaluation document with fresh content"),
+            (102, f"banner only here {boiler} nothing else shared"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in winnow_cross_match(
+            evals, train, k=12, window=6, min_shared=2, max_doc_freq=5
+        ).collect()
+    }
+    assert (100, 7) in got            # embedded passage found
+    assert not any(l == 101 for l, _ in got)   # clean doc matches nothing
+    assert not any(l == 102 for l, _ in got)   # boilerplate muted by DF cap
+
+    # DuckDB parity on the real corpus (eval = src0 docs, train = the rest)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = winnow_cross_match(
+        docs.filter("source = 'src0'"),
+        docs.filter("source <> 'src0'"),
+        k=25, window=10, min_shared=2, max_doc_freq=5,
+    )
+    oracle = """
+    WITH grams AS (
+      SELECT doc_id, source,
+        list_transform(range(1, greatest(length(text) - 24, 0) + 1),
+          i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 25)), 1, 15))::BIGINT) AS hs
+      FROM documents),
+    fps AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(
+          range(1, CASE WHEN len(hs) < 1 THEN 0
+                        ELSE greatest(len(hs) - 9, least(len(hs), 1)) END + 1),
+          j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j AS INT) + 9)))) AS fp_set
+      FROM grams),
+    fp AS (SELECT doc_id, source, unnest(fp_set) AS fp FROM fps),
+    l AS (SELECT doc_id AS left_id, fp FROM fp WHERE source = 'src0'),
+    r0 AS (SELECT doc_id AS right_id, fp FROM fp WHERE source <> 'src0'),
+    keep AS (SELECT fp FROM r0 GROUP BY fp HAVING count(*) <= 5),
+    r AS (SELECT right_id, fp FROM r0 JOIN keep USING (fp))
+    SELECT l.left_id, r.right_id, count(*) AS n_shared
+    FROM l JOIN r USING (fp)
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """
+    compare(pairs, oracle, sf_dir)
