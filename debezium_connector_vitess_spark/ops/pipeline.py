@@ -311,19 +311,25 @@ def doc_perplexity_interpolated(
         F.col(id_col), tokens_expr(F.lower(F.col(text_col))).alias("__toks")
     )
     n = F.size("__toks")
-    pairs = staged.select(
-        F.col(id_col),
-        F.explode(
-            F.zip_with(
-                F.concat(
-                    F.array(F.lit(None).cast("string")),
-                    F.slice(F.col("__toks"), 1, F.greatest(n - 1, F.lit(0))),
-                ),
-                F.col("__toks"),
-                lambda a, b: F.struct(a.alias("prev"), b.alias("token")),
-            )
-        ).alias("g"),
-    ).select(id_col, "g.prev", "g.token")
+    pairs = (
+        staged.filter(n > 0)  # empty docs: perplexity undefined, dropped —
+        # and zip_with pads the shorter side with null, so an empty token
+        # array would otherwise fabricate one phantom (null, null) position
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.concat(
+                        F.array(F.lit(None).cast("string")),
+                        F.slice(F.col("__toks"), 1, F.greatest(n - 1, F.lit(0))),
+                    ),
+                    F.col("__toks"),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("token")),
+                )
+            ).alias("g"),
+        )
+        .select(id_col, "g.prev", "g.token")
+    )
 
     scored = (
         pairs.join(F.broadcast(uni_lm), on="token", how="left")

@@ -1782,3 +1782,25 @@ def test_winnow_cross_match_eval_vs_train(spark, sf_dir):
     GROUP BY 1, 2 HAVING count(*) >= 2
     """
     compare(pairs, oracle, sf_dir)
+
+
+def test_interpolated_perplexity_drops_empty_docs(spark):
+    """An empty/whitespace document has no tokens: it must be DROPPED (as
+    in the unigram gate), not scored off a phantom zip_with-padded null
+    position."""
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        bigram_logprobs,
+        doc_perplexity_interpolated,
+        unigram_logprobs,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "some training words here")], "doc_id long, text string"
+    )
+    uni = unigram_logprobs(train, "text")
+    bi = bigram_logprobs(train, "text")
+    test = spark.createDataFrame(
+        [(10, "some words"), (11, ""), (12, "   ")], "doc_id long, text string"
+    )
+    out = doc_perplexity_interpolated(test, "text", "doc_id", uni, bi).collect()
+    assert sorted(r["doc_id"] for r in out) == [10]
