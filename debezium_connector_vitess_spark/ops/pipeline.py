@@ -758,6 +758,9 @@ def pack_sequences(
     if n_buckets and n_buckets > 1:
         fracs = [i / n_buckets for i in range(1, n_buckets)]
         bounds = sorted(set(df.select(id_col).approxQuantile(id_col, fracs, 0.01)))
+        if not bounds:  # empty input: nothing to parallelize
+            n_buckets = None
+    if n_buckets and n_buckets > 1:
         blits = F.array(*[F.lit(b) for b in bounds])
         base = base.withColumn(
             "__bucket", F.size(F.filter(blits, lambda b: b <= F.col(id_col)))
