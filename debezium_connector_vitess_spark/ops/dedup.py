@@ -575,3 +575,43 @@ def connected_components(
     # frame — the caller owning the terminal action reclaims them with
     # cache.checkpoint_scope
     return labels.unionByName(singletons)
+
+
+def lsh_collision_prob(jaccard: float, bands: int, rows: int) -> float:
+    """Probability that a pair with the given Jaccard similarity agrees on
+    ≥1 MinHash-LSH band: 1 − (1 − j^rows)^bands — the banding s-curve
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4)."""
+    if not 0.0 <= jaccard <= 1.0:
+        raise ValueError("jaccard must be in [0, 1]")
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
+def tune_minhash_bands(
+    threshold: float,
+    num_perm: int = 64,
+    *,
+    min_recall: float = 0.95,
+) -> tuple[int, int]:
+    """Pick (bands, rows) for :func:`minhash_dedup_pairs`' knobs: among the
+    divisor pairs bands·rows = num_perm, choose the one with the FEWEST
+    bands (fewest shuffled band keys ⇒ smallest candidate volume) whose
+    s-curve still catches pairs AT the target threshold with probability ≥
+    ``min_recall``; if none reaches the recall bar, fall back to the
+    recall-maximizing pair. The threshold where collision probability is
+    ~1/2 sits near (1/bands)^(1/rows), so this is the principled version of
+    the usual rule of thumb. Deterministic, driver-side arithmetic — call
+    it once when sizing a 100 TB dedup job, then pass the result to
+    ``minhash_dedup_pairs(num_perm=..., bands=...)``."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    pairs = [
+        (b, num_perm // b) for b in range(1, num_perm + 1) if num_perm % b == 0
+    ]
+    ok = [
+        (b, r)
+        for b, r in pairs
+        if lsh_collision_prob(threshold, b, r) >= min_recall
+    ]
+    if ok:
+        return min(ok, key=lambda br: br[0])
+    return max(pairs, key=lambda br: lsh_collision_prob(threshold, br[0], br[1]))

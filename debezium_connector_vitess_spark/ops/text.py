@@ -736,3 +736,42 @@ def with_compression_ratio(
             yield pdf
 
     return df.mapInPandas(op, schema=schema)
+
+
+def corpus_profile(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    domain_col: str = "source",
+):
+    """Per-domain corpus health snapshot — the first query run against a new
+    100 TB corpus before any curation decision: document/token/char volume,
+    mean quality score, exact-duplicate ratio, empty and PII-bearing
+    document counts, per domain.
+
+    One narrow metrics projection (:func:`with_text_metrics` — no shuffle)
+    followed by ONE groupBy(domain) aggregation; the duplicate ratio rides
+    on ``count_distinct`` of the 16-byte content fingerprint, combined
+    map-side like every other aggregate. Returns one row per domain:
+    (domain, n_docs, n_empty, n_tokens, n_chars, mean_quality,
+    distinct_content, dup_ratio, n_docs_with_pii)."""
+    m = with_text_metrics(df, text_col)
+    # PII detection rides the same single scan (three codegen'd regexp passes)
+    e, i, p = pii_count_exprs(F.col(text_col))
+    staged = m.withColumn("__pii", (e + i + p) > 0)
+    out = staged.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.length(text_col) == 0, 1).otherwise(0)).alias("n_empty"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+        F.round(F.avg("quality_score"), 4).alias("mean_quality"),
+        F.count_distinct("fingerprint").alias("distinct_content"),
+        F.sum(F.when(F.col("__pii"), 1).otherwise(0)).alias("n_docs_with_pii"),
+    )
+    return out.withColumn(
+        "dup_ratio",
+        F.round(
+            1.0 - F.col("distinct_content").cast("double") / F.col("n_docs"), 4
+        ),
+    )

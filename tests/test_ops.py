@@ -1804,3 +1804,88 @@ def test_interpolated_perplexity_drops_empty_docs(spark):
     )
     out = doc_perplexity_interpolated(test, "text", "doc_id", uni, bi).collect()
     assert sorted(r["doc_id"] for r in out) == [10]
+
+
+def test_tune_minhash_bands_s_curve():
+    """The tuning helper honors the banding s-curve: the chosen (bands,
+    rows) reaches the recall bar at the threshold, uses the fewest bands
+    that do, and collision probability is monotone in similarity."""
+    from debezium_connector_vitess_spark.ops.dedup import (
+        lsh_collision_prob,
+        tune_minhash_bands,
+    )
+
+    b, r = tune_minhash_bands(0.8, num_perm=64, min_recall=0.95)
+    assert b * r == 64
+    assert lsh_collision_prob(0.8, b, r) >= 0.95
+    # no pair with fewer bands reaches the bar
+    for b2 in range(1, b):
+        if 64 % b2 == 0:
+            assert lsh_collision_prob(0.8, b2, 64 // b2) < 0.95
+    # monotone s-curve; low-similarity pairs mostly escape
+    probs = [lsh_collision_prob(j / 10, b, r) for j in range(11)]
+    assert probs == sorted(probs)
+    assert lsh_collision_prob(0.2, b, r) < 0.5
+    # the default registry geometry (16 bands x 4 rows) catches j >= 0.8
+    assert lsh_collision_prob(0.8, 16, 4) > 0.99
+
+
+def test_corpus_profile_matches_duckdb(spark, sf_dir):
+    """Per-domain corpus health snapshot against a DuckDB replica: volumes,
+    mean quality (rounded in both engines), exact-dup ratio via distinct
+    content fingerprints, empty and PII-bearing doc counts. One scan + one
+    groupBy in the plan."""
+    from debezium_connector_vitess_spark.ops.text import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        corpus_profile,
+    )
+    from tests.oracle_harness import compare
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = corpus_profile(docs, "text", "doc_id", domain_col="source")
+    oracle = f"""
+    WITH m AS (
+      SELECT source, doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+             length(text)::DOUBLE AS n_chars
+      FROM documents),
+    q AS (
+      SELECT *,
+             len(toks)::DOUBLE AS n_tokens_d,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                 x -> x IN ('the','a','of','and','to','in','is','it','on','for')))::DOUBLE AS stop_hits,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct_d,
+             list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+               / greatest(len(toks), 1) AS mwl
+      FROM m),
+    s AS (
+      SELECT source, doc_id, text, n_chars, len(toks) AS n_tokens,
+             (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_tokens_d >= 20 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN stop_hits / greatest(n_tokens_d, 1) >= 0.05 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_punct_d / greatest(n_chars, 1) <= 0.1
+                   AND mwl >= 2.0 AND mwl <= 12.0 THEN 0.25 ELSE 0.0 END) AS quality,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                     '\\s+', ' ', 'g'))) AS fp,
+             (len(regexp_extract_all(text, '{PII_EMAIL}', 0))
+              + len(regexp_extract_all(text, '{PII_IPV4}', 0))
+              + len(regexp_extract_all(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                                       '{PII_PHONE}', 0))) > 0 AS has_pii
+      FROM q)
+    SELECT source, count(*) AS n_docs,
+           sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS n_empty,
+           sum(n_tokens) AS n_tokens,
+           sum(length(text)) AS n_chars,
+           round(avg(quality), 4) AS mean_quality,
+           count(DISTINCT fp) AS distinct_content,
+           sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS n_docs_with_pii,
+           round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 4) AS dup_ratio
+    FROM s GROUP BY source
+    """
+    compare(got, oracle, sf_dir)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # AQE prints Final + Initial plans after execution: count the final only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1  # one scan, one groupBy
