@@ -31,6 +31,11 @@ Scale strategy (100 TB):
   "Data Selection for Language Models via Importance Resampling", 2023).
   The bucket log-ratio table is ≤ ``dim`` rows → BROADCAST join; the corpus
   explode never shuffles on the feature key.
+- **LM perplexity gates**: every vocabulary-sized frame (unigram LM,
+  per-context bigram defaults, OOV floor, |V|) broadcasts; corpus-total
+  scalars come from one-row distributed aggregates, never a
+  ``Window.partitionBy()`` over the vocabulary. Only the interpolated
+  model's (prev, token) bigram join shuffles the exploded corpus.
 """
 
 from __future__ import annotations

@@ -1,7 +1,15 @@
-"""Text analysis: tokenization, language ID, quality scoring, fingerprinting.
+"""Text analysis: tokenization, language ID, quality scoring, fingerprinting,
+PII scrub, paragraph dedup, HTML extraction, winnowing, corpus profiling.
 
-All pure Catalyst expressions (JVM-side, whole-stage codegen) — at 100 TB
-these run as a single narrow projection over the scan: no shuffle, no Python.
+Per-document signals are pure Catalyst expressions (JVM-side, whole-stage
+codegen) — at 100 TB they run as a single narrow projection over the scan:
+no shuffle, no Python. Two ops are deliberate Arrow-batched ``mapInPandas``
+seams because no efficient Catalyst form exists: zlib compression-ratio
+(DEFLATE) and winnowing's rolling-window minimum (staged gram arrays get
+inlined by the optimizer into quadratic re-evaluation — measured; see
+``with_winnow_fingerprints``). Corpus-level passes (paragraph dedup,
+winnow pair joins, ``corpus_profile``) shuffle only hashes/coordinates,
+never document text.
 """
 
 from __future__ import annotations
