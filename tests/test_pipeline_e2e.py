@@ -138,3 +138,42 @@ def test_curation_pipeline_end_to_end(spark, sf_dir):
         if len(rows) > 1:
             assert rows[-2]["doc_start"] + rows[-2]["n_tokens"] <= cap
         assert all(r["doc_start"] < cap for r in rows)
+
+
+def test_corpus_triage_end_to_end(spark, sf_dir):
+    """Round-5 triage chain: profile the corpus per domain, size the MinHash
+    job from the s-curve, then run passage-level cross-corpus
+    decontamination — the 'day one on a new corpus' sequence."""
+    from debezium_connector_vitess_spark.ops.dedup import (
+        minhash_dedup_pairs,
+        tune_minhash_bands,
+    )
+    from debezium_connector_vitess_spark.ops.text import (
+        corpus_profile,
+        winnow_cross_match,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 0. health snapshot: every domain accounted for, volumes consistent
+    prof = {r["source"]: r for r in corpus_profile(docs, "text", "doc_id").collect()}
+    assert sum(r["n_docs"] for r in prof.values()) == docs.count()
+    assert all(0.0 <= r["dup_ratio"] <= 1.0 for r in prof.values())
+
+    # 1. size the dedup job analytically, then run it with those knobs
+    bands, rows = tune_minhash_bands(0.8, num_perm=64)
+    pairs = minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold_num=4, threshold_den=5,
+        num_perm=64, bands=bands, materialize=False,
+    )
+    assert pairs.count() >= 0  # geometry valid end to end
+
+    # 2. passage-level decontamination of the src0 slice vs the rest
+    hits = winnow_cross_match(
+        docs.filter("source = 'src0'"),
+        docs.filter("source <> 'src0'"),
+        k=25, window=10, min_shared=2, max_doc_freq=5,
+    )
+    # soundness: each hit pair really crosses the frames
+    for r in hits.limit(20).collect():
+        assert r["left_id"] != r["right_id"]
