@@ -327,7 +327,7 @@ def ngram_jaccard_pairs(
 
     Guarantee: order every document's distinct shingles by one global total
     order (ascending document frequency, rare first — ties broken by the
-    shingle itself); if J(A,B) ≥ τ then the two prefixes of length
+    shingle's 64-bit hash); if J(A,B) ≥ τ then the two prefixes of length
     |X| − ⌈τ·|X|⌉ + 1 must share a shingle, so an equi-join on prefix
     shingles finds every qualifying pair. Two exact prunes stack on top:
     the length filter (τ·|A| ≤ |B| ≤ |A|/τ) and the final exact
@@ -335,11 +335,25 @@ def ngram_jaccard_pairs(
     one per-doc aggregation, one equi-join on (rare) prefix shingles — rare
     shingles keep the join's per-key fan-out small by construction.
 
+    Every shingle is hashed ONCE to a 64-bit key map-side and the whole
+    pipeline — frequency counts, prefix ordering, candidate join, and the
+    intersection/union verify — runs on longs: shingle STRINGS never enter
+    a shuffle (~10× narrower for word 3-grams), the same treatment as
+    MinHash verification and hashed decontamination. The prefix-filter
+    guarantee only needs SOME global total order, so ordering by (dfreq,
+    hash) instead of (dfreq, string) is equally valid; results equal the
+    string-based brute force up to 64-bit collisions.
+
     Documents with no shingles (< n tokens) vacuously satisfy 0 ≥ τ·0 and
     are paired among themselves, matching the brute-force semantics.
     """
     sh = df.select(
-        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), shingle_n).alias("sh")
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                shingles_expr(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+            )
+        ).alias("sh"),
     ).withColumn("sz", F.size("sh"))
     nonempty = sh.filter(F.col("sz") > 0)
     ex = nonempty.select("id", "sz", F.explode("sh").alias("shingle"))

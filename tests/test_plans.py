@@ -216,3 +216,15 @@ def test_unigram_lm_has_no_single_partition_window(spark, sf_dir):
     plan = _formatted(unigram_logprobs(docs, "text"))
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ngram_jaccard_shuffles_carry_longs_not_strings(spark, sf_dir):
+    """The prefix-filtered Jaccard pipeline runs on 64-bit shingle hashes
+    end to end: no string-typed shingle attribute appears in the plan's
+    exchanges — shingle text never shuffles."""
+    import re
+
+    plan = _formatted(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    assert re.search(r"shingle#\d+L", plan), "hashed shingle key missing"
+    assert not re.search(r"shingle#\d+(?!L)\b", plan), "string shingle leaked"
+    assert "CartesianProduct" not in plan
