@@ -336,22 +336,33 @@ def doc_perplexity_interpolated(
         .select(id_col, "g.prev", "g.token")
     )
 
-    scored = (
+    # attach every broadcast-joinable value FIRST (unigram logp, per-context
+    # default, floor, global default — all map-side, no shuffle), then drop
+    # the token strings and join the bigram table on a 64-bit (prev, token)
+    # hash: the one real shuffle of this operator carries
+    # (id, 8-byte key, two doubles) per position — never word strings
+    narrow = (
         pairs.join(F.broadcast(uni_lm), on="token", how="left")
         .withColumnRenamed("logp", "__lp_u")
-        .join(
-            observed.withColumnRenamed("logp", "__lp_b"),
-            on=["prev", "token"],
-            how="left",
-        )
         .join(F.broadcast(ctx_default), on="prev", how="left")
         .crossJoin(F.broadcast(floor))
         .crossJoin(F.broadcast(global_default))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("prev").isNotNull(), F.xxhash64("prev", "token")
+            ).alias("__bh"),
+            F.coalesce(F.col("__lp_u"), F.col("__oov")).alias("__lpu"),
+            F.coalesce(F.col("__ctx0"), F.col("__glob0")).alias("__lpb0"),
+        )
     )
-    lp_u = F.coalesce(F.col("__lp_u"), F.col("__oov"))
-    lp_b = F.coalesce(F.col("__lp_b"), F.col("__ctx0"), F.col("__glob0"))
-    p = F.when(F.col("prev").isNull(), F.exp(lp_u)).otherwise(
-        F.lit(lam) * F.exp(lp_b) + F.lit(1.0 - lam) * F.exp(lp_u)
+    btab = observed.select(
+        F.xxhash64("prev", "token").alias("__bh"), F.col("logp").alias("__lp_b")
+    )
+    scored = narrow.join(btab, on="__bh", how="left")
+    lp_b = F.coalesce(F.col("__lp_b"), F.col("__lpb0"))
+    p = F.when(F.col("__bh").isNull(), F.exp(F.col("__lpu"))).otherwise(
+        F.lit(lam) * F.exp(lp_b) + F.lit(1.0 - lam) * F.exp(F.col("__lpu"))
     )
     per_tok = scored.select(id_col, F.log(p).alias("__lp"))
     return per_tok.groupBy(id_col).agg(

@@ -228,3 +228,26 @@ def test_ngram_jaccard_shuffles_carry_longs_not_strings(spark, sf_dir):
     assert re.search(r"shingle#\d+L", plan), "hashed shingle key missing"
     assert not re.search(r"shingle#\d+(?!L)\b", plan), "string shingle leaked"
     assert "CartesianProduct" not in plan
+
+
+def test_interpolated_perplexity_shuffle_carries_hashed_keys(spark, sf_dir):
+    """The interpolated gate's only corpus shuffle joins on the 64-bit
+    (prev, token) hash after every string-keyed lookup has been resolved
+    broadcast-side: no string-typed prev/token attribute may appear in a
+    hash-partitioning exchange."""
+    import re
+
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        bigram_logprobs,
+        doc_perplexity_interpolated,
+        unigram_logprobs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uni = unigram_logprobs(docs, "text")
+    bi = bigram_logprobs(docs, "text")
+    plan = _formatted(doc_perplexity_interpolated(docs, "text", "doc_id", uni, bi))
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for keys in exchanges:
+        assert "prev#" not in keys and "token#" not in keys, keys
+    assert any("__bh#" in k for k in exchanges) or "BroadcastHashJoin" in plan
