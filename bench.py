@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+on local[$SPARK_GRAFT_CPUS]. The LAST stdout line is ONE compact JSON record:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+"contended": bool}; per-attempt timings, plan-shape fingerprints, and host
+load diagnostics are written to BENCH_DETAILS.json beside this script.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect). Times are per-query wall seconds; value = total.
@@ -152,6 +154,26 @@ def main() -> None:
     )
     contended = bool(noise_queries)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # round-6 artifact fix: round 5's single JSON line grew past the driver's
+    # stdout capture once attempts + plan_stats joined it (BENCH_r05 shipped
+    # parsed:null). The LAST stdout line is now the compact machine-readable
+    # record (<1.5 KB: metric/value/queries/sf/contended only); everything
+    # diagnostic (attempts, plan fingerprints, loadavg, noise flags) goes to
+    # BENCH_DETAILS.json next to this script.
+    details = {
+        "attempts": attempts,
+        "plan_stats": plan_stats,
+        "noise_queries": noise_queries,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "cpus": cpus,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"),
+        "w",
+    ) as f:
+        json.dump(details, f, indent=1, sort_keys=True)
+    spark.stop()
     print(
         json.dumps(
             {
@@ -160,17 +182,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                "attempts": attempts,
-                "plan_stats": plan_stats,
-                "noise_queries": noise_queries,
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in load_after],
-                "cpus": cpus,
                 "contended": contended,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -746,6 +746,7 @@ def pack_sequences(
     stream_col: str,
     block_tokens: int = 2048,
     n_buckets: int | None = None,
+    bucket_bounds: list | None = None,
 ) -> DataFrame:
     """Concat-and-chop sequence packing: documents are laid end-to-end per
     stream (ordered by id), and the token stream is cut into fixed
@@ -766,21 +767,42 @@ def pack_sequences(
     offsets are identical to the single-window formulation for ANY boundary
     choice (boundaries only affect parallelism — approxQuantile's run-to-run
     variation is harmless). ``None`` keeps the single window (fine when
-    streams are already bucketed upstream)."""
+    streams are already bucketed upstream).
+
+    Because ANY monotone boundary choice is correct, the bounds are derived
+    from a cheap 5% SAMPLE at loose precision (round-6 change: the full-pass
+    approxQuantile was one extra corpus scan that tripled the local bench
+    cost without changing the answer). Callers that know the id domain can
+    pass ``bucket_bounds`` explicitly (e.g. ``range(step, N, step)``) and
+    skip the driver action entirely."""
     n_tok = token_count_expr(F.col(text_col)).cast("long")
     base = df.select(
         F.col(id_col), F.col(stream_col), n_tok.alias("n_tokens")
     )
     if n_buckets and n_buckets > 1:
-        fracs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = sorted(set(df.select(id_col).approxQuantile(id_col, fracs, 0.01)))
+        if bucket_bounds is not None:
+            bounds = sorted(set(bucket_bounds))
+        else:
+            fracs = [i / n_buckets for i in range(1, n_buckets)]
+            ids = df.select(id_col)
+            bounds = sorted(
+                set(ids.sample(fraction=0.05, seed=7).approxQuantile(id_col, fracs, 0.1))
+            )
+            if not bounds:  # sample came back empty (tiny input): full pass is cheap
+                bounds = sorted(set(ids.approxQuantile(id_col, fracs, 0.01)))
         if not bounds:  # empty input: nothing to parallelize
             n_buckets = None
     if n_buckets and n_buckets > 1:
         blits = F.array(*[F.lit(b) for b in bounds])
+        # one explicit exchange on (stream, bucket) feeds BOTH consumers
+        # (bucket totals and the per-doc window) as a ReusedExchange — the
+        # token-count projection runs once, below the shuffle. Without it,
+        # the groupBy's partial-agg exchange and the window's exchange
+        # differ, so Catalyst re-scans the corpus and re-counts tokens for
+        # each branch (the r5 bench regression's second half).
         base = base.withColumn(
             "__bucket", F.size(F.filter(blits, lambda b: b <= F.col(id_col)))
-        )
+        ).repartition(F.col(stream_col), F.col("__bucket"))
         bucket_totals = base.groupBy(stream_col, "__bucket").agg(
             F.sum("n_tokens").alias("__bt")
         )

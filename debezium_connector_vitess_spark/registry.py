@@ -2061,12 +2061,21 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     every stream 8-way parallelism instead of one reducer task, with offsets
     provably identical to the single-window formulation the oracle runs.
     Block id/offset by arithmetic. Standard LLM-pretraining packing
-    placement."""
+    placement.
+
+    Bucket bounds come from id-range arithmetic over the parquet row count —
+    a metadata-only action (footer row counts, no data scan), exercising the
+    operator's explicit-``bucket_bounds`` path; ANY monotone bounds yield
+    identical offsets (round-6 fix for the r5 bench regression: the full-pass
+    approxQuantile was one avoidable extra corpus scan)."""
     from .ops.pipeline import pack_sequences as _pack
 
     docs = _documents(spark, sf_dir)
+    n = docs.count()  # parquet metadata only; doc_ids are dense 0..n-1
+    step = max(1, n // 8)
     return _pack(
-        docs, "text", "doc_id", stream_col="source", block_tokens=2048, n_buckets=8
+        docs, "text", "doc_id", stream_col="source", block_tokens=2048,
+        n_buckets=8, bucket_bounds=list(range(step, n, step)),
     )
 
 
@@ -2471,7 +2480,7 @@ def _curation_oracle_sql() -> str:
     qn AS (SELECT doc_id, count(*) AS q_grams FROM qfeats GROUP BY doc_id),
     quality AS (
       SELECT qwx.doc_id, qn.q_grams,
-             round(1.0 / (1.0 + exp(-(qwx.wx + 0.25))), 6) AS quality_prob_r6
+             round(1.0 / (1.0 + exp(-(qwx.wx + 0.25))), 4) AS quality_prob_r4
       FROM qwx JOIN qn USING (doc_id)),
     dfeats AS (
       SELECT g.doc_id, b.lang,
@@ -2486,7 +2495,7 @@ def _curation_oracle_sql() -> str:
                - ln((cr.c + 1.0) / (tot.nr + 512.0)) AS log_ratio
       FROM cr LEFT JOIN ct USING (bucket), tot),
     dsir AS (
-      SELECT f.doc_id, round(sum(lrt.log_ratio), 4) AS log_weight_r4
+      SELECT f.doc_id, round(sum(lrt.log_ratio), 2) AS log_weight_r2
       FROM dfeats f JOIN lrt USING (bucket) GROUP BY f.doc_id),
     mix_base AS (
       SELECT b.doc_id, b.source,
@@ -2502,7 +2511,7 @@ def _curation_oracle_sql() -> str:
       FROM mix_base)
     SELECT p.doc_id, p.source, p.n_tokens, p.doc_start,
            b.budget_tokens::BIGINT AS budget_tokens, a.available_tokens,
-           q.q_grams, q.quality_prob_r6, d.log_weight_r4
+           q.q_grams, q.quality_prob_r4, d.log_weight_r2
     FROM placed p
     JOIN budgets b USING (source)
     JOIN avail a USING (source)
@@ -2512,32 +2521,12 @@ def _curation_oracle_sql() -> str:
     """
 
 
-@register("curation_pipeline", oracle=_curation_oracle_sql())
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full curation chain as ONE driver row — the composition
-    test_pipeline_e2e proves, promoted to the CORRECTNESS gate (round-5
-    registry item). Synthetic crawl pages are built deterministically from
-    the documents table (script/style/comment noise, heading, the body
-    paragraph, a shared boilerplate banner paragraph, and for every 7th doc
-    a duplicated body paragraph), then:
-
-    1. HTML → text extraction (codegen'd regex chain, map-only);
-    2. corpus-level paragraph dedup — the banner survives only in the
-       lowest doc, the 7th-doc duplicate body collapses intra-doc;
-    3. quality classifier scoring under a FIXED weight table (dim=64,
-       broadcast join — the deterministically-reproducible half of the
-       in-engine LR classifier; training stays pytest-side, it is
-       float-order nondeterministic);
-    4. DSIR importance weighting toward the English-docs target (dim=512,
-       ≤dim-row broadcast log-ratio table);
-    5. water-filling budget planner (proportions 50/50 over src0/src1 at
-       1600 total tokens — uncapped single-round split; the capping and
-       redistribution paths are hypothesis-tested in test_ops) feeding the
-       token-budget mixture sampler (two-level bucket cumsum, n_buckets=8).
-
-    Output: the selected documents with their stage signals. Cross-row float
-    sums (quality_prob, log_weight) are rounded identically in both engines
-    (6/4 decimals; engine reduction orders differ at ~1e-13 relative)."""
+def _curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain with UNROUNDED float signals (quality_prob,
+    log_weight) — shared by the registered query (which rounds) and the
+    rounding-margin unit test (which asserts every value keeps ≥1e-6 scaled
+    distance from a round-half boundary, so the cross-engine hash compare
+    can't flip on reduction order)."""
     from .ops.pipeline import (
         dsir_importance,
         dsir_logratios,
@@ -2580,11 +2569,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = score_quality(base, "text", "doc_id", wdf, dim=64).select(
         "doc_id",
         F.col("n_grams").alias("q_grams"),
-        F.round("quality_prob", 6).alias("quality_prob_r6"),
+        "quality_prob",
     )
     lr = dsir_logratios(base.filter("lang = 'en'"), base, "text", dim=512)
     dsir = dsir_importance(base, "text", "doc_id", lr, dim=512).select(
-        "doc_id", F.round("log_weight", 4).alias("log_weight_r4")
+        "doc_id", "log_weight"
     )
     budgets = plan_token_budgets(
         base,
@@ -2607,6 +2596,43 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(budgets, "source")
         .select(
             "doc_id", "source", "n_tokens", "doc_start", "budget_tokens",
-            "available_tokens", "q_grams", "quality_prob_r6", "log_weight_r4",
+            "available_tokens", "q_grams", "quality_prob", "log_weight",
         )
+    )
+
+
+@register("curation_pipeline", oracle=_curation_oracle_sql())
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain as ONE driver row — the composition
+    test_pipeline_e2e proves, promoted to the CORRECTNESS gate (round-5
+    registry item). Synthetic crawl pages are built deterministically from
+    the documents table (script/style/comment noise, heading, the body
+    paragraph, a shared boilerplate banner paragraph, and for every 7th doc
+    a duplicated body paragraph), then:
+
+    1. HTML → text extraction (codegen'd regex chain, map-only);
+    2. corpus-level paragraph dedup — the banner survives only in the
+       lowest doc, the 7th-doc duplicate body collapses intra-doc;
+    3. quality classifier scoring under a FIXED weight table (dim=64,
+       broadcast join — the deterministically-reproducible half of the
+       in-engine LR classifier; training stays pytest-side, it is
+       float-order nondeterministic);
+    4. DSIR importance weighting toward the English-docs target (dim=512,
+       ≤dim-row broadcast log-ratio table);
+    5. water-filling budget planner (proportions 50/50 over src0/src1 at
+       1600 total tokens — uncapped single-round split; the capping and
+       redistribution paths are hypothesis-tested in test_ops) feeding the
+       token-budget mixture sampler (two-level bucket cumsum, n_buckets=8).
+
+    Output: the selected documents with their stage signals. Cross-row float
+    sums (quality_prob, log_weight) are rounded identically in both engines
+    (4/2 decimals — widened from 6/4 in round 6: the old grid left ~1e-9
+    margins to a round-half boundary, close enough that a different Arrow
+    batch split could flip a cell cross-engine; test_ops asserts every
+    unrounded value at sf0.001 and sf0.01 keeps ≥1e-6 scaled margin)."""
+    return _curation_signals(spark, sf_dir).select(
+        "doc_id", "source", "n_tokens", "doc_start", "budget_tokens",
+        "available_tokens", "q_grams",
+        F.round("quality_prob", 4).alias("quality_prob_r4"),
+        F.round("log_weight", 2).alias("log_weight_r2"),
     )

@@ -1634,6 +1634,17 @@ def test_pack_sequences_bucketed_equals_single_window(spark, sf_dir):
         for r in bucketed_df.collect()
     }
     assert bucketed == single
+    # explicit bounds (the zero-action path the registry entry uses) must
+    # match too — the docstring guarantee is ANY monotone boundary choice,
+    # including deliberately lopsided ones
+    explicit = {
+        r["doc_id"]: (r["start_offset"], r["block_id"], r["offset_in_block"])
+        for r in pack_sequences(
+            docs, "text", "doc_id", stream_col="source", block_tokens=512,
+            n_buckets=4, bucket_bounds=[3, 7, 400],
+        ).collect()
+    }
+    assert explicit == single
     plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
     # the per-document window partitions by (stream, __bucket): the bucket
     # key appears in a window partition spec, so no whole-stream reducer
@@ -1889,3 +1900,28 @@ def test_corpus_profile_matches_duckdb(spark, sf_dir):
     # AQE prints Final + Initial plans after execution: count the final only
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1  # one scan, one groupBy
+
+
+def test_curation_rounding_margins(spark):
+    """The curation driver row hashes round(quality_prob, 4) and
+    round(log_weight, 2) cross-engine. Both are float SUMS whose reduction
+    order is partitioning-dependent (~1e-13 relative jitter), so the
+    convention is only safe while every value keeps real distance from a
+    round-half boundary. Assert ≥1e-6 margin (in units of the last kept
+    decimal) at BOTH SFs, so a testdata regen can't silently reintroduce
+    the round-5 hazard (closest margin then: 8.9e-4 at 6 decimals)."""
+    from debezium_connector_vitess_spark.registry import _curation_signals
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = _curation_signals(spark, sf_dir).select(
+            "quality_prob", "log_weight"
+        ).collect()
+        assert rows
+        for col, decimals in (("quality_prob", 4), ("log_weight", 2)):
+            for r in rows:
+                scaled = r[col] * 10**decimals
+                dist = abs((scaled - int(scaled // 1)) - 0.5)
+                assert dist >= 1e-6, (
+                    f"{col}={r[col]!r} sits {dist:.2e} from a round-half "
+                    f"boundary at {decimals} decimals ({sf_dir})"
+                )
