@@ -43,8 +43,9 @@ HEADLINE = [
     # r5: the curation family, now benched (judge item #6)
     "dedup_paragraphs",
     "doc_perplexity",
-    "winnow_match_pairs",
+    "winnow_match_pairs",  # r6: now incl. the cross-corpus variant
     "curation_pipeline",
+    "corpus_health",  # r6: corpus_profile + zlib compressibility, one scan
 ]
 
 

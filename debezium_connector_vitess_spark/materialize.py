@@ -301,3 +301,142 @@ def materialize_stream(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+try:  # the tws API ships with Spark 4.x; keep module import safe elsewhere
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor as _StatefulProcessorBase,
+    )
+except ImportError:  # pragma: no cover
+    _StatefulProcessorBase = object  # type: ignore[assignment,misc]
+
+
+class CompactorProcessor(_StatefulProcessorBase):
+    """StatefulProcessor for :func:`materialize_stream_tws` — the same
+    per-(table, key) last-write-wins state machine as :func:`_process_key`
+    on the current-generation stateful API (ValueState instead of
+    GroupState), with idle-TTL via REAL per-key timers:
+
+    - every input batch re-arms the key's single timer to now + TTL
+      (``deleteTimer`` then ``registerTimer`` — tws keeps a timer LIST per
+      key, so re-arming must drop the stale one or expirations multiply);
+    - :meth:`handleExpiredTimer` releases the key's state and emits nothing
+      — the compacted image didn't change, downstream already holds the
+      latest record; a later re-arrival starts fresh against seq = -1 and
+      wins by seq, the exact eviction contract of the
+      ``applyInPandasWithState`` compactor's ProcessingTimeTimeout path;
+    - an ``evict_deleted`` tombstone also cancels the key's timers — a dead
+      key must not hold timer state either.
+
+    The timer/state logic is plain Python over the handle interface, so the
+    unit suite drives it with a fake handle even though executing the full
+    query needs the protobuf runtime + RocksDB provider this container
+    lacks (see :func:`materialize_stream_tws`)."""
+
+    def __init__(
+        self, *, evict_deleted: bool = False, idle_ttl_ms: int | None = None
+    ) -> None:
+        self._evict_deleted = evict_deleted
+        self._idle_ttl_ms = idle_ttl_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("mat_state", MAT_STATE_SCHEMA)
+
+    def _rearm_timer(self, timer_values) -> None:
+        if self._idle_ttl_ms is None:
+            return
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(
+            timer_values.getCurrentProcessingTimeInMs() + self._idle_ttl_ms
+        )
+
+    def _cancel_timers(self) -> None:
+        if self._idle_ttl_ms is None:
+            return
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+
+    def handleInputRows(self, key, rows, timer_values):
+        table_name, rec_key = key
+        stored = self._state.get() if self._state.exists() else None
+        seq, op, after_json = stored if stored is not None else (-1, None, None)
+        chunks = list(rows)
+        if not chunks:
+            yield pd.DataFrame(columns=[f.name for f in MAT_STREAM_SCHEMA.fields])
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        i = int(pdf["seq"].idxmax())
+        if int(pdf["seq"].iloc[i]) > seq:
+            seq = int(pdf["seq"].iloc[i])
+            op = pdf["op"].iloc[i]
+            aj = pdf["after_json"].iloc[i]
+            after_json = None if pd.isna(aj) else aj
+        if self._evict_deleted and op == OP_DELETE:
+            if self._state.exists():
+                self._state.clear()
+            self._cancel_timers()
+        else:
+            self._state.update((seq, op, after_json))
+            self._rearm_timer(timer_values)
+        yield pd.DataFrame(
+            [
+                {
+                    "table_name": table_name,
+                    "key": rec_key,
+                    "seq": seq,
+                    "op": op,
+                    "after_json": None if op == OP_DELETE else after_json,
+                }
+            ],
+            columns=[f.name for f in MAT_STREAM_SCHEMA.fields],
+        )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        # key idle past the TTL: release its state, emit nothing (the
+        # compacted image didn't change); re-arrival starts fresh vs seq = -1
+        self._state.clear()
+        yield pd.DataFrame(columns=[f.name for f in MAT_STREAM_SCHEMA.fields])
+
+    def close(self) -> None:
+        pass
+
+
+def materialize_stream_tws(
+    keyed_env: DataFrame,
+    *,
+    seq: Column | None = None,
+    evict_deleted: bool = False,
+    idle_ttl_ms: int | None = None,
+) -> DataFrame:
+    """:func:`materialize_stream` on ``transformWithStateInPandas`` (the
+    current-generation Spark stateful API) — same output contract, same
+    ``evict_deleted`` semantics, and the SAME ``idle_ttl_ms`` feature via
+    per-key timers (``timeMode='processingTime'``) instead of
+    ProcessingTimeTimeout, so the forward path keeps feature parity with
+    the default compactor (round-6; see :class:`CompactorProcessor`).
+
+    Requires the RocksDB state store provider and the ``google.protobuf``
+    runtime (tws's Python state-server protocol) — absent in this
+    container, so the execution parity test skips exactly like the txmeta
+    tws twin (`txmeta/streaming.py` ordered_tx_metadata_stream_tws); plan
+    construction and the processor's timer/state logic are exercised
+    regardless."""
+    if seq is None:
+        seq = gtid_seq(F.col("gtid"))
+    flat = keyed_env.select(
+        F.col("source.table").alias("table_name"),
+        F.col("key"),
+        seq.alias("seq"),
+        F.col("op"),
+        F.to_json(F.col("after")).alias("after_json"),
+    )
+    return flat.groupBy("table_name", "key").transformWithStateInPandas(
+        statefulProcessor=CompactorProcessor(
+            evict_deleted=evict_deleted, idle_ttl_ms=idle_ttl_ms
+        ),
+        outputStructType=MAT_STREAM_SCHEMA,
+        outputMode="update",
+        timeMode="processingTime" if idle_ttl_ms is not None else "none",
+    )

@@ -716,7 +716,12 @@ def html_to_text_expr(html: Column) -> Column:
 
 
 def with_compression_ratio(
-    df, text_col: str = "text", out_col: str = "compression_ratio", *, level: int = 6
+    df,
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    *,
+    level: int = 6,
+    bytes_col: str | None = None,
 ):
     """zlib compression ratio per document (compressed/raw bytes) — the
     classic entropy-proxy quality signal: templated/repetitive boilerplate
@@ -724,23 +729,37 @@ def with_compression_ratio(
     all. No Catalyst expression can run DEFLATE, so this is an honest
     Arrow-batched ``mapInPandas`` seam (stdlib zlib, fixed ``level`` for
     determinism); everything else in this module stays JVM-side. Empty
-    documents get ratio null."""
+    documents get ratio null.
+
+    ``bytes_col`` additionally emits the raw compressed byte COUNT (long,
+    null for empty docs): integer sums over it are exact and
+    reduction-order-independent, so corpus-level aggregates built from it
+    (e.g. :func:`corpus_profile`'s per-domain ratio) hash bit-identically
+    across engines without any rounding convention."""
     import zlib
 
     from pyspark.sql import types as T
 
     fields = df.schema.fields + [T.StructField(out_col, T.DoubleType(), True)]
+    if bytes_col is not None:
+        fields = fields + [T.StructField(bytes_col, T.LongType(), True)]
     schema = T.StructType(fields)
 
     def op(batches):
         for pdf in batches:
-            def ratio(s):
+            def csize(s):
                 b = (s or "").encode("utf-8")
                 if not b:
                     return None
-                return len(zlib.compress(b, level)) / len(b)
+                return len(zlib.compress(b, level))
 
-            pdf[out_col] = pdf[text_col].map(ratio)
+            sizes = pdf[text_col].map(csize)
+            raw = pdf[text_col].map(lambda s: len((s or "").encode("utf-8")))
+            pdf[out_col] = [
+                (s / r) if s is not None else None for s, r in zip(sizes, raw)
+            ]
+            if bytes_col is not None:
+                pdf[bytes_col] = sizes.astype("Int64")
             yield pdf
 
     return df.mapInPandas(op, schema=schema)
@@ -752,6 +771,7 @@ def corpus_profile(
     id_col: str = "doc_id",
     *,
     domain_col: str = "source",
+    include_compression: bool = False,
 ):
     """Per-domain corpus health snapshot — the first query run against a new
     100 TB corpus before any curation decision: document/token/char volume,
@@ -763,7 +783,19 @@ def corpus_profile(
     on ``count_distinct`` of the 16-byte content fingerprint, combined
     map-side like every other aggregate. Returns one row per domain:
     (domain, n_docs, n_empty, n_tokens, n_chars, mean_quality,
-    distinct_content, dup_ratio, n_docs_with_pii)."""
+    distinct_content, dup_ratio, n_docs_with_pii).
+
+    ``include_compression`` chains the zlib seam
+    (:func:`with_compression_ratio`) ahead of the metrics projection and adds
+    a per-domain ``compression_ratio`` = sum(compressed bytes) / sum(raw
+    utf-8 bytes) — a ratio of two INTEGER sums, so it is exact and
+    reduction-order-independent (no rounding convention needed for
+    cross-engine hashing). Still one scan and one groupBy; the Arrow seam is
+    the only non-JVM stage."""
+    if include_compression:
+        df = with_compression_ratio(
+            df, text_col, "__cr", bytes_col="__cbytes"
+        ).drop("__cr")
     m = with_text_metrics(df, text_col)
     # PII detection rides the same single scan (three codegen'd regexp passes)
     e, i, p = pii_count_exprs(F.col(text_col))
@@ -776,10 +808,27 @@ def corpus_profile(
         F.round(F.avg("quality_score"), 4).alias("mean_quality"),
         F.count_distinct("fingerprint").alias("distinct_content"),
         F.sum(F.when(F.col("__pii"), 1).otherwise(0)).alias("n_docs_with_pii"),
+        *(
+            [
+                F.sum("__cbytes").alias("__sum_cbytes"),
+                F.sum(F.octet_length(text_col)).alias("__sum_raw"),
+            ]
+            if include_compression
+            else []
+        ),
     )
-    return out.withColumn(
+    out = out.withColumn(
         "dup_ratio",
         F.round(
             1.0 - F.col("distinct_content").cast("double") / F.col("n_docs"), 4
         ),
     )
+    if include_compression:
+        out = out.withColumn(
+            "compression_ratio",
+            F.when(
+                F.col("__sum_raw") > 0,
+                F.col("__sum_cbytes").cast("double") / F.col("__sum_raw"),
+            ),
+        ).drop("__sum_cbytes", "__sum_raw")
+    return out

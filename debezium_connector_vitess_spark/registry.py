@@ -1592,59 +1592,65 @@ def type_decode_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(k.alias("pk"), *[project(c) for c in cols])
 
 
+def _snapshot_chunk_sql(table: str, pk: str, chunk: int = 700) -> str:
+    """DuckDB mirror of snapshot_copy's one-pass chunk arithmetic:
+    n_chunks = ceil(n/chunk), width = max(1, ceil(span/n_chunks)),
+    copy_chunk = floor((pk - mn) / width) — integer ceils via (a+b-1)//b,
+    exactly the Python driver arithmetic."""
+    return f"""
+    SELECT 'r' AS op, '{table}' AS table_name, {pk}::BIGINT AS pk,
+           CAST(floor(({pk} - s.mn) / greatest(1,
+             ((s.mx - s.mn + 1) + ((s.n + {chunk - 1}) // {chunk}) - 1)
+               // ((s.n + {chunk - 1}) // {chunk}))) AS BIGINT) AS copy_chunk
+    FROM {table},
+         (SELECT min({pk}) AS mn, max({pk}) AS mx, count(*) AS n FROM {table}) s
+    """
+
+
 @register(
     "snapshot_backfill",
-    oracle="""
-    SELECT 'r' AS op, c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-    FROM customer
-    """,
+    oracle=_snapshot_chunk_sql("customer", "c_custkey")
+    + " UNION ALL "
+    + _snapshot_chunk_sql("orders", "o_orderkey"),
 )
 def snapshot_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3/O6: chunked copy (VStream Copy analog), planned in ONE pass: a
-    single stats aggregate derives all ~700-row PK ranges up front and every
-    row is tagged with its chunk arithmetically — one scan, no per-page
-    driver loop. The chunk boundaries are exactly the ``table_p_ks`` resume
-    markers a restart records in the VGTID (TablePrimaryKeys.java:27-368)."""
+    """S3/O6 + F3 in one row (round-6 merge of the former snapshot_backfill
+    and snapshot_mode_tables, which shared the fixture): ``snapshot.mode.
+    tables`` (Filters.java:39-48, VitessReplicationConnection.java:308-312)
+    selects which candidate tables enter the copy phase — the regex picks
+    customer+orders, supplier is streamed but never copied, and the driver
+    short-circuits unmatched tables BEFORE planning their scan (the plan
+    reads 2 parquet files, not 3 — the server-side tables_to_copy flag).
+    Each selected table then runs the chunked VStream-Copy analog, planned
+    in ONE pass: a single stats aggregate derives all ~700-row PK ranges up
+    front and every row is tagged with its chunk arithmetically — one scan,
+    no per-page driver loop. ``copy_chunk`` is exactly the ``table_p_ks``
+    resume marker a restart records in the VGTID
+    (TablePrimaryKeys.java:27-368), and is now oracle-checked."""
+    from .filters import SnapshotTableFilter
     from .snapshot import CopyCursor, snapshot_copy
 
-    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    cursor = CopyCursor(table="customer", pk_column="c_custkey")
-    snap, _boundaries = snapshot_copy(df, cursor, chunk_size=700)
-    return snap.select(F.lit("r").alias("op"), *df.columns)
-
-
-@register(
-    "snapshot_mode_tables",
-    oracle="""
-    SELECT 'r' AS op, 'orders' AS table_name, o_orderkey AS pk FROM orders
-    UNION ALL
-    SELECT 'r' AS op, 'supplier' AS table_name, s_suppkey AS pk FROM supplier
-    """,
-)
-def snapshot_mode_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3: ``snapshot.mode.tables`` partial snapshot (Filters.java:39-48,
-    VitessReplicationConnection.java:308-312). Three tables are candidates for
-    the copy phase; the regex include list selects orders+supplier, so only
-    those emit op='r' rows — customer is streamed but never copied. The filter
-    is a Catalyst predicate on (keyspace, table_name), so at scale the
-    non-copied tables' scans are pruned entirely (the plan reads 2 parquet
-    files, not 3 — the driver also short-circuits unmatched tables before
-    planning their scan, mirroring the server-side tables_to_copy flag)."""
-    from .filters import SnapshotTableFilter
-
-    stf = SnapshotTableFilter(["commerce\\.(orders|supplier)"])
-    candidates = [("customer", "c_custkey"), ("orders", "o_orderkey"), ("supplier", "s_suppkey")]
+    stf = SnapshotTableFilter(["commerce\\.(customer|orders)"])
+    candidates = [
+        ("customer", "c_custkey"),
+        ("orders", "o_orderkey"),
+        ("supplier", "s_suppkey"),
+    ]
     frames = []
     for table, pk in candidates:
         # driver-side short-circuit = the tables_to_copy request flag
         if not stf.matches("commerce", table):
             continue
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        snap, _boundaries = snapshot_copy(
+            df, CopyCursor(table=table, pk_column=pk), chunk_size=700
+        )
         frames.append(
-            df.select(
+            snap.select(
                 F.lit("r").alias("op"),
                 F.lit(table).alias("table_name"),
                 F.col(pk).cast("long").alias("pk"),
+                F.col("copy_chunk"),
             )
         )
     out = frames[0]
@@ -2267,10 +2273,18 @@ def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grams),
     fp AS (SELECT doc_id, unnest(fp_set) AS fp FROM fps),
     keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 5),
-    f2 AS (SELECT doc_id, fp FROM fp JOIN keep USING (fp))
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    f2 AS (SELECT doc_id, fp FROM fp JOIN keep USING (fp)),
+    lfp AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 = 0),
+    rfp0 AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 <> 0),
+    keep_r AS (SELECT fp FROM rfp0 GROUP BY fp HAVING count(*) <= 5),
+    rfp AS (SELECT doc_id, fp FROM rfp0 JOIN keep_r USING (fp))
+    SELECT 'self' AS side, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
     FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2 HAVING count(*) >= 2
+    GROUP BY 2, 3 HAVING count(*) >= 2
+    UNION ALL
+    SELECT 'cross' AS side, l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared
+    FROM lfp l JOIN rfp r ON l.fp = r.fp
+    GROUP BY 2, 3 HAVING count(*) >= 2
     """,
 )
 def winnow_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2283,13 +2297,32 @@ def winnow_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas seam (vectorized sliding-window min; the
     rolling minimum has no efficient Catalyst form — see
     ops/text.py with_winnow_fingerprints) using the engine-agnostic
-    md5-prefix gram hash, which this oracle reproduces exactly."""
-    from .ops.text import winnow_match_pairs
+    md5-prefix gram hash, which this oracle reproduces exactly.
+
+    Round 6 folds in the CROSS-CORPUS variant (r5 VERDICT item #6) under a
+    ``side`` discriminator: docs with doc_id%10=0 play the eval frame, the
+    rest the train frame, and winnow_cross_match reports eval→train passage
+    contamination — the stronger complement of n-gram decontamination (a
+    verbatim ≥34-char passage surfaces even when the surrounding document
+    differs entirely). The df-cap applies to the TRAIN side only (the oracle
+    mirrors that asymmetry, so the cap behavior is driver-checked for both
+    variants)."""
+    from .ops.text import winnow_cross_match, winnow_match_pairs
 
     docs = _documents(spark, sf_dir)
-    return winnow_match_pairs(
-        docs, "text", "doc_id", k=25, window=10, min_shared=2, max_doc_freq=5
+    kw = dict(k=25, window=10, min_shared=2, max_doc_freq=5)
+    self_pairs = winnow_match_pairs(docs, "text", "doc_id", **kw).select(
+        F.lit("self").alias("side"), "id_a", "id_b", "n_shared"
     )
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    cross = winnow_cross_match(ev, tr, "text", "doc_id", **kw).select(
+        F.lit("cross").alias("side"),
+        F.col("left_id").alias("id_a"),
+        F.col("right_id").alias("id_b"),
+        "n_shared",
+    )
+    return self_pairs.unionAll(cross)
 
 
 def _lsh_cross_oracle_sql(
@@ -2635,4 +2668,118 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "available_tokens", "q_grams",
         F.round("quality_prob", 4).alias("quality_prob_r4"),
         F.round("log_weight", 2).alias("log_weight_r2"),
+    )
+
+
+def _compression_constants() -> str:
+    """Per-(source, n_docs) total zlib-compressed byte counts for the
+    corpus_health oracle, computed at import time directly from the parquet
+    files with pyarrow + stdlib zlib — DuckDB has no DEFLATE function, and
+    this path shares nothing with the Spark query's Arrow seam except the
+    zlib library itself (the same relationship every other oracle has to
+    md5/xxhash). Keyed by (source, raw_utf8_bytes) so one SQL string is
+    valid at every SF the driver or the local parity suite runs: each
+    view's per-source byte total picks out its own constants. Integer byte
+    SUMS are
+    exact and reduction-order-independent — no rounding convention needed.
+    Self-healing under testdata regen (recomputed at import)."""
+    import os
+    import zlib
+
+    rows = []
+    for sfd in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = f"{sfd}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["source", "text"])
+        agg: dict = {}
+        for src, txt in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            st = agg.setdefault(src, [0, 0])
+            b = (txt or "").encode("utf-8")
+            st[0] += len(b)
+            if b:
+                st[1] += len(zlib.compress(b, 6))
+        rows.extend((src, rb, cb) for src, (rb, cb) in sorted(agg.items()))
+    # keyed by (source, raw_bytes): per-source DOC COUNTS coincide across the
+    # SF dirs (each carries the same 25 docs/source layout with different
+    # text), so the content-dependent byte total is the disambiguator; dedupe
+    # in case two dirs ever share identical content
+    rows = sorted(set(rows))
+    if not rows:  # no testdata present: emit a never-matching placeholder
+        rows = [("__no_testdata__", -1, 0)]
+    return ", ".join(f"('{s}', {rb}, {cb})" for s, rb, cb in rows)
+
+
+def _corpus_health_oracle_sql() -> str:
+    return f"""
+    WITH m AS (
+      SELECT source, doc_id, text,
+             {_ORACLE_TOKENS} AS toks,
+             length(text)::DOUBLE AS n_chars
+      FROM documents),
+    q AS (
+      SELECT *,
+             len(toks)::DOUBLE AS n_tokens_d,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                 x -> x IN {_Q_STOP_EN}))::DOUBLE AS stop_hits,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct_d,
+             list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+               / greatest(len(toks), 1) AS mwl
+      FROM m),
+    s AS (
+      SELECT source, doc_id, text, n_chars, len(toks) AS n_tokens,
+             (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_tokens_d >= 20 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN stop_hits / greatest(n_tokens_d, 1) >= 0.05 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_punct_d / greatest(n_chars, 1) <= 0.1
+                   AND mwl >= 2.0 AND mwl <= 12.0 THEN 0.25 ELSE 0.0 END) AS quality,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                     '\\s+', ' ', 'g'))) AS fp,
+             (len(regexp_extract_all(text, '{_P_EMAIL}', 0))
+              + len(regexp_extract_all(text, '{_P_IPV4}', 0))
+              + len(regexp_extract_all(regexp_replace(text, '{_P_EMAIL}', '<EMAIL>', 'g'),
+                                       '{_P_PHONE}', 0))) > 0 AS has_pii
+      FROM q),
+    prof AS (
+      SELECT source, count(*) AS n_docs,
+             sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS n_empty,
+             sum(n_tokens) AS n_tokens,
+             sum(length(text)) AS n_chars,
+             round(avg(quality), 4) AS mean_quality,
+             count(DISTINCT fp) AS distinct_content,
+             sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS n_docs_with_pii,
+             round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 4) AS dup_ratio,
+             sum(octet_length(encode(text))) AS raw_bytes
+      FROM s GROUP BY source),
+    cz(source, raw_bytes, comp_bytes) AS (VALUES {_compression_constants()})
+    SELECT p.source, p.n_docs, p.n_empty, p.n_tokens, p.n_chars,
+           p.mean_quality, p.distinct_content, p.n_docs_with_pii, p.dup_ratio,
+           CASE WHEN p.raw_bytes > 0
+                THEN cz.comp_bytes::DOUBLE / p.raw_bytes END AS compression_ratio
+    FROM prof p JOIN cz ON p.source = cz.source AND p.raw_bytes = cz.raw_bytes
+    """
+
+
+@register("corpus_health", oracle=_corpus_health_oracle_sql())
+def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus health snapshot with the zlib compressibility
+    signal — the round-6 driver promotion of corpus_profile +
+    with_compression_ratio (r5 VERDICT item #5). One scan (the Arrow zlib
+    seam chained under the staged metrics projection) and ONE
+    groupBy(source): document/token/char volume, mean quality, exact-dup
+    ratio on the content fingerprint, empty and PII-bearing doc counts, and
+    compression_ratio = sum(compressed bytes) / sum(raw utf-8 bytes) — a
+    ratio of two integer sums, exact in both engines with no rounding
+    convention. The oracle mirrors everything in DuckDB SQL except the
+    DEFLATE totals, which it takes from an import-time pyarrow+zlib pass
+    over the same parquet (see _compression_constants)."""
+    from .ops.text import corpus_profile
+
+    docs = _documents(spark, sf_dir)
+    return corpus_profile(
+        docs, "text", "doc_id", domain_col="source", include_compression=True
     )

@@ -372,3 +372,167 @@ def test_materialize_stream_idle_ttl_evicts_state(spark, sf_dir, tmp_path):
     ttl_rows, ttl_final = run(1, "mat_ttl")
     assert ttl_final == kept_final
     assert ttl_rows < kept_rows
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+        self._set = False
+
+    def exists(self):
+        return self._set
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self._set = v, True
+
+    def clear(self):
+        self._v, self._set = None, False
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+        self.timers: list[int] = []
+
+    def getValueState(self, name, schema):
+        return self.state
+
+    def registerTimer(self, ts):
+        self.timers.append(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.remove(ts)
+
+    def listTimers(self):
+        return list(self.timers)
+
+
+class _FakeTimerValues:
+    def __init__(self, now_ms):
+        self._now = now_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._now
+
+
+def test_compactor_tws_timer_logic():
+    """CompactorProcessor's idle-TTL timer machinery, driven through a fake
+    handle (the logic is plain Python over the handle interface — no
+    protobuf/RocksDB needed): every batch re-arms the key's SINGLE timer to
+    now + TTL (stale timer deleted, so expirations don't multiply), expiry
+    clears the state and emits nothing, and an evict_deleted tombstone
+    cancels the timers along with the state."""
+    import pandas as pd
+
+    from debezium_connector_vitess_spark.materialize import CompactorProcessor
+
+    proc = CompactorProcessor(idle_ttl_ms=5000)
+    h = _FakeHandle()
+    proc.init(h)
+
+    def batch(seq, op, aj):
+        return iter([pd.DataFrame({"seq": [seq], "op": [op], "after_json": [aj]})])
+
+    out1 = list(proc.handleInputRows(("t", "k1"), batch(1, "c", "{}"), _FakeTimerValues(1000)))
+    assert h.timers == [6000]  # armed at now + ttl
+    assert h.state.get() == (1, "c", "{}")
+    assert len(out1) == 1 and out1[0]["seq"].iloc[0] == 1
+
+    # second batch re-arms: old timer gone, exactly one live timer
+    list(proc.handleInputRows(("t", "k1"), batch(2, "u", "{}"), _FakeTimerValues(3000)))
+    assert h.timers == [8000]
+    assert h.state.get()[0] == 2
+
+    # expiry: state released, no output rows
+    expired = list(proc.handleExpiredTimer(("t", "k1"), _FakeTimerValues(9000), None))
+    assert not h.state.exists()
+    assert sum(len(p) for p in expired) == 0
+
+    # re-arrival after expiry starts fresh against seq = -1 and wins
+    out2 = list(proc.handleInputRows(("t", "k1"), batch(1, "u", "{}"), _FakeTimerValues(9500)))
+    assert h.state.get()[0] == 1 and out2[0]["seq"].iloc[0] == 1
+
+    # evict_deleted tombstone cancels timers with the state
+    proc_e = CompactorProcessor(evict_deleted=True, idle_ttl_ms=5000)
+    he = _FakeHandle()
+    proc_e.init(he)
+    list(proc_e.handleInputRows(("t", "k2"), batch(1, "c", "{}"), _FakeTimerValues(1000)))
+    assert he.timers and he.state.exists()
+    out_d = list(proc_e.handleInputRows(("t", "k2"), batch(2, "d", None), _FakeTimerValues(2000)))
+    assert he.timers == [] and not he.state.exists()
+    assert out_d[0]["op"].iloc[0] == "d" and pd.isna(out_d[0]["after_json"].iloc[0])
+
+
+def test_materialize_stream_tws_plan_construction(spark, sf_dir):
+    """Building the tws compactor's plan needs no protobuf runtime — only
+    execution does; the unresolved plan must carry the same output schema as
+    the applyInPandasWithState compactor, with and without the TTL
+    (timeMode='processingTime' vs 'none')."""
+    from debezium_connector_vitess_spark.materialize import materialize_stream_tws
+
+    replay_source.register(spark)
+    replay_dir = cached_fixture_dir(
+        "txmeta_replay", sf_dir, write_replay_fixture, tx_size=10, host_period=10
+    )
+    raw = spark.readStream.format("vitess-replay").option("path", replay_dir).load()
+    base = materialize_stream(_keyed_env(raw))
+    for ttl in (None, 60_000):
+        tws = materialize_stream_tws(_keyed_env(raw), idle_ttl_ms=ttl)
+        assert tws.schema == base.schema
+        assert tws.isStreaming
+
+
+def test_materialize_stream_tws_matches_default(spark, sf_dir, tmp_path):
+    """Execution parity: the tws compactor must produce exactly the
+    applyInPandasWithState compactor's per-batch output over the same replay
+    stream. Skipped where the google.protobuf runtime is absent (tws's
+    state-server protocol imports it) — the same environmental gate as the
+    txmeta tws twin."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from debezium_connector_vitess_spark.materialize import materialize_stream_tws
+
+    replay_source.register(spark)
+    replay_dir = cached_fixture_dir(
+        "txmeta_replay", sf_dir, write_replay_fixture, tx_size=10, host_period=10
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    results = {}
+    try:
+        for name, op in (
+            ("tws", materialize_stream_tws),
+            ("aip", materialize_stream),
+        ):
+            raw = (
+                spark.readStream.format("vitess-replay")
+                .option("path", replay_dir)
+                .load()
+            )
+            q = (
+                op(_keyed_env(raw))
+                .writeStream.format("memory")
+                .queryName(f"mat_{name}")
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            results[name] = sorted(
+                map(tuple, spark.sql(f"SELECT * FROM mat_{name}").collect())
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert len(results["tws"]) > 0
+    assert results["tws"] == results["aip"]
