@@ -409,6 +409,24 @@ def with_winnow_fingerprints(
     return df.mapInPandas(op, schema=schema)
 
 
+def winnow_fingerprint_frame(
+    df, text_col: str = "text", id_col: str = "doc_id", *, k: int = 5, window: int = 4
+):
+    """The exploded, MATERIALIZED (id, fp) winnow fingerprint frame — 16
+    bytes/row. One Arrow fingerprinting pass (``localCheckpoint``; blocks
+    reclaimed by the caller's ``cache.checkpoint_scope``), reusable across
+    every downstream winnow variant: the self-join detector, cross-corpus
+    slices (fingerprints are per-document), and the df-cap all read this
+    frame instead of re-running the seam — at 100 TB each avoided consumer
+    is a full corpus re-fingerprint."""
+    from ..cache import eager_localcheckpoint
+
+    f = with_winnow_fingerprints(df, text_col, k=k, window=window).select(
+        F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
+    )
+    return eager_localcheckpoint(f)[0]
+
+
 def winnow_match_pairs(
     df,
     text_col: str = "text",
@@ -418,6 +436,7 @@ def winnow_match_pairs(
     window: int = 4,
     min_shared: int = 1,
     max_doc_freq: int | None = 1000,
+    fps=None,
 ):
     """Candidate near-copy pairs sharing ≥ ``min_shared`` winnowing
     fingerprints — the MOSS-style containment detector (catches copied
@@ -445,13 +464,15 @@ def winnow_match_pairs(
     it, and without the barrier the per-gram hashing seam re-runs up to 4×
     (one full corpus re-fingerprint per consumer at 100 TB). Blocks are
     reclaimed by the caller's ``cache.checkpoint_scope``, matching the
-    MinHash materialization pattern."""
-    from ..cache import eager_localcheckpoint
+    MinHash materialization pattern.
 
-    fps = with_winnow_fingerprints(df, text_col, k=k, window=window).select(
-        F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
-    )
-    fps, _release = eager_localcheckpoint(fps)
+    ``fps`` short-circuits fingerprinting: an already-MATERIALIZED exploded
+    (id, fp) frame (see :func:`winnow_fingerprint_frame`) — the seam for a
+    caller that derives several winnow variants from one corpus pass (e.g.
+    self-match + cross-corpus in one query: fingerprints are per-document,
+    so one frame serves every slicing)."""
+    if fps is None:
+        fps = winnow_fingerprint_frame(df, text_col, id_col, k=k, window=window)
     if max_doc_freq is not None:
         common = (
             fps.groupBy("fp")
@@ -481,6 +502,8 @@ def winnow_cross_match(
     window: int = 4,
     min_shared: int = 1,
     max_doc_freq: int | None = 1000,
+    left_fps=None,
+    right_fps=None,
 ):
     """Cross-corpus passage-copy detection: (left_id, right_id, n_shared)
     pairs sharing ≥ ``min_shared`` winnowing fingerprints across two
@@ -497,17 +520,24 @@ def winnow_cross_match(
     (train/large) side's fingerprint document frequency before the join —
     boilerplate shared by the whole training corpus carries no
     contamination signal, same MOSS practice as the self-join variant.
-    Blocks are reclaimed by the caller's ``cache.checkpoint_scope``."""
-    from ..cache import eager_localcheckpoint
+    Blocks are reclaimed by the caller's ``cache.checkpoint_scope``.
 
-    def fp_frame(df, out):
-        f = with_winnow_fingerprints(df, text_col, k=k, window=window).select(
-            F.col(id_col).alias(out), F.explode("fingerprints").alias("fp")
+    ``left_fps``/``right_fps`` short-circuit fingerprinting per side: an
+    already-materialized exploded (id, fp) frame (fingerprints are
+    per-document, so a slice of one corpus-wide frame is exactly the slice's
+    fingerprints — the caller pays the Arrow seam once for any number of
+    variants)."""
+
+    def fp_frame(df, pre, out):
+        f = (
+            winnow_fingerprint_frame(df, text_col, id_col, k=k, window=window)
+            if pre is None
+            else pre
         )
-        return eager_localcheckpoint(f)[0]
+        return f.select(F.col("id").alias(out), "fp")
 
-    lfp = fp_frame(left, "left_id")
-    rfp = fp_frame(right, "right_id")
+    lfp = fp_frame(left, left_fps, "left_id")
+    rfp = fp_frame(right, right_fps, "right_id")
     if max_doc_freq is not None:
         common = (
             rfp.groupBy("fp")

@@ -2306,17 +2306,31 @@ def winnow_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim ≥34-char passage surfaces even when the surrounding document
     differs entirely). The df-cap applies to the TRAIN side only (the oracle
     mirrors that asymmetry, so the cap behavior is driver-checked for both
-    variants)."""
-    from .ops.text import winnow_cross_match, winnow_match_pairs
+    variants). Fingerprinting runs ONCE: both variants read the one
+    materialized (id, fp) frame (winnow_fingerprint_frame), the cross sides
+    as doc_id-mod slices of it — fingerprints are per-document, so a slice
+    of the corpus frame IS the slice's fingerprints."""
+    from .ops.text import (
+        winnow_cross_match,
+        winnow_fingerprint_frame,
+        winnow_match_pairs,
+    )
 
     docs = _documents(spark, sf_dir)
+    fps = winnow_fingerprint_frame(docs, "text", "doc_id", k=25, window=10)
     kw = dict(k=25, window=10, min_shared=2, max_doc_freq=5)
-    self_pairs = winnow_match_pairs(docs, "text", "doc_id", **kw).select(
+    self_pairs = winnow_match_pairs(docs, "text", "doc_id", **kw, fps=fps).select(
         F.lit("self").alias("side"), "id_a", "id_b", "n_shared"
     )
-    ev = docs.filter(F.col("doc_id") % 10 == 0)
-    tr = docs.filter(F.col("doc_id") % 10 != 0)
-    cross = winnow_cross_match(ev, tr, "text", "doc_id", **kw).select(
+    cross = winnow_cross_match(
+        None,
+        None,
+        "text",
+        "doc_id",
+        **kw,
+        left_fps=fps.filter(F.col("id") % 10 == 0),
+        right_fps=fps.filter(F.col("id") % 10 != 0),
+    ).select(
         F.lit("cross").alias("side"),
         F.col("left_id").alias("id_a"),
         F.col("right_id").alias("id_b"),
