@@ -251,3 +251,64 @@ def test_interpolated_perplexity_shuffle_carries_hashed_keys(spark, sf_dir):
     for keys in exchanges:
         assert "prev#" not in keys and "token#" not in keys, keys
     assert any("__bh#" in k for k in exchanges) or "BroadcastHashJoin" in plan
+
+
+def test_winnow_combined_row_fingerprints_once(spark, sf_dir):
+    """The merged self+cross winnow row must fingerprint the corpus ONCE:
+    every consumer reads the materialized (id, fp) frame, so the final plan
+    carries NO Python seam (the Arrow fingerprinting ran during the eager
+    checkpoint build) and no parquet re-scan of the documents table."""
+    from debezium_connector_vitess_spark.cache import checkpoint_scope
+
+    with checkpoint_scope(spark):
+        plan = _formatted(QUERIES["winnow_match_pairs"](spark, sf_dir))
+        assert "ExistingRDD" in plan  # the one materialized fingerprint frame
+        assert "MapInPandas" not in plan
+        assert "Scan parquet" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_corpus_health_is_one_scan_one_groupby(spark, sf_dir):
+    """corpus_health chains the zlib seam under the staged metrics
+    projection: ONE parquet scan, ONE Arrow seam, one groupBy(domain) — no
+    joins (the compression aggregate rides the same aggregation as every
+    profile metric)."""
+    import re
+
+    plan = _formatted(QUERIES["corpus_health"](spark, sf_dir))
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    assert plan.count("MapInPandas") <= 2  # one seam node (+ details echo)
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+
+
+def test_pack_sequences_shares_one_exchange(spark, sf_dir):
+    """The two-level cumsum's bucket totals and per-doc window must consume
+    the SAME (stream, bucket) repartition, so AQE's stage cache runs the
+    scan + token-count once at runtime (stages are reused by canonicalized
+    plan — the static tree still prints both branches). Pin the
+    precondition: both branches' shuffles are REPARTITION_BY_COL on
+    identical (source, __bucket) keys — without the explicit repartition
+    the totals branch shuffles post-partial-agg (ENSURE_REQUIREMENTS, not
+    canonically equal) and each branch re-scans and re-token-counts."""
+    import re
+
+    from debezium_connector_vitess_spark.ops.pipeline import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = pack_sequences(
+        docs, "text", "doc_id", stream_col="source", block_tokens=512,
+        n_buckets=4, bucket_bounds=[100, 200, 300],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    reparts = re.findall(
+        r"Exchange hashpartitioning\(source#\d+, __bucket#\d+[^\n]*REPARTITION_BY_COL",
+        plan,
+    )
+    assert len(reparts) == 2, plan[:2000]
+    # the token-count projection sits BELOW both those exchanges (inside the
+    # reused stage), never above them
+    for seg in plan.split("REPARTITION_BY_COL")[1:]:
+        head = seg.split("Exchange")[0]
+        assert "split(text" in head
