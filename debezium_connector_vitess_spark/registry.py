@@ -1027,18 +1027,64 @@ def smt_enforce_record_size(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
                                      '\\s+', ' ', 'g'))) AS content_hash
-      FROM corpus)
-    SELECT content_hash, min(doc_id) AS doc_id FROM hashed GROUP BY 1
+      FROM corpus),
+    winners AS (
+      SELECT content_hash, min(doc_id) AS doc_id FROM hashed GROUP BY 1)
+    SELECT content_hash, doc_id, 'batch' AS side FROM winners
+    UNION ALL
+    SELECT content_hash, doc_id, 'stream' AS side FROM winners
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: normalized-content hash, keep lowest id. The duplicated
-    corpus (docs ∪ shifted copy) collapses back to one row per document."""
-    from .ops.dedup import exact_dedup
+    """Exact dedup, BOTH execution shapes against one oracle (the pattern of
+    cdc_materialize/cdc_materialize_stream, in one row):
+
+    side='batch' — :func:`~.ops.dedup.exact_dedup` on the duplicated corpus
+    (docs ∪ shifted copy): normalized-content hash groupBy, lowest id wins.
+
+    side='stream' — :func:`~.ops.dedup.exact_dedup_stream`
+    (``dropDuplicates`` on the content hash, state in the state store) over
+    an ordered file stream: micro-batch 0 is the batch-deduplicated
+    bootstrap snapshot, later micro-batches replay exact duplicate copies
+    with shifted ids (``maxFilesPerTrigger=1`` + availableNow = one file per
+    batch, oldest first). Every copy must be suppressed by state seeded in
+    EARLIER micro-batches, so first-arrival-wins provably crossed batch
+    boundaries and equals batch's min-id answer — the bootstrap-then-ingest
+    contract of a continuously fed corpus."""
+    import tempfile as _tempfile
+
+    from .ops.dedup import exact_dedup, exact_dedup_stream
+    from .sources.fixtures import cached_fixture_dir, write_dedup_stream_fixture
 
     docs = _documents(spark, sf_dir).select("doc_id", "text")
     corpus = docs.unionAll(docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
-    return exact_dedup(corpus, "text", "doc_id")
+    batch = exact_dedup(corpus, "text", "doc_id")
+
+    fixture = cached_fixture_dir("dedup_stream", sf_dir, write_dedup_stream_fixture)
+    ckpt = _tempfile.mkdtemp(prefix="dedup_stream_ckpt_")
+    raw = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fixture)
+    )
+    survivors = exact_dedup_stream(raw, "text").select("content_hash", "doc_id")
+    collected: list = []
+
+    def capture(df, _batch_id) -> None:
+        collected.extend(df.collect())  # survivors only: ≤ |unique docs|
+
+    q = (
+        survivors.writeStream.foreachBatch(capture)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream = spark.createDataFrame(collected, "content_hash string, doc_id bigint")
+    return batch.withColumn("side", F.lit("batch")).unionAll(
+        stream.withColumn("side", F.lit("stream"))
+    )
 
 
 _ORACLE_SHINGLES = """list_distinct(list_transform(

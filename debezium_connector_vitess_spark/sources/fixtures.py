@@ -417,3 +417,60 @@ def write_wire_copy_fixture(
         counts[shard] = n
     con.close()
     return counts
+
+
+def write_dedup_stream_fixture(sf_dir: str, out_dir: str, *, copy_files: int = 2) -> dict[str, int]:
+    """Ordered micro-batch corpus for the streaming exact-dedup leg of the
+    ``dedup_exact`` registry row: a bootstrap + incremental-ingest replay.
+
+    File 0 (oldest mtime) = the batch-deduplicated originals — the snapshot a
+    production pipeline bootstraps its dedup state from. Files 1..copy_files
+    (strictly later mtimes) = exact duplicate copies with shifted ids — the
+    re-arrivals a continuous ingest must suppress. Spark's file stream source
+    with ``maxFilesPerTrigger=1`` and ``latestFirst=false`` (the default)
+    processes files oldest-first, so arrival order is deterministic and
+    first-arrival-wins equals min-id-wins — the same answer as batch
+    :func:`~..ops.dedup.exact_dedup` and one DuckDB oracle serves both legs.
+
+    Winner selection uses the oracle's own normalization SQL so a corpus with
+    intra-original exact dupes (sf0.1 has 8) still yields one deterministic
+    winner per content hash in file 0.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    f0 = os.path.join(out_dir, "batch_000_bootstrap.parquet")
+    con.execute(
+        f"""
+        COPY (
+          SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+          FROM '{sf_dir}/documents.parquet'
+          GROUP BY md5({norm}) ORDER BY doc_id
+        ) TO '{f0}' (FORMAT PARQUET)
+        """
+    )
+    counts = {os.path.basename(f0): con.execute(f"SELECT count(*) FROM '{f0}'").fetchone()[0]}
+    for i in range(copy_files):
+        fi = os.path.join(out_dir, f"batch_{i + 1:03d}_copies.parquet")
+        con.execute(
+            f"""
+            COPY (
+              SELECT doc_id + 100000 AS doc_id, text
+              FROM '{sf_dir}/documents.parquet'
+              WHERE doc_id % {copy_files} = {i} ORDER BY doc_id
+            ) TO '{fi}' (FORMAT PARQUET)
+            """
+        )
+        counts[os.path.basename(fi)] = con.execute(
+            f"SELECT count(*) FROM '{fi}'"
+        ).fetchone()[0]
+    con.close()
+    # stagger mtimes so oldest-first discovery order == bootstrap, copies...
+    base = os.path.getmtime(f0)
+    for j, name in enumerate(sorted(counts)):
+        p = os.path.join(out_dir, name)
+        os.utime(p, (base + 10 * j, base + 10 * j))
+    return counts

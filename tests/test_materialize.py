@@ -536,3 +536,42 @@ def test_materialize_stream_tws_matches_default(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     assert len(results["tws"]) > 0
     assert results["tws"] == results["aip"]
+
+
+def test_dedup_stream_fixture_suppresses_every_copy_batch(spark, sf_dir, tmp_path):
+    """The dedup_exact registry row's streaming leg: micro-batch 0 (the
+    bootstrap snapshot) emits every row; every LATER micro-batch (the
+    shifted-id duplicate copies) is fully suppressed by state seeded in
+    earlier batches — so each suppression provably crossed a batch
+    boundary. Also pins the fixture's arrival-order contract: one file per
+    trigger, oldest first."""
+    from debezium_connector_vitess_spark.ops.dedup import exact_dedup_stream
+    from debezium_connector_vitess_spark.sources.fixtures import (
+        cached_fixture_dir,
+        write_dedup_stream_fixture,
+    )
+
+    fixture = cached_fixture_dir("dedup_stream", sf_dir, write_dedup_stream_fixture)
+    per_batch: list[tuple[int, int]] = []
+
+    def capture(df, batch_id):
+        per_batch.append((int(batch_id), df.count()))
+
+    raw = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fixture)
+    )
+    q = (
+        exact_dedup_stream(raw, "text")
+        .writeStream.foreachBatch(capture)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = dict(per_batch)
+    assert len(counts) == 3  # bootstrap + 2 copy files, one per trigger
+    assert counts[0] > 0  # every bootstrap row is a first arrival
+    assert counts[1] == 0 and counts[2] == 0  # copies: all suppressed cross-batch
