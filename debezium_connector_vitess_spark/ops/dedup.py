@@ -104,7 +104,13 @@ def exact_dedup_stream(
     off-heap). Unbounded corpora should pass ``event_time_col`` +
     ``dedup_window`` (e.g. ``"24 hours"``) to use
     ``dropDuplicatesWithinWatermark`` — duplicates are then only suppressed
-    within the watermark horizon, and state is evicted past it.
+    within the watermark horizon, and state is evicted past it. Note the
+    horizon is per LATEST sighting, not first: every suppressed duplicate
+    refreshes its key's event-time state, so a key that keeps re-arriving
+    never expires (exactly the dedup contract you want for hot content);
+    eviction runs at micro-batch end with a watermark computed from the
+    previous batch's events (see
+    test_materialize.test_exact_dedup_stream_watermark_bounds_state).
     """
     hashed = df.withColumn(hash_col, F.md5(normalize_text_expr(F.col(text_col))))
     if dedup_window is not None:

@@ -575,3 +575,91 @@ def test_dedup_stream_fixture_suppresses_every_copy_batch(spark, sf_dir, tmp_pat
     assert len(counts) == 3  # bootstrap + 2 copy files, one per trigger
     assert counts[0] > 0  # every bootstrap row is a first arrival
     assert counts[1] == 0 and counts[2] == 0  # copies: all suppressed cross-batch
+
+
+def test_exact_dedup_stream_watermark_bounds_state(spark, tmp_path):
+    """`dedup_window` variant: duplicates within the watermark horizon are
+    suppressed, and state is EVICTED once the watermark passes
+    event_time + window — a later re-arrival of the same content is emitted
+    again as a fresh first arrival. This is the bounded-state contract for
+    unbounded corpora: state ∝ distinct hashes per horizon, not per stream
+    lifetime."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_connector_vitess_spark.ops.dedup import exact_dedup_stream
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    t0 = 1_600_000_000  # event-time origin (epoch seconds)
+    H = 3600
+
+    def write(name, rows, order):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] * 1_000_000 for r in rows], pa.timestamp("us")),
+            }
+        )
+        p = str(src / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + order * 10,) * 2)
+
+    # batch 0: first arrivals of A and B. A duplicate of B in the SAME batch
+    # is suppressed in-batch.
+    write("f0.parquet", [(1, "doc A", t0), (2, "doc B", t0), (9, "doc B", t0 + H)], 0)
+    # batch 1: fresh doc C 49h later — emitted, and its event time advances
+    # the watermark to t0 + 25h > t0 + 24h, so A/B's state is evicted at
+    # batch end. (A re-arrival of A here would instead EXTEND A's state
+    # expiry — dropDuplicatesWithinWatermark refreshes event-time state on
+    # every duplicate — which is why the watermark must advance via a
+    # different key to observe eviction.)
+    write("f1.parquet", [(3, "doc C", t0 + 49 * H)], 1)
+    # batch 2: runs WITH watermark t0+25h (watermarks lag one batch: the
+    # value used in batch N is computed from events through batch N-1), but
+    # input rows are matched against state BEFORE end-of-batch eviction —
+    # so this re-arrival of A is still suppressed, and A/B's expired state
+    # rows are removed at this batch's end.
+    write("f2.parquet", [(4, "doc A", t0 + 50 * H)], 2)
+    # batch 3: NOW the state is gone — A must be RE-emitted
+    write("f3.parquet", [(5, "doc A", t0 + 51 * H)], 3)
+
+    emitted: list[tuple[int, int]] = []
+
+    def capture(df, batch_id):
+        for r in df.collect():
+            emitted.append((int(batch_id), r.doc_id))
+
+    raw = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        exact_dedup_stream(raw, "text", event_time_col="ts", dedup_window="24 hours")
+        .writeStream.foreachBatch(capture)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    by_batch: dict[int, list[int]] = {}
+    for bid, doc in emitted:
+        by_batch.setdefault(bid, []).append(doc)
+    assert sorted(by_batch.get(0, [])) == [1, 2]  # in-batch duplicate of B suppressed
+    assert by_batch.get(1, []) == [3]  # fresh doc; advances the watermark
+    assert by_batch.get(2, []) == []  # arrives before end-of-batch eviction
+    assert by_batch.get(3, []) == [5]  # past-horizon re-arrival re-emitted
+    # state telemetry: rows were actually REMOVED when the watermark passed
+    removed = sum(
+        op["numRowsRemoved"]
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert removed >= 2  # A and B evicted once the watermark passed expiry
