@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Scale-smoke harness: measure how the headline operators scale from sf0.1
+to a synthetic 10x corpus, on the same local[$SPARK_GRAFT_CPUS] session.
+
+The 100 TB argument in SCALING.md is a design argument (shuffle inventories,
+partitioning, broadcast sizes). This harness adds a MEASURED data point: each
+operator runs on documents at 1x (sf0.1, ~5k docs) and on a 10x synthetic
+blow-up (10 id-shifted copies, each copy's text perturbed with a distinct
+suffix token so near-dup structure stays realistic instead of collapsing into
+pathological exact-duplicate cliques), and the artifact records the wall-time
+ratio. A linear-ish operator lands near 10x (or below it while fixed
+per-query costs still dominate at this scale); a super-linear ratio flags a
+shape that would NOT survive a 100x scale-up — that is the regression this
+harness exists to catch, before a cluster run does.
+
+Caveats baked into the interpretation: ratios below ~10 mean fixed costs
+(planning, Python worker spin-up, small-shuffle latency) still dominate at
+50k docs; the signal is the ABSENCE of ratios well above the data growth.
+Near-dup pair counts grow with duplication structure, not corpus size alone,
+so pair-emitting ops (minhash, simhash, winnow) are also reported with their
+output rows at both scales.
+
+Usage: python scale_smoke.py  (writes SCALE_SMOKE.json, prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("vitess-cdc-scale-smoke")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from debezium_connector_vitess_spark.ops.dedup import (
+        exact_dedup,
+        minhash_dedup_pairs,
+        simhash_near_dup_pairs,
+    )
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        decontaminate,
+        doc_perplexity,
+        pack_sequences,
+        unigram_logprobs,
+    )
+    from debezium_connector_vitess_spark.ops.text import (
+        corpus_profile,
+        drop_duplicate_paragraphs,
+        winnow_match_pairs,
+        with_text_metrics,
+    )
+
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "lang", "text"
+    )
+    n1 = docs1.count()  # also warms the scan
+
+    # 10x synthetic corpus: id-shifted copies, text perturbed per copy so the
+    # shingle sets stay ~identical (realistic near-dup clusters of size
+    # COPIES) without becoming byte-identical. Materialized to parquet once
+    # so both scales read from files — same scan shape, no recompute skew.
+    blow_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"scale_smoke_{COPIES}x_{n1}"
+    )
+    if not os.path.isdir(blow_dir):
+        copies = spark.range(COPIES).select(F.col("id").alias("copy"))
+        big = docs1.crossJoin(copies).select(
+            (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
+            "source",
+            "lang",
+            F.when(F.col("copy") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" rev"), F.col("copy")))
+            .alias("text"),
+        )
+        big.repartition(CPUS).write.mode("overwrite").parquet(blow_dir)
+    docs10 = spark.read.parquet(blow_dir)
+    n10 = docs10.count()
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    OPS = {
+        "exact_dedup": lambda d: exact_dedup(d, "text", "doc_id"),
+        "minhash_lsh": lambda d: minhash_dedup_pairs(
+            d, "text", "doc_id", threshold_num=4, threshold_den=5
+        ),
+        "simhash": lambda d: simhash_near_dup_pairs(d, "text", "doc_id"),
+        "winnow": lambda d: winnow_match_pairs(
+            d, "text", "doc_id", k=25, window=10, max_doc_freq=50
+        ),
+        "paragraph_dedup": lambda d: drop_duplicate_paragraphs(d, "text", "doc_id"),
+        "text_metrics": lambda d: with_text_metrics(d, "text"),
+        "corpus_profile": lambda d: corpus_profile(d, "text", domain_col="source"),
+        "doc_perplexity": lambda d: doc_perplexity(
+            d, "text", "doc_id", unigram_logprobs(d, "text", alpha=0.5)
+        ),
+        "decontaminate": lambda d: decontaminate(
+            d, d.sample(0.001, seed=7), "text", "doc_id"
+        ),
+        "pack_sequences": lambda d: pack_sequences(
+            d, "text", "doc_id", stream_col="source", block_tokens=2048, n_buckets=8
+        ),
+    }
+
+    from debezium_connector_vitess_spark.cache import checkpoint_scope
+
+    # pair-emitting ops: output size depends on duplication structure, not
+    # corpus size alone — record it so the time ratio can be read against
+    # the work ratio (10 near-identical copies → ~45 pairs per original doc)
+    PAIR_OPS = {"minhash_lsh", "simhash", "winnow"}
+
+    results: dict[str, dict] = {}
+    for name, fn in OPS.items():
+        rec: dict[str, float] = {}
+        for label, frame in (("1x", docs1), ("10x", docs10)):
+            best = float("inf")
+            for _ in range(2):  # best-of-2: shave one-time codegen
+                with checkpoint_scope(spark):
+                    t0 = time.time()
+                    run(fn(frame))
+                    best = min(best, time.time() - t0)
+            rec[f"t_{label}"] = round(best, 2)
+            if name in PAIR_OPS:
+                with checkpoint_scope(spark):
+                    rec[f"rows_out_{label}"] = fn(frame).count()
+        rec["ratio"] = round(rec["t_10x"] / max(rec["t_1x"], 1e-9), 1)
+        results[name] = rec
+        print(f"# {name}: {rec}", flush=True)
+
+    out = {
+        "metric": "scale_smoke_ratio_max",
+        "value": max(r["ratio"] for r in results.values()),
+        "unit": "x_wall_at_10x_data",
+        "copies": COPIES,
+        "rows_1x": n1,
+        "rows_10x": n10,
+        "ops": results,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_SMOKE.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({k: out[k] for k in ("metric", "value", "unit", "rows_10x")}))
+
+
+if __name__ == "__main__":
+    main()
