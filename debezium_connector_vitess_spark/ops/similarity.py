@@ -295,6 +295,7 @@ def lsh_banded_near_dup_pairs(
     num_planes: int = 16,
     num_bands: int = 4,
     dim: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded hyperplane-LSH candidates + exact
     cosine verify — the 100 TB path for embedding dedup.
@@ -311,6 +312,14 @@ def lsh_banded_near_dup_pairs(
     band — guaranteed for signature hamming distance < num_bands (pigeonhole);
     tighter thresholds concentrate near distance 0. The knobs: more bands →
     higher recall, wider bands (more bits) → bigger candidate cut.
+
+    The banded-key frame feeds BOTH sides of the candidate self-join;
+    ``materialize=True`` localCheckpoints the tiny (vid, band, bkey) frame
+    (≤ ~16 bytes × num_bands per vector) so the num_planes plane-dot
+    signature pass over the raw vectors runs once, not twice — the
+    minhash/simhash/ngram-Jaccard shape. The cross-frame twin
+    (:func:`lsh_cross_near_pairs`) computes each side's keys once already
+    and needs no checkpoint.
     """
     planes = _hyperplanes(dim, num_planes)
     keys = band_key_exprs(_quote_ident(vec_col), planes, num_bands)
@@ -318,6 +327,8 @@ def lsh_banded_near_dup_pairs(
         F.col(id_col).alias("vid"),
         F.posexplode(F.array(*keys)).alias("band", "bkey"),
     )
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=True)
     a = sigs.select(F.col("vid").alias("id_a"), "band", "bkey")
     b = sigs.select(F.col("vid").alias("id_b"), "band", "bkey")
     cand = (
