@@ -177,3 +177,52 @@ def test_corpus_triage_end_to_end(spark, sf_dir):
     # soundness: each hit pair really crosses the frames
     for r in hits.limit(20).collect():
         assert r["left_id"] != r["right_id"]
+
+
+def test_streaming_curation_chain_matches_batch(spark, sf_dir, tmp_path):
+    """The stateless curation gates compose UNCHANGED on a streaming
+    DataFrame behind the stateful dedup: file stream → exact_dedup_stream →
+    PII scrub → staged quality score → threshold filter, collected per
+    micro-batch. Because the stream replays the batch-deduped bootstrap
+    first and duplicate copies after (the dedup_exact fixture), the
+    streaming chain's total output must equal the identical BATCH chain on
+    the bootstrap frame — one pipeline definition, two execution modes,
+    same curated corpus."""
+    from debezium_connector_vitess_spark.ops.dedup import exact_dedup_stream
+    from debezium_connector_vitess_spark.sources.fixtures import (
+        cached_fixture_dir,
+        write_dedup_stream_fixture,
+    )
+
+    fixture = cached_fixture_dir("dedup_stream", sf_dir, write_dedup_stream_fixture)
+
+    def gates(df):
+        """The shared (streaming-safe, stateless) curation tail."""
+        scrubbed = df.withColumn("text", redact_pii_expr(F.col("text")))
+        return (
+            with_quality_score(scrubbed, "text")
+            .filter(F.col("quality_score") >= 0.25)
+            .select("doc_id", F.round("quality_score", 6).alias("q"))
+        )
+
+    collected: list = []
+
+    raw = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fixture)
+    )
+    q = (
+        gates(exact_dedup_stream(raw, "text").drop("content_hash"))
+        .writeStream.foreachBatch(lambda df, _b: collected.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    bootstrap = spark.read.parquet(f"{fixture}/batch_000_bootstrap.parquet")
+    want = sorted((r.doc_id, r.q) for r in gates(bootstrap).collect())
+    got = sorted((r.doc_id, r.q) for r in collected)
+    assert got == want and len(got) > 0
