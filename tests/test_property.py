@@ -381,3 +381,49 @@ def test_winnow_shared_substring_guarantee(prefix, suffix, shared):
     fa = set(_winnow_fingerprints_py(a, k, w))
     fb = set(_winnow_fingerprints_py(b, k, w))
     assert fa & fb
+
+
+# --------------------------- AllPairs prefix-filter exactness (vs brute force)
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([(1, 2), (4, 5), (1, 3)]),
+)
+@settings(max_examples=8, deadline=None)
+def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark, texts, tau):
+    """The prefix-filter guarantee is EXACT: for any corpus (including
+    adversarial tiny-alphabet texts where every document shares most
+    shingles, empty docs, and sub-n-token docs) and any threshold, the
+    AllPairs pipeline must return exactly the brute-force all-pairs result.
+    Tiny alphabet "ab " forces heavy shingle collisions — the regime where a
+    wrong prefix length or a broken global order silently loses pairs."""
+    from debezium_connector_vitess_spark.ops.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_bruteforce,
+    )
+
+    num, den = tau
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fast = {
+        (r.id_a, r.id_b, r.inter_size, r.union_size)
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id",
+            shingle_n=2, threshold_num=num, threshold_den=den,
+            materialize=False,  # tiny corpora: skip the eager checkpoint
+        ).collect()
+    }
+    slow = {
+        (r.id_a, r.id_b, r.inter_size, r.union_size)
+        for r in ngram_jaccard_pairs_bruteforce(
+            df, "text", "doc_id", shingle_n=2
+        ).collect()
+        # brute force emits every pair unthresholded; apply tau here
+        if r.inter_size * den >= r.union_size * num
+    }
+    assert fast == slow
