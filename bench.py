@@ -48,6 +48,20 @@ HEADLINE = [
     "corpus_health",  # r6: corpus_profile + zlib compressibility, one scan
 ]
 
+# Stable cross-round comparison set: queries whose COMPOSITION is unchanged
+# since round 4 (merged rows map 1:1 onto their r4 constituents). Reported
+# as value_core so round-over-round deltas need no hand-mapping. dedup_exact
+# is excluded from r6 on: it gained the streaming first-arrival-wins leg
+# (+~3.5 s fixed availableNow startup), so its total is no longer the batch
+# operator's cost.
+CORE = [
+    "cdc_envelope", "cdc_extract_new_state", "cdc_materialize", "tx_metadata",
+    "heartbeat_positions", "pricing_summary", "revenue_by_nation",
+    "text_metrics", "dedup_minhash_lsh", "dedup_clusters", "ann_topk",
+    "multimodal_metadata", "decontaminate_eval", "sample_stratified",
+    "pack_sequences",
+]
+
 
 def main() -> None:
     from pyspark.sql import SparkSession
@@ -180,6 +194,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
+                "value_core": round(sum(timings[n] for n in CORE), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
