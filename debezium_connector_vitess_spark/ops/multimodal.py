@@ -580,6 +580,188 @@ def extract_video_metadata(binary_df: DataFrame, *, errors: str = "fail") -> Dat
     return binary_df.mapInPandas(op, schema=VIDEO_META_SCHEMA)
 
 
+MP4_META_SCHEMA = "doc_id long, duration_ms long, width int, height int, n_tracks int"
+
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def _make_mp4(doc_id: int, n_text_bytes: int) -> bytes:
+    """Deterministic REAL (minimal) ISO BMFF / MP4 container: ftyp, then a
+    moov with a v0 mvhd (timescale 500 — NOT milliseconds, so the decoder
+    must actually convert units) and one tkhd-bearing trak per track (the
+    video track carries 16.16 fixed-point dimensions; the optional audio
+    track carries zero dims, as real muxers write), then an opaque mdat.
+    Duration/dims/track-count derive from the doc. Box framing, version
+    fields, and fixed-point encodings are genuine ISO 14496-12 structure.
+    """
+    import struct
+
+    dur_ms = 2 * (250 + n_text_bytes % 2250)  # even ⇒ exact at timescale 500
+    timescale = 500
+    dur_units = dur_ms * timescale // 1000
+    width, height = 64 + doc_id % 64, 64 + (doc_id // 3) % 64
+    n_tracks = 1 + doc_id % 2
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(
+            ">B3s6I",
+            0, b"\x00\x00\x00",          # version 0, flags
+            0, 0,                        # creation/modification time
+            timescale, dur_units,
+            0x00010000,                  # rate 1.0 (16.16)
+            0x01000000,                  # volume 1.0 (8.8) + 2 reserved bytes
+        )
+        + struct.pack(">2I", 0, 0)       # reserved[2]
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)  # pre_defined[6]
+        + struct.pack(">I", n_tracks + 1),      # next_track_ID (100-byte v0 body)
+    )
+
+    def tkhd(track_id: int, w: int, h: int) -> bytes:
+        return _box(
+            b"tkhd",
+            struct.pack(
+                ">B3s5I",
+                0, b"\x00\x00\x07",      # version 0, flags: enabled|in-movie|in-preview
+                0, 0,                    # creation/modification time
+                track_id, 0, dur_units,
+            )
+            + struct.pack(">2I", 0, 0)   # reserved[2]
+            + struct.pack(">2H", 0, 0)   # layer, alternate_group
+            + struct.pack(">2H", 0, 0)   # volume, reserved
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">2I", w << 16, h << 16),  # 16.16 fixed
+        )
+
+    traks = _box(b"trak", tkhd(1, width, height))
+    if n_tracks == 2:
+        traks += _box(b"trak", tkhd(2, 0, 0))
+    moov = _box(b"moov", mvhd + traks)
+    mdat = _box(b"mdat", bytes([(doc_id + i) % 256 for i in range(16 * (1 + n_text_bytes % 8))]))
+    return ftyp + moov + mdat
+
+
+def is_mp4(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[4:8] == b"ftyp"
+
+
+def decode_mp4_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL ISO BMFF decode: walk the top-level box tree (validating that
+    declared box sizes tile the payload exactly — truncation surfaces as an
+    error, not a silent misread), find moov, read mvhd (v0 32-bit or v1
+    64-bit times) for timescale+duration, count trak boxes, and take the
+    video dimensions from the first tkhd with nonzero 16.16 width/height.
+    Returns (duration_ms, width, height, n_tracks)."""
+    import struct
+
+    if not is_mp4(payload):
+        raise ValueError("not an ISO BMFF payload (no ftyp)")
+
+    def boxes(buf: bytes, pos: int, end: int):
+        while pos < end:
+            if pos + 8 > end:
+                raise ValueError("truncated box header")
+            size = struct.unpack(">I", buf[pos : pos + 4])[0]
+            fourcc = buf[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 0:  # ISO 14496-12 §4.2: box extends to end of file
+                size = end - pos
+            elif size == 1:  # 64-bit largesize follows the fourcc (huge mdat)
+                if pos + 16 > end:
+                    raise ValueError("truncated largesize box header")
+                size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+                body = pos + 16
+            if size < body - pos or pos + size > end:
+                raise ValueError(f"box {fourcc!r} size {size} overruns payload")
+            yield fourcc, body, pos + size
+            pos += size
+
+    duration_ms = width = height = None
+    n_tracks = 0
+    for fourcc, body, bend in boxes(payload, 0, len(payload)):
+        if fourcc != b"moov":
+            continue
+        for inner, ib, ie in boxes(payload, body, bend):
+            if inner == b"mvhd":
+                version = payload[ib]
+                if version == 1:
+                    _, _, timescale, dur = struct.unpack(">QQIQ", payload[ib + 4 : ib + 32])
+                else:
+                    _, _, timescale, dur = struct.unpack(">IIII", payload[ib + 4 : ib + 20])
+                duration_ms = dur * 1000 // timescale
+            elif inner == b"trak":
+                n_tracks += 1
+                for tb, tb0, _tbe in boxes(payload, ib, ie):
+                    if tb == b"tkhd":
+                        w16, h16 = struct.unpack(">II", payload[_tbe - 8 : _tbe])
+                        if width is None and w16:
+                            width, height = w16 >> 16, h16 >> 16
+    if duration_ms is None:
+        raise ValueError("ISO BMFF payload missing moov/mvhd")
+    if n_tracks == 0:
+        raise ValueError("ISO BMFF payload has no trak")
+    return duration_ms, (width or 0), (height or 0), n_tracks
+
+
+def attach_mp4_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc deterministic MP4 blobs (see :func:`_make_mp4`)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _make_mp4(int(did), len(text.encode("utf-8")))
+                for did, text in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "mime": "video/mp4",
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(op, schema=AVI_PAYLOAD_SCHEMA)
+
+
+def extract_mp4_metadata(binary_df: DataFrame, *, errors: str = "fail") -> DataFrame:
+    """mapInPandas MP4 metadata: real ISO BMFF box-tree decode; same E4
+    ``errors`` contract as :func:`extract_video_metadata`."""
+    if errors not in ("fail", "null", "skip"):
+        raise ValueError(f"errors must be fail|null|skip, got {errors!r}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    ms, w, h, nt = decode_mp4_meta(bytes(payload))
+                except (ValueError, IndexError, EOFError, TypeError):
+                    if errors == "fail":
+                        raise
+                    if errors == "skip":
+                        continue
+                    rows.append((int(did), None, None, None, None))
+                    continue
+                rows.append((int(did), ms, w, h, nt))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "duration_ms", "width", "height", "n_tracks"],
+            ).astype(
+                {
+                    "doc_id": "int64", "duration_ms": "Int64",
+                    "width": "Int32", "height": "Int32", "n_tracks": "Int32",
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=MP4_META_SCHEMA)
+
+
 MULTIMODAL_PAYLOADS_SCHEMA = "doc_id long, image binary, audio binary, video binary"
 
 MULTIMODAL_META_SCHEMA = (

@@ -470,6 +470,106 @@ def test_extract_video_metadata_error_modes(spark):
         extract_video_metadata(df, errors="bogus")
 
 
+def test_mp4_metadata_roundtrip(spark):
+    """ISO BMFF path: the deterministic MP4 fixture decodes back to the
+    generation formulas through the real box-tree walker (duration converted
+    from the non-millisecond mvhd timescale, dims from 16.16 tkhd fields,
+    track count from trak boxes)."""
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        attach_mp4_payload,
+        extract_mp4_metadata,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="x" * (i * 37 % 300)) for i in range(1, 41)]
+    )
+    out = {r["doc_id"]: r for r in extract_mp4_metadata(attach_mp4_payload(docs)).collect()}
+    assert set(out) == set(range(1, 41))
+    for did, r in out.items():
+        n = did * 37 % 300
+        assert r["duration_ms"] == 2 * (250 + n % 2250)
+        assert r["width"] == 64 + did % 64
+        assert r["height"] == 64 + (did // 3) % 64
+        assert r["n_tracks"] == 1 + did % 2
+
+
+def test_mp4_extended_and_v1_boxes():
+    """Real-world ISO BMFF variants the fixture never emits: a size==1
+    largesize mdat, a size==0 to-end-of-file box, and a version-1 (64-bit
+    times) mvhd must all decode; an overrunning declared size must raise."""
+    import struct
+
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        _box,
+        _make_mp4,
+        decode_mp4_meta,
+    )
+
+    base = _make_mp4(5, 100)
+    ms, w, h, nt = decode_mp4_meta(base)
+
+    # Rebuild with a largesize mdat and a size==0 trailer box.
+    ftyp_end = 8 + struct.unpack(">I", base[:4])[0] - 8
+    moov_size = struct.unpack(">I", base[ftyp_end : ftyp_end + 4])[0]
+    moov = base[ftyp_end : ftyp_end + moov_size]
+    body = b"\x00" * 32
+    large_mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(body)) + body
+    to_end = struct.pack(">I", 0) + b"free" + b"\x00" * 12
+    rebuilt = base[:ftyp_end] + moov + large_mdat + to_end
+    assert decode_mp4_meta(rebuilt) == (ms, w, h, nt)
+
+    # v1 mvhd: 64-bit creation/modification/duration, same semantics.
+    mvhd_v1 = _box(
+        b"mvhd",
+        struct.pack(">B3s", 1, b"\x00\x00\x00")
+        + struct.pack(">QQIQ", 0, 0, 1000, 1500)
+        + b"\x00" * 80,
+    )
+    trak_start = moov.index(b"trak") - 4  # reuse the original trak bytes verbatim
+    trak_size = struct.unpack(">I", moov[trak_start : trak_start + 4])[0]
+    moov_v1 = _box(b"moov", mvhd_v1 + moov[trak_start : trak_start + trak_size])
+    payload_v1 = base[:ftyp_end] + moov_v1
+    ms1, w1, h1, nt1 = decode_mp4_meta(payload_v1)
+    assert (ms1, w1, h1, nt1) == (1500, w, h, 1)
+
+    # Overrun: declared box size past the payload end must raise, not misread.
+    import pytest
+
+    bad = bytearray(base)
+    struct.pack_into(">I", bad, ftyp_end, len(base) * 2)
+    with pytest.raises(ValueError):
+        decode_mp4_meta(bytes(bad))
+
+
+def test_extract_mp4_metadata_error_modes(spark):
+    """Same E4 contract as the AVI path: fail raises, null keeps the row
+    with null metadata, skip drops it."""
+    import pytest
+
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        _make_mp4,
+        extract_mp4_metadata,
+    )
+
+    good = _make_mp4(2, 20)
+    bad = good[:40]  # ftyp magic intact, moov cut mid-box
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(good), mime="video/mp4"),
+            Row(doc_id=2, payload=bytearray(bad), mime="video/mp4"),
+        ]
+    )
+    with pytest.raises(Exception):
+        extract_mp4_metadata(df).collect()
+    nulled = {r["doc_id"]: r for r in extract_mp4_metadata(df, errors="null").collect()}
+    assert nulled[1]["duration_ms"] is not None
+    assert nulled[2]["duration_ms"] is None and nulled[2]["n_tracks"] is None
+    skipped = extract_mp4_metadata(df, errors="skip").collect()
+    assert [r["doc_id"] for r in skipped] == [1]
+    with pytest.raises(ValueError):
+        extract_mp4_metadata(df, errors="bogus")
+
+
 def test_connected_components_restricted_to_nodes(spark):
     """Output contract: ids appearing only in `pairs` are excluded — the
     result covers exactly the nodes frame."""
