@@ -8,12 +8,16 @@ Scale strategy (100 TB):
   not the token stream. Head words (``the``) are exactly the keys partial agg
   compresses best — no salting needed. The final top-k is a TakeOrdered over
   the aggregated vocabulary, not a full sort.
-- **decontamination**: distinct n-gram sets on both corpora, LEFT SEMI join
-  eval-grams against train-grams on the gram. One shuffle keyed by gram;
-  the train side deduplicates map-side via aggregation before the join.
-  Grams are hashed to 8-byte longs map-side by default (``hashed=True`` via
-  ``token_hash_expr``), so the shuffle never carries gram strings —
-  semantics identical up to 60-bit collisions, shuffle ~10× narrower.
+- **decontamination**: grams are hashed to 8-byte longs map-side by default
+  (``hashed=True`` via ``token_hash_expr``), so no exchange ever carries
+  gram strings — semantics identical up to 60-bit collisions. Two physical
+  strategies, identical output: ``method="semi"`` (distinct train grams
+  LEFT SEMI joined by eval grams — one shuffle keyed by gram, train side
+  deduplicated map-side) and ``method="bloom"`` (broadcast Bloom filter
+  over the small eval gram set probes train grams MAP-SIDE; only the
+  surviving sliver shuffles, and an exact broadcast join back against the
+  eval grams removes every false positive — at 100 TB the train corpus
+  never shuffles at all).
 - **hash sampling**: pure narrow projection — a deterministic md5-derived
   uniform in [0,100) per row, no shuffle, no RNG state, reproducible across
   engines and re-runs (the property that matters for dataset versioning).
@@ -59,6 +63,42 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
     return vocab.orderBy(F.desc("freq"), F.asc("token")).limit(k)
 
 
+def _bloom_build(hashes, fpp: float):
+    """Standard Bloom filter over int64 hash values: ``m = -n ln p / (ln 2)^2``
+    bits (rounded up to whole uint64 words), ``k = (m/n) ln 2`` probes via
+    Kirsch-Mitzenmacher double hashing. Returns (words, n_bits, k)."""
+    import math
+
+    import numpy as np
+
+    n = max(1, len(hashes))
+    n_bits = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    n_bits += (-n_bits) % 64
+    k = max(1, min(30, round(n_bits / n * math.log(2))))
+    words = np.zeros(n_bits // 64, dtype=np.uint64)
+    h = np.asarray(hashes, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) | np.uint64(1)
+    for i in range(k):
+        idx = (h + np.uint64(i) * h2) % np.uint64(n_bits)
+        np.bitwise_or.at(words, idx >> np.uint64(6), np.uint64(1) << (idx & np.uint64(63)))
+    return words, n_bits, k
+
+
+def _bloom_contains(words, n_bits: int, k: int, values):
+    """Vectorized membership test; same probe sequence as :func:`_bloom_build`."""
+    import numpy as np
+
+    h = np.asarray(values, dtype=np.uint64)
+    out = np.ones(len(h), dtype=bool)
+    with np.errstate(over="ignore"):
+        h2 = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) | np.uint64(1)
+    for i in range(k):
+        idx = (h + np.uint64(i) * h2) % np.uint64(n_bits)
+        out &= (words[idx >> np.uint64(6)] >> (idx & np.uint64(63))) & np.uint64(1) != 0
+    return out
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -67,6 +107,8 @@ def decontaminate(
     *,
     ngram: int = 5,
     hashed: bool = True,
+    method: str = "semi",
+    bloom_fpp: float = 1e-6,
 ) -> DataFrame:
     """Eval documents sharing ≥1 word n-gram with the train corpus, with the
     number of distinct overlapping grams (test-set contamination check).
@@ -82,14 +124,64 @@ def decontaminate(
     identical up to 60-bit collisions — both within a document
     (``array_distinct`` runs on the hashes) and across the join; an
     engine-mirror oracle reproduces the same hash exactly. ``hashed=False``
-    keeps the string-keyed join."""
+    keeps the string-keyed join.
+
+    ``method`` picks the physical strategy; the result is identical:
+
+    - ``"semi"``: distinct train grams LEFT SEMI joined by eval grams. Both
+      sides shuffle on the gram key — at 100 TB the train-side distinct IS
+      the job (the full train gram stream through one exchange).
+    - ``"bloom"``: the eval gram set (small by definition — it's a benchmark
+      suite) is collected, built into a broadcast Bloom filter
+      (``bloom_fpp``, default 1e-6 ⇒ ~28.8 bits/gram: 1M eval grams ≈
+      3.6 MB; a 10^12-distinct-gram train corpus leaks only ~10^6 false
+      positives), and train grams are filtered MAP-SIDE by an Arrow-batched
+      membership probe. Only the surviving sliver (true overlaps + FPs) is
+      distinct-ed and broadcast back against the eval grams — the exact
+      inner join eliminates every false positive, so the output equals
+      ``"semi"`` bit-for-bit while the train corpus never shuffles.
+      Requires ``hashed=True`` (the probe runs on the 60-bit gram hash).
+    """
+    if method not in ("semi", "bloom"):
+        raise ValueError(f"method must be semi|bloom, got {method!r}")
     g = shingles_expr(F.col(text_col), ngram)
     if hashed:
         g = F.array_distinct(F.transform(g, lambda x: token_hash_expr(x)))
-    tr = train.select(F.explode(g).alias("gram")).distinct()
     ev = eval_df.select(F.col(id_col), F.explode(g).alias("gram"))
+    if method == "semi":
+        tr = train.select(F.explode(g).alias("gram")).distinct()
+        return (
+            ev.join(tr, on="gram", how="left_semi")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hits"))
+        )
+
+    if not hashed:
+        raise ValueError("method='bloom' requires hashed=True")
+    spark = train.sparkSession
+    ev_hashes = ev.select("gram").distinct().toPandas()["gram"].to_numpy()
+    if len(ev_hashes) == 0:
+        return (
+            ev.groupBy(id_col).agg(F.count("*").alias("n_hits")).limit(0)
+        )
+    words, n_bits, k = _bloom_build(ev_hashes, bloom_fpp)
+    bc = spark.sparkContext.broadcast((words.tobytes(), n_bits, k))
+
+    def bloom_hit(batches):
+        import numpy as np
+
+        wb, m, kk = bc.value
+        w = np.frombuffer(wb, dtype=np.uint64)
+        for pdf in batches:
+            yield pdf[_bloom_contains(w, m, kk, pdf["gram"].to_numpy())]
+
+    cand = (
+        train.select(F.explode(g).alias("gram"))
+        .mapInPandas(bloom_hit, "gram long")
+        .distinct()
+    )
     return (
-        ev.join(tr, on="gram", how="left_semi")
+        ev.join(F.broadcast(cand), on="gram", how="inner")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )

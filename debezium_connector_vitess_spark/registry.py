@@ -2046,10 +2046,13 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: eval docs (source=src0) sharing any word
     5-gram with the train corpus (every other source), with distinct-gram hit
-    counts — the standard test-set contamination sweep, one semi-join keyed
-    by the gram's portable 60-bit hash (the default ``hashed=True`` path: the
-    shuffle carries longs, never gram strings; the oracle mirrors the same
-    md5-prefix hash)."""
+    counts — the standard test-set contamination sweep. Driven through the
+    100 TB physical strategy (``method="bloom"``, r6): a broadcast Bloom
+    filter over the eval gram hashes probes train grams map-side, so the
+    train corpus never shuffles; the exact broadcast join back against the
+    eval grams makes the output identical to the semi-join path (which
+    stays covered by `test_ops.py` equivalence + exchange-width tests). The
+    oracle mirrors the portable md5-prefix 60-bit gram hash."""
     from .ops.pipeline import decontaminate
 
     docs = _documents(spark, sf_dir)
@@ -2059,6 +2062,7 @@ def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "doc_id",
         ngram=5,
+        method="bloom",
     )
 
 

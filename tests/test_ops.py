@@ -181,6 +181,61 @@ def test_decontaminate_known_overlap(spark):
     assert out == {10: 1}
 
 
+def test_bloom_filter_no_false_negatives():
+    """The Bloom prefilter's exactness hinges on zero false negatives (every
+    true member probes positive) and a measured FP rate near the target —
+    both checked against the same build/probe pair the executor seam uses."""
+    import numpy as np
+
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        _bloom_build,
+        _bloom_contains,
+    )
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 2**60, 5000, dtype=np.int64)
+    others = np.setdiff1d(
+        rng.integers(0, 2**60, 200000, dtype=np.int64), members
+    )
+    words, m, k = _bloom_build(members, 1e-4)
+    assert _bloom_contains(words, m, k, members).all()
+    assert _bloom_contains(words, m, k, others).mean() < 5e-4
+    # degenerate single-member filter still has no false negatives
+    words, m, k = _bloom_build(members[:1], 0.5)
+    assert _bloom_contains(words, m, k, members[:1]).all()
+
+
+def test_decontaminate_bloom_equals_semi(spark, sf_dir):
+    """method='bloom' is a physical-strategy change only: output identical
+    to the semi-join path on the registry's own train/eval split — even
+    with an absurd 50% FP target, because the exact broadcast join back
+    against the eval grams removes every false positive. The plan shows the
+    map-side probe (MapInPandas before any join) and a broadcast final
+    join, never a sort-merge."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tr = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+    semi = sorted(map(tuple, decontaminate(tr, ev, "text", "doc_id").collect()))
+    bloom_df = decontaminate(tr, ev, "text", "doc_id", method="bloom")
+    assert sorted(map(tuple, bloom_df.collect())) == semi
+    noisy = decontaminate(tr, ev, "text", "doc_id", method="bloom", bloom_fpp=0.5)
+    assert sorted(map(tuple, noisy.collect())) == semi
+
+    plan = bloom_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    with pytest.raises(ValueError):
+        decontaminate(tr, ev, "text", "doc_id", method="bloom", hashed=False)
+    with pytest.raises(ValueError):
+        decontaminate(tr, ev, "text", "doc_id", method="bogus")
+
+
 def test_pack_sequences_block_arithmetic(spark):
     from pyspark.sql import Row
 
