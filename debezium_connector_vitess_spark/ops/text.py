@@ -1,5 +1,6 @@
 """Text analysis: tokenization, language ID, quality scoring, fingerprinting,
-PII scrub, paragraph dedup, HTML extraction, winnowing, corpus profiling.
+PII scrub, paragraph dedup, HTML extraction, winnowing, exact-substring
+duplicate spans, corpus profiling.
 
 Per-document signals are pure Catalyst expressions (JVM-side, whole-stage
 codegen) — at 100 TB they run as a single narrow projection over the scan:
@@ -551,6 +552,81 @@ def winnow_cross_match(
         .groupBy("left_id", "right_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def duplicated_spans(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_tokens: int = 50,
+    min_count: int = 2,
+) -> "DataFrame":
+    """Exact-substring duplicate spans (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): per document, the maximal
+    token ranges in which EVERY ``min_tokens``-token window occurs at least
+    ``min_count`` times corpus-wide (within-document repeats count). Where
+    winnowing samples fingerprints to find copied passages *approximately*,
+    this is the exact window criterion the ExactSubstr deduper enforces —
+    the suffix-array construction the paper uses is a single-machine
+    algorithm; the Spark-first equivalent is windowed gram hashing plus a
+    corpus-wide occurrence count.
+
+    Returns (id_col, span_start, span_end, span_tokens, n_windows):
+    0-based inclusive token positions, ``n_windows`` = number of duplicated
+    windows merged into the span.
+
+    Scale shape (100 TB): positional gram hashes (id, pos, 8-byte md5-prefix
+    hash — the portable :func:`token_hash_expr`, so SQL oracles reproduce
+    the spans) are materialized ONCE (`localCheckpoint`) because both the
+    occurrence count and the join-back consume them. The duplicate filter is
+    a groupBy on the hash (longs-only exchange, partial agg collapses
+    repeats map-side) followed by a LEFT SEMI join back — membership, not
+    pairing, so a boilerplate window shared by 10⁶ docs contributes 10⁶
+    rows, never 10¹² pairs (no ``max_doc_freq`` cap needed, unlike the
+    pair-emitting winnow join). Run merging is gaps-and-islands: one window
+    partitioned BY DOCUMENT (``pos − row_number()`` constant within a
+    consecutive run), so parallelism is the document count."""
+    from pyspark.sql import Window
+
+    k = min_tokens
+    toks = df.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    grams = shingles_from_tokens_expr(F.col("__toks"), k, distinct=False)
+    g = (
+        toks.select(
+            F.col(id_col),
+            F.posexplode(F.transform(grams, lambda s: token_hash_expr(s))),
+        )
+        .withColumnRenamed("pos", "__pos")
+        .withColumnRenamed("col", "__h")
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        g.groupBy("__h")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    hits = g.join(dup, on="__h", how="left_semi")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    runs = hits.withColumn("__grp", F.col("__pos") - F.row_number().over(w))
+    return (
+        runs.groupBy(id_col, "__grp")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + F.lit(k - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_windows",
+        )
     )
 
 

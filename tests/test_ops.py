@@ -181,6 +181,63 @@ def test_decontaminate_known_overlap(spark):
     assert out == {10: 1}
 
 
+def test_duplicated_spans_known_injection(spark):
+    """ExactSubstr semantics on a hand-built corpus: a 7-token phrase shared
+    across two docs yields one maximal span per doc (3 merged k=5 windows),
+    a within-doc repeat counts as duplication, and an all-unique doc emits
+    nothing."""
+    from pyspark.sql import Row
+
+    from debezium_connector_vitess_spark.ops.text import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="u1 u2 a b c d e f g u3 u4"),
+            Row(doc_id=2, text="a b c d e f g v1 v2 v3"),
+            Row(doc_id=3, text="p q r s t x1 p q r s t"),
+            Row(doc_id=4, text="w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        ]
+    )
+    out = sorted(map(tuple, duplicated_spans(docs, min_tokens=5).collect()))
+    assert out == [
+        (1, 2, 8, 7, 3),  # (doc, span_start, span_end, span_tokens, n_windows)
+        (2, 0, 6, 7, 3),
+        (3, 0, 4, 5, 1),
+        (3, 6, 10, 5, 1),
+    ]
+    # min_count above the corpus multiplicity suppresses everything
+    assert duplicated_spans(docs, min_tokens=5, min_count=3).count() == 0
+
+
+def test_duplicated_spans_matches_duckdb(spark, sf_dir):
+    """Exact-substring spans against a DuckDB replica of the windowed-gram +
+    occurrence-count + gaps-and-islands construction on the real corpus
+    (portable md5-prefix gram hash, identical islands arithmetic)."""
+    from debezium_connector_vitess_spark.ops.text import duplicated_spans
+    from tests.oracle_harness import compare
+
+    k = 8
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = duplicated_spans(docs, min_tokens=k)
+    oracle = f"""
+    WITH toks AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS lt
+          FROM documents),
+    w AS (SELECT doc_id, i - 1 AS pos,
+            ('0x' || substr(md5(array_to_string(lt[i:i+{k - 1}], ' ')), 1, 15))::BIGINT AS h
+          FROM toks, LATERAL unnest(range(1, greatest(len(lt) - {k} + 2, 1))) AS t(i)),
+    d AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM d)),
+    runs AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             FROM hits)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + {k} - 1 AS span_end,
+           max(pos) + {k} - min(pos) AS span_tokens, count(*) AS n_windows
+    FROM runs GROUP BY doc_id, grp
+    """
+    compare(got, oracle, sf_dir)
+
+
 def test_bloom_filter_no_false_negatives():
     """The Bloom prefilter's exactness hinges on zero false negatives (every
     true member probes positive) and a measured FP rate near the target —
