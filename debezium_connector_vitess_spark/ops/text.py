@@ -579,45 +579,21 @@ def duplicated_spans(
 
     Scale shape (100 TB): positional gram hashes (id, pos, 8-byte md5-prefix
     hash — the portable :func:`token_hash_expr`, so SQL oracles reproduce
-    the spans) are materialized ONCE (`localCheckpoint`) because both the
-    occurrence count and the join-back consume them. The duplicate filter is
-    a groupBy on the hash (longs-only exchange, partial agg collapses
-    repeats map-side) followed by a LEFT SEMI join back — membership, not
-    pairing, so a boilerplate window shared by 10⁶ docs contributes 10⁶
-    rows, never 10¹² pairs (no ``max_doc_freq`` cap needed, unlike the
-    pair-emitting winnow join). Run merging is gaps-and-islands: one window
-    partitioned BY DOCUMENT (``pos − row_number()`` constant within a
-    consecutive run), so parallelism is the document count."""
-    from pyspark.sql import Window
-
-    k = min_tokens
-    toks = df.select(
-        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
-    )
-    grams = shingles_from_tokens_expr(F.col("__toks"), k, distinct=False)
-    g = (
-        toks.select(
-            F.col(id_col),
-            F.posexplode(F.transform(grams, lambda s: token_hash_expr(s))),
-        )
-        .withColumnRenamed("pos", "__pos")
-        .withColumnRenamed("col", "__h")
-        .localCheckpoint(eager=True)
-    )
-    dup = (
-        g.groupBy("__h")
-        .agg(F.count("*").alias("__c"))
-        .filter(F.col("__c") >= min_count)
-        .select("__h")
-    )
-    hits = g.join(dup, on="__h", how="left_semi")
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    runs = hits.withColumn("__grp", F.col("__pos") - F.row_number().over(w))
+    the spans) are materialized ONCE (`eager_localcheckpoint`) because both
+    the occurrence count and the join-back consume them. The duplicate
+    filter is a groupBy on the hash (longs-only exchange, partial agg
+    collapses repeats map-side) followed by a LEFT SEMI join back —
+    membership, not pairing, so a boilerplate window shared by 10⁶ docs
+    contributes 10⁶ rows, never 10¹² pairs (no ``max_doc_freq`` cap needed,
+    unlike the pair-emitting winnow join). Run merging is gaps-and-islands:
+    one window partitioned BY DOCUMENT (``pos − row_number()`` constant
+    within a consecutive run), so parallelism is the document count."""
+    runs = _duplicated_window_runs(df, text_col, id_col, min_tokens, min_count)
     return (
         runs.groupBy(id_col, "__grp")
         .agg(
             F.min("__pos").alias("span_start"),
-            (F.max("__pos") + F.lit(k - 1)).alias("span_end"),
+            (F.max("__pos") + F.lit(min_tokens - 1)).alias("span_end"),
             F.count("*").alias("n_windows"),
         )
         .select(
@@ -626,6 +602,109 @@ def duplicated_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
             "n_windows",
+        )
+    )
+
+
+def _duplicated_window_runs(df, text_col, id_col, k, min_count):
+    """(id, __pos, __h, __grp) for every duplicated k-token window —
+    ``__grp`` is the gaps-and-islands key (constant within a consecutive
+    run). Shared by span detection and span removal."""
+    from pyspark.sql import Window
+
+    from ..cache import eager_localcheckpoint
+
+    toks = df.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
+    grams = shingles_from_tokens_expr(F.col("__toks"), k, distinct=False)
+    g = (
+        toks.select(
+            F.col(id_col),
+            F.posexplode(F.transform(grams, lambda s: token_hash_expr(s))),
+        )
+        .withColumnRenamed("pos", "__pos")
+        .withColumnRenamed("col", "__h")
+    )
+    # both the occurrence count and the join-back consume the hashed frame;
+    # without the barrier each consumer re-tokenizes and re-hashes the corpus
+    # (blocks reclaimed by the caller's cache.checkpoint_scope)
+    g, _release = eager_localcheckpoint(g)
+    dup = (
+        g.groupBy("__h")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    hits = g.join(dup, on="__h", how="left_semi")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    return hits.withColumn("__grp", F.col("__pos") - F.row_number().over(w))
+
+
+def remove_duplicated_spans(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_tokens: int = 50,
+    min_count: int = 2,
+    out_col: str | None = None,
+) -> "DataFrame":
+    """The removal half of ExactSubstr dedup (Lee et al. 2021 cut all but
+    one occurrence of each repeated substring): rebuild each document with
+    its duplicated spans dropped, EXCEPT in the document that owns the
+    span's first occurrence. Span identity is its first window's gram hash;
+    the owner is the corpus-min (doc, span_start) for that hash — the same
+    first-occurrence-wins convention as :func:`drop_duplicate_paragraphs`.
+    For partially-overlapping repeats the loser's whole merged span is
+    dropped (every window in it is duplicated somewhere, so only duplicated
+    content is ever removed — over-removal, never under-removal).
+
+    Returns (id_col, out_col). Documents with no removed span keep their
+    original text byte-for-byte; edited documents are rebuilt by re-joining
+    surviving tokens with single spaces (the :func:`tokens_expr`
+    whitespace convention, as in paragraph dedup).
+
+    Scale shape: everything up to the span frame is
+    :func:`duplicated_spans`; the owner election is one groupBy on the
+    8-byte first-window hash; the rebuild joins a (doc → few small intervals)
+    frame back to the corpus on the doc id and filters the token array with
+    a nested higher-order predicate — narrow, no extra corpus pass."""
+    out_col = out_col or text_col
+    k = min_tokens
+    runs = _duplicated_window_runs(df, text_col, id_col, k, min_count)
+    spans = runs.groupBy(id_col, "__grp").agg(
+        F.min("__pos").alias("__s"),
+        (F.max("__pos") + F.lit(k - 1)).alias("__e"),
+        F.min_by("__h", "__pos").alias("__h1"),
+    )
+    owners = spans.groupBy("__h1").agg(
+        F.min(F.struct(F.col(id_col), F.col("__s"))).alias("__w")
+    )
+    losers = (
+        spans.join(owners, on="__h1")
+        .filter(
+            (F.col(id_col) != F.col("__w." + id_col))
+            | (F.col("__s") != F.col("__w.__s"))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("__s", "__e")).alias("__rm"))
+    )
+    rebuilt = F.array_join(
+        F.filter(
+            tokens_expr(F.col(text_col)),
+            lambda t, i: ~F.exists(
+                F.col("__rm"), lambda iv: (i >= iv["__s"]) & (i <= iv["__e"])
+            ),
+        ),
+        " ",
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(losers, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__rm").isNotNull(), rebuilt)
+            .otherwise(F.col(text_col))
+            .alias(out_col),
         )
     )
 

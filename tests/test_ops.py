@@ -209,6 +209,58 @@ def test_duplicated_spans_known_injection(spark):
     assert duplicated_spans(docs, min_tokens=5, min_count=3).count() == 0
 
 
+def test_remove_duplicated_spans_first_occurrence_wins(spark):
+    """The removal half of ExactSubstr: the doc owning a span's first
+    occurrence (corpus-min (doc, start) on the first-window hash) keeps its
+    text byte-for-byte; every other occurrence is cut; untouched docs keep
+    their original whitespace exactly."""
+    from pyspark.sql import Row
+
+    from debezium_connector_vitess_spark.ops.text import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="u1 u2 a b c d e f g u3 u4"),
+            Row(doc_id=2, text="a b c d e f g v1 v2 v3"),
+            Row(doc_id=3, text="p q r s t x1 p q r s t"),
+            Row(doc_id=4, text="w1  w2   w3"),
+        ]
+    )
+    out = {r["doc_id"]: r["text"] for r in remove_duplicated_spans(docs, min_tokens=5).collect()}
+    assert out == {
+        1: "u1 u2 a b c d e f g u3 u4",  # owner: (1, start 2) < (2, start 0)
+        2: "v1 v2 v3",
+        3: "p q r s t x1",  # within-doc repeat: first occurrence kept
+        4: "w1  w2   w3",  # no spans: original spacing preserved
+    }
+
+
+def test_remove_duplicated_spans_corpus_invariants(spark, sf_dir):
+    """On the real corpus: every document survives, docs with no duplicated
+    span are byte-identical, edited docs only ever shrink, and exactly the
+    docs that lost an ownership election are edited."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.text import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = remove_duplicated_spans(docs, min_tokens=8, out_col="cleaned")
+    joined = docs.select("doc_id", "text").join(out, on="doc_id").collect()
+    assert len(joined) == docs.count()
+    span_docs = {
+        r["doc_id"] for r in duplicated_spans(docs, min_tokens=8).collect()
+    }
+    edited = {r["doc_id"] for r in joined if r["cleaned"] != r["text"]}
+    assert edited <= span_docs  # owners of every span they host stay intact
+    assert edited  # the corpus does contain cross-doc duplication
+    for r in joined:
+        if r["doc_id"] in edited:
+            assert len(r["cleaned"]) < len(r["text"])
+
+
 def test_duplicated_spans_matches_duckdb(spark, sf_dir):
     """Exact-substring spans against a DuckDB replica of the windowed-gram +
     occurrence-count + gaps-and-islands construction on the real corpus
