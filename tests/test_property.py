@@ -427,3 +427,62 @@ def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark, texts, tau):
         if r.inter_size * den >= r.union_size * num
     }
     assert fast == slow
+
+
+# --------------------------- ExactSubstr span exactness (vs brute force)
+
+def _brute_spans(texts, k, min_count):
+    """Reference implementation of the ExactSubstr window criterion: count
+    every positional k-gram, mark positions whose gram repeats >= min_count
+    corpus-wide, merge consecutive positions into maximal runs."""
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    cnt = Counter(
+        " ".join(ts[p : p + k])
+        for ts in toks.values()
+        for p in range(len(ts) - k + 1)
+    )
+    spans = set()
+    for d, ts in toks.items():
+        dup = [
+            p
+            for p in range(len(ts) - k + 1)
+            if cnt[" ".join(ts[p : p + k])] >= min_count
+        ]
+        run = []
+        for p in dup + [None]:
+            if run and p != run[-1] + 1:
+                spans.add((d, run[0], run[-1] + k - 1, run[-1] + k - run[0], len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    return spans
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([(2, 2), (3, 2), (2, 3)]),
+)
+@settings(max_examples=8, deadline=None)
+def test_duplicated_spans_matches_bruteforce(spark, texts, km):
+    """The windowed-gram + occurrence-count + islands construction is EXACT
+    against a direct Python reference on adversarial tiny-alphabet corpora
+    (heavy gram collisions, empty docs, sub-k docs, within-doc repeats)."""
+    from debezium_connector_vitess_spark.ops.text import duplicated_spans
+
+    k, min_count = km
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        tuple(r)
+        for r in duplicated_spans(
+            df, min_tokens=k, min_count=min_count
+        ).collect()
+    }
+    assert got == _brute_spans(texts, k, min_count)
