@@ -17,7 +17,11 @@ Scale strategy (100 TB):
   over the small eval gram set probes train grams MAP-SIDE; only the
   surviving sliver shuffles, and an exact broadcast join back against the
   eval grams removes every false positive — at 100 TB the train corpus
-  never shuffles at all).
+  never shuffles at all). The filtering direction (flag/drop TRAIN docs
+  carrying eval grams) is ``contamination_flags``: broadcast sorted eval
+  hashes + one vectorized searchsorted per Arrow batch — exact, zero
+  shuffle, stateless, so the same call filters a Structured Streaming
+  ingest per micro-batch.
 - **hash sampling**: pure narrow projection — a deterministic md5-derived
   uniform in [0,100) per row, no shuffle, no RNG state, reproducible across
   engines and re-runs (the property that matters for dataset versioning).
@@ -185,6 +189,75 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def contamination_flags(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    ngram: int = 5,
+) -> DataFrame:
+    """The production direction of decontamination: annotate TRAIN documents
+    with ``n_eval_hits`` — how many of their distinct word n-grams appear in
+    the eval corpus — so contaminated docs can be dropped from the training
+    set (``filter(n_eval_hits == 0)``). :func:`decontaminate` answers the
+    audit question (which EVAL docs leak into train); this answers the
+    filtering one, and does it without ANY shuffle: the distinct eval gram
+    hashes (an eval suite is broadcast-sized by definition) are collected,
+    sorted, broadcast, and each train doc's gram-hash array — built by the
+    same Catalyst expression as the join paths, so all three agree exactly —
+    is probed by one vectorized ``searchsorted`` per Arrow batch.
+
+    EXACT (no Bloom false positives — membership is tested against the full
+    sorted hash set), and STATELESS: the op is a pure map, so the identical
+    call works on a Structured Streaming frame to filter a live ingest
+    stream per micro-batch with no state store and no watermark.
+
+    Returns ``train`` with ``n_eval_hits`` (long) appended. At 10⁹+ eval
+    grams the sorted array outgrows broadcast — switch to
+    :func:`decontaminate`'s semi-join (or bloom) shape at that point."""
+    from pyspark.sql import types as T
+
+    g = F.array_distinct(
+        F.transform(
+            shingles_expr(F.col(text_col), ngram), lambda x: token_hash_expr(x)
+        )
+    )
+    ev = eval_df.select(F.explode(g).alias("gram")).distinct()
+    ev_sorted = ev.toPandas()["gram"].to_numpy()
+    ev_sorted.sort()
+    bc = train.sparkSession.sparkContext.broadcast(ev_sorted)
+
+    schema = T.StructType(
+        train.schema.fields + [T.StructField("n_eval_hits", T.LongType(), False)]
+    )
+
+    def op(batches):
+        import numpy as np
+
+        ev_arr = bc.value
+        for pdf in batches:
+            grams = pdf["__grams"]
+            lens = grams.map(len).to_numpy(dtype=np.int64)
+            flat = (
+                np.concatenate([np.asarray(a, dtype=np.int64) for a in grams])
+                if lens.sum()
+                else np.empty(0, dtype=np.int64)
+            )
+            idx = np.searchsorted(ev_arr, flat)
+            ok = idx < len(ev_arr)
+            hit = np.zeros(len(flat), dtype=np.int64)
+            hit[ok] = (ev_arr[idx[ok]] == flat[ok]).astype(np.int64)
+            bounds = np.zeros(len(pdf) + 1, dtype=np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            csum = np.concatenate([[0], np.cumsum(hit)])
+            out = pdf.drop(columns=["__grams"])
+            out["n_eval_hits"] = csum[bounds[1:]] - csum[bounds[:-1]]
+            yield out
+
+    return train.withColumn("__grams", g).mapInPandas(op, schema=schema)
 
 
 def hash_uniform_expr(key: Column, salt: str = "sample") -> Column:

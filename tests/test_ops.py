@@ -290,6 +290,57 @@ def test_duplicated_spans_matches_duckdb(spark, sf_dir):
     compare(got, oracle, sf_dir)
 
 
+def test_contamination_flags_matches_join_and_streams(spark, sf_dir, tmp_path):
+    """The map-side train-direction decontamination agrees exactly with the
+    join-based audit op run with sides swapped, and — being a stateless
+    map — the identical call on a readStream frame produces the same flags
+    per micro-batch (no state store, no watermark)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        contamination_flags,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tr = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+
+    out = contamination_flags(tr, ev, "text", "doc_id", ngram=5)
+    assert out.columns == docs.columns + ["n_eval_hits"]
+    flags = {r["doc_id"]: r["n_eval_hits"] for r in out.collect()}
+    assert len(flags) == tr.count()  # every train doc, hit or not
+    inverted = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(ev, tr, "text", "doc_id", ngram=5).collect()
+    }
+    assert inverted  # the corpus does contain contamination
+    assert {k: v for k, v in flags.items() if v > 0} == inverted
+
+    stream_dir = str(tmp_path / "train")
+    tr.write.parquet(stream_dir)
+    streamed = contamination_flags(
+        spark.readStream.schema(tr.schema).parquet(stream_dir),
+        ev,
+        "text",
+        "doc_id",
+        ngram=5,
+    )
+    q = (
+        streamed.select("doc_id", "n_eval_hits")
+        .writeStream.format("memory")
+        .queryName("contam_flags")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["n_eval_hits"]
+        for r in spark.sql("SELECT * FROM contam_flags").collect()
+    }
+    assert got == flags
+
+
 def test_bloom_filter_no_false_negatives():
     """The Bloom prefilter's exactness hinges on zero false negatives (every
     true member probes positive) and a measured FP rate near the target —
