@@ -46,6 +46,7 @@ HEADLINE = [
     "winnow_match_pairs",  # r6: now incl. the cross-corpus variant
     "curation_pipeline",
     "corpus_health",  # r6: corpus_profile + zlib compressibility, one scan
+    "dedup_spans",  # r6: ExactSubstr duplicate-span detector
 ]
 
 # Stable cross-round comparison set: queries whose COMPOSITION is unchanged

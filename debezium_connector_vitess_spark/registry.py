@@ -1798,53 +1798,17 @@ def offset_restart_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT shard, txn, seq, ts_ms,
              'MySQL56/host' || CAST((txn // 10) % 3 AS VARCHAR) || ':1-'
                || CAST(seq AS VARCHAR) AS gtid
-      FROM tx)
-    SELECT shard,
-           '[{"keyspace":"ks0","shard":"' || shard || '","gtid":"' || gtid || '"}]' AS tx_id,
-           gtid,
-           ts_ms,
-           CAST(1 + txn // 10 AS BIGINT) AS transaction_epoch,
-           CAST(seq AS VARCHAR) AS transaction_rank
-    FROM g
-    """,
-)
-def tx_meta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4/T7 STREAMING path end to end: the replay source feeds COMMIT
-    boundaries through the ``applyInPandasWithState`` ordered-tx operator
-    (per-shard state = {prev gtid, epoch}). The fixture cycles the GTID
-    host every 10 transactions (``host_period``), so the per-shard epoch
-    really advances through failover breaks — epoch = 1 + txn//10; rank =
-    the GTID's max sequence. The oracle replicates the per-shard chunking
-    and failover model (VitessOrderedTransactionContext.java:109-127)."""
-    from .sources import replay as replay_source
-    from .sources.fixtures import cached_fixture_dir, write_replay_fixture
-    from .txmeta.streaming import ordered_tx_metadata_stream
-
-    replay_source.register(spark)
-    replay_dir = cached_fixture_dir(
-        "txmeta_replay", sf_dir, write_replay_fixture, tx_size=10, host_period=10
-    )
-    raw = spark.readStream.format("vitess-replay").option("path", replay_dir).load()
-    meta = ordered_tx_metadata_stream(raw)
-    sink = "tx_meta_stream_sink"
-    if sink in [t.name for t in spark.catalog.listTables()]:
-        spark.catalog.dropTempView(sink)
-    q = (
-        meta.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
-
-
-@register(
-    "tx_meta_stream_reshard",
-    oracle="""
-    WITH half AS (SELECT (max(event_id)+1)//2 AS h FROM events),
-    ev AS (
+      FROM tx),
+    steady AS (
+      SELECT shard,
+             '[{"keyspace":"ks0","shard":"' || shard || '","gtid":"' || gtid || '"}]' AS tx_id,
+             gtid,
+             ts_ms,
+             CAST(1 + txn // 10 AS BIGINT) AS transaction_epoch,
+             CAST(seq AS VARCHAR) AS transaction_rank
+      FROM g),
+    half AS (SELECT (max(event_id)+1)//2 AS h FROM events),
+    rev AS (
       SELECT event_id, epoch_ms(ts) AS ts_ms, user_id,
              CASE WHEN event_id < (SELECT h FROM half) THEN
                     CASE WHEN user_id % 2 = 0 THEN '-80' ELSE '80-' END
@@ -1853,54 +1817,82 @@ def tx_meta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                          WHEN user_id % 4 = 0 THEN '-40' ELSE '40-80' END
              END AS shard
       FROM events),
-    ranked AS (
+    rranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY event_id) - 1 AS rk
-      FROM ev),
-    tx AS (
+      FROM rev),
+    rtx AS (
       SELECT shard, rk // 10 AS txn, max(event_id) + 100 AS seq,
              arg_max(ts_ms, event_id) AS ts_ms
-      FROM ranked GROUP BY 1, 2)
-    SELECT shard,
-           '[{"keyspace":"ks0","shard":"' || shard || '","gtid":"MySQL56/host0:1-' || CAST(seq AS VARCHAR) || '"}]' AS tx_id,
-           'MySQL56/host0:1-' || CAST(seq AS VARCHAR) AS gtid,
-           ts_ms,
-           CAST(CASE WHEN shard IN ('-80','80-') THEN 1 ELSE 2 END AS BIGINT) AS transaction_epoch,
-           CAST(seq AS VARCHAR) AS transaction_rank
-    FROM tx
+      FROM rranked GROUP BY 1, 2),
+    reshard AS (
+      SELECT shard,
+             '[{"keyspace":"ks0","shard":"' || shard || '","gtid":"MySQL56/host0:1-' || CAST(seq AS VARCHAR) || '"}]' AS tx_id,
+             'MySQL56/host0:1-' || CAST(seq AS VARCHAR) AS gtid,
+             ts_ms,
+             CAST(CASE WHEN shard IN ('-80','80-') THEN 1 ELSE 2 END AS BIGINT) AS transaction_epoch,
+             CAST(seq AS VARCHAR) AS transaction_rank
+      FROM rtx)
+    SELECT 'steady' AS scenario, * FROM steady
+    UNION ALL
+    SELECT 'reshard' AS scenario, * FROM reshard
     """,
 )
-def tx_meta_stream_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 STREAMING reshard-epoch lineage end to end: the replay includes a
-    2-way shard split (``-80`` → ``-40`` + ``40-80`` at the stream's
-    midpoint, ``80-`` streaming through untouched) and the KEYSPACE-keyed
-    ``applyInPandasWithState`` operator holds the whole shard→epoch map in
-    one group state, so the child shards' first transactions inherit
-    max(parent epochs)+1 from their key-range parents
-    (ShardLineage.java:26-94) instead of restarting at an overridden-start
-    epoch. Expected epochs: parents 1 (overridden start), children 2
-    (inherited 1+1) — the oracle replicates the split model exactly."""
+def tx_meta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T5/T7 STREAMING paths end to end, two scenarios in one row (r6
+    merge of tx_meta_stream + tx_meta_stream_reshard under a ``scenario``
+    discriminator, freeing the slot that now drives ``dedup_spans``):
+
+    - ``steady``: the replay source feeds COMMIT boundaries through the
+      ``applyInPandasWithState`` ordered-tx operator (per-shard state =
+      {prev gtid, epoch}). The fixture cycles the GTID host every 10
+      transactions (``host_period``), so the per-shard epoch really
+      advances through failover breaks — epoch = 1 + txn//10; rank = the
+      GTID's max sequence (VitessOrderedTransactionContext.java:109-127).
+    - ``reshard``: the replay includes a 2-way shard split (``-80`` →
+      ``-40`` + ``40-80`` at the stream's midpoint, ``80-`` untouched) and
+      the KEYSPACE-keyed operator holds the whole shard→epoch map in one
+      group state, so the child shards' first transactions inherit
+      max(parent epochs)+1 from their key-range parents
+      (ShardLineage.java:26-94). Parents 1, children 2."""
     from .sources import replay as replay_source
-    from .sources.fixtures import cached_fixture_dir, write_reshard_replay_fixture
-    from .txmeta.streaming import ordered_tx_metadata_stream_lineage
+    from .sources.fixtures import (
+        cached_fixture_dir,
+        write_replay_fixture,
+        write_reshard_replay_fixture,
+    )
+    from .txmeta.streaming import (
+        ordered_tx_metadata_stream,
+        ordered_tx_metadata_stream_lineage,
+    )
 
     replay_source.register(spark)
-    replay_dir = cached_fixture_dir(
-        "reshard_replay", sf_dir, write_reshard_replay_fixture, tx_size=10
-    )
-    raw = spark.readStream.format("vitess-replay").option("path", replay_dir).load()
-    meta = ordered_tx_metadata_stream_lineage(raw)
-    sink = "tx_meta_stream_reshard_sink"
-    if sink in [t.name for t in spark.catalog.listTables()]:
-        spark.catalog.dropTempView(sink)
-    q = (
-        meta.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    parts = []
+    for scenario, fixture, writer, op, kw in (
+        ("steady", "txmeta_replay", write_replay_fixture,
+         ordered_tx_metadata_stream, {"tx_size": 10, "host_period": 10}),
+        ("reshard", "reshard_replay", write_reshard_replay_fixture,
+         ordered_tx_metadata_stream_lineage, {"tx_size": 10}),
+    ):
+        replay_dir = cached_fixture_dir(fixture, sf_dir, writer, **kw)
+        raw = (
+            spark.readStream.format("vitess-replay")
+            .option("path", replay_dir)
+            .load()
+        )
+        sink = f"tx_meta_stream_{scenario}_sink"
+        if sink in [t.name for t in spark.catalog.listTables()]:
+            spark.catalog.dropTempView(sink)
+        q = (
+            op(raw)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        parts.append(spark.table(sink).select(F.lit(scenario).alias("scenario"), "*"))
+    return parts[0].unionByName(parts[1])
 
 
 @register(
@@ -2064,6 +2056,39 @@ def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram=5,
         method="bloom",
     )
+
+
+@register(
+    "dedup_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS lt
+          FROM documents),
+    w AS (SELECT doc_id, i - 1 AS pos,
+            ('0x' || substr(md5(array_to_string(lt[i:i+7], ' ')), 1, 15))::BIGINT AS h
+          FROM toks, LATERAL unnest(range(1, greatest(len(lt) - 8 + 2, 1))) AS t(i)),
+    d AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM d)),
+    runs AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             FROM hits)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           max(pos) + 8 - min(pos) AS span_tokens, count(*) AS n_windows
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2021 ExactSubstr window
+    criterion; r6): for every document, the maximal token ranges whose every
+    8-token window occurs ≥2 times corpus-wide — the exact detector that
+    winnowing approximates. Positional gram hashes materialize once; the
+    duplicate filter is a longs-only groupBy + LEFT SEMI membership
+    join-back (no pair fan-out, so boilerplate needs no df cap); run merging
+    is per-document gaps-and-islands. The oracle replicates the windowed
+    md5-prefix hashing and islands arithmetic."""
+    from .ops.text import duplicated_spans
+
+    return duplicated_spans(_documents(spark, sf_dir), "text", "doc_id", min_tokens=8)
 
 
 _SAMPLE_RATE_SQL = (

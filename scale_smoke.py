@@ -62,6 +62,7 @@ def main() -> None:
         simhash_near_dup_pairs,
     )
     from debezium_connector_vitess_spark.ops.pipeline import (
+        contamination_flags,
         decontaminate,
         doc_perplexity,
         pack_sequences,
@@ -70,6 +71,7 @@ def main() -> None:
     from debezium_connector_vitess_spark.ops.text import (
         corpus_profile,
         drop_duplicate_paragraphs,
+        duplicated_spans,
         winnow_match_pairs,
         with_text_metrics,
     )
@@ -121,6 +123,15 @@ def main() -> None:
         "decontaminate": lambda d: decontaminate(
             d, d.sample(0.001, seed=7), "text", "doc_id"
         ),
+        "decontaminate_bloom": lambda d: decontaminate(
+            d, d.sample(0.001, seed=7), "text", "doc_id", method="bloom"
+        ),
+        "contamination_flags": lambda d: contamination_flags(
+            d, d.sample(0.001, seed=7), "text", "doc_id"
+        ),
+        "duplicated_spans": lambda d: duplicated_spans(
+            d, "text", "doc_id", min_tokens=20
+        ),
         "pack_sequences": lambda d: pack_sequences(
             d, "text", "doc_id", stream_col="source", block_tokens=2048, n_buckets=8
         ),
@@ -131,7 +142,7 @@ def main() -> None:
     # pair-emitting ops: output size depends on duplication structure, not
     # corpus size alone — record it so the time ratio can be read against
     # the work ratio (10 near-identical copies → ~45 pairs per original doc)
-    PAIR_OPS = {"minhash_lsh", "simhash", "winnow"}
+    PAIR_OPS = {"minhash_lsh", "simhash", "winnow", "duplicated_spans"}
 
     results: dict[str, dict] = {}
     for name, fn in OPS.items():
