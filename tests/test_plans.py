@@ -312,3 +312,23 @@ def test_pack_sequences_shares_one_exchange(spark, sf_dir):
     for seg in plan.split("REPARTITION_BY_COL")[1:]:
         head = seg.split("Exchange")[0]
         assert "split(text" in head
+
+
+def test_dedup_spans_shuffles_carry_longs_only(spark, sf_dir):
+    """The ExactSubstr detector's exchanges carry only (id, pos, 8-byte gram
+    hash) — gram strings are hashed before the posexplode, so no string-typed
+    attribute may appear in any hash-partitioning exchange; the membership
+    join-back is a LEFT SEMI (no pair fan-out), and both consumers read the
+    materialized hash frame, never a second parquet scan."""
+    import re
+
+    plan = _formatted(QUERIES["dedup_spans"](spark, sf_dir))
+    assert "Scan parquet" not in plan  # hits flow from the localCheckpoint
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        for attr in re.findall(r"(\w+)#\d+(L?)", keys):
+            name, is_long = attr
+            if name in ("__h",):
+                assert is_long == "L", f"gram hash not a long in exchange: {keys}"
+            assert name != "__toks", f"token array leaked into exchange: {keys}"
