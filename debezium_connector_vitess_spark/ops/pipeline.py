@@ -90,16 +90,27 @@ def _bloom_build(hashes, fpp: float):
 
 
 def _bloom_contains(words, n_bits: int, k: int, values):
-    """Vectorized membership test; same probe sequence as :func:`_bloom_build`."""
+    """Vectorized membership test; same probe sequence as :func:`_bloom_build`.
+
+    Probes narrow progressively: after each round only still-alive candidates
+    are re-probed. With an optimally-sized filter each probe kills ~half the
+    non-members, so expected work is ~2 probes/gram instead of k (~20 at
+    fpp=1e-6) — the map-side cost at 100 TB is the train gram stream times
+    THIS constant, so it matters there, not just locally."""
     import numpy as np
 
     h = np.asarray(values, dtype=np.uint64)
-    out = np.ones(len(h), dtype=bool)
     with np.errstate(over="ignore"):
         h2 = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) | np.uint64(1)
+    alive = np.arange(len(h))
     for i in range(k):
-        idx = (h + np.uint64(i) * h2) % np.uint64(n_bits)
-        out &= (words[idx >> np.uint64(6)] >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        if len(alive) == 0:
+            break
+        idx = (h[alive] + np.uint64(i) * h2[alive]) % np.uint64(n_bits)
+        hit = (words[idx >> np.uint64(6)] >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        alive = alive[hit]
+    out = np.zeros(len(h), dtype=bool)
+    out[alive] = True
     return out
 
 
