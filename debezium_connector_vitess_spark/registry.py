@@ -1073,14 +1073,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     def capture(df, _batch_id) -> None:
         collected.extend(df.collect())  # survivors only: ≤ |unique docs|
 
-    q = (
-        survivors.writeStream.foreachBatch(capture)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions are baked into the checkpoint at first start — size
+    # them to the stream's volume (a few thousand rows/micro-batch), not the
+    # session's batch default: 32 HDFS state-store instances cost ~32 file
+    # commits PER micro-batch for the same answer (a production deployment
+    # sizes this to ingest volume the same way)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            survivors.writeStream.foreachBatch(capture)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     stream = spark.createDataFrame(collected, "content_hash string, doc_id bigint")
     return batch.withColumn("side", F.lit("batch")).unionAll(
         stream.withColumn("side", F.lit("stream"))
