@@ -631,11 +631,8 @@ def sample_token_budget(
     )
 
 
-def hashed_gram_buckets_expr(toks: Column, *, dim: int, salt: str = "dsir") -> Column:
-    """Hashed unigram+bigram count features over an already-tokenized array:
-    every occurrence (multiset, not distinct) mapped to a bucket in
-    [0, dim) — the DSIR feature map."""
-    grams = F.concat(toks, shingles_from_tokens_expr(toks, 2, distinct=False))
+def _gram_bucket_transform(grams: Column, *, dim: int, salt: str) -> Column:
+    """Map an array of gram strings to hashed buckets in [0, dim)."""
     return F.transform(
         grams,
         lambda g: F.conv(
@@ -643,6 +640,14 @@ def hashed_gram_buckets_expr(toks: Column, *, dim: int, salt: str = "dsir") -> C
         ).cast("long")
         % dim,
     )
+
+
+def hashed_gram_buckets_expr(toks: Column, *, dim: int, salt: str = "dsir") -> Column:
+    """Hashed unigram+bigram count features over an already-tokenized array:
+    every occurrence (multiset, not distinct) mapped to a bucket in
+    [0, dim) — the DSIR feature map."""
+    grams = F.concat(toks, shingles_from_tokens_expr(toks, 2, distinct=False))
+    return _gram_bucket_transform(grams, dim=dim, salt=salt)
 
 
 DSIR_DEFAULT_BUCKET = -1  # sentinel row carrying the unseen-bucket log-ratio
@@ -683,7 +688,19 @@ def dsir_logratios(
             .agg(F.count("*").alias(col))
         )
 
-    joined = counts(target, "ct").join(counts(raw, "cr"), on="bucket", how="full").select(
+    return _logratios_from_counts(
+        counts(target, "ct"), counts(raw, "cr"), dim=dim, alpha=alpha
+    )
+
+
+def _logratios_from_counts(
+    ct: DataFrame, cr: DataFrame, *, dim: int, alpha: float
+) -> DataFrame:
+    """DSIR log-ratio table from pre-aggregated (bucket, ct) / (bucket, cr)
+    histograms — the math tail of :func:`dsir_logratios`, shared with the
+    one-pass :func:`curation_gram_signals` (which derives both histograms
+    from a single exploded gram frame)."""
+    joined = ct.join(cr, on="bucket", how="full").select(
         "bucket",
         F.coalesce("ct", F.lit(0)).alias("ct"),
         F.coalesce("cr", F.lit(0)).alias("cr"),
@@ -734,13 +751,6 @@ def dsir_importance(
     (it feeds both the join and the sentinel-default lookup); blocks are
     reclaimed by the caller's ``cache.checkpoint_scope``.
     """
-    from ..cache import eager_localcheckpoint
-
-    logratios, _release = eager_localcheckpoint(logratios)
-    default = logratios.filter(F.col("bucket") == DSIR_DEFAULT_BUCKET).select(
-        F.col("log_ratio").alias("__default_lr")
-    )
-    table = logratios.filter(F.col("bucket") != DSIR_DEFAULT_BUCKET)
     staged = df.select(
         F.col(id_col), tokens_expr(F.lower(F.col(text_col))).alias("__toks")
     )
@@ -750,6 +760,22 @@ def dsir_importance(
             hashed_gram_buckets_expr(F.col("__toks"), dim=dim, salt=salt)
         ).alias("bucket"),
     )
+    return _importance_from_exploded(exploded, id_col, logratios)
+
+
+def _importance_from_exploded(
+    exploded: DataFrame, id_col: str, logratios: DataFrame
+) -> DataFrame:
+    """DSIR importance tail over an already-exploded (id, bucket) occurrence
+    frame — shared by :func:`dsir_importance` and the one-pass
+    :func:`curation_gram_signals`."""
+    from ..cache import eager_localcheckpoint
+
+    logratios, _release = eager_localcheckpoint(logratios)
+    default = logratios.filter(F.col("bucket") == DSIR_DEFAULT_BUCKET).select(
+        F.col("log_ratio").alias("__default_lr")
+    )
+    table = logratios.filter(F.col("bucket") != DSIR_DEFAULT_BUCKET)
     scored = (
         exploded.join(F.broadcast(table), on="bucket", how="left")
         .crossJoin(F.broadcast(default))
@@ -888,6 +914,15 @@ def score_quality(
     ≤ dim+1-row table — the corpus never shuffles on the feature key; at
     100 TB this is the map-side scoring pass after sample-training.
     Returns (id, n_grams, quality_prob)."""
+    feats = doc_feature_counts(df, text_col, id_col, dim=dim, salt=salt)
+    return _quality_from_features(feats, weights, id_col)
+
+
+def _quality_from_features(
+    feats: DataFrame, weights: DataFrame, id_col: str
+) -> DataFrame:
+    """Quality-scoring tail over a (id, bucket, cnt, x) feature frame —
+    shared by :func:`score_quality` and :func:`curation_gram_signals`."""
     from ..cache import eager_localcheckpoint
 
     weights, _release = eager_localcheckpoint(weights)
@@ -895,7 +930,6 @@ def score_quality(
         F.col("weight").alias("__bias")
     )
     table = weights.filter(F.col("bucket") != -1)
-    feats = doc_feature_counts(df, text_col, id_col, dim=dim, salt=salt)
     # one pass over the feature frame: margin and gram count together
     wx = (
         feats.join(F.broadcast(table), on="bucket", how="left")
@@ -912,6 +946,99 @@ def score_quality(
             "quality_prob"
         ),
     )
+
+
+def curation_gram_signals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: DataFrame,
+    *,
+    target: Column,
+    dim_q: int = 4096,
+    salt_q: str = "qlr",
+    dim_d: int = 4096,
+    salt_d: str = "dsir",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Quality probability AND DSIR importance log-weight in ONE
+    tokenize + gram pass: (id, q_grams, quality_prob, log_weight).
+
+    Run separately, the curation chain's hashed-gram stages tokenize and
+    gram-build the corpus FOUR times (quality features, DSIR target
+    histogram, DSIR raw histogram, DSIR importance) — at 100 TB that is
+    four full map passes whose dominant cost is the tokenization regex and
+    gram concat, not the downstream aggregates. Here the corpus is staged
+    once (tokens → unigram+bigram gram strings), each gram occurrence is
+    hashed into BOTH feature spaces (``salt_q``/``dim_q`` and
+    ``salt_d``/``dim_d`` — two md5s over the same gram string), and the
+    resulting (id, is_target, bq, bd) occurrence frame is materialized once
+    (``localCheckpoint``; 3 longs + 1 bool per gram — far narrower than the
+    text it came from). All four aggregates read that frame:
+
+    - raw histogram: groupBy(bd) over every occurrence;
+    - target histogram: the same, filtered to ``target`` rows;
+    - log-ratio table: :func:`_logratios_from_counts` (the exact
+      :func:`dsir_logratios` math);
+    - importance: :func:`_importance_from_exploded` (broadcast log-ratio
+      join, per-doc sum);
+    - quality: per-(id, bq) counts → normalized x → broadcast weight join
+      (:func:`_quality_from_features`, the exact :func:`score_quality`
+      math).
+
+    Bucket hashes equal the standalone ops' hashes exactly (same md5-salt
+    scheme via :func:`_gram_bucket_transform`), so results match the
+    separate-pass composition up to float reduction order — the curation
+    driver row's rounding grid + margin test absorb that, as they do for
+    any partitioning change. The quality↔importance combine is ONE doc-id
+    join instead of the two the separate ops need downstream."""
+    from ..cache import eager_localcheckpoint
+
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    staged = df.select(
+        F.col(id_col), target.alias("__target"), toks.alias("__toks")
+    )
+    grams = F.concat(
+        F.col("__toks"), shingles_from_tokens_expr(F.col("__toks"), 2, distinct=False)
+    )
+    g2 = staged.select(id_col, "__target", grams.alias("__grams"))
+    ex = g2.select(
+        F.col(id_col),
+        F.col("__target"),
+        F.explode(
+            F.arrays_zip(
+                _gram_bucket_transform(F.col("__grams"), dim=dim_q, salt=salt_q).alias("bq"),
+                _gram_bucket_transform(F.col("__grams"), dim=dim_d, salt=salt_d).alias("bd"),
+            )
+        ).alias("z"),
+    ).select(id_col, "__target", F.col("z.bq").alias("bq"), F.col("z.bd").alias("bd"))
+    ex, _release = eager_localcheckpoint(ex)
+
+    cr = ex.groupBy(F.col("bd").alias("bucket")).agg(F.count("*").alias("cr"))
+    ct = (
+        ex.filter(F.col("__target"))
+        .groupBy(F.col("bd").alias("bucket"))
+        .agg(F.count("*").alias("ct"))
+    )
+    lr = _logratios_from_counts(ct, cr, dim=dim_d, alpha=alpha)
+    imp = _importance_from_exploded(
+        ex.select(F.col(id_col), F.col("bd").alias("bucket")), id_col, lr
+    )
+
+    counts = ex.groupBy(id_col, F.col("bq").alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    wdoc = Window.partitionBy(id_col)
+    feats = counts.select(
+        id_col,
+        "bucket",
+        "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(wdoc)).alias("x"),
+    )
+    qual = _quality_from_features(feats, weights, id_col)
+    return qual.select(
+        id_col, F.col("n_grams").alias("q_grams"), "quality_prob"
+    ).join(imp.select(id_col, "log_weight"), id_col)
 
 
 def pack_sequences(

@@ -2660,11 +2660,9 @@ def _curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance from a round-half boundary, so the cross-engine hash compare
     can't flip on reduction order)."""
     from .ops.pipeline import (
-        dsir_importance,
-        dsir_logratios,
+        curation_gram_signals,
         plan_token_budgets,
         sample_token_budget,
-        score_quality,
     )
     from .ops.text import drop_duplicate_paragraphs, html_to_text_expr
 
@@ -2698,14 +2696,17 @@ def _curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdf = spark.createDataFrame(
         _CURATION_FIXED_WEIGHTS, "bucket long, weight double"
     )
-    quality = score_quality(base, "text", "doc_id", wdf, dim=64).select(
+    # quality + DSIR (log-ratio estimation AND importance) in ONE
+    # tokenize+gram pass over the materialized base — the separate ops
+    # would re-tokenize it four times (see curation_gram_signals)
+    signals = curation_gram_signals(
+        base,
+        "text",
         "doc_id",
-        F.col("n_grams").alias("q_grams"),
-        "quality_prob",
-    )
-    lr = dsir_logratios(base.filter("lang = 'en'"), base, "text", dim=512)
-    dsir = dsir_importance(base, "text", "doc_id", lr, dim=512).select(
-        "doc_id", "log_weight"
+        wdf,
+        target=F.col("lang") == "en",
+        dim_q=64,
+        dim_d=512,
     )
     budgets = plan_token_budgets(
         base,
@@ -2723,8 +2724,7 @@ def _curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=8,
     )
     return (
-        sel.join(quality, "doc_id")
-        .join(dsir, "doc_id")
+        sel.join(signals, "doc_id")
         .join(budgets, "source")
         .select(
             "doc_id", "source", "n_tokens", "doc_start", "budget_tokens",
