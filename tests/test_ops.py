@@ -2240,3 +2240,45 @@ def test_curation_rounding_margins(spark):
                     f"{col}={r[col]!r} sits {dist:.2e} from a round-half "
                     f"boundary at {decimals} decimals ({sf_dir})"
                 )
+
+
+def test_curation_gram_signals_equals_separate_ops(spark, sf_dir):
+    """The one-pass fused op must produce the separate composition's answer
+    exactly (same hash scheme, same aggregates): quality_prob/q_grams from
+    score_quality, log_weight from dsir_logratios + dsir_importance — float
+    sums compared at 1e-9 rtol (reduction order differs by design)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        curation_gram_signals,
+        dsir_importance,
+        dsir_logratios,
+        score_quality,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fixed = [(-1, 0.25)] + [(b, ((b * 37) % 11 - 5) / 10.0) for b in range(0, 64)]
+    w = spark.createDataFrame(fixed, "bucket long, weight double")
+
+    fused = {
+        r.doc_id: r
+        for r in curation_gram_signals(
+            docs, "text", "doc_id", w,
+            target=F.col("lang") == "en", dim_q=64, dim_d=512,
+        ).collect()
+    }
+    qual = {
+        r.doc_id: r for r in score_quality(docs, "text", "doc_id", w, dim=64).collect()
+    }
+    lr = dsir_logratios(docs.filter("lang = \'en\'"), docs, "text", dim=512)
+    imp = {
+        r.doc_id: r
+        for r in dsir_importance(docs, "text", "doc_id", lr, dim=512).collect()
+    }
+    assert set(fused) == set(qual) == set(imp)
+    for doc_id, r in fused.items():
+        assert r.q_grams == qual[doc_id].n_grams
+        assert math.isclose(r.quality_prob, qual[doc_id].quality_prob, rel_tol=1e-9)
+        assert math.isclose(r.log_weight, imp[doc_id].log_weight, rel_tol=1e-9)
