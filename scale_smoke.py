@@ -148,13 +148,21 @@ def main() -> None:
     for name, fn in OPS.items():
         rec: dict[str, float] = {}
         for label, frame in (("1x", docs1), ("10x", docs10)):
-            best = float("inf")
-            for _ in range(3):  # best-of-N: shave codegen + the host's documented multi-second stalls
+            # adaptive attempts (same rule as bench.py): the host's stall
+            # windows can last minutes and inflate EVERY attempt of a fixed
+            # best-of-3 — keep attempting until the two best post-warmup runs
+            # agree within 25% (+0.15 s floor), capped at 6
+            runs: list[float] = []
+            while True:
                 with checkpoint_scope(spark):
                     t0 = time.time()
                     run(fn(frame))
-                    best = min(best, time.time() - t0)
-            rec[f"t_{label}"] = round(best, 2)
+                    runs.append(time.time() - t0)
+                if len(runs) >= 3:
+                    best2 = sorted(runs)[:2]
+                    if best2[1] <= best2[0] * 1.25 + 0.15 or len(runs) >= 6:
+                        break
+            rec[f"t_{label}"] = round(min(runs), 2)
             if name in PAIR_OPS:
                 with checkpoint_scope(spark):
                     rec[f"rows_out_{label}"] = fn(frame).count()
