@@ -25,6 +25,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def cluster_for_shards(
@@ -79,6 +80,77 @@ def write_training_shards(
             F.max(sort_col).alias(f"max_{sort_col}"),
         )
     )
+
+
+def shuffle_for_training(
+    df: DataFrame,
+    *,
+    id_col: str,
+    seed: int,
+    num_shards: int,
+) -> DataFrame:
+    """Deterministic seeded GLOBAL shuffle — the training-epoch randomization
+    a data loader needs, as a reproducible layout instead of runtime chance.
+
+    Every row gets a shuffle key = 60-bit md5 prefix of ``"{id}:{seed}"``
+    (:func:`ops.text.token_hash_expr`'s engine-agnostic construction — any
+    SQL engine can recompute and audit the exact epoch order), then
+    ``shard = key mod num_shards`` and ``pos`` = the row's rank inside its
+    shard ordered by (key, id). The induced total order (shard, pos) is a
+    pure function of (id set, seed): independent of input partitioning, file
+    order, or cluster size — re-running an epoch reproduces it bit-for-bit,
+    and a new seed is a fresh permutation. md5's uniformity makes shard
+    sizes balanced to ~sqrt(n/num_shards).
+
+    Scale shape: ONE hash-partition exchange on ``shard`` + a per-shard sort
+    window — parallelism = ``num_shards`` (pick ≥ cluster cores; thousands
+    at 100 TB), never a single-partition stage. The per-shard ``row_number``
+    is exactly the sort the shard file needs anyway before writing.
+    """
+    key = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col(id_col), F.lit(seed))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("_skey", key).withColumn(
+        "shard", F.pmod(F.col("_skey"), F.lit(num_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    return out.withColumn("pos", (F.row_number().over(w) - 1).cast("long")).drop(
+        "_skey"
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_col: str,
+    num_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (+ optionally sorted) catalog table so
+    every later equi-join or aggregation on ``bucket_col`` is CO-LOCATED:
+    Spark's bucketing contract hashes ``bucket_col`` into ``num_buckets``
+    files per partition at WRITE time, and a scan of two tables bucketed the
+    same way feeds a SortMergeJoin with ZERO Exchange (and, when ``sort``,
+    zero per-task Sort) — the single biggest shuffle eliminator for a hub
+    table that is joined repeatedly on the same key (e.g. a doc_id-keyed
+    corpus joined by every curation signal frame).
+
+    At 100 TB this is the difference between re-shuffling the corpus once
+    per consumer and paying the layout cost once at ingest. Pick
+    ``num_buckets`` ≈ corpus_bytes / target_task_bytes (e.g. 100 TB /
+    256 MB ≈ 400k is too many files — bucket the JOIN side you broadcast
+    can't handle, typically 2-8k buckets, and let AQE coalesce). The
+    no-Exchange join plan is pinned by
+    tests/test_plans.py::test_bucketed_join_has_no_exchange.
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
 
 
 def read_shard_range(

@@ -168,10 +168,24 @@ def cdc_extract_new_state(spark: SparkSession, sf_dir: str) -> DataFrame:
              arg_max(op, event_id) AS last_op,
              arg_max(value, event_id) AS value,
              arg_max(props, event_id) AS props
-      FROM ev GROUP BY table_name, user_id)
-    SELECT table_name, user_id, value, props
-    FROM last
-    WHERE last_op <> 'd'
+      FROM ev GROUP BY table_name, user_id),
+    hist AS (
+      SELECT table_name, user_id, value, props, op,
+             event_id + 100 AS valid_from_seq,
+             lead(event_id + 100) OVER (
+               PARTITION BY table_name, user_id ORDER BY event_id
+             ) AS valid_to_seq
+      FROM ev)
+    SELECT 'latest' AS side, table_name, user_id, value, props,
+           CAST(NULL AS BIGINT) AS valid_from_seq,
+           CAST(NULL AS BIGINT) AS valid_to_seq,
+           CAST(NULL AS BOOLEAN) AS is_current
+    FROM last WHERE last_op <> 'd'
+    UNION ALL
+    SELECT 'history' AS side, table_name, user_id, value, props,
+           valid_from_seq, valid_to_seq,
+           valid_to_seq IS NULL AS is_current
+    FROM hist WHERE op <> 'd'
     """,
 )
 def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,20 +204,49 @@ def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed from the event's own ``gtid`` (the reference's tx ordering key,
     Vgtid.java:26-106) — no reliance on file ordering. (The per-table
     envelope variant is ``materialize.materialize_latest``; this entry pins
-    the one-scan multi-table path.)"""
-    from .materialize import materialize_latest_multi
+    the one-scan multi-table path.)
+
+    Round 6 adds ``side='history'``: the SCD2 derivation of the SAME
+    changelog (``materialize.materialize_history_multi``) — every version a
+    key ever held with its [valid_from_seq, valid_to_seq) validity interval,
+    NULL valid_to = current, deletes closing intervals without emitting rows.
+    One row, both downstream-consumption shapes (snapshot upsert + warehouse
+    history table); ``history WHERE is_current ≡ latest`` is asserted by
+    tests/test_materialize.py."""
+    from .materialize import materialize_history_multi, materialize_latest_multi
 
     raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
     schemas = [changelog.change_table_schema(t) for t in ("tbl0", "tbl1", "tbl2")]
-    snaps = materialize_latest_multi(raw, schemas)
-    parts = [
-        df.select(
+
+    def flatten(df: DataFrame, side: str, hist: bool) -> DataFrame:
+        interval = (
+            [
+                F.col("valid_from_seq"),
+                F.col("valid_to_seq"),
+                F.col("is_current"),
+            ]
+            if hist
+            else [
+                F.lit(None).cast("long").alias("valid_from_seq"),
+                F.lit(None).cast("long").alias("valid_to_seq"),
+                F.lit(None).cast("boolean").alias("is_current"),
+            ]
+        )
+        return df.select(
+            F.lit(side).alias("side"),
             "table_name",
             F.col("row.user_id").alias("user_id"),
             F.col("row.value").alias("value"),
             F.col("row.props").alias("props"),
+            *interval,
         )
-        for (_, t), df in sorted(snaps.items())
+
+    parts = [
+        flatten(df, "latest", hist=False)
+        for _, df in sorted(materialize_latest_multi(raw, schemas).items())
+    ] + [
+        flatten(df, "history", hist=True)
+        for _, df in sorted(materialize_history_multi(raw, schemas).items())
     ]
     out = parts[0]
     for df in parts[1:]:
@@ -2495,23 +2538,53 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "shard_layout",
     oracle="""
-    SELECT doc_id, source, lang, length(text) AS n_chars
-    FROM documents WHERE doc_id BETWEEN 120 AND 330
+    WITH docs AS (
+      SELECT doc_id, source, lang, length(text) AS n_chars FROM documents),
+    keyed AS (
+      SELECT doc_id, source, lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':17'), 1, 15))::BIGINT
+               AS skey
+      FROM docs),
+    shuf AS (
+      SELECT doc_id, source, lang, n_chars,
+             CAST(skey % 8 AS INT) AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY skey % 8 ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+      FROM keyed)
+    SELECT 'range' AS side, doc_id, source, lang, n_chars,
+           CAST(NULL AS INT) AS shard, CAST(NULL AS BIGINT) AS pos
+    FROM docs WHERE doc_id BETWEEN 120 AND 330
+    UNION ALL
+    SELECT 'shuffle' AS side, doc_id, source, lang, n_chars, shard, pos
+    FROM shuf
     """,
 )
 def shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-shard layout round trip: write the documents table as
-    range-clustered shards (rows_per_shard=100 ⇒ non-overlapping doc_id
-    ranges per file, parquet min/max footers prune file-level), then answer
-    a doc_id range query through the manifest-pruned reader — only shard
-    files overlapping [120, 330] are ever opened (file-count pruning is
-    pinned in tests/test_ops.py::test_read_shard_range_prunes_files). The
-    oracle is the plain range scan, so the writer/manifest/reader pipeline
-    must reproduce the source rows exactly — a shard that drops, duplicates,
-    or mis-ranges rows goes red."""
+    """Training-shard layout round trip, both layout directions in one row:
+
+    side='range' — write the documents table as range-clustered shards
+    (rows_per_shard=100 ⇒ non-overlapping doc_id ranges per file, parquet
+    min/max footers prune file-level), then answer a doc_id range query
+    through the manifest-pruned reader — only shard files overlapping
+    [120, 330] are ever opened (file-count pruning is pinned in
+    tests/test_ops.py::test_read_shard_range_prunes_files). The oracle is
+    the plain range scan, so the writer/manifest/reader pipeline must
+    reproduce the source rows exactly — a shard that drops, duplicates, or
+    mis-ranges rows goes red.
+
+    side='shuffle' (r6) — the seeded deterministic GLOBAL shuffle
+    (`ops.layout.shuffle_for_training`): every doc's epoch placement
+    (shard, pos) from the 60-bit md5 key of "{doc_id}:{seed}". The oracle
+    recomputes the exact permutation in DuckDB, proving the shuffle is an
+    engine-independent pure function of (ids, seed) — the property that
+    makes a 100 TB training epoch reproducible and auditable."""
     import tempfile
 
-    from .ops.layout import read_shard_range, write_training_shards
+    from .ops.layout import (
+        read_shard_range,
+        shuffle_for_training,
+        write_training_shards,
+    )
 
     docs = _documents(spark, sf_dir).select(
         "doc_id", "source", "lang", F.length("text").alias("n_chars")
@@ -2520,9 +2593,29 @@ def shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = write_training_shards(
         docs, path, sort_col="doc_id", rows_per_shard=100
     )
-    return read_shard_range(
+    ranged = read_shard_range(
         spark, path, sort_col="doc_id", lo=120, hi=330, manifest=manifest
+    ).select(
+        F.lit("range").alias("side"),
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.lit(None).cast("int").alias("shard"),
+        F.lit(None).cast("long").alias("pos"),
     )
+    shuffled = shuffle_for_training(
+        docs, id_col="doc_id", seed=17, num_shards=8
+    ).select(
+        F.lit("shuffle").alias("side"),
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        "shard",
+        "pos",
+    )
+    return ranged.unionByName(shuffled)
 
 
 _CURATION_BANNER = "subscribe to our newsletter for daily updates and offers"

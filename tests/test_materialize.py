@@ -180,6 +180,94 @@ def test_materialize_latest_last_op_delete_removes_key(spark):
     assert [(r.user_id, r.value) for r in got] == [(2, 21.0)]
 
 
+def test_materialize_history_matches_sequential_replay(spark):
+    """Randomized (seeded) op stream: the windowed SCD2 derivation must equal
+    a literal per-key replay — every c/u image is a version whose interval
+    closes at the key's NEXT event seq (update OR delete), NULL valid_to
+    marks the single open version, deletes emit no row."""
+    import random
+
+    from debezium_connector_vitess_spark.materialize import materialize_history
+
+    rng = random.Random(7)
+    rows = []
+    per_key: dict[int, list[tuple[int, str, float]]] = {}
+    for seq in range(1, 401):
+        uid = rng.randrange(12)
+        op = rng.choice(["c", "u", "d"])
+        val = round(rng.uniform(0, 100), 3)
+        if op == "d":
+            before, after = (uid, val), (None, None)
+        else:
+            before, after = (None, None), (uid, val)
+        rows.append((op, f"MySQL56/h:1-{seq}", before, after, ("t",)))
+        per_key.setdefault(uid, []).append((seq, op, val))
+    env = spark.createDataFrame(
+        rows,
+        "op string, gtid string,"
+        " before struct<user_id:int, value:double>,"
+        " after struct<user_id:int, value:double>,"
+        " source struct<table:string>",
+    )
+    want = set()
+    for uid, evs in per_key.items():
+        for i, (seq, op, val) in enumerate(evs):
+            if op == "d":
+                continue
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            want.add((uid, val, seq, nxt, nxt is None))
+    got = {
+        (r.user_id, r.value, r.valid_from_seq, r.valid_to_seq, r.is_current)
+        for r in materialize_history(
+            env, key_cols=["user_id"], value_cols=["value"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_materialize_history_is_current_equals_latest(spark, sf_dir):
+    """The open versions of the SCD2 history ARE the latest-state snapshot:
+    history WHERE is_current ≡ materialize_latest, on both the per-table
+    envelope path and the one-scan multi path over the changelog fixture."""
+    from debezium_connector_vitess_spark.materialize import (
+        materialize_history,
+        materialize_history_multi,
+        materialize_latest_multi,
+    )
+
+    raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
+    schemas = [changelog.change_table_schema(t) for t in ("tbl0", "tbl1", "tbl2")]
+
+    # per-table envelope path
+    env = decode_table(raw, changelog.change_table_schema("tbl1"))
+    latest = {
+        (r.table_name, r.user_id, r.value)
+        for r in materialize_latest(
+            env, key_cols=["user_id"], value_cols=["value", "props"]
+        ).collect()
+    }
+    current = {
+        (r.table_name, r.user_id, r.value)
+        for r in materialize_history(
+            env, key_cols=["user_id"], value_cols=["value", "props"]
+        )
+        .filter("is_current")
+        .collect()
+    }
+    assert current == latest and latest
+
+    # one-scan multi path
+    latest_m = materialize_latest_multi(raw, schemas)
+    hist_m = materialize_history_multi(raw, schemas)
+    for tk in latest_m:
+        want = {(r.key, r.row.value) for r in latest_m[tk].collect()}
+        got = {
+            (r.key, r.row.value)
+            for r in hist_m[tk].filter("is_current").collect()
+        }
+        assert got == want
+
+
 def test_exact_dedup_stream_across_batches_and_restarts(spark, sf_dir, tmp_path):
     """Streaming exact dedup holds its seen-hash state across micro-batches
     AND checkpoint restarts: content is collapsed to a low-cardinality

@@ -1546,6 +1546,60 @@ def test_read_shard_range_prunes_files(spark, sf_dir, tmp_path):
     assert empty.count() == 0 and empty.schema == out.schema
 
 
+def test_shuffle_for_training_deterministic_and_seeded(spark, sf_dir):
+    """The seeded global shuffle is a pure function of (id set, seed): the
+    (shard, pos) assignment must be identical under adversarial input
+    partitioning, a different seed must produce a genuinely different
+    permutation, every (shard, pos) slot is unique/dense, and md5 uniformity
+    keeps shard sizes balanced."""
+    from debezium_connector_vitess_spark.ops.layout import shuffle_for_training
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def placement(df, seed):
+        return {
+            r.doc_id: (r.shard, r.pos)
+            for r in shuffle_for_training(
+                df, id_col="doc_id", seed=seed, num_shards=8
+            ).collect()
+        }
+
+    a = placement(docs, seed=17)
+    b = placement(docs.repartition(3), seed=17)  # different physical layout
+    c = placement(docs.coalesce(1).orderBy(F.desc("doc_id")), seed=17)
+    assert a == b == c
+
+    # each shard's positions are dense 0..len-1 and globally collision-free
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    assert sorted(by_shard) == list(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    n = len(a)
+    assert all(len(p) > 0.5 * n / 8 for p in by_shard.values())
+
+    # a new seed is a fresh permutation (some doc must move)
+    d = placement(docs, seed=18)
+    assert d != a
+
+
+def test_shuffle_for_training_shuffles_neighbors_apart(spark, sf_dir):
+    """Sanity that the 'shuffle' deserves the name: consecutive doc_ids must
+    not stay consecutive in the induced (shard, pos) order."""
+    from debezium_connector_vitess_spark.ops.layout import shuffle_for_training
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    rows = shuffle_for_training(
+        docs, id_col="doc_id", seed=17, num_shards=8
+    ).collect()
+    order = [r.doc_id for r in sorted(rows, key=lambda r: (r.shard, r.pos))]
+    adjacent_kept = sum(
+        1 for x, y in zip(order, order[1:]) if abs(x - y) == 1
+    )
+    assert adjacent_kept < len(order) * 0.05
+
+
 def test_lsh_cross_near_pairs_decontamination(spark, sf_dir):
     """Cross-corpus semantic matching: every high-cosine (eval, train) pair
     that shares >= 1 band must surface (recall vs brute force on candidates

@@ -141,11 +141,13 @@ def test_cdc_materialize_is_partial_agg_not_window(spark, sf_dir):
 
 
 def test_cdc_materialize_compacts_in_one_pass(spark, sf_dir):
-    """The multi-table materialization scans the changelog ONCE: the compacted
-    snapshot is checkpointed at construction, so every per-table consumer
-    plan reads the checkpointed blocks — zero parquet scans downstream.
-    (Without the materialization Catalyst pushes each branch's table filter
-    below the exchange and the scan runs once per table.)"""
+    """The multi-table materialization scans the changelog ONCE per
+    consumption shape: the compacted snapshot (and, r6, the windowed SCD2
+    history) is checkpointed at construction, so every per-table consumer
+    plan reads the checkpointed blocks — zero parquet scans and zero Window
+    nodes downstream. (Without the materialization Catalyst pushes each
+    branch's table filter below the exchange and the scan runs once per
+    table.)"""
     from debezium_connector_vitess_spark.cache import checkpoint_scope
 
     with checkpoint_scope(spark):
@@ -332,3 +334,43 @@ def test_dedup_spans_shuffles_carry_longs_only(spark, sf_dir):
             if name in ("__h",):
                 assert is_long == "L", f"gram hash not a long in exchange: {keys}"
             assert name != "__toks", f"token array leaked into exchange: {keys}"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed the same way on the join key must SortMergeJoin
+    with ZERO Exchange — the write-time layout (ops.layout.write_bucketed)
+    replaces the per-query shuffle. This is the hub-table contract for a
+    corpus joined repeatedly on doc_id at 100 TB: pay the layout once at
+    ingest, every consumer join is co-located."""
+    from debezium_connector_vitess_spark.ops.layout import write_bucketed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prev_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    try:
+        spark.sql("DROP TABLE IF EXISTS bkt_docs")
+        spark.sql("DROP TABLE IF EXISTS bkt_signals")
+        write_bucketed(
+            docs.select("doc_id", "text"), "bkt_docs",
+            bucket_col="doc_id", num_buckets=8,
+        )
+        write_bucketed(
+            docs.select("doc_id", "lang", "n_chars"), "bkt_signals",
+            bucket_col="doc_id", num_buckets=8,
+        )
+        # the merge hint (on a join INPUT) forbids broadcast so the test
+        # exercises the co-located SMJ path a 100 TB-sized side would take
+        joined = (
+            spark.table("bkt_docs")
+            .hint("merge")
+            .join(spark.table("bkt_signals"), "doc_id")
+            .where("n_chars >= 0")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+        n = joined.count()
+        assert n == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_docs")
+        spark.sql("DROP TABLE IF EXISTS bkt_signals")
+        _ = prev_wh  # warehouse dir untouched; tables dropped above
