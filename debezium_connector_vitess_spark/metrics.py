@@ -95,3 +95,126 @@ class CdcMetricsListener(StreamingQueryListener):
 
     def report(self) -> dict[str, dict]:
         return {name: m.snapshot() for name, m in self.metrics.items()}
+
+
+# ---------------------------------------------------------------------------
+# Windowed change-rate time series (E5 as a first-class TABLE, not a gauge)
+# ---------------------------------------------------------------------------
+#
+# The listener above mirrors the reference's JMX gauges (point-in-time rates,
+# metrics/VitessStreamingChangeEventSourceMetrics.java:21-30). Production
+# monitoring wants the HISTORY: events/sec per table+shard per interval, with
+# late-arriving events handled explicitly. The Spark-idiomatic form is a
+# tumbling/sliding event-time window aggregation; the streaming twin is the
+# same plan behind a watermark (append mode — a window row is emitted exactly
+# once, when the watermark passes its end, and events later than the
+# watermark are dropped, which is the documented late-data contract).
+#
+# Scale shape (100 TB): one shuffle on (window, *keys) with map-side partial
+# aggregation — the reduced frame is |windows| x |tables x shards| rows, not
+# |events|. Streaming state = open windows only; the watermark evicts every
+# window older than (max event time - delay), so state is bounded by
+# (delay / window) * |key space| regardless of stream length.
+
+_DURATION_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _duration_seconds(duration: str) -> float:
+    """'2 hours' -> 7200.0 (the subset of Spark's CalendarInterval syntax the
+    rate denominator needs)."""
+    n, _, unit = duration.strip().partition(" ")
+    try:
+        return float(n) * _DURATION_UNIT_SECONDS[unit.strip().lower()]
+    except (KeyError, ValueError) as exc:
+        raise ValueError(f"unsupported window duration {duration!r}") from exc
+
+
+def change_rates(
+    df,
+    *,
+    window_duration: str = "1 hour",
+    slide_duration: str | None = None,
+    keys: tuple = ("table_name", "shard"),
+    event_time: str = "ts",
+    op: str = "op",
+):
+    """Per-(window, *keys) change counts and rate over a decoded change frame.
+
+    Works identically on a bounded DataFrame and (behind
+    :func:`change_rates_stream`'s watermark) on a stream — the plan is the
+    same windowed aggregate either way.
+
+    Output: window_start_ms/window_end_ms (epoch millis), *keys, n_events,
+    n_creates/n_updates/n_deletes (op in {'c','u','d'}), events_per_hour
+    (exact: n / window-hours; window-hours is a small power-of-two-friendly
+    constant so the double is bit-stable across engines).
+    """
+    from pyspark.sql import functions as F
+
+    win = F.window(event_time, window_duration, slide_duration or window_duration)
+    hours = F.lit(_duration_seconds(window_duration) / 3600.0)
+    opc = F.col(op)
+    agg = df.groupBy(win.alias("win"), *[F.col(k) for k in keys]).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(opc == "c", 1).otherwise(0)).cast("long").alias("n_creates"),
+        F.sum(F.when(opc == "u", 1).otherwise(0)).cast("long").alias("n_updates"),
+        F.sum(F.when(opc == "d", 1).otherwise(0)).cast("long").alias("n_deletes"),
+    )
+    return agg.select(
+        F.unix_millis(F.col("win.start")).alias("window_start_ms"),
+        F.unix_millis(F.col("win.end")).alias("window_end_ms"),
+        *keys,
+        "n_events",
+        "n_creates",
+        "n_updates",
+        "n_deletes",
+        (F.col("n_events") / hours).alias("events_per_hour"),
+    )
+
+
+def change_rates_stream(
+    stream_df,
+    *,
+    watermark_delay: str = "2 hours",
+    exclude=None,
+    event_time: str = "ts",
+    **kwargs,
+):
+    """Streaming twin of :func:`change_rates`: watermarked event-time window
+    aggregation, run in APPEND mode so each window row is final (emitted once
+    the watermark passes window end; later-than-watermark events are dropped
+    — the explicit late-data policy).
+
+    ``exclude`` (optional Column predicate over the grouping keys) drops
+    clock-advancing sentinel/heartbeat rows — the reference's heartbeats
+    (S7) serve exactly this role of moving the position forward without
+    producing data. It is applied AFTER the aggregation, not before: a
+    pre-aggregation filter gets pushed by Catalyst below the
+    EventTimeWatermark node into the file scan, so the sentinel rows would
+    never reach the watermark operator and the event-time clock would never
+    advance (observed — the final windows then never flush). Post-agg, the
+    sentinel's own (tiny, per-window) groups are simply dropped from the
+    output; exclusion by key is exact.
+    """
+    from pyspark.sql import functions as F
+
+    wm = stream_df.withWatermark(event_time, watermark_delay)
+    rates = change_rates(wm, event_time=event_time, **kwargs)
+    if exclude is not None:
+        # The (n_events < 0) disjunct is never true (count(*) >= 1 in every
+        # group): it exists solely as a PUSHDOWN BARRIER. A key-only
+        # predicate is pushed by Catalyst through the Aggregate, then below
+        # the EventTimeWatermark node, all the way into the file scan —
+        # where it would remove the sentinel rows before they reach the
+        # watermark operator (observed: the clock froze at max-real-ts −
+        # delay and the final windows never flushed). Referencing an
+        # aggregate output keeps the filter above the Aggregate; it must not
+        # be a constant-foldable reference (isnull(count) folds to false —
+        # count is non-nullable — and the barrier silently vanishes).
+        rates = rates.filter((~exclude) | (F.col("n_events") < F.lit(0)))
+    return rates

@@ -476,24 +476,6 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 
 @register(
-    "filter_table_include",
-    oracle=f"""
-    SELECT {_ORACLE_TABLE} AS table_name, count(*) AS n
-    FROM events
-    WHERE regexp_matches('ks0.' || {_ORACLE_TABLE}, '^(?:ks0\\.tbl[02])$')
-    GROUP BY 1
-    """,
-)
-def filter_table_include(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F6: table.include.list regex against keyspace.table, pre-decode."""
-    from .filters import TableFilter
-
-    raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
-    tf = TableFilter(include_list=[r"ks0\.tbl[02]"])
-    return tf.apply(raw).groupBy("table_name").agg(F.count("*").alias("n"))
-
-
-@register(
     "filter_column_ops",
     oracle="""
     SELECT doc_id, substring(text, 1, 20) AS text, sha256(source) AS source, n_chars
@@ -598,20 +580,51 @@ def smt_filter_transaction_records(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "topic_routing",
     oracle=f"""
-    SELECT {_ORACLE_TABLE} AS table_name,
+    SELECT 'route' AS side, {_ORACLE_TABLE} AS table_name,
            CASE WHEN {_ORACLE_TABLE} = 'tbl2' THEN 'audit.custom'
                 ELSE 'cdc.' || {_ORACLE_TABLE} END AS topic,
            count(*) AS n
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'filter' AS side, {_ORACLE_TABLE} AS table_name,
+           CAST(NULL AS VARCHAR) AS topic, count(*) AS n
+    FROM events
+    WHERE regexp_matches('ks0.' || {_ORACLE_TABLE}, '^(?:ks0\\.tbl[02])$')
+    GROUP BY 2
     """,
 )
 def topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6: table→topic naming with prefix + per-table override."""
+    """Per-table event routing, both directions of "which events go where",
+    on one fixture (r6 merge — the F1 row moved here to free a slot):
+
+    side='route' — S6: table→topic naming with prefix + per-table override.
+    side='filter' — F1/F6: table.include.list regex against keyspace.table,
+    applied PRE-decode so excluded tables never reach the decode stage.
+    """
+    from .filters import TableFilter
     from .sinks import TopicNamingStrategy
 
     raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
     strat = TopicNamingStrategy(prefix="cdc", overrides={"tbl2": "audit.custom"})
-    return strat.attach(raw).groupBy("table_name", "topic").agg(F.count("*").alias("n"))
+    routed = (
+        strat.attach(raw)
+        .groupBy("table_name", "topic")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("route").alias("side"), "table_name", "topic", "n")
+    )
+    tf = TableFilter(include_list=[r"ks0\.tbl[02]"])
+    filtered = (
+        tf.apply(raw)
+        .groupBy("table_name")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("filter").alias("side"),
+            "table_name",
+            F.lit(None).cast("string").alias("topic"),
+            "n",
+        )
+    )
+    return routed.unionAll(filtered)
 
 
 @register(
@@ -657,6 +670,126 @@ def heartbeat_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard", F.expr("ts_ms div 3600000").alias("bucket"))
         .agg(F.max("ts_ms").alias("last_ts_ms"), F.max("seq").alias("last_seq"))
     )
+
+
+_RATE_AGG_SQL = """
+    count(*) AS n_events,
+    CAST(sum(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_creates,
+    CAST(sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+    CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes"""
+
+
+@register(
+    "change_rate_windows",
+    oracle=f"""
+    WITH evs AS (
+      SELECT ts, {_ORACLE_TABLE} AS table_name, {_ORACLE_SHARD} AS shard,
+             {_ORACLE_OP} AS op
+      FROM events),
+    tumb AS (
+      SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+             (epoch_ms(ts) // 3600000 + 1) * 3600000 AS window_end_ms,
+             table_name, shard, {_RATE_AGG_SQL},
+             CAST(count(*) AS DOUBLE) AS events_per_hour
+      FROM evs GROUP BY 1, 2, 3, 4),
+    slid AS (
+      SELECT (epoch_ms(ts) // 3600000 + d.off) * 3600000 AS window_start_ms,
+             (epoch_ms(ts) // 3600000 + d.off + 2) * 3600000 AS window_end_ms,
+             table_name, shard, {_RATE_AGG_SQL},
+             CAST(count(*) AS DOUBLE) / 2.0 AS events_per_hour
+      FROM evs CROSS JOIN (SELECT unnest([-1, 0]) AS off) d
+      GROUP BY 1, 2, 3, 4)
+    SELECT 'tumbling' AS side, * FROM tumb
+    UNION ALL SELECT 'sliding' AS side, * FROM slid
+    UNION ALL SELECT 'stream' AS side, * FROM tumb
+    """,
+)
+def change_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 as a first-class time series: per-(window, table, shard) change
+    counts/rates via event-time window aggregation — the Structured
+    Streaming windowed-agg + watermark pattern, all three shapes against one
+    oracle (reference metrics are point-in-time JMX gauges,
+    metrics/VitessStreamingChangeEventSourceMetrics.java:21-30; the history
+    table is what their consumers actually chart):
+
+    side='tumbling' — batch, 1h tumbling windows.
+    side='sliding'  — batch, 2h windows sliding by 1h (each event lands in
+    exactly two windows; rate normalized by window hours).
+    side='stream'   — :func:`~.metrics.change_rates_stream`: the SAME
+    tumbling aggregate behind ``withWatermark(ts, '2 hours')`` in APPEND
+    mode over a time-ordered file replay (``maxFilesPerTrigger=1``). Every
+    window row is emitted exactly once — after the watermark passes its end
+    — so the union of micro-batch outputs must equal the batch answer.
+    Final clock-advancing sentinel rows (the reference's heartbeat role,
+    S7) push the watermark past the last real window; they are excluded
+    after the aggregation (a pre-agg filter would be pushed below the
+    watermark node into the scan and the clock would never advance).
+    """
+    import tempfile as _tempfile
+
+    from .metrics import change_rates, change_rates_stream
+    from .sources.fixtures import cached_fixture_dir, write_rate_stream_fixture
+
+    evs = changelog.load_events(spark, sf_dir).select(
+        "ts",
+        F.concat(F.lit("tbl"), (F.col("user_id") % 3).cast("string")).alias("table_name"),
+        changelog.shard_col().alias("shard"),
+        changelog.op_col().alias("op"),
+    )
+    tumbling = change_rates(evs).withColumn("side", F.lit("tumbling"))
+    sliding = change_rates(evs, window_duration="2 hours", slide_duration="1 hour").withColumn(
+        "side", F.lit("sliding")
+    )
+
+    fixture = cached_fixture_dir("rate_stream", sf_dir, write_rate_stream_fixture)
+    ckpt = _tempfile.mkdtemp(prefix="rate_stream_ckpt_")
+    raw = (
+        spark.readStream.schema("ts_ms bigint, table_name string, shard string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fixture)
+        .select(F.timestamp_millis("ts_ms").alias("ts"), "table_name", "shard", "op")
+    )
+    rates = change_rates_stream(
+        raw, watermark_delay="2 hours", exclude=F.col("table_name") == "__advance__"
+    )
+    collected: list = []
+
+    def capture(df, _batch_id) -> None:
+        collected.extend(df.collect())  # closed windows only: |windows|·|keys|
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # state sized to volume
+    try:
+        q = (
+            rates.writeStream.foreachBatch(capture)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    stream = spark.createDataFrame(
+        collected,
+        "window_start_ms bigint, window_end_ms bigint, table_name string, shard string,"
+        " n_events bigint, n_creates bigint, n_updates bigint, n_deletes bigint,"
+        " events_per_hour double",
+    ).withColumn("side", F.lit("stream"))
+
+    cols = [
+        "side",
+        "window_start_ms",
+        "window_end_ms",
+        "table_name",
+        "shard",
+        "n_events",
+        "n_creates",
+        "n_updates",
+        "n_deletes",
+        "events_per_hour",
+    ]
+    return tumbling.select(cols).unionAll(sliding.select(cols)).unionAll(stream.select(cols))
 
 
 @register(

@@ -474,3 +474,75 @@ def write_dedup_stream_fixture(sf_dir: str, out_dir: str, *, copy_files: int = 2
         p = os.path.join(out_dir, name)
         os.utime(p, (base + 10 * j, base + 10 * j))
     return counts
+
+
+def write_rate_stream_fixture(
+    sf_dir: str, out_dir: str, *, n_files: int = 3, sentinel_hours: int = 8
+) -> dict[str, int]:
+    """Time-ordered micro-batch replay for the streaming leg of the
+    ``change_rate_windows`` registry row.
+
+    Files 0..n_files-1 split the events stream into contiguous event-time
+    ranges (oldest mtime first, so ``maxFilesPerTrigger=1`` replays them in
+    arrival == event-time order — the in-order CDC stream). The final files
+    hold clock-advancing sentinel rows stamped past ``max(ts) +
+    sentinel_hours`` on the reserved table name '__advance__': they play the
+    reference's heartbeat role (S7 — move the position forward without data)
+    and push the watermark past every real window's end so append mode
+    emits them all; the rows themselves are excluded after the watermark
+    node and never enter aggregate state.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    shard_sql = "(['-40','40-80','80-c0','c0-'])[CAST(user_id % 4 AS INT) + 1]"
+    op_sql = "CASE WHEN event_type='signup' THEN 'c' WHEN event_type='error' THEN 'd' ELSE 'u' END"
+    base_select = f"""
+      SELECT epoch_ms(ts) AS ts_ms, 'tbl' || CAST(user_id % 3 AS VARCHAR) AS table_name,
+             {shard_sql} AS shard, {op_sql} AS op,
+             ntile({n_files}) OVER (ORDER BY ts, event_id) AS part
+      FROM '{sf_dir}/events.parquet'
+    """
+    counts: dict[str, int] = {}
+    for i in range(n_files):
+        fi = os.path.join(out_dir, f"batch_{i:03d}.parquet")
+        con.execute(
+            f"""
+            COPY (
+              SELECT ts_ms, table_name, shard, op FROM ({base_select})
+              WHERE part = {i + 1} ORDER BY ts_ms
+            ) TO '{fi}' (FORMAT PARQUET)
+            """
+        )
+        counts[os.path.basename(fi)] = con.execute(
+            f"SELECT count(*) FROM '{fi}'"
+        ).fetchone()[0]
+    # TWO sentinel files: the watermark used by micro-batch N is computed
+    # from data through batch N-1, so a single clock-advance would close the
+    # final windows without any later batch left to EMIT them (availableNow
+    # runs no flush batch after the last file). Sentinel #1 advances the
+    # clock; sentinel #2's batch runs under that advanced watermark and
+    # flushes every real window.
+    for k in range(2):
+        fs = os.path.join(out_dir, f"batch_{n_files + k:03d}_sentinel.parquet")
+        con.execute(
+            f"""
+            COPY (
+              SELECT epoch_ms(max(ts)) + {sentinel_hours + k} * 3600000 AS ts_ms,
+                     '__advance__' AS table_name, '-' AS shard, 'u' AS op
+              FROM '{sf_dir}/events.parquet'
+            ) TO '{fs}' (FORMAT PARQUET)
+            """
+        )
+        counts[os.path.basename(fs)] = 1
+    con.close()
+    # stagger mtimes BACKWARD from now: a file stamped in the future is
+    # invisible to the stream's availableNow snapshot if the query starts
+    # within the stagger span (observed — the sentinel batches silently
+    # became empty no-data batches and the final windows never flushed)
+    base = os.path.getmtime(fs)
+    names = sorted(counts)
+    for j, name in enumerate(names):
+        p = os.path.join(out_dir, name)
+        t = base - 10 * (len(names) - 1 - j)
+        os.utime(p, (t, t))
+    return counts

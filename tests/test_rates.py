@@ -1,0 +1,173 @@
+"""Windowed change-rate time series (metrics.change_rates / _stream).
+
+The registry row ``change_rate_windows`` proves stream == batch == DuckDB on
+the full events fixture; these tests pin the two behaviors the oracle can't
+see: the late-data drop contract and the watermark pushdown barrier.
+"""
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_connector_vitess_spark.metrics import (
+    _duration_seconds,
+    change_rates,
+    change_rates_stream,
+)
+
+HOUR_MS = 3600 * 1000
+T0 = 1704067200000  # 2024-01-01T00:00:00Z
+
+
+def _write_file(spark, path: str, rows, mtime: float) -> None:
+    tmp = tempfile.mkdtemp(prefix="rates_part_")
+    (
+        spark.createDataFrame(rows, "ts_ms bigint, table_name string, shard string, op string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(tmp, part), path)
+    os.utime(path, (mtime, mtime))
+
+
+def _run_stream(spark, fixture_dir: str, **stream_kwargs):
+    raw = (
+        spark.readStream.schema("ts_ms bigint, table_name string, shard string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fixture_dir)
+        .select(F.timestamp_millis("ts_ms").alias("ts"), "table_name", "shard", "op")
+    )
+    rates = change_rates_stream(raw, **stream_kwargs)
+    collected: list = []
+
+    def capture(df, _bid) -> None:
+        collected.extend(df.collect())
+
+    q = (
+        rates.writeStream.foreachBatch(capture)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rates_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return collected
+
+
+def test_duration_seconds():
+    assert _duration_seconds("1 hour") == 3600.0
+    assert _duration_seconds("30 minutes") == 1800.0
+    with pytest.raises(ValueError):
+        _duration_seconds("1 fortnight")
+
+
+def test_stream_drops_late_events_and_emits_each_window_once(spark):
+    """The append-mode late-data contract: an event older than the watermark
+    never reaches an already-emitted window, and every window row is emitted
+    exactly once."""
+    fixture = tempfile.mkdtemp(prefix="rates_late_")
+    now = time.time()
+    # File 0: three events in [T0, T0+1h) plus one at T0+6h. After this batch
+    # the watermark becomes T0+6h - 2h = T0+4h, far past the first window.
+    _write_file(
+        spark,
+        os.path.join(fixture, "batch_000.parquet"),
+        [
+            (T0 + 5 * 60000, "tbl0", "-40", "c"),
+            (T0 + 10 * 60000, "tbl0", "-40", "u"),
+            (T0 + 20 * 60000, "tbl0", "-40", "d"),
+            (T0 + 6 * HOUR_MS, "tbl0", "-40", "u"),
+        ],
+        now - 50,
+    )
+    # File 1: clock advance. Its batch runs under watermark T0+4h, which
+    # closes and EMITS the first window (state evicted).
+    _write_file(
+        spark,
+        os.path.join(fixture, "batch_001.parquet"),
+        [(T0 + 20 * HOUR_MS, "__advance__", "-", "u")],
+        now - 40,
+    )
+    # File 2: a LATE event for the first window, arriving AFTER that window
+    # was emitted and evicted (watermark now T0+18h) — must be dropped.
+    # (An event up to `delay` late that arrives BEFORE its window closes is
+    # absorbed — that is what the 2h tolerance means; the drop contract is
+    # for rows arriving after eviction.)
+    _write_file(
+        spark,
+        os.path.join(fixture, "batch_002.parquet"),
+        [(T0 + 30 * 60000, "tbl0", "-40", "u")],
+        now - 30,
+    )
+    # File 3: final clock advance so everything still open flushes.
+    _write_file(
+        spark,
+        os.path.join(fixture, "batch_003.parquet"),
+        [(T0 + 21 * HOUR_MS, "__advance__", "-", "u")],
+        now - 20,
+    )
+    rows = _run_stream(
+        spark,
+        fixture,
+        watermark_delay="2 hours",
+        exclude=F.col("table_name") == "__advance__",
+    )
+    by_window = {r.window_start_ms: r for r in rows}
+    # exactly-once: no duplicate window rows across micro-batches
+    assert len(rows) == len(by_window) == 2
+    first = by_window[T0]
+    # 3 on-time events; the late 'u' at T0+30min was dropped by the watermark
+    assert (first.n_events, first.n_creates, first.n_updates, first.n_deletes) == (3, 1, 1, 1)
+    assert by_window[T0 + 6 * HOUR_MS].n_events == 1
+    # no sentinel rows leaked into the output
+    assert all(r.table_name == "tbl0" for r in rows)
+
+
+def test_exclude_filter_is_not_pushed_below_watermark(spark):
+    """The exclude predicate must stay ABOVE the aggregate: pushed into the
+    scan it would drop clock-advancing rows before the EventTimeWatermark
+    operator and the final windows would never flush (the n_events < 0
+    disjunct in change_rates_stream is the barrier; isnull(count) folds away
+    because count is non-nullable)."""
+    fixture = tempfile.mkdtemp(prefix="rates_plan_")
+    _write_file(
+        spark,
+        os.path.join(fixture, "batch_000.parquet"),
+        [(T0, "tbl0", "-40", "c")],
+        time.time() - 10,
+    )
+    raw = (
+        spark.readStream.schema("ts_ms bigint, table_name string, shard string, op string")
+        .parquet(fixture)
+        .select(F.timestamp_millis("ts_ms").alias("ts"), "table_name", "shard", "op")
+    )
+    rates = change_rates_stream(
+        raw, watermark_delay="2 hours", exclude=F.col("table_name") == "__advance__"
+    )
+    plan = rates._jdf.queryExecution().explainString(
+        rates.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    for line in plan.splitlines():
+        if "PushedFilters" in line:
+            assert "__advance__" not in line, f"exclude pushed into scan: {line}"
+    assert "__advance__" in plan  # the filter exists, above the aggregate
+
+
+def test_batch_sliding_windows_cover_each_event_twice(spark):
+    rows = [
+        (T0 + 5 * 60000, "tbl0", "-40", "c"),
+        (T0 + HOUR_MS + 5 * 60000, "tbl1", "40-80", "u"),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts_ms bigint, table_name string, shard string, op string"
+    ).select(F.timestamp_millis("ts_ms").alias("ts"), "table_name", "shard", "op")
+    out = change_rates(df, window_duration="2 hours", slide_duration="1 hour").collect()
+    # each event lands in exactly two 2h windows => 4 rows, rate = n/2
+    assert len(out) == 4
+    assert all(r.window_end_ms - r.window_start_ms == 2 * HOUR_MS for r in out)
+    assert all(r.events_per_hour == r.n_events / 2.0 for r in out)
