@@ -218,3 +218,69 @@ def change_rates_stream(
         # count is non-nullable — and the barrier silently vanishes).
         rates = rates.filter((~exclude) | (F.col("n_events") < F.lit(0)))
     return rates
+
+
+def sessionize(
+    df,
+    *,
+    gap: str = "30 minutes",
+    keys: tuple = ("user_id",),
+    event_time: str = "ts",
+):
+    """Gap-based sessionization: consecutive events of the same key belong to
+    one session while the inter-event gap stays under ``gap`` (the third
+    event-time window shape next to tumbling/sliding — ``F.session_window``,
+    JVM-side). Training-data use: grouping raw interaction/event logs into
+    dialogue or browsing sessions before packing.
+
+    Output per session: *keys, session_start_ms (first event),
+    session_end_ms (last event + gap — Spark's session_window convention),
+    n_events, duration_ms (last - first event, i.e. end - gap - start).
+
+    Scale shape: one shuffle on the keys with Spark's session merge; output
+    is |sessions| rows. The equivalent hand-rolled form is a lag-window +
+    running-sum island id (two shuffles); session_window does it in one.
+    """
+    from pyspark.sql import functions as F
+
+    gap_ms = int(_duration_seconds(gap) * 1000)
+    sw = F.session_window(event_time, gap)
+    return (
+        df.groupBy(sw.alias("session"), *[F.col(k) for k in keys])
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *keys,
+            F.unix_millis(F.col("session.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("session.end")).alias("session_end_ms"),
+            "n_events",
+            (
+                F.unix_millis(F.col("session.end"))
+                - F.lit(gap_ms)
+                - F.unix_millis(F.col("session.start"))
+            ).alias("duration_ms"),
+        )
+    )
+
+
+def sessionize_stream(
+    stream_df,
+    *,
+    watermark_delay: str = "2 hours",
+    exclude=None,
+    event_time: str = "ts",
+    **kwargs,
+):
+    """Streaming sessionization: the same session_window aggregate behind a
+    watermark in APPEND mode. A session row is emitted exactly once — when
+    the watermark passes (last event + gap), i.e. the session can no longer
+    be extended. ``exclude`` follows the :func:`change_rates_stream`
+    contract: post-agg with a pushdown barrier, so clock-advancing sentinel
+    rows reach the watermark operator.
+    """
+    from pyspark.sql import functions as F
+
+    wm = stream_df.withWatermark(event_time, watermark_delay)
+    sessions = sessionize(wm, event_time=event_time, **kwargs)
+    if exclude is not None:
+        sessions = sessions.filter((~exclude) | (F.col("n_events") < F.lit(0)))
+    return sessions

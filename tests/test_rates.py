@@ -171,3 +171,130 @@ def test_batch_sliding_windows_cover_each_event_twice(spark):
     assert len(out) == 4
     assert all(r.window_end_ms - r.window_start_ms == 2 * HOUR_MS for r in out)
     assert all(r.events_per_hour == r.n_events / 2.0 for r in out)
+
+
+def test_sessionize_matches_duckdb_gaps_and_islands(spark, sf_dir):
+    """session_window == the classic lag/running-sum islands derivation.
+    Boundary convention: Spark merges [ts, ts+gap) windows on OVERLAP, so an
+    event exactly `gap` after its predecessor starts a NEW session — the
+    oracle's new-session predicate is >= gap, not > gap."""
+    import duckdb
+
+    from debezium_connector_vitess_spark.changelog import load_events
+    from debezium_connector_vitess_spark.metrics import sessionize
+
+    evs = load_events(spark, sf_dir).select("user_id", "ts")
+    got = (
+        sessionize(evs, gap="30 minutes", keys=("user_id",))
+        .toPandas()
+        .sort_values(["user_id", "session_start_ms"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            f"""
+            WITH ordered AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                          OVER (PARTITION BY user_id ORDER BY ts) >= 1800000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM '{sf_dir}/events.parquet'),
+            islands AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS sid
+              FROM ordered)
+            SELECT user_id,
+                   epoch_ms(min(ts)) AS session_start_ms,
+                   epoch_ms(max(ts)) + 1800000 AS session_end_ms,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+            FROM islands GROUP BY user_id, sid
+            ORDER BY user_id, session_start_ms
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False
+    )
+
+
+def test_sessionize_stream_extends_sessions_across_micro_batches(spark):
+    """An event arriving in a LATER micro-batch, within gap of an open
+    session, must extend it (session merge in the state store) — and the
+    merged session is emitted exactly once, equal to the batch answer."""
+    from debezium_connector_vitess_spark.metrics import sessionize, sessionize_stream
+
+    fixture = tempfile.mkdtemp(prefix="sess_stream_")
+    now = time.time()
+    real = [
+        (T0, 1, "u"),
+        (T0 + 10 * 60000, 1, "u"),
+        (T0 + 5 * 60000, 2, "c"),
+    ]
+    late_extension = [(T0 + 25 * 60000, 1, "u")]  # 15 min after user 1's last
+    _write_file(
+        spark,
+        os.path.join(fixture, "batch_000.parquet"),
+        [(ts, f"u{uid}", str(uid), op) for ts, uid, op in real],
+        now - 50,
+    )
+    _write_file(
+        spark,
+        os.path.join(fixture, "batch_001.parquet"),
+        [(ts, f"u{uid}", str(uid), op) for ts, uid, op in late_extension],
+        now - 40,
+    )
+    _write_file(
+        spark,
+        os.path.join(fixture, "batch_002.parquet"),
+        [(T0 + 20 * HOUR_MS, "__advance__", "-", "u")],
+        now - 30,
+    )
+    _write_file(
+        spark,
+        os.path.join(fixture, "batch_003.parquet"),
+        [(T0 + 21 * HOUR_MS, "__advance__", "-", "u")],
+        now - 20,
+    )
+    raw = (
+        spark.readStream.schema("ts_ms bigint, table_name string, shard string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(fixture)
+        .select(F.timestamp_millis("ts_ms").alias("ts"), "table_name", "shard", "op")
+    )
+    sessions = sessionize_stream(
+        raw,
+        gap="30 minutes",
+        keys=("table_name",),
+        watermark_delay="2 hours",
+        exclude=F.col("table_name") == "__advance__",
+    )
+    collected: list = []
+
+    def capture(df, _bid) -> None:
+        collected.extend(df.collect())
+
+    q = (
+        sessions.writeStream.foreachBatch(capture)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.table_name, r.session_start_ms, r.n_events) for r in collected)
+    batch_df = spark.createDataFrame(
+        [(ts, f"u{uid}", str(uid), op) for ts, uid, op in real + late_extension],
+        "ts_ms bigint, table_name string, shard string, op string",
+    ).select(F.timestamp_millis("ts_ms").alias("ts"), "table_name", "shard", "op")
+    want = sorted(
+        (r.table_name, r.session_start_ms, r.n_events)
+        for r in sessionize(batch_df, gap="30 minutes", keys=("table_name",)).collect()
+    )
+    assert got == want
+    assert got == [("u1", T0, 3), ("u2", T0 + 5 * 60000, 1)]
