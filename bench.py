@@ -47,6 +47,7 @@ HEADLINE = [
     "curation_pipeline",
     "corpus_health",  # r6: corpus_profile + zlib compressibility, one scan
     "dedup_spans",  # r6: ExactSubstr duplicate-span detector
+    "change_rate_windows",  # r6: tumbling/sliding/watermarked-stream rates
 ]
 
 # Stable cross-round comparison set: queries whose COMPOSITION is unchanged

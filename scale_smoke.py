@@ -144,10 +144,61 @@ def main() -> None:
     # the work ratio (10 near-identical copies → ~45 pairs per original doc)
     PAIR_OPS = {"minhash_lsh", "simhash", "winnow", "duplicated_spans"}
 
+    # Event-time windowing ops run on the events table: 10 id-shifted copies
+    # (ts unchanged — the window count stays fixed while per-window density
+    # grows 10x, exactly the partial-aggregation stress the rate op claims
+    # to absorb; user_id shift gives sessionize 10x distinct keys).
+    from debezium_connector_vitess_spark.changelog import (
+        load_events,
+        op_col,
+        shard_col,
+    )
+    from debezium_connector_vitess_spark.metrics import change_rates, sessionize
+
+    def event_frame(df):
+        return df.select(
+            "ts",
+            "user_id",
+            F.concat(F.lit("tbl"), (F.col("user_id") % 3).cast("string")).alias(
+                "table_name"
+            ),
+            shard_col().alias("shard"),
+            op_col().alias("op"),
+        )
+
+    evs_base = load_events(spark, SF_DIR).select("event_id", "ts", "user_id", "event_type")
+    evs_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"scale_smoke_events_{COPIES}x"
+    )
+    if not os.path.isdir(evs_dir):
+        copies = spark.range(COPIES).select(F.col("id").alias("copy"))
+        (
+            evs_base.crossJoin(copies)
+            .select(
+                "ts",
+                "event_type",
+                (F.col("user_id") + F.col("copy") * 1_000_000).alias("user_id"),
+            )
+            .repartition(CPUS)
+            .write.mode("overwrite")
+            .parquet(evs_dir)
+        )
+    evs1 = event_frame(evs_base)
+    evs10 = event_frame(spark.read.parquet(evs_dir))
+    evs1.count(), evs10.count()  # warm both scans
+
+    EVENT_OPS = {
+        "change_rates": lambda e: change_rates(e),
+        "sessionize": lambda e: sessionize(e, keys=("user_id",)),
+    }
+
     results: dict[str, dict] = {}
-    for name, fn in OPS.items():
+    all_ops = [(name, fn, docs1, docs10) for name, fn in OPS.items()] + [
+        (name, fn, evs1, evs10) for name, fn in EVENT_OPS.items()
+    ]
+    for name, fn, frame1, frame10 in all_ops:
         rec: dict[str, float] = {}
-        for label, frame in (("1x", docs1), ("10x", docs10)):
+        for label, frame in (("1x", frame1), ("10x", frame10)):
             # adaptive attempts (same rule as bench.py): the host's stall
             # windows can last minutes and inflate EVERY attempt of a fixed
             # best-of-3 — keep attempting until the two best post-warmup runs
