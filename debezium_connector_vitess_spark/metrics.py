@@ -284,3 +284,76 @@ def sessionize_stream(
     if exclude is not None:
         sessions = sessions.filter((~exclude) | (F.col("n_events") < F.lit(0)))
     return sessions
+
+
+def funnel_pairs(
+    left,
+    right,
+    *,
+    key: str = "user_id",
+    within: str = "1 hour",
+    left_time: str = "ts",
+    right_time: str = "ts",
+):
+    """Interval join: for each left event, the right events of the same key
+    within ``(left_ts, left_ts + within]`` — the funnel/causality primitive
+    (signup → first error, order → shipment, prompt → response pairing for
+    dialogue data assembly).
+
+    Works on bounded frames AND as a stream-stream join via
+    :func:`funnel_pairs_stream` — the join condition is identical; streaming
+    adds watermarks so both sides' state is evictable.
+
+    Output: key, left_ts_ms, right_ts_ms, lag_ms (right - left, in (0, within]).
+
+    Scale shape: one shuffle per side on the key (co-partitioned equi-join);
+    the time-range predicate is applied inside the join, so per-key fan-out
+    is bounded by event density × window — not a cartesian.
+    """
+    from pyspark.sql import functions as F
+
+    within_ms = int(_duration_seconds(within) * 1000)
+    # rename per side BEFORE joining: gives each side distinct attributes, so
+    # self-joins (left and right derived from the same frame) stay
+    # unambiguous, batch and streaming alike
+    l = left.select(F.col(key).alias("__fk"), F.col(left_time).alias("__lts"))
+    r = right.select(F.col(key).alias("__frk"), F.col(right_time).alias("__rts"))
+    lt = F.unix_millis(F.col("__lts"))
+    rt = F.unix_millis(F.col("__rts"))
+    joined = l.join(
+        r,
+        on=[
+            F.col("__fk") == F.col("__frk"),
+            rt > lt,
+            rt <= lt + F.lit(within_ms),
+        ],
+        how="inner",
+    )
+    return joined.select(
+        F.col("__fk").alias(key),
+        lt.alias("left_ts_ms"),
+        rt.alias("right_ts_ms"),
+        (rt - lt).alias("lag_ms"),
+    )
+
+
+def funnel_pairs_stream(
+    stream_left,
+    stream_right,
+    *,
+    watermark_delay: str = "2 hours",
+    within: str = "1 hour",
+    left_time: str = "ts",
+    right_time: str = "ts",
+    **kwargs,
+):
+    """Streaming twin of :func:`funnel_pairs`: a stream-stream INNER interval
+    join. Matches emit as soon as both sides arrive (inner joins need no
+    watermark to EMIT); the watermarks bound the join STATE — each side can
+    discard events once the other side's clock has passed their latest
+    possible match (left keeps ``within + delay``, right keeps ``delay``).
+    Without them the join state grows with the stream.
+    """
+    wl = stream_left.withWatermark(left_time, watermark_delay)
+    wr = stream_right.withWatermark(right_time, watermark_delay)
+    return funnel_pairs(wl, wr, within=within, left_time=left_time, right_time=right_time, **kwargs)
