@@ -727,15 +727,20 @@ def change_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile as _tempfile
 
+    from .cache import eager_localcheckpoint
     from .metrics import change_rates, change_rates_stream
     from .sources.fixtures import cached_fixture_dir, write_rate_stream_fixture
 
+    # tumbling and sliding aggregate the same 4-column frame: materialize it
+    # once so the source is scanned once, not twice (blocks reclaimed by the
+    # caller's cache.checkpoint_scope)
     evs = changelog.load_events(spark, sf_dir).select(
         "ts",
         F.concat(F.lit("tbl"), (F.col("user_id") % 3).cast("string")).alias("table_name"),
         changelog.shard_col().alias("shard"),
         changelog.op_col().alias("op"),
     )
+    evs, _release = eager_localcheckpoint(evs)
     tumbling = change_rates(evs).withColumn("side", F.lit("tumbling"))
     sliding = change_rates(evs, window_duration="2 hours", slide_duration="1 hour").withColumn(
         "side", F.lit("sliding")

@@ -374,3 +374,15 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_docs")
         spark.sql("DROP TABLE IF EXISTS bkt_signals")
         _ = prev_wh  # warehouse dir untouched; tables dropped above
+
+
+def test_change_rate_windows_materializes_events_once(spark, sf_dir):
+    """Tumbling and sliding aggregate the same frame: the events scan is
+    localCheckpoint-materialized once, so the final union plan reads the
+    in-memory blocks — zero parquet scans (the materialize-once rule for
+    multi-consumer registry rows)."""
+    from debezium_connector_vitess_spark.cache import checkpoint_scope
+
+    with checkpoint_scope(spark):
+        plan = _formatted(QUERIES["change_rate_windows"](spark, sf_dir))
+    assert "Scan parquet" not in plan
