@@ -407,3 +407,48 @@ def test_funnel_pairs_stream_joins_across_micro_batches(spark):
     )
     assert got == want
     assert [g[3] for g in got] == [10 * 60000, 30 * 60000, 5 * 60000]
+
+
+def test_change_rates_conservation_and_tumbling_identity(spark, sf_dir):
+    """Invariants on the real corpus: (1) window counts conserve the event
+    total (tumbling partitions the stream); (2) op counts sum to n_events;
+    (3) a slide equal to the duration IS the tumbling window."""
+    from debezium_connector_vitess_spark.changelog import load_events, op_col, shard_col
+    from debezium_connector_vitess_spark.metrics import change_rates
+
+    evs = load_events(spark, sf_dir).select(
+        "ts",
+        F.concat(F.lit("tbl"), (F.col("user_id") % 3).cast("string")).alias("table_name"),
+        shard_col().alias("shard"),
+        op_col().alias("op"),
+    )
+    total = evs.count()
+    tumb = change_rates(evs).cache()
+    agg = tumb.agg(
+        F.sum("n_events").alias("n"),
+        F.sum(F.col("n_creates") + F.col("n_updates") + F.col("n_deletes")).alias("ops"),
+    ).first()
+    assert agg.n == total and agg.ops == total
+    ident = change_rates(evs, window_duration="1 hour", slide_duration="1 hour")
+    assert sorted(map(tuple, tumb.collect())) == sorted(map(tuple, ident.collect()))
+    tumb.unpersist()
+
+
+def test_sessionize_sessions_are_disjoint_and_conserve_events(spark, sf_dir):
+    """Per key: sessions cover every event exactly once, consecutive sessions
+    are separated by at least `gap`, and duration_ms == (last - first)."""
+    from debezium_connector_vitess_spark.changelog import load_events
+    from debezium_connector_vitess_spark.metrics import sessionize
+
+    evs = load_events(spark, sf_dir).select("user_id", "ts")
+    total = evs.count()
+    gap_ms = 1800000
+    sess = sessionize(evs, gap="30 minutes", keys=("user_id",)).toPandas()
+    assert int(sess.n_events.sum()) == total
+    assert (sess.duration_ms == sess.session_end_ms - gap_ms - sess.session_start_ms).all()
+    for _, g in sess.groupby("user_id"):
+        g = g.sort_values("session_start_ms")
+        starts = g.session_start_ms.to_numpy()
+        last_events = (g.session_end_ms - gap_ms).to_numpy()
+        # next session starts >= gap after the previous session's last event
+        assert (starts[1:] - last_events[:-1] >= gap_ms).all()
