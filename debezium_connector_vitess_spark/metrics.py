@@ -294,17 +294,21 @@ def funnel_pairs(
     within: str = "1 hour",
     left_time: str = "ts",
     right_time: str = "ts",
+    how: str = "inner",
 ):
     """Interval join: for each left event, the right events of the same key
     within ``(left_ts, left_ts + within]`` — the funnel/causality primitive
     (signup → first error, order → shipment, prompt → response pairing for
-    dialogue data assembly).
+    dialogue data assembly). ``how='left_outer'`` keeps unmatched left
+    events with null right columns — the conversion-rate shape (matched /
+    total lefts).
 
     Works on bounded frames AND as a stream-stream join via
     :func:`funnel_pairs_stream` — the join condition is identical; streaming
     adds watermarks so both sides' state is evictable.
 
-    Output: key, left_ts_ms, right_ts_ms, lag_ms (right - left, in (0, within]).
+    Output: key, left_ts_ms, right_ts_ms, lag_ms (right - left, in (0, within]);
+    right_ts_ms/lag_ms null for unmatched lefts under left_outer.
 
     Scale shape: one shuffle per side on the key (co-partitioned equi-join);
     the time-range predicate is applied inside the join, so per-key fan-out
@@ -312,7 +316,7 @@ def funnel_pairs(
     """
     from pyspark.sql import functions as F
 
-    within_ms = int(_duration_seconds(within) * 1000)
+    within_s = int(_duration_seconds(within))
     # rename per side BEFORE joining: gives each side distinct attributes, so
     # self-joins (left and right derived from the same frame) stay
     # unambiguous, batch and streaming alike
@@ -320,14 +324,18 @@ def funnel_pairs(
     r = right.select(F.col(key).alias("__frk"), F.col(right_time).alias("__rts"))
     lt = F.unix_millis(F.col("__lts"))
     rt = F.unix_millis(F.col("__rts"))
+    # the range condition must compare the RAW watermarked timestamp columns
+    # (timestamp arithmetic, not unix_millis-wrapped) — Spark's streaming
+    # analyzer only recognizes an event-time range condition in that form,
+    # and outer stream-stream joins are rejected without one
     joined = l.join(
         r,
         on=[
             F.col("__fk") == F.col("__frk"),
-            rt > lt,
-            rt <= lt + F.lit(within_ms),
+            F.col("__rts") > F.col("__lts"),
+            F.col("__rts") <= F.col("__lts") + F.expr(f"INTERVAL {within_s} SECONDS"),
         ],
-        how="inner",
+        how=how,
     )
     return joined.select(
         F.col("__fk").alias(key),
@@ -347,12 +355,18 @@ def funnel_pairs_stream(
     right_time: str = "ts",
     **kwargs,
 ):
-    """Streaming twin of :func:`funnel_pairs`: a stream-stream INNER interval
-    join. Matches emit as soon as both sides arrive (inner joins need no
-    watermark to EMIT); the watermarks bound the join STATE — each side can
+    """Streaming twin of :func:`funnel_pairs`: a stream-stream interval
+    join. Inner matches emit as soon as both sides arrive (no watermark
+    needed to EMIT); the watermarks bound the join STATE — each side can
     discard events once the other side's clock has passed their latest
     possible match (left keeps ``within + delay``, right keeps ``delay``).
     Without them the join state grows with the stream.
+
+    ``how='left_outer'``: an unmatched left emits (with null right columns)
+    only when the watermark passes ``left_ts + within`` — the earliest
+    moment "no match" is PROVABLE rather than merely not-yet-observed. Both
+    the watermark and the time-range join condition are mandatory for outer
+    emission (Spark refuses the query otherwise).
     """
     wl = stream_left.withWatermark(left_time, watermark_delay)
     wr = stream_right.withWatermark(right_time, watermark_delay)

@@ -452,3 +452,87 @@ def test_sessionize_sessions_are_disjoint_and_conserve_events(spark, sf_dir):
         last_events = (g.session_end_ms - gap_ms).to_numpy()
         # next session starts >= gap after the previous session's last event
         assert (starts[1:] - last_events[:-1] >= gap_ms).all()
+
+
+def test_funnel_left_outer_emits_unmatched_after_watermark(spark):
+    """left_outer stream-stream interval join: the unmatched left emits with
+    null right columns only once the watermark passes left_ts + within (no
+    match is then PROVABLE); matched lefts behave as inner. Result equals
+    the batch left join."""
+    from debezium_connector_vitess_spark.metrics import funnel_pairs, funnel_pairs_stream
+
+    now = time.time()
+    ldir = tempfile.mkdtemp(prefix="funnel_lo_l_")
+    rdir = tempfile.mkdtemp(prefix="funnel_lo_r_")
+    lrows = [(T0, "s", "1", "c"), (T0, "s", "2", "c")]  # user 2 never converts
+    rrows = [(T0 + 10 * 60000, "e", "1", "d")]
+    _write_file(spark, os.path.join(ldir, "l0.parquet"), lrows, now - 50)
+    _write_file(spark, os.path.join(rdir, "r0.parquet"), rrows, now - 50)
+    # clock advances on BOTH sides (join watermark = min over inputs), twice
+    # so the bump from the first advance flushes in the second's batch
+    for i, ts in enumerate((T0 + 20 * HOUR_MS, T0 + 21 * HOUR_MS)):
+        _write_file(spark, os.path.join(ldir, f"l{i+1}.parquet"), [(ts, "s", "9", "c")], now - 40 + 10 * i)
+        _write_file(spark, os.path.join(rdir, f"r{i+1}.parquet"), [(ts, "e", "9", "d")], now - 40 + 10 * i)
+
+    schema = "ts_ms bigint, table_name string, shard string, op string"
+
+    def stream(d):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .select(
+                F.timestamp_millis("ts_ms").alias("ts"),
+                F.col("shard").cast("long").alias("user_id"),
+            )
+        )
+
+    pairs = funnel_pairs_stream(
+        stream(ldir),
+        stream(rdir),
+        key="user_id",
+        within="1 hour",
+        watermark_delay="2 hours",
+        how="left_outer",
+    )
+    collected: list = []
+
+    def capture(df, _bid) -> None:
+        collected.extend(df.collect())
+
+    q = (
+        pairs.writeStream.foreachBatch(capture)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="funnel_lo_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # user 9 is the clock driver: its own final left can never flush (no
+    # later event advances the watermark past it) — compare the real users
+    got = sorted(
+        (r.user_id, r.left_ts_ms, r.right_ts_ms, r.lag_ms)
+        for r in collected
+        if r.user_id != 9
+    )
+
+    def batch_frame(rows):
+        return spark.createDataFrame(rows, schema).select(
+            F.timestamp_millis("ts_ms").alias("ts"),
+            F.col("shard").cast("long").alias("user_id"),
+        )
+
+    want = sorted(
+        (r.user_id, r.left_ts_ms, r.right_ts_ms, r.lag_ms)
+        for r in funnel_pairs(
+            batch_frame(lrows),
+            batch_frame(rrows),
+            key="user_id",
+            within="1 hour",
+            how="left_outer",
+        ).collect()
+    )
+    assert got == want
+    # the never-converting user 2 is present, with nulls
+    unmatched = [g for g in got if g[0] == 2]
+    assert unmatched == [(2, T0, None, None)]
