@@ -48,6 +48,7 @@ HEADLINE = [
     "corpus_health",  # r6: corpus_profile + zlib compressibility, one scan
     "dedup_spans",  # r6: ExactSubstr duplicate-span detector
     "change_rate_windows",  # r6: tumbling/sliding/watermarked-stream rates
+    "event_time_analytics",  # r6: sessionization + left-outer funnel join
 ]
 
 # Stable cross-round comparison set: queries whose COMPOSITION is unchanged
@@ -80,6 +81,9 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: \r-progress text would glue itself onto the
+        # final JSON line (no trailing newline) and break line-based parsers
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .getOrCreate()
     )
@@ -191,6 +195,7 @@ def main() -> None:
     ) as f:
         json.dump(details, f, indent=1, sort_keys=True)
     spark.stop()
+    print()  # force the JSON onto its own line even after a partial write
     print(
         json.dumps(
             {

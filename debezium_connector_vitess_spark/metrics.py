@@ -134,6 +134,29 @@ def _duration_seconds(duration: str) -> float:
         raise ValueError(f"unsupported window duration {duration!r}") from exc
 
 
+def ensure_utc_event_time(df, event_time: str = "ts"):
+    """Normalize a TIMESTAMP_NTZ event-time column to TIMESTAMP (LTZ),
+    interpreting the NTZ wall clock as UTC — Spark 4 infers NTZ from parquet
+    written without isAdjustedToUTC, and ``unix_millis``/watermarks want LTZ.
+    Pure NTZ arithmetic pins the UTC interpretation regardless of the
+    caller's spark.sql.session.timeZone (an implicit NTZ→TIMESTAMP cast
+    would go through the session zone instead). No-op on LTZ columns, so
+    every event-time operator below accepts either type."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get(event_time) != "timestamp_ntz":
+        return df
+    return df.withColumn(
+        event_time,
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+                f"`{event_time}`)"
+            )
+        ),
+    )
+
+
 def change_rates(
     df,
     *,
@@ -156,6 +179,7 @@ def change_rates(
     """
     from pyspark.sql import functions as F
 
+    df = ensure_utc_event_time(df, event_time)
     win = F.window(event_time, window_duration, slide_duration or window_duration)
     hours = F.lit(_duration_seconds(window_duration) / 3600.0)
     opc = F.col(op)
@@ -203,7 +227,11 @@ def change_rates_stream(
     """
     from pyspark.sql import functions as F
 
-    wm = stream_df.withWatermark(event_time, watermark_delay)
+    # normalize BEFORE the watermark: rewriting the column afterwards would
+    # drop the event-time designation and append mode would be rejected
+    wm = ensure_utc_event_time(stream_df, event_time).withWatermark(
+        event_time, watermark_delay
+    )
     rates = change_rates(wm, event_time=event_time, **kwargs)
     if exclude is not None:
         # The (n_events < 0) disjunct is never true (count(*) >= 1 in every
@@ -243,6 +271,7 @@ def sessionize(
     """
     from pyspark.sql import functions as F
 
+    df = ensure_utc_event_time(df, event_time)
     gap_ms = int(_duration_seconds(gap) * 1000)
     sw = F.session_window(event_time, gap)
     return (
@@ -279,7 +308,9 @@ def sessionize_stream(
     """
     from pyspark.sql import functions as F
 
-    wm = stream_df.withWatermark(event_time, watermark_delay)
+    wm = ensure_utc_event_time(stream_df, event_time).withWatermark(
+        event_time, watermark_delay
+    )
     sessions = sessionize(wm, event_time=event_time, **kwargs)
     if exclude is not None:
         sessions = sessions.filter((~exclude) | (F.col("n_events") < F.lit(0)))
@@ -316,6 +347,8 @@ def funnel_pairs(
     """
     from pyspark.sql import functions as F
 
+    left = ensure_utc_event_time(left, left_time)
+    right = ensure_utc_event_time(right, right_time)
     within_s = int(_duration_seconds(within))
     # rename per side BEFORE joining: gives each side distinct attributes, so
     # self-joins (left and right derived from the same frame) stay
@@ -368,6 +401,10 @@ def funnel_pairs_stream(
     the watermark and the time-range join condition are mandatory for outer
     emission (Spark refuses the query otherwise).
     """
-    wl = stream_left.withWatermark(left_time, watermark_delay)
-    wr = stream_right.withWatermark(right_time, watermark_delay)
+    wl = ensure_utc_event_time(stream_left, left_time).withWatermark(
+        left_time, watermark_delay
+    )
+    wr = ensure_utc_event_time(stream_right, right_time).withWatermark(
+        right_time, watermark_delay
+    )
     return funnel_pairs(wl, wr, within=within, left_time=left_time, right_time=right_time, **kwargs)

@@ -503,20 +503,39 @@ def filter_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def smt_field_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1+M2: RemoveField (source.snapshot) + ReplaceFieldValue (source.vgtid='')."""
-    from .transforms import remove_field, replace_field_value
+    """M1+M2+M4 as one SMT chain (r6 merge — FilterTransactionTopicRecords
+    moved here to free a slot): ReplaceFieldValue (source.vgtid='') →
+    RemoveField (source.snapshot) → FilterTransactionTopicRecords over a
+    mixed stream with real BEGIN/END transaction-topic records injected. The
+    oracle counts only the data records, so ANY tx record leaking through
+    the M4 filter diverges the row count — the filter is exercised, not
+    decorative."""
+    from .transforms import (
+        filter_transaction_topic_records,
+        remove_field,
+        replace_field_value,
+    )
 
     raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
     env = decode_table(raw, changelog.change_table_schema("tbl0"))
     env = replace_field_value(env, "source.vgtid", "")
     env = remove_field(env, "source.snapshot", "tx_id")
     assert "snapshot" not in env.select("source.*").columns
-    return env.select(
+    data = env.select(
         "op",
         F.col("source.shard").alias("shard"),
         F.col("source.vgtid").alias("vgtid"),
         "ts_ms",
+        F.lit("data").alias("record_kind"),
     )
+    tx = transaction_boundaries(raw.filter(F.col("table_name") == "tbl0")).select(
+        F.lit(None).cast("string").alias("op"),
+        F.lit(None).cast("string").alias("shard"),
+        F.lit(None).cast("string").alias("vgtid"),
+        F.lit(None).cast("long").alias("ts_ms"),
+        F.lit("transaction").alias("record_kind"),
+    )
+    return filter_transaction_topic_records(data.unionAll(tx)).drop("record_kind")
 
 
 @register(
@@ -554,27 +573,89 @@ def smt_use_local_vgtid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "smt_filter_transaction_records",
-    oracle=f"""
-    SELECT 'data' AS record_kind, count(*) AS n FROM events WHERE user_id % 3 = 2
+    "event_time_analytics",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts) >= 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    islands AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered),
+    sess AS (
+      SELECT user_id,
+             epoch_ms(min(ts)) AS t1_ms,
+             epoch_ms(max(ts)) + 1800000 AS t2_ms,
+             CAST(count(*) AS BIGINT) AS n_events,
+             epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms
+      FROM islands GROUP BY user_id, sid),
+    funnel AS (
+      SELECT s.user_id,
+             epoch_ms(s.ts) AS t1_ms,
+             epoch_ms(e.ts) AS t2_ms,
+             CAST(NULL AS BIGINT) AS n_events,
+             epoch_ms(e.ts) - epoch_ms(s.ts) AS span_ms
+      FROM (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+      LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+        ON s.user_id = e.user_id
+       AND epoch_ms(e.ts) > epoch_ms(s.ts)
+       AND epoch_ms(e.ts) <= epoch_ms(s.ts) + 3600000)
+    SELECT 'session' AS side, * FROM sess
+    UNION ALL SELECT 'funnel' AS side, * FROM funnel
     """,
 )
-def smt_filter_transaction_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4: FilterTransactionTopicRecords — drop BEGIN/END tx-topic records from
-    a mixed stream."""
-    from .transforms import filter_transaction_topic_records
+def event_time_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two non-fixed-window event-time shapes, one row (slot freed by
+    folding the M4 filter into ``smt_field_transforms``):
 
-    raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
-    env = decode_table(raw, changelog.change_table_schema("tbl2"))
-    data = env.select(F.lit("data").alias("record_kind"))
-    tx = (
-        transaction_boundaries(raw.filter(F.col("table_name") == "tbl2"))
-        .select(F.lit("transaction").alias("record_kind"))
+    side='session' — :func:`~.metrics.sessionize`: gap-based sessions per
+    user (``F.session_window``, 30-minute gap; t1/t2 = session start / last
+    event + gap, span = last - first event). Oracle = the classic
+    lag/running-sum gaps-and-islands derivation.
+
+    side='funnel' — :func:`~.metrics.funnel_pairs` with ``how='left_outer'``:
+    signup → error events of the same user within (t, t+1h]; unmatched
+    signups kept with null t2/span — the conversion-rate shape. Oracle = the
+    equivalent LEFT interval join.
+
+    Every column is integral (epoch millis / counts): no cross-engine
+    float-rounding convention needed. Streaming twins of both shapes are
+    exercised in tests/test_rates.py (cross-micro-batch session merge;
+    watermark-proven no-match emission).
+    """
+    from .cache import eager_localcheckpoint
+    from .metrics import funnel_pairs, sessionize
+
+    evs = changelog.load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    evs, _release = eager_localcheckpoint(evs)  # one scan feeds all three legs
+
+    sess = sessionize(evs, gap="30 minutes", keys=("user_id",)).select(
+        F.lit("session").alias("side"),
+        "user_id",
+        F.col("session_start_ms").alias("t1_ms"),
+        F.col("session_end_ms").alias("t2_ms"),
+        "n_events",
+        F.col("duration_ms").alias("span_ms"),
     )
-    mixed = data.unionAll(tx)
-    return filter_transaction_topic_records(mixed).groupBy("record_kind").agg(
-        F.count("*").alias("n")
+    fun = funnel_pairs(
+        evs.filter(F.col("event_type") == "signup").select("user_id", "ts"),
+        evs.filter(F.col("event_type") == "error").select("user_id", "ts"),
+        key="user_id",
+        within="1 hour",
+        how="left_outer",
+    ).select(
+        F.lit("funnel").alias("side"),
+        "user_id",
+        F.col("left_ts_ms").alias("t1_ms"),
+        F.col("right_ts_ms").alias("t2_ms"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.col("lag_ms").alias("span_ms"),
     )
+    return sess.unionAll(fun)
 
 
 @register(

@@ -536,3 +536,50 @@ def test_funnel_left_outer_emits_unmatched_after_watermark(spark):
     # the never-converting user 2 is present, with nulls
     unmatched = [g for g in got if g[0] == 2]
     assert unmatched == [(2, T0, None, None)]
+
+
+def test_event_time_ops_accept_timestamp_ntz_input(spark, sf_dir):
+    """Library-boundary robustness: a raw Spark 4 parquet read of the events
+    table yields a TIMESTAMP_NTZ ts (no isAdjustedToUTC in the footer), and
+    unix_millis/session_window/watermarks want LTZ. Every event-time operator
+    normalizes via ensure_utc_event_time (NTZ wall clock pinned as UTC — the
+    same convention changelog.load_events documents), so results on the raw
+    NTZ frame must equal results on the load_events-normalized frame."""
+    from debezium_connector_vitess_spark.metrics import funnel_pairs, sessionize
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "ts", "event_type"
+    )
+    assert dict(raw.dtypes)["ts"] == "timestamp_ntz"  # the hazard is live
+
+    from debezium_connector_vitess_spark.changelog import load_events
+
+    norm = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    assert dict(norm.dtypes)["ts"] == "timestamp"
+
+    for frame in (raw, norm):
+        assert dict(sessionize(frame).dtypes)["session_start_ms"] == "bigint"
+    got = sorted(sessionize(raw).collect())
+    want = sorted(sessionize(norm).collect())
+    assert got == want
+
+    def pairs(frame):
+        return sorted(
+            funnel_pairs(
+                frame.filter("event_type='signup'").select("user_id", "ts"),
+                frame.filter("event_type='error'").select("user_id", "ts"),
+                key="user_id",
+                within="1 hour",
+                how="left_outer",
+            ).collect()
+        )
+
+    assert pairs(raw) == pairs(norm)
+
+    got_r = sorted(change_rates(raw.withColumn("table_name", F.lit("t"))
+                                .withColumn("shard", F.lit("-"))
+                                .withColumn("op", F.lit("c"))).collect())
+    want_r = sorted(change_rates(norm.withColumn("table_name", F.lit("t"))
+                                 .withColumn("shard", F.lit("-"))
+                                 .withColumn("op", F.lit("c"))).collect())
+    assert got_r == want_r
