@@ -153,7 +153,11 @@ def main() -> None:
         op_col,
         shard_col,
     )
-    from debezium_connector_vitess_spark.metrics import change_rates, sessionize
+    from debezium_connector_vitess_spark.metrics import (
+        change_rates,
+        funnel_pairs,
+        sessionize,
+    )
 
     def event_frame(df):
         return df.select(
@@ -192,10 +196,29 @@ def main() -> None:
         "sessionize": lambda e: sessionize(e, keys=("user_id",)),
     }
 
+    # funnel interval join runs on the raw frames (needs event_type): the
+    # id-shift gives 10x distinct keys at constant per-key density, so the
+    # keyed-shuffle join's work — and its pair output — scales linearly,
+    # never quadratically (the per-key time-range fan-out is fixed)
+    def funnel_op(e):
+        return funnel_pairs(
+            e.filter(F.col("event_type") == "signup").select("user_id", "ts"),
+            e.filter(F.col("event_type") == "error").select("user_id", "ts"),
+            key="user_id",
+            within="1 hour",
+            how="left_outer",
+        )
+
+    evs1_raw = evs_base.select("user_id", "ts", "event_type")
+    evs10_raw = spark.read.parquet(evs_dir).select("user_id", "ts", "event_type")
+    PAIR_OPS.add("funnel_pairs")
+
     results: dict[str, dict] = {}
-    all_ops = [(name, fn, docs1, docs10) for name, fn in OPS.items()] + [
-        (name, fn, evs1, evs10) for name, fn in EVENT_OPS.items()
-    ]
+    all_ops = (
+        [(name, fn, docs1, docs10) for name, fn in OPS.items()]
+        + [(name, fn, evs1, evs10) for name, fn in EVENT_OPS.items()]
+        + [("funnel_pairs", funnel_op, evs1_raw, evs10_raw)]
+    )
     for name, fn, frame1, frame10 in all_ops:
         rec: dict[str, float] = {}
         for label, frame in (("1x", frame1), ("10x", frame10)):
