@@ -2336,3 +2336,104 @@ def test_curation_gram_signals_equals_separate_ops(spark, sf_dir):
         assert r.q_grams == qual[doc_id].n_grams
         assert math.isclose(r.quality_prob, qual[doc_id].quality_prob, rel_tol=1e-9)
         assert math.isclose(r.log_weight, imp[doc_id].log_weight, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# JSON column typed access (ops/jsoncol.py)
+# ---------------------------------------------------------------------------
+
+
+def test_json_fields_match_duckdb_extraction(spark, sf_dir):
+    """Typed extraction from the events `props` JSON string column equals
+    DuckDB's JSON operators on the same aggregation (per-k event count and
+    value sum) — the downstream parse of the reference's io.debezium.data.Json
+    string convention (VitessValueConverter.java:84), as one codegen'd
+    from_json pass."""
+    import os
+
+    import duckdb
+
+    from debezium_connector_vitess_spark.ops.jsoncol import with_json_fields
+
+    evs = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    got = sorted(
+        with_json_fields(evs, "props", "k BIGINT")
+        .groupBy(F.col("props_parsed.k").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            SELECT CAST(props->>'k' AS BIGINT) AS k,
+                   count(*) AS n,
+                   round(sum(value), 2) AS value_sum
+            FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}')
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert [tuple(r) for r in got] == want
+
+
+def test_json_schema_inference_is_bounded_and_correct(spark, sf_dir):
+    """infer_json_schema discovers the props schema from a bounded sample and
+    with_json_fields(schema=None) routes through it."""
+    import os
+
+    from debezium_connector_vitess_spark.ops.jsoncol import (
+        infer_json_schema,
+        with_json_fields,
+    )
+
+    evs = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from pyspark.sql.types import LongType
+
+    schema = infer_json_schema(evs, "props", sample_rows=64)
+    assert [f.name for f in schema.fields] == ["k"]
+    assert isinstance(schema["k"].dataType, LongType)
+    inferred = with_json_fields(evs, "props", sample_rows=64)
+    assert dict(inferred.select("props_parsed.k").dtypes)["k"] == "bigint"
+
+
+def test_json_fields_error_modes(spark):
+    """E4 contract parity: permissive nulls the struct, skip drops the bad
+    row, fail raises on first malformed document."""
+    import pytest
+
+    from debezium_connector_vitess_spark.ops.jsoncol import with_json_fields
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "{not json"), (3, None)], "id INT, props STRING"
+    )
+    perm = with_json_fields(df, "props", "k BIGINT").orderBy("id").collect()
+    assert [r.props_parsed and r.props_parsed.k for r in perm] == [5, None, None]
+    skip = with_json_fields(df, "props", "k BIGINT", mode="skip").orderBy("id").collect()
+    assert [r.id for r in skip] == [1, 3]  # null source survives; malformed drops
+    with pytest.raises(Exception):
+        with_json_fields(df, "props", "k BIGINT", mode="fail").collect()
+    with pytest.raises(ValueError):
+        with_json_fields(df, "props", "k BIGINT", mode="lenient")
+
+
+def test_json_extraction_is_jvm_only_map_pass(spark, sf_dir):
+    """The parse is whole-stage-codegen'd Jackson — no Python eval nodes, no
+    exchange (map-only)."""
+    import os
+
+    from debezium_connector_vitess_spark.ops.jsoncol import with_json_fields
+
+    evs = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    plan = (
+        with_json_fields(evs, "props", "k BIGINT")
+        .select("event_id", "props_parsed.k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
