@@ -2437,3 +2437,42 @@ def test_json_extraction_is_jvm_only_map_pass(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_json_fields_stream_stateless(spark, sf_dir, tmp_path):
+    """with_json_fields is a stateless projection: the identical call works
+    on a readStream frame (no watermark, no state store) and yields the same
+    per-k counts as batch."""
+    import os
+
+    from debezium_connector_vitess_spark.ops.jsoncol import with_json_fields
+
+    import shutil
+
+    src_file = os.path.join(sf_dir, "events.parquet")
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(src_file, src / "part-0.parquet")  # file source wants a dir
+    batch_df = spark.read.parquet(src_file)
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(src))
+    parsed = with_json_fields(stream, "props", "k BIGINT", mode="skip").select(
+        "event_id", F.col("props_parsed.k").alias("k")
+    )
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("json_stream_t")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = dict(
+        spark.sql("SELECT k, count(*) n FROM json_stream_t GROUP BY k").collect()
+    )
+    want = dict(
+        with_json_fields(batch_df, "props", "k BIGINT", mode="skip")
+        .groupBy(F.col("props_parsed.k").alias("k"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == want
