@@ -165,6 +165,7 @@ def change_rates(
     keys: tuple = ("table_name", "shard"),
     event_time: str = "ts",
     op: str = "op",
+    value_col: str | None = None,
 ):
     """Per-(window, *keys) change counts and rate over a decoded change frame.
 
@@ -176,6 +177,14 @@ def change_rates(
     n_creates/n_updates/n_deletes (op in {'c','u','d'}), events_per_hour
     (exact: n / window-hours; window-hours is a small power-of-two-friendly
     constant so the double is bit-stable across engines).
+
+    ``value_col`` (optional) adds magnitude columns for a numeric payload —
+    value_sum/value_avg/value_min/value_max per window — the other half of
+    a monitoring history (how MUCH, not just how often). All four are
+    map-side-combining aggregates, so the exchange still carries one reduced
+    row per (window, *keys); percentiles are deliberately NOT offered here
+    (exact ones don't partial-aggregate — at scale, run
+    ``percentile_approx`` over this function's input in a separate pass).
     """
     from pyspark.sql import functions as F
 
@@ -183,12 +192,23 @@ def change_rates(
     win = F.window(event_time, window_duration, slide_duration or window_duration)
     hours = F.lit(_duration_seconds(window_duration) / 3600.0)
     opc = F.col(op)
-    agg = df.groupBy(win.alias("win"), *[F.col(k) for k in keys]).agg(
+    aggs = [
         F.count("*").alias("n_events"),
         F.sum(F.when(opc == "c", 1).otherwise(0)).cast("long").alias("n_creates"),
         F.sum(F.when(opc == "u", 1).otherwise(0)).cast("long").alias("n_updates"),
         F.sum(F.when(opc == "d", 1).otherwise(0)).cast("long").alias("n_deletes"),
-    )
+    ]
+    value_cols = []
+    if value_col is not None:
+        v = F.col(value_col)
+        aggs += [
+            F.sum(v).alias("value_sum"),
+            F.avg(v).alias("value_avg"),
+            F.min(v).alias("value_min"),
+            F.max(v).alias("value_max"),
+        ]
+        value_cols = ["value_sum", "value_avg", "value_min", "value_max"]
+    agg = df.groupBy(win.alias("win"), *[F.col(k) for k in keys]).agg(*aggs)
     return agg.select(
         F.unix_millis(F.col("win.start")).alias("window_start_ms"),
         F.unix_millis(F.col("win.end")).alias("window_end_ms"),
@@ -198,6 +218,7 @@ def change_rates(
         "n_updates",
         "n_deletes",
         (F.col("n_events") / hours).alias("events_per_hour"),
+        *value_cols,
     )
 
 

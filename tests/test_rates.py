@@ -583,3 +583,122 @@ def test_event_time_ops_accept_timestamp_ntz_input(spark, sf_dir):
                                  .withColumn("shard", F.lit("-"))
                                  .withColumn("op", F.lit("c"))).collect())
     assert got_r == want_r
+
+
+def test_change_rates_value_columns_match_duckdb(spark, sf_dir):
+    """value_col adds per-window sum/avg/min/max magnitude columns (all
+    map-side-combining — the exchange stays one reduced row per group);
+    parity against DuckDB on the events value payload. Averages are rounded
+    (cross-engine float sums); min/max/count are exact."""
+    import os
+
+    import duckdb
+
+    from debezium_connector_vitess_spark.changelog import load_events
+    from debezium_connector_vitess_spark.metrics import change_rates
+
+    evs = (
+        load_events(spark, sf_dir)
+        .select(
+            "ts",
+            F.concat(F.lit("t"), (F.col("user_id") % 2).cast("string")).alias(
+                "table_name"
+            ),
+            F.lit("-").alias("shard"),
+            F.lit("c").alias("op"),
+            "value",
+        )
+    )
+    got = sorted(
+        change_rates(evs, value_col="value")
+        .select(
+            "window_start_ms",
+            "table_name",
+            "n_events",
+            F.round("value_sum", 4).alias("value_sum"),
+            F.round("value_avg", 4).alias("value_avg"),
+            "value_min",
+            "value_max",
+        )
+        .collect()
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    want = sorted(
+        duckdb.sql(
+            f"""
+            SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+                   't' || CAST(user_id % 2 AS VARCHAR) AS table_name,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS value_sum,
+                   round(avg(value), 4) AS value_avg,
+                   min(value) AS value_min,
+                   max(value) AS value_max
+            FROM read_parquet('{src}')
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert [tuple(r) for r in got] == want
+
+
+def test_change_rates_stream_carries_value_columns(spark, tmp_path):
+    """The streaming twin inherits value_col through kwargs: per-window
+    magnitudes emitted exactly once, equal to the batch answer on the same
+    (pre-sentinel) data."""
+    import os
+    import time as _time
+
+    from debezium_connector_vitess_spark.metrics import change_rates, change_rates_stream
+
+    fixture = str(tmp_path / "vfix")
+    os.makedirs(fixture)
+    rows1 = [(T0 + i * 60000, "t0", "-", "c", float(i)) for i in range(10)]
+    # TWO sentinel files: the first advances the watermark, the batch
+    # triggered by the second flushes the closed windows (a watermark update
+    # only takes effect at the NEXT micro-batch)
+    rows2 = [(T0 + 10 * HOUR_MS, "__advance__", "-", "c", 0.0)]
+    rows3 = [(T0 + 11 * HOUR_MS, "__advance__", "-", "c", 0.0)]
+    raw_schema = "ts_ms LONG, table_name STRING, shard STRING, op STRING, value DOUBLE"
+    now = _time.time()
+    for i, rows in enumerate((rows1, rows2, rows3)):
+        # single .parquet FILE per logical batch (rename the part file out),
+        # backdated mtime — the _write_file idiom: a directory write confuses
+        # the file source's per-file ordering and availableNow snapshot
+        tmp = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, raw_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        path = os.path.join(fixture, f"f{i}.parquet")
+        os.rename(os.path.join(tmp, part), path)
+        os.utime(path, (now - 100 + i, now - 100 + i))
+
+    def to_events(df):
+        return df.select(
+            F.timestamp_millis("ts_ms").alias("ts"), "table_name", "shard", "op", "value"
+        )
+
+    stream = to_events(
+        spark.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(fixture)
+    )
+    rates = change_rates_stream(
+        stream,
+        watermark_delay="1 hour",
+        exclude=F.col("table_name") == "__advance__",
+        value_col="value",
+    )
+    collected = []
+    q = (
+        rates.writeStream.foreachBatch(lambda df, _b: collected.extend(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = to_events(
+        spark.createDataFrame(rows1, raw_schema)
+    )
+    want = sorted(
+        tuple(r) for r in change_rates(batch, value_col="value").collect()
+    )
+    assert sorted(tuple(r) for r in collected) == want
