@@ -2411,12 +2411,12 @@ def test_json_fields_error_modes(spark):
     )
     perm = with_json_fields(df, "props", "k BIGINT").orderBy("id").collect()
     assert [r.props_parsed and r.props_parsed.k for r in perm] == [5, None, None]
-    skip = with_json_fields(df, "props", "k BIGINT", mode="skip").orderBy("id").collect()
+    skip = with_json_fields(df, "props", "k BIGINT", errors="skip").orderBy("id").collect()
     assert [r.id for r in skip] == [1, 3]  # null source survives; malformed drops
     with pytest.raises(Exception):
-        with_json_fields(df, "props", "k BIGINT", mode="fail").collect()
+        with_json_fields(df, "props", "k BIGINT", errors="fail").collect()
     with pytest.raises(ValueError):
-        with_json_fields(df, "props", "k BIGINT", mode="lenient")
+        with_json_fields(df, "props", "k BIGINT", errors="lenient")
 
 
 def test_json_extraction_is_jvm_only_map_pass(spark, sf_dir):
@@ -2455,7 +2455,7 @@ def test_json_fields_stream_stateless(spark, sf_dir, tmp_path):
     shutil.copy(src_file, src / "part-0.parquet")  # file source wants a dir
     batch_df = spark.read.parquet(src_file)
     stream = spark.readStream.schema(batch_df.schema).parquet(str(src))
-    parsed = with_json_fields(stream, "props", "k BIGINT", mode="skip").select(
+    parsed = with_json_fields(stream, "props", "k BIGINT", errors="skip").select(
         "event_id", F.col("props_parsed.k").alias("k")
     )
     q = (
@@ -2470,9 +2470,54 @@ def test_json_fields_stream_stateless(spark, sf_dir, tmp_path):
         spark.sql("SELECT k, count(*) n FROM json_stream_t GROUP BY k").collect()
     )
     want = dict(
-        with_json_fields(batch_df, "props", "k BIGINT", mode="skip")
+        with_json_fields(batch_df, "props", "k BIGINT", errors="skip")
         .groupBy(F.col("props_parsed.k").alias("k"))
         .agg(F.count("*").alias("n"))
         .collect()
     )
     assert got == want
+
+
+def test_json_fields_review_hardening(spark):
+    """Regression pins for the jsoncol review findings: dotted field names
+    survive skip mode (getField, not dotted col paths); schema inference
+    strips Spark's corrupt-record field when the sample holds a malformed
+    doc; the skip marker never collides with a real field."""
+    from debezium_connector_vitess_spark.ops.jsoncol import (
+        infer_json_schema,
+        with_json_fields,
+    )
+
+    # dotted field name through skip mode
+    df = spark.createDataFrame(
+        [(1, '{"a.b": 5}'), (2, "{not json")], "id INT, props STRING"
+    )
+    got = (
+        with_json_fields(df, "props", "`a.b` BIGINT", errors="skip")
+        .orderBy("id")
+        .collect()
+    )
+    assert [r.id for r in got] == [1]
+    assert got[0].props_parsed["a.b"] == 5
+
+    # corrupt-record field stripped from inference
+    bad = spark.createDataFrame(
+        [('{"k": 1}',), ("{not json",)], "props STRING"
+    )
+    schema = infer_json_schema(bad, "props")
+    assert [f.name for f in schema.fields] == ["k"]
+
+    # marker collision: a real _corrupt_json field keeps its data and the
+    # malformed row is still detected
+    df2 = spark.createDataFrame(
+        [(1, '{"_corrupt_json": "x", "k": 2}'), (2, "{not json")],
+        "id INT, props STRING",
+    )
+    got2 = (
+        with_json_fields(df2, "props", "_corrupt_json STRING, k BIGINT", errors="skip")
+        .orderBy("id")
+        .collect()
+    )
+    assert [r.id for r in got2] == [1]
+    assert got2[0].props_parsed["_corrupt_json"] == "x"
+    assert got2[0].props_parsed["k"] == 2
