@@ -702,3 +702,49 @@ def test_change_rates_stream_carries_value_columns(spark, tmp_path):
         tuple(r) for r in change_rates(batch, value_col="value").collect()
     )
     assert sorted(tuple(r) for r in collected) == want
+
+
+def test_json_extraction_composes_with_windowed_value_stats(spark, sf_dir):
+    """End-to-end typed event analytics: parse the props JSON column, window
+    the numeric payload by the EXTRACTED key — with_json_fields feeding
+    change_rates(keys=extracted, value_col=...), all one Catalyst plan, one
+    scan, one shuffle; parity against DuckDB doing both steps in SQL."""
+    import os
+
+    import duckdb
+
+    from debezium_connector_vitess_spark.metrics import change_rates
+    from debezium_connector_vitess_spark.ops.jsoncol import with_json_fields
+
+    src = os.path.join(sf_dir, "events.parquet")
+    evs = with_json_fields(
+        spark.read.parquet(src), "props", "k BIGINT"
+    ).select(
+        "ts",
+        (F.col("props_parsed.k") % 10).cast("string").alias("kbucket"),
+        F.lit("c").alias("op"),
+        "value",
+    )
+    got = sorted(
+        change_rates(evs, keys=("kbucket",), value_col="value")
+        .select(
+            "window_start_ms",
+            "kbucket",
+            "n_events",
+            F.round("value_sum", 4).alias("value_sum"),
+        )
+        .collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+                   CAST(CAST(props->>'k' AS BIGINT) % 10 AS VARCHAR) AS kbucket,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS value_sum
+            FROM read_parquet('{src}')
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert [tuple(r) for r in got] == want
