@@ -13,6 +13,7 @@ CDC-specific "last VGTID" gauge read from the source offset.
 from __future__ import annotations
 
 import json
+import math
 import time
 from dataclasses import dataclass, field
 
@@ -30,19 +31,20 @@ class StreamingMetrics:
     number_of_committed_transactions: int = 0
     last_event_rate: float = 0.0
     milli_seconds_since_last_event: float | None = None
-    last_offset: dict | None = None
+    last_offset: dict | list | None = None
     connected: bool = False
-    start_ts: float = field(default_factory=time.time)
+    # monotonic clock: interval gauges must survive NTP steps / clock changes
+    start_ts: float = field(default_factory=time.monotonic)
     _last_event_ts: float | None = None
 
     @property
     def uptime_ms(self) -> float:
-        return (time.time() - self.start_ts) * 1000.0
+        return (time.monotonic() - self.start_ts) * 1000.0
 
     def snapshot(self) -> dict:
         if self._last_event_ts is not None:
             self.milli_seconds_since_last_event = (
-                time.time() - self._last_event_ts
+                time.monotonic() - self._last_event_ts
             ) * 1000.0
         return {
             "TotalNumberOfEventsSeen": self.total_number_of_events_seen,
@@ -61,37 +63,56 @@ class CdcMetricsListener(StreamingQueryListener):
 
     def __init__(self) -> None:
         self.metrics: dict[str, StreamingMetrics] = {}
+        # query id -> metrics key: scopes termination to the right query and
+        # keeps concurrently-running unnamed queries from merging counters
+        self._key_by_id: dict[str, str] = {}
 
-    def _get(self, name: str) -> StreamingMetrics:
-        return self.metrics.setdefault(name or "<unnamed>", StreamingMetrics())
+    def _get(self, query_id, name: str | None) -> StreamingMetrics:
+        qid = str(query_id)
+        key = self._key_by_id.setdefault(qid, name or f"<unnamed:{qid[:8]}>")
+        return self.metrics.setdefault(key, StreamingMetrics())
 
     def onQueryStarted(self, event) -> None:
-        m = self._get(event.name)
+        m = self._get(event.id, event.name)
         m.connected = True
-        m.start_ts = time.time()
+        m.start_ts = time.monotonic()
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
-        m = self._get(p.name)
+        m = self._get(p.id, p.name)
         rows = int(p.numInputRows or 0)
         m.total_number_of_events_seen += rows
-        m.number_of_committed_transactions += 1  # one committed micro-batch
-        m.last_event_rate = float(p.processedRowsPerSecond or 0.0)
         if rows:
-            m._last_event_ts = time.time()
-        try:
-            src = p.sources[0]
+            # zero-row batches (watermark-flush ticks) are not commits — the
+            # reference gauge counts real source transactions
+            m.number_of_committed_transactions += 1
+            m._last_event_ts = time.monotonic()
+        rate = p.processedRowsPerSecond
+        # NaN/Infinity (zero-duration batches) would poison json.dumps output
+        m.last_event_rate = (
+            float(rate) if rate is not None and math.isfinite(rate) else 0.0
+        )
+        offsets: list = []
+        for src in p.sources or []:
             end = src.endOffset
-            m.last_offset = json.loads(end) if isinstance(end, str) else end
-        except (IndexError, ValueError, TypeError):
-            pass
+            try:
+                offsets.append(json.loads(end) if isinstance(end, str) else end)
+            except (ValueError, TypeError):
+                offsets.append(end)
+        if offsets:
+            # one source -> the offset dict (the common CDC shape); joins of
+            # several streams -> the per-source list, nothing silently dropped
+            m.last_offset = offsets[0] if len(offsets) == 1 else offsets
 
     def onQueryIdle(self, event) -> None:  # pragma: no cover - timing dependent
         pass
 
     def onQueryTerminated(self, event) -> None:
-        for m in self.metrics.values():
-            m.connected = False
+        # QueryTerminatedEvent carries only ids — resolve through the id map
+        # so ONLY the terminated query disconnects, not every tracked one
+        key = self._key_by_id.get(str(event.id))
+        if key is not None and key in self.metrics:
+            self.metrics[key].connected = False
 
     def report(self) -> dict[str, dict]:
         return {name: m.snapshot() for name, m in self.metrics.items()}
@@ -222,6 +243,31 @@ def change_rates(
     )
 
 
+def _apply_post_agg_exclude(df, exclude):
+    """Drop excluded groups AFTER a streaming aggregation, with the pushdown
+    barrier both streaming entry points depend on.
+
+    The ``(n_events < 0)`` disjunct is never true (count(*) >= 1 in every
+    group): it exists solely as a PUSHDOWN BARRIER. A key-only predicate is
+    pushed by Catalyst through the Aggregate, then below the
+    EventTimeWatermark node, all the way into the file scan — where it would
+    remove the sentinel rows before they reach the watermark operator
+    (observed: the clock froze at max-real-ts − delay and the final windows
+    never flushed). Referencing an aggregate output keeps the filter above
+    the Aggregate; it must not be a constant-foldable reference
+    (isnull(count) folds to false — count is non-nullable — and the barrier
+    silently vanishes).
+
+    ``exclude`` is coalesced to false first: on a NULL grouping key the raw
+    three-valued logic makes ``(~NULL) | false`` NULL and Filter would drop
+    a legitimate group — NULL keys must mean "not excluded", not "gone".
+    """
+    from pyspark.sql import functions as F
+
+    not_excluded = ~F.coalesce(exclude, F.lit(False))
+    return df.filter(not_excluded | (F.col("n_events") < F.lit(0)))
+
+
 def change_rates_stream(
     stream_df,
     *,
@@ -255,17 +301,7 @@ def change_rates_stream(
     )
     rates = change_rates(wm, event_time=event_time, **kwargs)
     if exclude is not None:
-        # The (n_events < 0) disjunct is never true (count(*) >= 1 in every
-        # group): it exists solely as a PUSHDOWN BARRIER. A key-only
-        # predicate is pushed by Catalyst through the Aggregate, then below
-        # the EventTimeWatermark node, all the way into the file scan —
-        # where it would remove the sentinel rows before they reach the
-        # watermark operator (observed: the clock froze at max-real-ts −
-        # delay and the final windows never flushed). Referencing an
-        # aggregate output keeps the filter above the Aggregate; it must not
-        # be a constant-foldable reference (isnull(count) folds to false —
-        # count is non-nullable — and the barrier silently vanishes).
-        rates = rates.filter((~exclude) | (F.col("n_events") < F.lit(0)))
+        rates = _apply_post_agg_exclude(rates, exclude)  # barrier lives there
     return rates
 
 
@@ -334,7 +370,7 @@ def sessionize_stream(
     )
     sessions = sessionize(wm, event_time=event_time, **kwargs)
     if exclude is not None:
-        sessions = sessions.filter((~exclude) | (F.col("n_events") < F.lit(0)))
+        sessions = _apply_post_agg_exclude(sessions, exclude)
     return sessions
 
 
@@ -368,9 +404,18 @@ def funnel_pairs(
     """
     from pyspark.sql import functions as F
 
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # the output schema takes the KEY from the left side: right/full
+        # outer would emit rows with a NULL key and NULL left_ts — reject
+        # loudly instead of producing silently unusable rows
+        raise ValueError(
+            f"funnel_pairs supports how='inner'/'left_outer', got {how!r}"
+        )
     left = ensure_utc_event_time(left, left_time)
     right = ensure_utc_event_time(right, right_time)
-    within_s = int(_duration_seconds(within))
+    # millisecond granularity: int(seconds) would silently truncate
+    # '1.5 seconds' to 1 and narrow the join bound
+    within_ms = int(round(_duration_seconds(within) * 1000))
     # rename per side BEFORE joining: gives each side distinct attributes, so
     # self-joins (left and right derived from the same frame) stay
     # unambiguous, batch and streaming alike
@@ -387,7 +432,8 @@ def funnel_pairs(
         on=[
             F.col("__fk") == F.col("__frk"),
             F.col("__rts") > F.col("__lts"),
-            F.col("__rts") <= F.col("__lts") + F.expr(f"INTERVAL {within_s} SECONDS"),
+            F.col("__rts")
+            <= F.col("__lts") + F.expr(f"INTERVAL {within_ms} MILLISECONDS"),
         ],
         how=how,
     )

@@ -748,3 +748,92 @@ def test_json_extraction_composes_with_windowed_value_stats(spark, sf_dir):
         ).fetchall()
     )
     assert [tuple(r) for r in got] == want
+
+
+def test_exclude_barrier_keeps_null_key_groups(spark):
+    """Three-valued logic hazard: with a NULL grouping key, (~NULL | false)
+    is NULL and Filter would drop a legitimate group. The shared barrier
+    coalesces the exclude predicate to false first, so NULL keys mean 'not
+    excluded'."""
+    from debezium_connector_vitess_spark.metrics import _apply_post_agg_exclude
+
+    df = spark.createDataFrame(
+        [("t0", 3), (None, 2), ("__advance__", 1)], "table_name STRING, n_events INT"
+    )
+    kept = sorted(
+        (
+            r.table_name
+            for r in _apply_post_agg_exclude(
+                df, F.col("table_name") == "__advance__"
+            ).collect()
+        ),
+        key=str,
+    )
+    assert kept == [None, "t0"]
+
+
+def test_funnel_pairs_fractional_within_and_how_validation(spark):
+    """within='1.5 seconds' must honor the half second (int truncation would
+    silently narrow the bound); right/full outer joins are rejected loudly
+    (the output key comes from the left side)."""
+    from debezium_connector_vitess_spark.metrics import funnel_pairs
+
+    left = spark.createDataFrame([(1, T0)], "user_id INT, ts_ms LONG").select(
+        "user_id", F.timestamp_millis("ts_ms").alias("ts")
+    )
+    right = spark.createDataFrame(
+        [(1, T0 + 1400), (1, T0 + 1600)], "user_id INT, ts_ms LONG"
+    ).select("user_id", F.timestamp_millis("ts_ms").alias("ts"))
+    got = sorted(
+        r.lag_ms
+        for r in funnel_pairs(left, right, key="user_id", within="1.5 seconds").collect()
+    )
+    assert got == [1400]  # 1600 > 1500ms excluded; 1400 kept (int() would drop it)
+    with pytest.raises(ValueError, match="left_outer"):
+        funnel_pairs(left, right, key="user_id", how="full_outer")
+
+
+class _FakeProgress:
+    def __init__(self, qid, name, rows, rate, sources):
+        self.id, self.name, self.numInputRows = qid, name, rows
+        self.processedRowsPerSecond = rate
+        self.sources = sources
+
+
+class _Obj:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def test_metrics_listener_scoping_and_guards():
+    """Listener unit contract: termination disconnects ONLY the terminated
+    query; unnamed queries do not merge; zero-row batches are not commits;
+    NaN/Infinity rates are zeroed; multi-source offsets are all recorded."""
+    from debezium_connector_vitess_spark.metrics import CdcMetricsListener
+
+    lis = CdcMetricsListener()
+    lis.onQueryStarted(_Obj(id="q1", name="a"))
+    lis.onQueryStarted(_Obj(id="q2", name=None))
+    lis.onQueryStarted(_Obj(id="q3", name=None))
+    assert len(lis.metrics) == 3  # unnamed queries kept distinct
+
+    src1, src2 = _Obj(endOffset='{"p": 1}'), _Obj(endOffset='{"p": 2}')
+    lis.onQueryProgress(_Obj(progress=_FakeProgress("q1", "a", 5, float("nan"), [src1, src2])))
+    lis.onQueryProgress(_Obj(progress=_FakeProgress("q1", "a", 0, 100.0, [src1])))
+    m = lis.metrics["a"]
+    assert m.total_number_of_events_seen == 5
+    assert m.number_of_committed_transactions == 1  # zero-row batch not counted
+    assert m.last_event_rate == 100.0  # NaN was zeroed, then replaced
+    import json as _json
+
+    assert "NaN" not in _json.dumps(m.snapshot())
+    # the multi-source batch recorded BOTH offsets; the later single-source
+    # batch collapsed back to the plain dict shape
+    lis.onQueryProgress(_Obj(progress=_FakeProgress("q1", "a", 1, float("inf"), [src1, src2])))
+    assert lis.metrics["a"].last_offset == [{"p": 1}, {"p": 2}]
+    assert lis.metrics["a"].last_event_rate == 0.0  # Infinity guarded
+
+    lis.onQueryTerminated(_Obj(id="q2", runId="r2"))
+    names = {k: v.connected for k, v in lis.metrics.items()}
+    assert names["a"] is True  # untouched
+    assert sum(1 for v in names.values() if not v) == 1  # only q2 disconnected
