@@ -342,10 +342,17 @@ def explode_row_changes(raw_df: DataFrame) -> DataFrame:
 
 
 def gtid_seq_expr(col: Column = None) -> Column:
-    """Per-shard sequence after an event = trailing integer of the local GTID
-    (replay/changelog format 'MySQL56/host0:1-<seq>'). Orders FIELD events
-    against ROW events within a shard."""
-    return F.regexp_extract(col if col is not None else F.col("gtid"), r"(\d+)$", 1).cast("long")
+    """Per-shard sequence after an event = trailing integer of the local GTID.
+    Handles both the range form 'MySQL56/host0:1-<seq>' and the
+    single-transaction form 'uuid:<seq>' a fresh shard emits first. Orders
+    FIELD events against ROW events within a shard.
+
+    A GTID with no trailing digits yields NULL, never an error: Spark 4 runs
+    ANSI mode by default, where regexp_extract's empty-string miss would
+    throw CAST_INVALID_INPUT from the long cast and kill the whole job for
+    one malformed position string."""
+    ex = F.regexp_extract(col if col is not None else F.col("gtid"), r"(\d+)$", 1)
+    return F.when(ex != F.lit(""), ex).cast("long")
 
 
 def collect_field_schemas(
@@ -527,4 +534,8 @@ def decode_table(
         F.col("tx_id"),
         F.col("gtid"),
         F.col("shard"),
+        # position within the transaction's row_changes: all changes of one
+        # Vitess transaction share a GTID, so materialize's last-write-wins
+        # needs this to break same-seq ties deterministically
+        F.col("change_idx"),
     )

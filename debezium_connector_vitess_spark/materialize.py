@@ -11,17 +11,23 @@ operator, in two execution shapes:
   ``max_by`` per (table, key) aggregates map-side before the exchange, so
   100 TB of changelog reduces to ~|live keys| without a sort or a window.
 - **Streaming** (:func:`materialize_stream`): ``applyInPandasWithState``
-  keyed by (table, record key); per-key state = {seq, op, after_json}; each
-  micro-batch emits one compacted upsert record per touched key (the Kafka
-  log-compaction analog — a tombstone for a last-op DELETE). State lives in
-  the Spark streaming checkpoint, partitioned by the group key, so state
-  size scales with |live keys| per executor, not with stream length.
+  keyed by (keyspace, table, record key); per-key state = {seq, change_idx,
+  op, after_json}; each micro-batch emits one compacted upsert record per
+  touched key (the Kafka log-compaction analog — a tombstone for a last-op
+  DELETE). State lives in the Spark streaming checkpoint, partitioned by
+  the group key, so state size scales with |live keys| per executor, not
+  with stream length.
 
 Ordering key: any per-shard monotone sequence. The default parses the
 trailing sequence number of the envelope's own ``gtid`` (a MySQL GTID's
 per-host sequence only grows within a shard, Vgtid.java:26-106); a key
 lives in exactly one shard at a time, so shard-local monotonicity is
-sufficient for per-key last-write-wins.
+sufficient for per-key last-write-wins. Every row change of one Vitess
+TRANSACTION shares a GTID, so ties are broken by ``change_idx`` — the
+change's position inside the transaction (decode.explode_row_changes) —
+making "last write" deterministic for multi-change-per-key transactions.
+An unparseable GTID yields seq NULL, coalesced to −1: the row competes at
+lowest precedence instead of silently vanishing from ``max_by``.
 """
 
 from __future__ import annotations
@@ -39,8 +45,26 @@ OP_DELETE = "d"
 
 
 def gtid_seq(gtid: Column) -> Column:
-    """Trailing sequence number of a single-host GTID string → long."""
-    return F.regexp_extract(gtid, r"-(\d+)$", 1).cast("long")
+    """Trailing sequence number of a single-host GTID string → long (NULL if
+    none — ANSI-safe). Shared with the decode spine: one parser, not three
+    divergent regexes (`decode.gtid_seq_expr`)."""
+    from .decode import gtid_seq_expr
+
+    return gtid_seq_expr(gtid)
+
+
+def _change_idx_col(df: DataFrame) -> Column:
+    """Tie-break column: the change's position inside its transaction when
+    the frame carries one (decode_table/explode_row_changes do), else 0."""
+    return F.col("change_idx") if "change_idx" in df.columns else F.lit(0)
+
+
+def _seq_cols(df: DataFrame, seq: Column | None) -> tuple[Column, Column]:
+    """(seq coalesced to −1, change_idx) — the ordering pair every
+    materialize shape agrees on."""
+    if seq is None:
+        seq = gtid_seq(F.col("gtid"))
+    return F.coalesce(seq, F.lit(-1)).cast("long"), _change_idx_col(df)
 
 
 def materialize_latest(
@@ -54,13 +78,12 @@ def materialize_latest(
 
     ``key_cols`` are the table's PK columns (taken from the after image,
     before image for deletes); ``value_cols`` are the after-image columns to
-    materialize. Per (table, key), the image at the highest ``seq`` wins; a
-    last-op DELETE removes the key. Single ``max_by`` aggregation —
-    partial-aggregable, no sort, no window (pinned by
+    materialize. Per (table, key), the image at the highest (``seq``,
+    ``change_idx``) wins; a last-op DELETE removes the key. Single ``max_by``
+    aggregation — partial-aggregable, no sort, no window (pinned by
     tests/test_plans.py::test_cdc_materialize_is_partial_agg_not_window).
     """
-    if seq is None:
-        seq = gtid_seq(F.col("gtid"))
+    seq_c, cidx = _seq_cols(env, seq)
 
     def image(k: str) -> Column:
         return F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}"))
@@ -70,16 +93,59 @@ def materialize_latest(
         *[image(k).alias(k) for k in key_cols],
         F.col("op"),
         *[F.col(f"after.{c}").alias(c) for c in value_cols],
-        seq.alias("seq"),
+        seq_c.alias("seq"),
+        cidx.alias("change_idx"),
     )
-    aggs = [F.max_by(F.col("op"), F.col("seq")).alias("_last_op")] + [
-        F.max_by(F.col(c), F.col("seq")).alias(c) for c in value_cols
+    # struct ordering = lexicographic (seq, change_idx): same-transaction
+    # changes to one key resolve to the LAST change, not an arbitrary one
+    ordv = F.struct(F.col("seq"), F.col("change_idx"))
+    aggs = [F.max_by(F.col("op"), ordv).alias("_last_op")] + [
+        F.max_by(F.col(c), ordv).alias(c) for c in value_cols
     ]
     return (
         flat.groupBy("table_name", *key_cols)
         .agg(*aggs)
         .filter(F.col("_last_op") != OP_DELETE)
         .drop("_last_op")
+    )
+
+
+def _keyed_changes(raw_df: DataFrame, schemas: list, seq: Column | None) -> DataFrame:
+    """Shared head of the one-scan multi-table shapes: explode row changes
+    once, restrict to the schema list, key each change by its table's PK
+    values pulled straight from the undecoded string image map (a when-chain
+    over the bounded table list — narrow, codegen'd), attach the ordering
+    pair. Raises on an empty schema list — filter(None) would otherwise
+    surface as an unrelated PySpark type error."""
+    from .decode import explode_row_changes
+
+    if not schemas:
+        raise ValueError("materialize multi requires at least one table schema")
+    changes = explode_row_changes(raw_df)
+    pred = None
+    for s in schemas:
+        c = (F.col("keyspace") == s.keyspace) & (F.col("table_name") == s.table)
+        pred = c if pred is None else (pred | c)
+    changes = changes.filter(pred)
+
+    image = F.coalesce(F.col("change.after"), F.col("change.before"))
+    key_expr = F.lit(None).cast("string")
+    for s in schemas:
+        cond = (F.col("keyspace") == s.keyspace) & (F.col("table_name") == s.table)
+        k = F.to_json(
+            F.struct(*[image.getItem(c).alias(c) for c in s.key_columns])
+        )
+        key_expr = F.when(cond, k).otherwise(key_expr)
+
+    seq_c, cidx = _seq_cols(changes, seq)
+    return changes.select(
+        F.col("keyspace"),
+        F.col("table_name"),
+        key_expr.alias("key"),
+        F.col("op"),
+        F.col("change.after").alias("after_map"),
+        seq_c.alias("seq"),
+        cidx.alias("change_idx"),
     )
 
 
@@ -97,9 +163,7 @@ def materialize_latest_multi(
     dominates — this variant compacts FIRST and decodes LAST:
 
     1. explode row changes once (one scan of the raw stream);
-    2. key each change by its table's PK values pulled straight from the
-       undecoded string image map (a when-chain over the bounded table list —
-       narrow, codegen'd);
+    2. key each change by its table's PK values (:func:`_keyed_changes`);
     3. ONE ``max_by`` shuffle over (keyspace, table, key) carrying the raw
        image maps — partial-aggregable, so the exchange ships ~|live keys|;
     4. typed decode (``typed_row_struct``) only for the survivors, per table.
@@ -116,37 +180,13 @@ def materialize_latest_multi(
     read it per table" shape; callers that own the job lifecycle reclaim the
     blocks with ``cache.checkpoint_scope`` (bench.py wraps every query).
     """
-    from .decode import explode_row_changes, typed_row_struct
+    from .decode import typed_row_struct
 
-    if seq is None:
-        seq = gtid_seq(F.col("gtid"))
-    changes = explode_row_changes(raw_df)
-    pred = None
-    for s in schemas:
-        c = (F.col("keyspace") == s.keyspace) & (F.col("table_name") == s.table)
-        pred = c if pred is None else (pred | c)
-    changes = changes.filter(pred)
-
-    image = F.coalesce(F.col("change.after"), F.col("change.before"))
-    key_expr = F.lit(None).cast("string")
-    for s in schemas:
-        cond = (F.col("keyspace") == s.keyspace) & (F.col("table_name") == s.table)
-        k = F.to_json(
-            F.struct(*[image.getItem(c).alias(c) for c in s.key_columns])
-        )
-        key_expr = F.when(cond, k).otherwise(key_expr)
-
-    flat = changes.select(
-        F.col("keyspace"),
-        F.col("table_name"),
-        key_expr.alias("key"),
-        F.col("op"),
-        F.col("change.after").alias("after_map"),
-        seq.alias("seq"),
-    )
+    flat = _keyed_changes(raw_df, schemas, seq)
+    ordv = F.struct(F.col("seq"), F.col("change_idx"))
     live = (
         flat.groupBy("keyspace", "table_name", "key")
-        .agg(F.max_by(F.struct("op", "after_map"), F.col("seq")).alias("last"))
+        .agg(F.max_by(F.struct("op", "after_map"), ordv).alias("last"))
         .filter(F.col("last.op") != OP_DELETE)
     )
     if materialize:
@@ -176,16 +216,16 @@ def materialize_history(
     the complement of :func:`materialize_latest`: instead of the current
     snapshot, every version a key ever held, as validity intervals.
 
-    Per (table, key) ordered by ``seq``, each create/update image becomes one
-    version row valid over ``[valid_from_seq, valid_to_seq)`` where
-    ``valid_to_seq`` is the seq of the key's NEXT change (NULL = still
-    current). A DELETE emits no row of its own but closes the previous
-    version's interval, so ``filter("is_current")`` is exactly the
-    :func:`materialize_latest` snapshot (asserted by
-    tests/test_materialize.py). This is the standard warehouse consumption
-    pattern for the reference's envelope stream (the JDBC-sink "SCD2 /
-    history table" mode consumers build from before/after images,
-    VitessChangeRecordEmitter.java:31-114).
+    Per (table, key) ordered by (``seq``, ``change_idx``), each
+    create/update image becomes one version row valid over
+    ``[valid_from_seq, valid_to_seq)`` where ``valid_to_seq`` is the seq of
+    the key's NEXT change (NULL = still current). A DELETE emits no row of
+    its own but closes the previous version's interval, so
+    ``filter("is_current")`` is exactly the :func:`materialize_latest`
+    snapshot (asserted by tests/test_materialize.py). This is the standard
+    warehouse consumption pattern for the reference's envelope stream (the
+    JDBC-sink "SCD2 / history table" mode consumers build from before/after
+    images, VitessChangeRecordEmitter.java:31-114).
 
     Scale shape: ONE shuffle on (table, key) + a per-key ``lead`` window —
     parallelism is |keys|, never a single-partition stage, and window state
@@ -194,8 +234,7 @@ def materialize_history(
     open interval start); interval CLOSING is inherently a lookahead and
     belongs in this batch derivation.
     """
-    if seq is None:
-        seq = gtid_seq(F.col("gtid"))
+    seq_c, cidx = _seq_cols(env, seq)
 
     def image(k: str) -> Column:
         return F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}"))
@@ -205,9 +244,10 @@ def materialize_history(
         *[image(k).alias(k) for k in key_cols],
         F.col("op"),
         *[F.col(f"after.{c}").alias(c) for c in value_cols],
-        seq.alias("seq"),
+        seq_c.alias("seq"),
+        cidx.alias("change_idx"),
     )
-    w = Window.partitionBy("table_name", *key_cols).orderBy("seq")
+    w = Window.partitionBy("table_name", *key_cols).orderBy("seq", "change_idx")
     return (
         flat.withColumn("valid_to_seq", F.lead("seq").over(w))
         .filter(F.col("op") != OP_DELETE)
@@ -231,7 +271,9 @@ def materialize_history_multi(
 ) -> dict[tuple[str, str], DataFrame]:
     """One-pass MULTI-TABLE SCD2 history from the raw event stream — the
     :func:`materialize_history` semantics on :func:`materialize_latest_multi`'s
-    one-scan shape: explode once, key by the undecoded image map, ONE
+    one-scan shape: explode once, key by the undecoded image map
+    (:func:`_keyed_changes` — the SAME keyed frame the latest-state path
+    uses, so the two can never diverge on key semantics), ONE
     (keyspace, table, key) shuffle feeding the per-key ``lead`` window, typed
     decode per table branch. Unlike the latest-state path the window keeps
     every version (history IS all rows), so the win of this variant is purely
@@ -241,35 +283,12 @@ def materialize_history_multi(
     Returns {(keyspace, table): history frame (key + typed row +
     valid_from_seq / valid_to_seq / is_current)}.
     """
-    from .decode import explode_row_changes, typed_row_struct
+    from .decode import typed_row_struct
 
-    if seq is None:
-        seq = gtid_seq(F.col("gtid"))
-    changes = explode_row_changes(raw_df)
-    pred = None
-    for s in schemas:
-        c = (F.col("keyspace") == s.keyspace) & (F.col("table_name") == s.table)
-        pred = c if pred is None else (pred | c)
-    changes = changes.filter(pred)
-
-    image = F.coalesce(F.col("change.after"), F.col("change.before"))
-    key_expr = F.lit(None).cast("string")
-    for s in schemas:
-        cond = (F.col("keyspace") == s.keyspace) & (F.col("table_name") == s.table)
-        k = F.to_json(
-            F.struct(*[image.getItem(c).alias(c) for c in s.key_columns])
-        )
-        key_expr = F.when(cond, k).otherwise(key_expr)
-
-    flat = changes.select(
-        F.col("keyspace"),
-        F.col("table_name"),
-        key_expr.alias("key"),
-        F.col("op"),
-        F.col("change.after").alias("after_map"),
-        seq.alias("seq"),
+    flat = _keyed_changes(raw_df, schemas, seq)
+    w = Window.partitionBy("keyspace", "table_name", "key").orderBy(
+        "seq", "change_idx"
     )
-    w = Window.partitionBy("keyspace", "table_name", "key").orderBy("seq")
     hist = (
         flat.withColumn("valid_to_seq", F.lead("seq").over(w))
         .filter(F.col("op") != OP_DELETE)
@@ -295,6 +314,7 @@ def materialize_history_multi(
 
 MAT_STREAM_SCHEMA = T.StructType(
     [
+        T.StructField("keyspace", T.StringType(), True),
         T.StructField("table_name", T.StringType(), False),
         T.StructField("key", T.StringType(), True),
         T.StructField("seq", T.LongType(), True),
@@ -306,10 +326,48 @@ MAT_STREAM_SCHEMA = T.StructType(
 MAT_STATE_SCHEMA = T.StructType(
     [
         T.StructField("seq", T.LongType(), True),
+        T.StructField("change_idx", T.LongType(), True),
         T.StructField("op", T.StringType(), True),
         T.StructField("after_json", T.StringType(), True),
     ]
 )
+
+
+def _fold_lww(
+    stored: tuple | None, pdf: pd.DataFrame
+) -> tuple[int, int, Any, Any]:
+    """Pure last-write-wins fold shared by BOTH streaming compactors: the
+    micro-batch's maximum (seq, change_idx) row against the stored state.
+    Rows whose seq is null (unparseable GTID under a lenient custom ``seq``)
+    are ignored — exactly what batch ``max_by`` does with a null ordering
+    value — instead of idxmax returning NaN and killing the micro-batch."""
+    seq, cidx, op, after_json = stored if stored is not None else (-1, -1, None, None)
+    valid = pdf[pdf["seq"].notna()]
+    if len(valid):
+        i = valid.sort_values(
+            ["seq", "change_idx"], kind="stable"
+        ).index[-1]
+        bseq = int(pdf["seq"].loc[i])
+        bcidx = int(pdf["change_idx"].loc[i])
+        if (bseq, bcidx) > (seq, cidx):
+            seq, cidx = bseq, bcidx
+            op = pdf["op"].loc[i]
+            aj = pdf["after_json"].loc[i]
+            after_json = None if pd.isna(aj) else aj
+    return seq, cidx, op, after_json
+
+
+def _require_key(rec_key) -> None:
+    """Keyless tables (envelope.with_record_key emits key=NULL) must not be
+    compacted: every row of the table would collapse into ONE state entry
+    and the 'snapshot' would silently be the single last-written row. Fail
+    loudly instead."""
+    if rec_key is None:
+        raise ValueError(
+            "materialize_stream received a NULL record key — keyless tables "
+            "cannot be compacted (the whole table would collapse to one "
+            "state entry); filter them out or supply a synthetic key"
+        )
 
 
 def _process_key(
@@ -319,7 +377,7 @@ def _process_key(
     evict_deleted: bool = False,
     idle_ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
-    table_name, rec_key = key
+    keyspace, table_name, rec_key = key
     if idle_ttl_ms is not None and state.hasTimedOut:
         # key idle past the TTL: release its state, emit nothing (the compacted
         # image didn't change — downstream already holds the latest record);
@@ -327,23 +385,15 @@ def _process_key(
         state.remove()
         yield pd.DataFrame(columns=[f.name for f in MAT_STREAM_SCHEMA.fields])
         return
-    if state.exists:
-        seq, op, after_json = state.get
-    else:
-        seq, op, after_json = -1, None, None
+    _require_key(rec_key)
+    stored = tuple(state.get) if state.exists else None
 
     chunks = list(pdf_iter)
     if not chunks:
         yield pd.DataFrame(columns=[f.name for f in MAT_STREAM_SCHEMA.fields])
         return
     pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-    # last-write-wins within the batch, then against the stored state
-    i = int(pdf["seq"].idxmax())
-    if int(pdf["seq"].iloc[i]) > seq:
-        seq = int(pdf["seq"].iloc[i])
-        op = pdf["op"].iloc[i]
-        aj = pdf["after_json"].iloc[i]
-        after_json = None if pd.isna(aj) else aj
+    seq, cidx, op, after_json = _fold_lww(stored, pdf)
     if evict_deleted and op == OP_DELETE:
         # the key's image is gone; per-shard ordered delivery means any later
         # event for this key carries a HIGHER seq, so fresh state after a
@@ -356,10 +406,11 @@ def _process_key(
         if state.exists:
             state.remove()
     else:
-        state.update((seq, op, after_json))
+        state.update((seq, cidx, op, after_json))
         if idle_ttl_ms is not None:
             state.setTimeoutDuration(idle_ttl_ms)
     out: dict[str, Any] = {
+        "keyspace": keyspace,
         "table_name": table_name,
         "key": rec_key,
         "seq": seq,
@@ -368,6 +419,23 @@ def _process_key(
         "after_json": None if op == OP_DELETE else after_json,
     }
     yield pd.DataFrame([out], columns=[f.name for f in MAT_STREAM_SCHEMA.fields])
+
+
+def _flat_stream(keyed_env: DataFrame, seq: Column | None) -> DataFrame:
+    """Shared projection for both streaming compactors. Keys state by
+    (keyspace, table, key): same-named tables in different keyspaces must
+    not share state — their GTID sequences are unrelated and whichever is
+    numerically higher would permanently suppress the other's updates."""
+    seq_c, cidx = _seq_cols(keyed_env, seq)
+    return keyed_env.select(
+        F.col("source.keyspace").alias("keyspace"),
+        F.col("source.table").alias("table_name"),
+        F.col("key"),
+        seq_c.alias("seq"),
+        cidx.cast("long").alias("change_idx"),
+        F.col("op"),
+        F.to_json(F.col("after")).alias("after_json"),
+    )
 
 
 def materialize_stream(
@@ -381,10 +449,12 @@ def materialize_stream(
 
     Input: a (possibly multi-table union of) decoded envelope stream(s) that
     already carry the record ``key`` column (envelope.with_record_key, D12).
-    Output: per micro-batch, ONE compacted record per touched (table, key) —
-    the current image serialized as JSON, or a tombstone (null ``after_json``)
-    when the key's last operation is a DELETE. Exactly the contract of a
-    compacted Kafka topic / JDBC-sink upsert feed.
+    Output: per micro-batch, ONE compacted record per touched (keyspace,
+    table, key) — the current image serialized as JSON, or a tombstone (null
+    ``after_json``) when the key's last operation is a DELETE. Exactly the
+    contract of a compacted Kafka topic / JDBC-sink upsert feed. Keyless
+    tables (null ``key``) are rejected with a clear error — compacting one
+    would collapse the whole table into a single record.
 
     ``evict_deleted=True`` removes a key's state once its tombstone is
     emitted, so state size tracks |LIVE keys| instead of |keys ever seen| —
@@ -403,15 +473,7 @@ def materialize_stream(
     still wins by seq. Choose a TTL comfortably above the upstream's maximum
     replay window so a checkpoint-restart replay can't observe the eviction.
     """
-    if seq is None:
-        seq = gtid_seq(F.col("gtid"))
-    flat = keyed_env.select(
-        F.col("source.table").alias("table_name"),
-        F.col("key"),
-        seq.alias("seq"),
-        F.col("op"),
-        F.to_json(F.col("after")).alias("after_json"),
-    )
+    flat = _flat_stream(keyed_env, seq)
 
     def process(key, pdf_iter, state):
         return _process_key(
@@ -423,7 +485,7 @@ def materialize_stream(
         if idle_ttl_ms is not None
         else GroupStateTimeout.NoTimeout
     )
-    return flat.groupBy("table_name", "key").applyInPandasWithState(
+    return flat.groupBy("keyspace", "table_name", "key").applyInPandasWithState(
         process,
         outputStructType=MAT_STREAM_SCHEMA,
         stateStructType=MAT_STATE_SCHEMA,
@@ -442,9 +504,11 @@ except ImportError:  # pragma: no cover
 
 class CompactorProcessor(_StatefulProcessorBase):
     """StatefulProcessor for :func:`materialize_stream_tws` — the same
-    per-(table, key) last-write-wins state machine as :func:`_process_key`
-    on the current-generation stateful API (ValueState instead of
-    GroupState), with idle-TTL via REAL per-key timers:
+    per-(keyspace, table, key) last-write-wins state machine as
+    :func:`_process_key` (both fold through the shared :func:`_fold_lww`,
+    so the two streaming paths cannot drift) on the current-generation
+    stateful API (ValueState instead of GroupState), with idle-TTL via REAL
+    per-key timers:
 
     - every input batch re-arms the key's single timer to now + TTL
       (``deleteTimer`` then ``registerTimer`` — tws keeps a timer LIST per
@@ -475,7 +539,9 @@ class CompactorProcessor(_StatefulProcessorBase):
     def _rearm_timer(self, timer_values) -> None:
         if self._idle_ttl_ms is None:
             return
-        for t in self._handle.listTimers():
+        # snapshot before deleting: the real tws runtime streams listTimers()
+        # from the state server — mutating mid-iteration can skip entries
+        for t in list(self._handle.listTimers()):
             self._handle.deleteTimer(t)
         self._handle.registerTimer(
             timer_values.getCurrentProcessingTimeInMs() + self._idle_ttl_ms
@@ -484,34 +550,30 @@ class CompactorProcessor(_StatefulProcessorBase):
     def _cancel_timers(self) -> None:
         if self._idle_ttl_ms is None:
             return
-        for t in self._handle.listTimers():
+        for t in list(self._handle.listTimers()):
             self._handle.deleteTimer(t)
 
     def handleInputRows(self, key, rows, timer_values):
-        table_name, rec_key = key
-        stored = self._state.get() if self._state.exists() else None
-        seq, op, after_json = stored if stored is not None else (-1, None, None)
+        keyspace, table_name, rec_key = key
+        _require_key(rec_key)
+        stored = tuple(self._state.get()) if self._state.exists() else None
         chunks = list(rows)
         if not chunks:
             yield pd.DataFrame(columns=[f.name for f in MAT_STREAM_SCHEMA.fields])
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        i = int(pdf["seq"].idxmax())
-        if int(pdf["seq"].iloc[i]) > seq:
-            seq = int(pdf["seq"].iloc[i])
-            op = pdf["op"].iloc[i]
-            aj = pdf["after_json"].iloc[i]
-            after_json = None if pd.isna(aj) else aj
+        seq, cidx, op, after_json = _fold_lww(stored, pdf)
         if self._evict_deleted and op == OP_DELETE:
             if self._state.exists():
                 self._state.clear()
             self._cancel_timers()
         else:
-            self._state.update((seq, op, after_json))
+            self._state.update((seq, cidx, op, after_json))
             self._rearm_timer(timer_values)
         yield pd.DataFrame(
             [
                 {
+                    "keyspace": keyspace,
                     "table_name": table_name,
                     "key": rec_key,
                     "seq": seq,
@@ -552,16 +614,8 @@ def materialize_stream_tws(
     tws twin (`txmeta/streaming.py` ordered_tx_metadata_stream_tws); plan
     construction and the processor's timer/state logic are exercised
     regardless."""
-    if seq is None:
-        seq = gtid_seq(F.col("gtid"))
-    flat = keyed_env.select(
-        F.col("source.table").alias("table_name"),
-        F.col("key"),
-        seq.alias("seq"),
-        F.col("op"),
-        F.to_json(F.col("after")).alias("after_json"),
-    )
-    return flat.groupBy("table_name", "key").transformWithStateInPandas(
+    flat = _flat_stream(keyed_env, seq)
+    return flat.groupBy("keyspace", "table_name", "key").transformWithStateInPandas(
         statefulProcessor=CompactorProcessor(
             evict_deleted=evict_deleted, idle_ttl_ms=idle_ttl_ms
         ),

@@ -522,34 +522,40 @@ def test_compactor_tws_timer_logic():
     proc.init(h)
 
     def batch(seq, op, aj):
-        return iter([pd.DataFrame({"seq": [seq], "op": [op], "after_json": [aj]})])
+        return iter(
+            [
+                pd.DataFrame(
+                    {"seq": [seq], "change_idx": [0], "op": [op], "after_json": [aj]}
+                )
+            ]
+        )
 
-    out1 = list(proc.handleInputRows(("t", "k1"), batch(1, "c", "{}"), _FakeTimerValues(1000)))
+    out1 = list(proc.handleInputRows(("ks", "t", "k1"), batch(1, "c", "{}"), _FakeTimerValues(1000)))
     assert h.timers == [6000]  # armed at now + ttl
-    assert h.state.get() == (1, "c", "{}")
+    assert h.state.get() == (1, 0, "c", "{}")
     assert len(out1) == 1 and out1[0]["seq"].iloc[0] == 1
 
     # second batch re-arms: old timer gone, exactly one live timer
-    list(proc.handleInputRows(("t", "k1"), batch(2, "u", "{}"), _FakeTimerValues(3000)))
+    list(proc.handleInputRows(("ks", "t", "k1"), batch(2, "u", "{}"), _FakeTimerValues(3000)))
     assert h.timers == [8000]
     assert h.state.get()[0] == 2
 
     # expiry: state released, no output rows
-    expired = list(proc.handleExpiredTimer(("t", "k1"), _FakeTimerValues(9000), None))
+    expired = list(proc.handleExpiredTimer(("ks", "t", "k1"), _FakeTimerValues(9000), None))
     assert not h.state.exists()
     assert sum(len(p) for p in expired) == 0
 
     # re-arrival after expiry starts fresh against seq = -1 and wins
-    out2 = list(proc.handleInputRows(("t", "k1"), batch(1, "u", "{}"), _FakeTimerValues(9500)))
+    out2 = list(proc.handleInputRows(("ks", "t", "k1"), batch(1, "u", "{}"), _FakeTimerValues(9500)))
     assert h.state.get()[0] == 1 and out2[0]["seq"].iloc[0] == 1
 
     # evict_deleted tombstone cancels timers with the state
     proc_e = CompactorProcessor(evict_deleted=True, idle_ttl_ms=5000)
     he = _FakeHandle()
     proc_e.init(he)
-    list(proc_e.handleInputRows(("t", "k2"), batch(1, "c", "{}"), _FakeTimerValues(1000)))
+    list(proc_e.handleInputRows(("ks", "t", "k2"), batch(1, "c", "{}"), _FakeTimerValues(1000)))
     assert he.timers and he.state.exists()
-    out_d = list(proc_e.handleInputRows(("t", "k2"), batch(2, "d", None), _FakeTimerValues(2000)))
+    out_d = list(proc_e.handleInputRows(("ks", "t", "k2"), batch(2, "d", None), _FakeTimerValues(2000)))
     assert he.timers == [] and not he.state.exists()
     assert out_d[0]["op"].iloc[0] == "d" and pd.isna(out_d[0]["after_json"].iloc[0])
 
@@ -751,3 +757,107 @@ def test_exact_dedup_stream_watermark_bounds_state(spark, tmp_path):
         for op in p.get("stateOperators", [])
     )
     assert removed >= 2  # A and B evicted once the watermark passed expiry
+
+
+def test_gtid_seq_single_tx_form_and_malformed(spark):
+    """The default ordering key parses BOTH GTID forms — range
+    'host:1-<seq>' and the single-transaction 'host:<seq>' a fresh shard
+    emits first — and yields NULL (not an ANSI cast error) for a GTID with
+    no trailing digits; materialize coalesces that NULL to -1 so the row
+    competes at lowest precedence instead of vanishing from max_by."""
+    from debezium_connector_vitess_spark.materialize import gtid_seq, materialize_latest
+
+    vals = spark.createDataFrame(
+        [("MySQL56/u:1-57",), ("MySQL56/u:5",), ("garbage",), (None,)], "g STRING"
+    ).select(gtid_seq(F.col("g")).alias("s"))
+    assert [r.s for r in vals.collect()] == [57, 5, None, None]
+
+    # a malformed-GTID row must not silently delete the key from the snapshot
+    env = spark.createDataFrame(
+        [
+            ("MySQL56/u:5", "c", 1, 10.0),
+            ("garbage", "u", 1, 99.0),  # seq -> -1: loses, but present
+        ],
+        "gtid STRING, op STRING, k INT, v DOUBLE",
+    ).select(
+        "gtid",
+        "op",
+        F.struct(F.col("k"), F.col("v")).alias("after"),
+        F.lit(None).cast("struct<k:int,v:double>").alias("before"),
+        F.struct(F.lit("t").alias("table")).alias("source"),
+    )
+    out = materialize_latest(env, key_cols=["k"], value_cols=["v"]).collect()
+    assert [(r.k, r.v) for r in out] == [(1, 10.0)]
+
+
+def test_same_gtid_transaction_ties_break_by_change_idx(spark):
+    """All row changes of one Vitess transaction share a GTID: the LAST
+    change in the transaction must win (change_idx tie-break), batch and
+    stream agreeing. UPDATE then DELETE of the same key in one tx => the key
+    is gone from the snapshot."""
+    import pandas as pd
+
+    from debezium_connector_vitess_spark.materialize import (
+        _fold_lww,
+        materialize_latest,
+    )
+
+    gtid = "MySQL56/u:1-7"
+    env = spark.createDataFrame(
+        [
+            (gtid, "u", 0, 1, 5.0),  # change 0: update
+            (gtid, "d", 1, 1, None),  # change 1: delete — must win the tie
+        ],
+        "gtid STRING, op STRING, change_idx INT, k INT, v DOUBLE",
+    ).select(
+        "gtid",
+        "op",
+        "change_idx",
+        F.when(F.col("op") != "d", F.struct(F.col("k"), F.col("v"))).alias("after"),
+        F.struct(F.col("k"), F.col("v")).alias("before"),
+        F.struct(F.lit("t").alias("table")).alias("source"),
+    )
+    assert materialize_latest(env, key_cols=["k"], value_cols=["v"]).count() == 0
+
+    # the shared streaming fold agrees (same ordering pair)
+    pdf = pd.DataFrame(
+        {
+            "seq": [7, 7],
+            "change_idx": [0, 1],
+            "op": ["u", "d"],
+            "after_json": ["{}", None],
+        }
+    )
+    seq, cidx, op, _ = _fold_lww(None, pdf)
+    assert (seq, cidx, op) == (7, 1, "d")
+    # null-seq rows are ignored, all-null folds to the stored state (no crash)
+    allnull = pd.DataFrame(
+        {"seq": [None], "change_idx": [0], "op": ["u"], "after_json": ["{}"]}
+    )
+    assert _fold_lww((3, 0, "c", "{}"), allnull) == (3, 0, "c", "{}")
+
+
+def test_stream_compactor_rejects_null_record_key():
+    """Keyless tables (with_record_key emits key=NULL) collapse the whole
+    table into one state entry — the compactor must reject them loudly."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.materialize import CompactorProcessor
+
+    proc = CompactorProcessor()
+    proc.init(_FakeHandle())
+    rows = iter(
+        [pd.DataFrame({"seq": [1], "change_idx": [0], "op": ["c"], "after_json": ["{}"]})]
+    )
+    with _pytest.raises(ValueError, match="keyless"):
+        list(proc.handleInputRows(("ks", "t", None), rows, _FakeTimerValues(0)))
+
+
+def test_stream_state_is_keyed_by_keyspace(spark, sf_dir):
+    """Same-named tables in different keyspaces must not share compactor
+    state: the streaming plan groups by (keyspace, table, key) and the
+    output schema carries the keyspace."""
+    raw = changelog.events_to_raw_vevents(changelog.load_events(spark, sf_dir))
+    out = materialize_stream(_keyed_env(raw))
+    assert [f.name for f in out.schema.fields][:3] == ["keyspace", "table_name", "key"]
