@@ -45,7 +45,12 @@ class TransactionBuffer:
             self._buffer.append(event)
         elif kind == "COMMIT":
             if not self._in_tx:
-                raise ValueError("COMMIT without BEGIN: transaction ordering violated")
+                raise ValueError(
+                    "COMMIT without BEGIN: transaction ordering violated — the "
+                    "recording starts mid-transaction (recorder attached inside "
+                    "BEGIN..COMMIT), or an earlier DDL/HEARTBEAT interrupted and "
+                    "closed the open transaction (sendNow)"
+                )
             self._buffer.append(event)
             out.append(CompletedTransaction(self._buffer, end_seq=event.get("seq")))
             self._buffer = []
@@ -61,7 +66,11 @@ class TransactionBuffer:
             out.append(CompletedTransaction([event], end_seq=event.get("seq")))
         else:  # ROW / FIELD / VGTID / VERSION
             if not self._in_tx and kind == "ROW":
-                raise ValueError("ROW event outside BEGIN..COMMIT")
+                raise ValueError(
+                    "ROW event outside BEGIN..COMMIT — the recording starts "
+                    "mid-transaction, or a mid-transaction DDL/HEARTBEAT closed "
+                    "the open transaction before this row (sendNow)"
+                )
             self._buffer.append(event)
         return out
 

@@ -43,11 +43,17 @@ from typing import Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
-from .buffer import TransactionBuffer
+from .buffer import _FLUSH_KINDS, TransactionBuffer
 
 FORMAT_NAME = "vitess-replay"
 
 _NON_BOUNDARY_KINDS = {"FIELD", "VGTID", "VERSION", "COPY_COMPLETED"}
+
+# matches the FIELD type tag under any json.dumps spacing — a substring pinned
+# to separators=(',', ':') misses '"type": "FIELD"' and breaks wire restarts
+import re as _re
+
+_FIELD_LINE_RE = _re.compile(r'"type"\s*:\s*"FIELD"')
 
 
 def _shard_files(path: str) -> dict[str, str]:
@@ -78,7 +84,14 @@ class _BoundaryIndex:
         size = os.path.getsize(file_path)
         st = self._state.get(file_path)
         if st is None or size < st["size"]:
-            st = {"size": 0, "offset": 0, "line": 0, "depth": 0, "bounds": []}
+            st = {
+                "size": 0,
+                "offset": 0,
+                "line": 0,
+                "depth": 0,
+                "bounds": [],
+                "bbytes": [],
+            }
             self._state[file_path] = st
         if size > st["size"]:
             with open(file_path, "rb") as fh:
@@ -87,8 +100,10 @@ class _BoundaryIndex:
             last_nl = chunk.rfind(b"\n")
             if last_nl >= 0:
                 complete = chunk[: last_nl + 1]
+                pos = st["offset"]
                 for raw in complete.split(b"\n")[:-1]:
                     st["line"] += 1
+                    pos += len(raw) + 1
                     if not raw.strip():
                         continue
                     d = json.loads(raw)
@@ -98,15 +113,42 @@ class _BoundaryIndex:
                     elif kind == "COMMIT":
                         st["depth"] = 0
                         st["bounds"].append(st["line"])
+                        st["bbytes"].append(pos)
+                    elif st["depth"] == 1 and kind in _FLUSH_KINDS:
+                        # mid-tx DDL/OTHER/HEARTBEAT: TransactionBuffer's
+                        # sendNow path flushes AND closes the open group
+                        # (reference VitessReplicationConnection.java:206-217)
+                        # — the index must agree or it plans ranges the
+                        # executor's buffer reports as pending
+                        st["depth"] = 0
+                        st["bounds"].append(st["line"])
+                        st["bbytes"].append(pos)
                     elif st["depth"] == 0 and kind not in _NON_BOUNDARY_KINDS:
                         # DDL/HEARTBEAT/OTHER outside a tx are their own
                         # boundary; FIELD/VGTID/VERSION/COPY_COMPLETED are
                         # not — they describe or position the rows that
                         # follow, so they must land in the same micro-batch
                         st["bounds"].append(st["line"])
+                        st["bbytes"].append(pos)
                 st["offset"] += len(complete)
             st["size"] = size
         return st["bounds"]
+
+    def byte_for_line(self, file_path: str, line: int) -> int | None:
+        """Byte offset where ``line`` (an offset value: count of consumed
+        lines, always a boundary or 0) ends — lets the executor seek instead
+        of reading-and-discarding every prior line (O(L²) across capped
+        micro-batches otherwise). None when the line isn't a known boundary
+        (e.g. a restart offset predating this index instance's file state)."""
+        if line == 0:
+            return 0
+        st = self._state.get(file_path)
+        if st is None:
+            return None
+        i = bisect_right(st["bounds"], line) - 1
+        if i >= 0 and st["bounds"][i] == line:
+            return st["bbytes"][i]
+        return None
 
 
 def _capped_end(bounds: list[int], start: int, cap: int | None) -> int:
@@ -150,6 +192,10 @@ class ReplayPartition(InputPartition):
     wire: bool = False
     keyspace: str = ""
     exclude_keyspace: bool = False
+    # byte range resolved from the driver's boundary index: the executor
+    # seeks instead of re-reading every prior line (None = fall back)
+    start_byte: int | None = None
+    end_byte: int | None = None
 
 
 def _truthy(v) -> bool:
@@ -260,22 +306,40 @@ class VitessReplayStreamReader(DataSourceStreamReader):
         for shard, f in self._files.items():
             bounds = self._index.boundaries(f)
             start = (self._planned or {}).get(shard, 0)
+            # clamp a STALE sidecar: the runner calls latestOffset before
+            # initialOffset on a fresh query, so a watermark left by a
+            # previous query over a since-regenerated (shorter) fixture
+            # would otherwise commit an end past EOF and permanently skip
+            # lines appended later — silent data loss
+            limit = bounds[-1] if bounds else 0
+            if start > limit:
+                start = limit
             if self._max_records is not None and self._planned is not None:
                 end[shard] = _capped_end(bounds, start, self._max_records)
             else:
-                end[shard] = bounds[-1] if bounds else 0
+                end[shard] = limit
         if self._planned is not None or self._max_records is None:
             self._planned = dict(end)
             self._save_watermark()
         return end
 
-    def partitions(self, start: dict, end: dict):
+    def _advance_planned(self, end: dict) -> None:
+        """Single home of the planned-watermark merge (max per shard) used by
+        both ``partitions`` and ``commit``."""
         if self._planned is None:
             self._planned = dict(end)
         else:
             for s, e in end.items():
                 self._planned[s] = max(self._planned.get(s, 0), e)
         self._save_watermark()
+
+    def partitions(self, start: dict, end: dict):
+        self._advance_planned(end)
+        if not self._files:
+            raise ValueError(
+                f"no {{shard}}.jsonl replay files remain under {self._path} — "
+                "the replay dir was cleared or its files renamed mid-stream"
+            )
         parts = [
             ReplayPartition(
                 shard=s,
@@ -285,6 +349,8 @@ class VitessReplayStreamReader(DataSourceStreamReader):
                 wire=self._wire,
                 keyspace=self._keyspace,
                 exclude_keyspace=self._exclude_keyspace,
+                start_byte=self._index.byte_for_line(self._files[s], start.get(s, 0)),
+                end_byte=self._index.byte_for_line(self._files[s], end_line),
             )
             for s, end_line in end.items()
             if end_line > start.get(s, 0)
@@ -298,28 +364,18 @@ class VitessReplayStreamReader(DataSourceStreamReader):
     def read(self, partition: ReplayPartition) -> Iterator[tuple]:
         if partition.end_line <= partition.start_line:
             return
-        lines: list[str] = []
-        prefix_fields: list[str] = []
-        with open(partition.file_path, "r", encoding="utf-8") as fh:
-            for i, line in enumerate(fh):
-                if i >= partition.end_line:
-                    break
-                if not line.strip():
-                    continue
-                if i < partition.start_line:
-                    # wire restarts mid-file: the FIELD events before the
-                    # resume point must re-prime the decoder's schema cache
-                    # (the live gRPC source re-receives FIELDs on reconnect;
-                    # VStreamOutputMessageDecoder.java:73-75); they are not
-                    # re-emitted — they were already delivered
-                    if partition.wire and '"type":"FIELD"' in line:
-                        prefix_fields.append(line)
-                    continue
-                lines.append(line)
+        lines, prefix_fields = self._partition_lines(partition)
         if partition.wire:
             yield from self._read_wire(partition, lines, prefix_fields)
             return
         events = [json.loads(line) for line in lines]
+        for ev in events:
+            if "kind" not in ev and "type" in ev:
+                raise ValueError(
+                    "replay line is wire-format ('type'-keyed) but the source "
+                    "was opened without option('wireFormat', 'true') — set it, "
+                    "or point 'path' at a non-wire fixture"
+                )
         buf = TransactionBuffer()
         for ev in events:
             for tx in buf.add(ev):
@@ -329,6 +385,43 @@ class VitessReplayStreamReader(DataSourceStreamReader):
                 f"offset range did not end on a transaction boundary "
                 f"(shard={partition.shard}, pending={buf.pending})"
             )
+
+    def _partition_lines(
+        self, partition: ReplayPartition
+    ) -> tuple[list[str], list[str]]:
+        """The partition's payload lines plus (wire mode) the FIELD lines
+        before it. With a resolved byte range the payload is one seek + one
+        bounded read; otherwise fall back to line counting from the top."""
+        prefix_fields: list[str] = []
+        if partition.start_byte is not None and partition.end_byte is not None:
+            with open(partition.file_path, "rb") as fh:
+                if partition.wire and partition.start_byte > 0:
+                    # wire restarts mid-file: the FIELD events before the
+                    # resume point must re-prime the decoder's schema cache
+                    # (the live gRPC source re-receives FIELDs on reconnect;
+                    # VStreamOutputMessageDecoder.java:73-75); they are not
+                    # re-emitted — they were already delivered
+                    head = fh.read(partition.start_byte).decode("utf-8")
+                    prefix_fields = [
+                        ln for ln in head.splitlines() if _FIELD_LINE_RE.search(ln)
+                    ]
+                fh.seek(partition.start_byte)
+                body = fh.read(partition.end_byte - partition.start_byte)
+            lines = [ln for ln in body.decode("utf-8").splitlines() if ln.strip()]
+            return lines, prefix_fields
+        lines = []
+        with open(partition.file_path, "r", encoding="utf-8") as fh:
+            for i, line in enumerate(fh):
+                if i >= partition.end_line:
+                    break
+                if not line.strip():
+                    continue
+                if i < partition.start_line:
+                    if partition.wire and _FIELD_LINE_RE.search(line):
+                        prefix_fields.append(line)
+                    continue
+                lines.append(line)
+        return lines, prefix_fields
 
     def _read_wire(
         self,
@@ -428,12 +521,7 @@ class VitessReplayStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # files are immutable; checkpoint WAL is the offset store. Track the
         # committed position so a capped latestOffset measures from it.
-        if self._planned is None:
-            self._planned = dict(end)
-        else:
-            for s, e in end.items():
-                self._planned[s] = max(self._planned.get(s, 0), e)
-        self._save_watermark()
+        self._advance_planned(end)
 
 
 class VitessReplayDataSource(DataSource):

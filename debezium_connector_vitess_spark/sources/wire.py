@@ -361,7 +361,16 @@ class VStreamObserver:
         if (not self._begin_seen or not self._commit_seen) and not send_now:
             return []  # partial transaction: keep buffering
         if self._new_vgtid is None and not heartbeat:
-            # no position for this group: skip it (reference logs + resets)
+            # no position for this group: skip it — the reference logs and
+            # resets identically; log loudly because the offset still advances
+            # past the dropped events (a DDL here would vanish silently)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dropping VStream group with no VGTID position (types: %s) — "
+                "the offset advances past it; the reference does the same",
+                ", ".join(e.type for e in self._buffer),
+            )
             self._reset()
             return []
         if any(e.type == "COPY_COMPLETED" for e in self._buffer):

@@ -654,3 +654,125 @@ def test_restart_cap_default_on_without_watermark_option(tmp_path):
     r3 = VitessReplayStreamReader(opts)
     r3.initialOffset()
     assert r3.latestOffset() == {"0": 6}
+
+
+# ---------------------------------------------------------------------------
+# Replay-source review hardening (r6)
+# ---------------------------------------------------------------------------
+
+
+def test_stale_watermark_sidecar_clamped_to_file_bounds(tmp_path):
+    """The runner calls latestOffset BEFORE initialOffset on a fresh query: a
+    sidecar left by a previous query over a since-regenerated (shorter)
+    fixture must clamp to the file's real boundaries — committing an end
+    past EOF would permanently skip lines appended later (silent data
+    loss)."""
+    import json as _json
+
+    from debezium_connector_vitess_spark.sources.replay import VitessReplayStreamReader
+
+    d = str(tmp_path / "replay")
+    _write_tx_file(d, "0", [(1, 1), (2, 1)])  # boundaries at 3, 6
+    wm_dir = os.path.join(d, "_watermark")
+    os.makedirs(wm_dir)
+    with open(os.path.join(wm_dir, "planned_watermark.json"), "w") as fh:
+        _json.dump({"0": 18}, fh)  # stale: previous, longer fixture
+
+    reader = VitessReplayStreamReader({"path": d, "maxrecordsperbatch": "4"})
+    end = reader.latestOffset()  # runner order: BEFORE initialOffset
+    assert end == {"0": 6}  # clamped to the real last boundary, not 18
+
+    # appended transactions are reached, not skipped past
+    _write_tx_file(d, "0", [(3, 1)], append=True)
+    assert reader.latestOffset() == {"0": 9}
+
+
+def test_mid_tx_heartbeat_boundary_agrees_with_buffer(tmp_path):
+    """A mid-transaction HEARTBEAT makes TransactionBuffer flush AND close
+    the open group (reference sendNow); the driver's boundary index must
+    plan the same cut or read() reports pending events forever."""
+    from debezium_connector_vitess_spark.sources.replay import (
+        ReplayPartition,
+        VitessReplayStreamReader,
+    )
+
+    d = str(tmp_path / "replay")
+    os.makedirs(d)
+    events = [
+        {"kind": "BEGIN", "keyspace": "ks", "seq": 1},
+        {"kind": "ROW", "keyspace": "ks", "table": "t", "seq": 1, "ts_ms": 0,
+         "row_changes": [{"before": None, "after": {"id": "1"}}]},
+        {"kind": "HEARTBEAT", "keyspace": "ks", "seq": 1},
+    ]
+    with open(os.path.join(d, "0.jsonl"), "w") as fh:
+        for e in events:
+            fh.write(json.dumps(e) + "\n")
+    reader = VitessReplayStreamReader({"path": d})
+    reader.initialOffset()
+    end = reader.latestOffset()
+    assert end == {"0": 3}  # the heartbeat closed the interrupted tx
+    rows = list(
+        reader.read(ReplayPartition("0", os.path.join(d, "0.jsonl"), 0, 3))
+    )
+    kinds = [r[0] for r in rows]
+    assert kinds == ["BEGIN", "ROW", "HEARTBEAT"]  # no pending error
+
+
+def test_wire_fixture_without_wireformat_option_errors_clearly(tmp_path):
+    """Reading a 'type'-keyed wire fixture without wireFormat=true must name
+    the misconfiguration, not report a confusing boundary error."""
+    from debezium_connector_vitess_spark.sources.replay import (
+        ReplayPartition,
+        VitessReplayStreamReader,
+    )
+
+    d = str(tmp_path / "replay")
+    os.makedirs(d)
+    with open(os.path.join(d, "0.jsonl"), "w") as fh:
+        fh.write(json.dumps({"type": "BEGIN", "keyspace": "ks"}) + "\n")
+        fh.write(json.dumps({"type": "COMMIT", "keyspace": "ks"}) + "\n")
+    reader = VitessReplayStreamReader({"path": d})
+    reader.initialOffset()
+    end = reader.latestOffset()
+    with pytest.raises(ValueError, match="wireFormat"):
+        list(reader.read(ReplayPartition("0", os.path.join(d, "0.jsonl"), 0, end["0"])))
+
+
+def test_byte_range_read_equals_line_skip_read(tmp_path):
+    """partitions() resolves (start_byte, end_byte) from the boundary index so
+    the executor seeks instead of re-reading every prior line; both paths
+    must yield identical tuples."""
+    from debezium_connector_vitess_spark.sources.replay import (
+        ReplayPartition,
+        VitessReplayStreamReader,
+    )
+
+    d = str(tmp_path / "replay")
+    _write_tx_file(d, "0", [(i, 2) for i in range(1, 6)])  # 5 txs × 4 lines
+    reader = VitessReplayStreamReader({"path": d, "maxrecordsperbatch": "4"})
+    reader.initialOffset()
+    e1 = reader.latestOffset()
+    e2 = reader.latestOffset()
+    parts = reader.partitions(e1, e2)
+    assert len(parts) == 1
+    p = parts[0]
+    assert p.start_byte is not None and p.end_byte is not None and p.start_byte > 0
+    fast = list(reader.read(p))
+    slow = list(
+        reader.read(
+            ReplayPartition("0", p.file_path, p.start_line, p.end_line)
+        )
+    )
+    assert fast == slow and len(fast) > 0
+
+
+def test_wire_field_prefix_matches_any_json_spacing(tmp_path):
+    """The restart FIELD re-priming must recognize '\"type\": \"FIELD\"'
+    written with default json.dumps spacing, not only the compact form."""
+    from debezium_connector_vitess_spark.sources.replay import _FIELD_LINE_RE
+
+    compact = json.dumps({"type": "FIELD", "x": 1}, separators=(",", ":"))
+    spaced = json.dumps({"type": "FIELD", "x": 1})
+    assert _FIELD_LINE_RE.search(compact)
+    assert _FIELD_LINE_RE.search(spaced)
+    assert not _FIELD_LINE_RE.search(json.dumps({"type": "ROW"}))
