@@ -23,7 +23,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..cache import eager_localcheckpoint
-from .text import normalize_text_expr, simhash_expr, tokens_expr
+from .text import (
+    normalize_text_expr,
+    shingles_from_tokens_expr,
+    simhash_expr,
+    tokens_expr,
+)
 
 
 def shingles_expr(text: Column, n: int = 3, *, distinct: bool = True) -> Column:
@@ -38,8 +43,6 @@ def shingles_expr(text: Column, n: int = 3, *, distinct: bool = True) -> Column:
     expressions consume the grams, stage the tokens as a real column and use
     :func:`~..ops.text.shingles_from_tokens_expr` instead.
     """
-    from .text import shingles_from_tokens_expr
-
     return shingles_from_tokens_expr(tokens_expr(text), n, distinct=distinct)
 
 
@@ -75,13 +78,17 @@ def minhash_signature(
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per normalized-content hash.
 
-    groupBy on the hash = single shuffle with map-side combine; at 100 TB the
-    hash column is 16 bytes/row into the exchange, not the document."""
-    h = F.md5(normalize_text_expr(F.col(text_col))).alias("content_hash")
-    survivors = df.select(h, F.col(id_col)).groupBy("content_hash").agg(
+    groupBy on the hash = single shuffle with map-side combine; the exchange
+    carries the 16-byte BINARY digest (``unhex``), not the 32-char hex
+    string — half the claimed shuffle volume at 100 TB; the output column
+    converts back to the portable lowercase hex form."""
+    h = F.unhex(F.md5(normalize_text_expr(F.col(text_col)))).alias("__h")
+    survivors = df.select(h, F.col(id_col)).groupBy("__h").agg(
         F.min(id_col).alias(id_col)
     )
-    return survivors
+    return survivors.select(
+        F.lower(F.hex(F.col("__h"))).alias("content_hash"), F.col(id_col)
+    )
 
 
 def exact_dedup_stream(
@@ -112,14 +119,76 @@ def exact_dedup_stream(
     previous batch's events (see
     test_materialize.test_exact_dedup_stream_watermark_bounds_state).
     """
-    hashed = df.withColumn(hash_col, F.md5(normalize_text_expr(F.col(text_col))))
-    if dedup_window is not None:
-        if event_time_col is None:
-            raise ValueError("dedup_window requires event_time_col")
-        return hashed.withWatermark(event_time_col, dedup_window).dropDuplicatesWithinWatermark(
-            [hash_col]
+    if (event_time_col is None) != (dedup_window is None):
+        # one without the other is always a mistake: window alone can't find
+        # the event-time column, and a lone event_time_col would SILENTLY
+        # take the unbounded-state branch the caller believed was windowed
+        raise ValueError(
+            "event_time_col and dedup_window must be passed together "
+            "(watermark-bounded dedup) or both omitted (unbounded state)"
         )
-    return hashed.dropDuplicates([hash_col])
+    # state key = the 16-byte binary digest (half the hex string's state
+    # volume); output converts back to the portable lowercase hex form
+    hashed = df.withColumn(
+        hash_col, F.unhex(F.md5(normalize_text_expr(F.col(text_col))))
+    )
+    if dedup_window is not None:
+        deduped = hashed.withWatermark(
+            event_time_col, dedup_window
+        ).dropDuplicatesWithinWatermark([hash_col])
+    else:
+        deduped = hashed.dropDuplicates([hash_col])
+    return deduped.withColumn(hash_col, F.lower(F.hex(F.col(hash_col))))
+
+
+def _validate_banding(num_perm: int, bands: int) -> None:
+    """(bands, rows) must tile the signature exactly: a remainder silently
+    drops trailing permutations (paid for in the min-aggregation, never
+    banded — the effective s-curve is not the one tune_minhash_bands
+    reasoned about), and bands > num_perm yields rows=0 and a zero-arg
+    xxhash64 AnalysisException pointing nowhere near the cause."""
+    if bands <= 0 or bands > num_perm or num_perm % bands != 0:
+        raise ValueError(
+            f"bands must divide num_perm exactly (got num_perm={num_perm}, "
+            f"bands={bands}); pick geometry with tune_minhash_bands()"
+        )
+
+
+def _drop_oversized_buckets(
+    keys: DataFrame, key_cols: list[str], cap: int | None
+) -> DataFrame:
+    """Shared LSH bucket cap: drop buckets with more than ``cap`` members
+    BEFORE the self-join (an n-member bucket fans out n·(n−1)/2 pairs). The
+    left_anti joins on the same key the self-join shuffles on — colocated,
+    no extra exchange of the keyed frame."""
+    if cap is None:
+        return keys
+    oversized = (
+        keys.groupBy(*key_cols)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > cap)
+        .select(*key_cols)
+    )
+    return keys.join(oversized, on=key_cols, how="left_anti")
+
+
+def _bucket_pair_candidates(
+    keys: DataFrame, key_cols: list[str], *extra_cols: Column
+) -> DataFrame:
+    """Shared bucket self-join: distinct (id_a < id_b) pairs of ids sharing
+    a bucket key. ``extra_cols`` are computed from the aliased sides ``a``/
+    ``b`` (e.g. simhash's hamming distance) before the distinct."""
+    a, b = keys.alias("a"), keys.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for k in key_cols:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), *extra_cols
+        )
+        .distinct()
+    )
 
 
 def minhash_signature_expr(shingles: Column, num_perm: int = 64) -> Column:
@@ -143,6 +212,7 @@ def minhash_band_keys(
     rows per band = num_perm/bands; two docs collide in a band iff that slice
     of signatures matches exactly.
     """
+    _validate_banding(num_perm, bands)
     rows = num_perm // bands
     return sig.select(
         "id",
@@ -180,18 +250,7 @@ def minhash_lsh_candidates(
         df, text_col, id_col, num_perm=num_perm, shingle_n=shingle_n
     )
     banded = minhash_band_keys(sig, num_perm=num_perm, bands=bands)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    return _bucket_pair_candidates(banded, ["band", "bhash"])
 
 
 def jaccard_pairs(
@@ -258,10 +317,20 @@ def minhash_dedup_pairs(
     Verification joins on the long key, never on shingle strings, so strings
     never travel through a shuffle. union = |A| + |B| − inter.
     """
+    # array_distinct AFTER hashing: shingle strings are already distinct, but
+    # a 64-bit collision would otherwise double-count one shash in n_sh AND
+    # in the intersection join — set semantics on the hashed key, no shuffle
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("shash"))
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles_expr(F.col(text_col), shingle_n),
+                    lambda s: F.xxhash64(s),
+                )
+            )
+        ).alias("shash"),
+    )
     if materialize:
         sh = sh.localCheckpoint(eager=True)
     aggs = [F.count("*").alias("n_sh")] + [
@@ -274,27 +343,8 @@ def minhash_dedup_pairs(
         # size lookup; materializing it runs the 64-min aggregation once
         sig = sig.localCheckpoint(eager=True)
     banded = minhash_band_keys(sig, num_perm=num_perm, bands=bands)
-    if max_bucket_size is not None:
-        oversized = (
-            banded.groupBy("band", "bhash")
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band", "bhash")
-        )
-        # left_anti on the same (band, bhash) key the self-join shuffles on —
-        # colocated, no extra exchange of the banded frame
-        banded = banded.join(oversized, on=["band", "bhash"], how="left_anti")
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    banded = _drop_oversized_buckets(banded, ["band", "bhash"], max_bucket_size)
+    cand = _bucket_pair_candidates(banded, ["band", "bhash"])
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         cand.join(a, cand.id_a == F.col("a.id"))
@@ -510,30 +560,11 @@ def simhash_near_dup_pairs(
             )
         ).alias("k"),
     ).select("id", "sim", "k.seg", "k.skey")
-    if max_bucket_size is not None:
-        oversized = (
-            keyed.groupBy("seg", "skey")
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("seg", "skey")
-        )
-        # left_anti on the (seg, skey) join key — colocated with the
-        # self-join shuffle, no extra exchange of the keyed frame
-        keyed = keyed.join(oversized, on=["seg", "skey"], how="left_anti")
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.seg") == F.col("b.seg"))
-            & (F.col("a.skey") == F.col("b.skey"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
-        )
-        .distinct()
+    keyed = _drop_oversized_buckets(keyed, ["seg", "skey"], max_bucket_size)
+    cand = _bucket_pair_candidates(
+        keyed,
+        ["seg", "skey"],
+        F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
     )
     return cand.filter(F.col("hamming") <= max_hamming)
 
@@ -574,6 +605,10 @@ def connected_components(
         edges.select(F.col("src").alias(id_col))
         .distinct()
         .join(nodes.select(F.col(id_col)), id_col, "left_semi")
+        # consumed twice (label seed + the singletons left_anti at the
+        # caller's terminal action): materialize the tiny id frame once
+        # instead of re-running distinct+semi-join over the edge list
+        .localCheckpoint(eager=True)
     )
     labels = touched.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     singletons = (

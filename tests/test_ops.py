@@ -2521,3 +2521,24 @@ def test_json_fields_review_hardening(spark):
     assert [r.id for r in got2] == [1]
     assert got2[0].props_parsed["_corrupt_json"] == "x"
     assert got2[0].props_parsed["k"] == 2
+
+
+def test_dedup_guardrails(spark):
+    """r6 review guards: banding geometry must tile the signature exactly
+    (a remainder silently drops trailing permutations; bands > num_perm
+    crashed with an unrelated zero-arg xxhash64 error), and a lone
+    event_time_col must not silently take the unbounded-state dedup branch."""
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.ops.dedup import (
+        exact_dedup_stream,
+        minhash_dedup_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id LONG, text STRING")
+    with _pytest.raises(ValueError, match="divide num_perm"):
+        minhash_dedup_pairs(df, "text", "doc_id", num_perm=64, bands=12)
+    with _pytest.raises(ValueError, match="divide num_perm"):
+        minhash_dedup_pairs(df, "text", "doc_id", num_perm=64, bands=100)
+    with _pytest.raises(ValueError, match="together"):
+        exact_dedup_stream(df, "text", event_time_col="ts")
