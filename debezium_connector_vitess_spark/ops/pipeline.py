@@ -236,6 +236,10 @@ def contamination_flags(
             shingles_expr(F.col(text_col), ngram), lambda x: token_hash_expr(x)
         )
     )
+    # NULL text propagates to a NULL array and len(None) would kill the
+    # Arrow batch — and this is the op advertised for live streaming ingest,
+    # where one bad document must not fail the micro-batch
+    g = F.coalesce(g, F.array().cast("array<bigint>"))
     ev = eval_df.select(F.explode(g).alias("gram")).distinct()
     ev_sorted = ev.toPandas()["gram"].to_numpy()
     ev_sorted.sort()
@@ -271,14 +275,20 @@ def contamination_flags(
     return train.withColumn("__grams", g).mapInPandas(op, schema=schema)
 
 
+def _md5_long_expr(key: Column, salt: str) -> Column:
+    """Deterministic 60-bit non-negative long from md5(salt || key) — the
+    engine-agnostic hash (DuckDB mirror: ``('0x' || substr(md5(s), 1, 15))::
+    BIGINT``). One definition: every salted-hash op in this file routes
+    through here (which itself routes through ``text.token_hash_expr``), so
+    the engine-portability-critical recipe cannot drift per call site."""
+    return token_hash_expr(F.concat(F.lit(salt), key.cast("string")))
+
+
 def hash_uniform_expr(key: Column, salt: str = "sample") -> Column:
     """Deterministic uniform int in [0, 100) from md5(salt || key) — the
     engine-agnostic construction (no rand(), no engine-private hash), so a
     sample is exactly reproducible anywhere, including the SQL oracle."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10
-    ).cast("long")
-    return h % 100
+    return _md5_long_expr(key, salt) % 100
 
 
 def sample_by_hash(
@@ -525,17 +535,28 @@ def doc_perplexity_interpolated(
         .crossJoin(F.broadcast(global_default))
         .select(
             F.col(id_col),
+            # 128-bit composite key (two independently-seeded xxhash64):
+            # a single 64-bit key risks a collision silently attaching an
+            # unrelated observed bigram's logp (or double-joining a position
+            # if two observed bigrams collide) — at 2^-128 the composite
+            # makes both failure modes practically impossible while the
+            # exchange still carries only longs, never word strings
             F.when(
                 F.col("prev").isNotNull(), F.xxhash64("prev", "token")
             ).alias("__bh"),
+            F.when(
+                F.col("prev").isNotNull(), F.xxhash64(F.lit(1), "prev", "token")
+            ).alias("__bh2"),
             F.coalesce(F.col("__lp_u"), F.col("__oov")).alias("__lpu"),
             F.coalesce(F.col("__ctx0"), F.col("__glob0")).alias("__lpb0"),
         )
     )
     btab = observed.select(
-        F.xxhash64("prev", "token").alias("__bh"), F.col("logp").alias("__lp_b")
+        F.xxhash64("prev", "token").alias("__bh"),
+        F.xxhash64(F.lit(1), "prev", "token").alias("__bh2"),
+        F.col("logp").alias("__lp_b"),
     )
-    scored = narrow.join(btab, on="__bh", how="left")
+    scored = narrow.join(btab, on=["__bh", "__bh2"], how="left")
     lp_b = F.coalesce(F.col("__lp_b"), F.col("__lpb0"))
     p = F.when(F.col("__bh").isNull(), F.exp(F.col("__lpu"))).otherwise(
         F.lit(lam) * F.exp(lp_b) + F.lit(1.0 - lam) * F.exp(F.col("__lpu"))
@@ -546,14 +567,6 @@ def doc_perplexity_interpolated(
         (-F.avg("__lp")).alias("avg_neg_logp"),
         F.exp(-F.avg("__lp")).alias("perplexity"),
     )
-
-
-def _md5_long_expr(key: Column, salt: str) -> Column:
-    """Deterministic 60-bit non-negative long from md5(salt || key) — the
-    engine-agnostic hash (DuckDB mirror: ``('0x' || substr(md5(s), 1, 15))::BIGINT``)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10
-    ).cast("long")
 
 
 def sample_token_budget(
@@ -589,14 +602,19 @@ def sample_token_budget(
     fill order hardly matters anyway) lower ``n_buckets`` or drop the
     broadcast hint and let AQE pick the join side.
     """
-    h = _md5_long_expr(F.col(id_col), salt)
+    # stage the hash as a real column and derive the bucket from it: two
+    # independent expression trees would evaluate md5 twice per row unless
+    # codegen CSE happens to fire (the file's convention is not to rely on
+    # it). NULL text counts as zero tokens — it must not produce a NULL
+    # doc_start that silently fails the budget filter.
     base = df.select(
         F.col(id_col),
         F.col(domain_col),
-        token_count_expr(F.col(text_col)).cast("long").alias("n_tokens"),
-        (h % n_buckets).alias("__bucket"),
-        h.alias("__h"),
-    )
+        F.coalesce(token_count_expr(F.col(text_col)).cast("long"), F.lit(0)).alias(
+            "n_tokens"
+        ),
+        _md5_long_expr(F.col(id_col), salt).alias("__h"),
+    ).withColumn("__bucket", F.col("__h") % n_buckets)
     bucket_totals = base.groupBy(domain_col, "__bucket").agg(
         F.sum("n_tokens").alias("__bucket_tokens")
     )
@@ -633,13 +651,7 @@ def sample_token_budget(
 
 def _gram_bucket_transform(grams: Column, *, dim: int, salt: str) -> Column:
     """Map an array of gram strings to hashed buckets in [0, dim)."""
-    return F.transform(
-        grams,
-        lambda g: F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), g)), 1, 15), 16, 10
-        ).cast("long")
-        % dim,
-    )
+    return F.transform(grams, lambda g: _md5_long_expr(g, salt) % dim)
 
 
 def hashed_gram_buckets_expr(toks: Column, *, dim: int, salt: str = "dsir") -> Column:
@@ -722,7 +734,16 @@ def _logratios_from_counts(
             - F.log((F.col("cr") + F.lit(alpha)) / denom_r)
         ).alias("log_ratio"),
     )
-    default = scored.limit(1).select(
+    # derive the sentinel from a global aggregate — agg over an EMPTY frame
+    # still yields exactly one row (sum=NULL→0), so the default exists even
+    # when both histograms are empty; built from limit(1) it would vanish
+    # and dsir_importance's crossJoin against the empty broadcast would
+    # silently wipe every scored row
+    totals = joined.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"),
+        F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"),
+    )
+    default = totals.select(
         F.lit(DSIR_DEFAULT_BUCKET).cast("long").alias("bucket"),
         (F.log(F.lit(alpha) / denom_t) - F.log(F.lit(alpha) / denom_r)).alias(
             "log_ratio"
@@ -1078,7 +1099,9 @@ def pack_sequences(
     cost without changing the answer). Callers that know the id domain can
     pass ``bucket_bounds`` explicitly (e.g. ``range(step, N, step)``) and
     skip the driver action entirely."""
-    n_tok = token_count_expr(F.col(text_col)).cast("long")
+    # NULL text = zero tokens: a NULL count would give the row itself NULL
+    # offsets (window SUM skips NULL) — unexplained NULL block assignments
+    n_tok = F.coalesce(token_count_expr(F.col(text_col)).cast("long"), F.lit(0))
     base = df.select(
         F.col(id_col), F.col(stream_col), n_tok.alias("n_tokens")
     )
@@ -1181,7 +1204,11 @@ def plan_token_budgets(
     avail_rows = (
         df.filter(F.col(domain_col).isin(*proportions.keys()))
         .groupBy(domain_col)
-        .agg(F.sum(token_count_expr(F.col(text_col)).cast("long")).alias("avail"))
+        .agg(
+            F.coalesce(
+                F.sum(token_count_expr(F.col(text_col)).cast("long")), F.lit(0)
+            ).alias("avail")
+        )
         .collect()
     )
     avail = {r[domain_col]: int(r["avail"]) for r in avail_rows}
@@ -1209,15 +1236,19 @@ def plan_token_budgets(
                 newly_capped = True
         remaining -= alloc_round
         if not newly_capped and alloc_round == 0:
-            # integer-rounding tail: hand the remainder to the largest-weight
-            # open domain with room, deterministically
+            # integer-rounding tail: hand the remainder out by descending
+            # weight across EVERY open domain with room — stopping at the
+            # first would strand tokens when its room is smaller than the
+            # remainder, breaking the sum-budget invariant by up to
+            # |domains|−1 tokens
             for d in sorted(open_w, key=lambda x: (-open_w[x], x)):
+                if remaining <= 0:
+                    break
                 room = avail[d] - budgets[d]
                 if room > 0:
                     take = min(remaining, room)
                     budgets[d] += take
                     remaining -= take
-                    break
             break
     spark = df.sparkSession
     return spark.createDataFrame(

@@ -2542,3 +2542,59 @@ def test_dedup_guardrails(spark):
         minhash_dedup_pairs(df, "text", "doc_id", num_perm=64, bands=100)
     with _pytest.raises(ValueError, match="together"):
         exact_dedup_stream(df, "text", event_time_col="ts")
+
+
+def test_pipeline_null_and_edge_hardening(spark):
+    """r6 review regressions: NULL text must not kill contamination_flags'
+    Arrow batch (the advertised streaming-filter op), must count as zero
+    tokens in the planner/packer instead of NULL placements, the planner's
+    rounding tail must spread the remainder across all open domains (sum
+    invariant), and empty DSIR histograms still yield the sentinel row."""
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        contamination_flags,
+        dsir_importance,
+        dsir_logratios,
+        pack_sequences,
+        plan_token_budgets,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, None)],
+        "doc_id LONG, text STRING",
+    )
+    ev = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")], "doc_id LONG, text STRING"
+    )
+    flags = {r.doc_id: r.n_eval_hits for r in contamination_flags(
+        train, ev, "text", "doc_id"
+    ).collect()}
+    assert flags[1] > 0 and flags[2] == 0  # NULL text = zero hits, no crash
+
+    docs = spark.createDataFrame(
+        [(1, "a", "one two"), (2, "a", None), (3, "b", "three"), (4, "c", "four")],
+        "doc_id LONG, domain STRING, text STRING",
+    )
+    # planner: all-NULL-text domain and remainder-tail distribution
+    nulls = spark.createDataFrame([(9, "z", None)], "doc_id LONG, domain STRING, text STRING")
+    plan_z = plan_token_budgets(nulls, "text", domain_col="domain",
+                                proportions={"z": 1.0}, total_tokens=5)
+    assert [tuple(r) for r in plan_z.collect()] == [("z", 0, 0)]
+    # 3 equal-weight domains, total 2: int(2/3)=0 for all, tail must fill 2
+    plan = plan_token_budgets(docs, "text", domain_col="domain",
+                              proportions={"a": 1.0, "b": 1.0, "c": 1.0},
+                              total_tokens=2)
+    got = {r.domain: r.budget_tokens for r in plan.collect()}
+    assert sum(got.values()) == 2  # remainder not stranded on one domain
+
+    # packer: NULL text = zero-width placement, never NULL offsets
+    placed = pack_sequences(docs, "text", "doc_id", stream_col="domain",
+                            block_tokens=4).collect()
+    assert all(r.start_offset is not None and r.block_id is not None for r in placed)
+    assert {r.doc_id: r.n_tokens for r in placed}[2] == 0
+
+    # DSIR: empty histograms still produce the sentinel, importance keeps rows
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    lr = dsir_logratios(empty, empty, "text", dim=64)
+    assert lr.count() == 1  # just the sentinel
+    imp = dsir_importance(docs.filter("text IS NOT NULL"), "text", "doc_id", lr, dim=64)
+    assert imp.count() == 3
