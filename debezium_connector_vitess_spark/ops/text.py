@@ -58,6 +58,22 @@ def mean_word_len_expr(text: Column) -> Column:
     return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
+def _quality_gates(n_chars, n_tokens, stop_ratio, punct_ratio, mwl) -> Column:
+    """The four 0.25 quality gates — ONE definition consumed by
+    :func:`quality_score_expr`, :func:`with_quality_score`, and
+    :func:`with_text_metrics`, so a threshold tweak cannot silently diverge
+    the three call sites from each other or from the DuckDB oracles that
+    mirror these exact thresholds."""
+    return (
+        F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(n_tokens >= 20, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(
+            (punct_ratio <= 0.1) & (mwl >= 2.0) & (mwl <= 12.0), F.lit(0.25)
+        ).otherwise(F.lit(0.0))
+    )
+
+
 def quality_score_expr(text: Column) -> Column:
     """Composite quality score in [0,1]: length band + stopword presence +
     low punctuation density + sane word length. The weights are arbitrary but
@@ -72,13 +88,7 @@ def quality_score_expr(text: Column) -> Column:
         F.length(text), F.lit(1)
     ).cast("double")
     mwl = mean_word_len_expr(text)
-    length_ok = F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(0.25)).otherwise(F.lit(0.0))
-    tokens_ok = F.when(n_tokens >= 20, F.lit(0.25)).otherwise(F.lit(0.0))
-    stop_ok = F.when(stop_ratio >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
-    clean_ok = F.when((punct_ratio <= 0.1) & (mwl >= 2.0) & (mwl <= 12.0), F.lit(0.25)).otherwise(
-        F.lit(0.0)
-    )
-    return length_ok + tokens_ok + stop_ok + clean_ok
+    return _quality_gates(n_chars, n_tokens, stop_ratio, punct_ratio, mwl)
 
 
 def with_quality_score(
@@ -103,14 +113,7 @@ def with_quality_score(
     mwl = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast(
         "double"
     ) / F.greatest(F.size(toks), F.lit(1)).cast("double")
-    score = (
-        F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(n_tokens >= 20, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(stop_ratio >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(
-            (punct_ratio <= 0.1) & (mwl >= 2.0) & (mwl <= 12.0), F.lit(0.25)
-        ).otherwise(F.lit(0.0))
-    )
+    score = _quality_gates(n_chars, n_tokens, stop_ratio, punct_ratio, mwl)
     return (
         df.withColumn("__qs_toks", tokens_expr(F.col(text_col)))
         .withColumn(out_col, score)
@@ -144,10 +147,15 @@ def lang_id_expr(text: Column) -> Column:
 
 
 def normalize_text_expr(text: Column) -> Column:
-    """Canonical form for fingerprinting/dedup: lowercase, strip non-alnum,
-    collapse whitespace."""
+    """Canonical form for fingerprinting/dedup: lowercase, strip
+    non-alphanumerics, collapse whitespace. The strip class is
+    UNICODE-aware (``\\p{L}\\p{N}``): an ASCII-only ``[^a-z0-9]`` deletes
+    every Cyrillic/CJK/Arabic letter, collapsing all non-Latin documents to
+    the same md5("") fingerprint — dup_ratio ~1.0 for a zh/ru domain with
+    zero real duplicates. Same class in the DuckDB oracles (RE2 supports
+    ``\\p{L}`` identically)."""
     t = F.lower(text)
-    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, r"[^\p{L}\p{N}\s]", "")
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return t
 
@@ -220,7 +228,9 @@ def shingles_from_tokens_expr(toks: Column, n: int = 3, *, distinct: bool = True
     return F.array_distinct(z) if distinct else z
 
 
-def with_text_metrics(df, text_col: str = "text", *, gram_n: int = 3):
+def with_text_metrics(
+    df, text_col: str = "text", *, gram_n: int = 3, include_grams: bool = True
+):
     """Every per-document text signal in one staged narrow projection:
     n_tokens, n_bpe_pieces, n_punct, mean_word_len, quality_score,
     total_grams / distinct_grams / repeated_frac (duplicate-n-gram
@@ -237,12 +247,21 @@ def with_text_metrics(df, text_col: str = "text", *, gram_n: int = 3):
     t = F.col(text_col)
     c_toks, c_grams = "__tm_toks", "__tm_grams"
     c_tg, c_dg, c_punct, c_mwl = "__tm_tg", "__tm_dg", "__tm_punct", "__tm_mwl"
+    staged = df.withColumn(c_toks, tokens_expr(t))
+    if include_grams:
+        # the gram build (slices + zip_with + array_distinct) is the costliest
+        # part of this projection: include_grams=False lets aggregate-only
+        # consumers (corpus_profile) skip it AND n_bpe_pieces entirely
+        staged = (
+            staged.withColumn(
+                c_grams,
+                shingles_from_tokens_expr(F.col(c_toks), gram_n, distinct=False),
+            )
+            .withColumn(c_tg, F.size(F.col(c_grams)))
+            .withColumn(c_dg, F.size(F.array_distinct(F.col(c_grams))))
+        )
     staged = (
-        df.withColumn(c_toks, tokens_expr(t))
-        .withColumn(c_grams, shingles_from_tokens_expr(F.col(c_toks), gram_n, distinct=False))
-        .withColumn(c_tg, F.size(F.col(c_grams)))
-        .withColumn(c_dg, F.size(F.array_distinct(F.col(c_grams))))
-        .withColumn(c_punct, punct_count_expr(t))
+        staged.withColumn(c_punct, punct_count_expr(t))
         .withColumn(
             c_mwl,
             F.aggregate(F.col(c_toks), F.lit(0), lambda a, x: a + F.length(x)).cast("double")
@@ -259,30 +278,27 @@ def with_text_metrics(df, text_col: str = "text", *, gram_n: int = 3):
     )
     punct_ratio = F.col(c_punct).cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
     mwl = F.col(c_mwl)
-    score = (
-        F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(n_tokens_d >= 20, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(stop_ratio >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(
-            (punct_ratio <= 0.1) & (mwl >= 2.0) & (mwl <= 12.0), F.lit(0.25)
-        ).otherwise(F.lit(0.0))
-    )
-    total, distinct = F.col(c_tg), F.col(c_dg)
-    frac = F.when(
-        total > 0, 1.0 - distinct.cast("double") / total.cast("double")
-    ).otherwise(F.lit(0.0))
-    return (
+    score = _quality_gates(n_chars, n_tokens_d, stop_ratio, punct_ratio, mwl)
+    out = (
         staged.withColumn("n_tokens", F.size(toks))
-        .withColumn("n_bpe_pieces", bpe_token_count_expr(t))
         .withColumn("n_punct", F.col(c_punct))
         .withColumn("mean_word_len", mwl)
         .withColumn("quality_score", score)
-        .withColumn("total_grams", total)
-        .withColumn("distinct_grams", distinct)
-        .withColumn("repeated_frac", frac)
         .withColumn("fingerprint", fingerprint_expr(t))
-        .drop(c_toks, c_grams, c_tg, c_dg, c_punct, c_mwl)
     )
+    if include_grams:
+        total, distinct = F.col(c_tg), F.col(c_dg)
+        frac = F.when(
+            total > 0, 1.0 - distinct.cast("double") / total.cast("double")
+        ).otherwise(F.lit(0.0))
+        out = (
+            out.withColumn("n_bpe_pieces", bpe_token_count_expr(t))
+            .withColumn("total_grams", total)
+            .withColumn("distinct_grams", distinct)
+            .withColumn("repeated_frac", frac)
+            .drop(c_grams, c_tg, c_dg)
+        )
+    return out.drop(c_toks, c_punct, c_mwl)
 
 
 def repetition_expr(text: Column, n: int = 3) -> tuple[Column, Column, Column]:
@@ -428,6 +444,22 @@ def winnow_fingerprint_frame(
     return eager_localcheckpoint(f)[0]
 
 
+def _cap_doc_freq(fps, max_doc_freq: int | None):
+    """Shared winnow fingerprint document-frequency cap: drop fingerprints
+    appearing in more than ``max_doc_freq`` documents BEFORE the equi-join
+    (boilerplate fingerprints fan out quadratically). One definition for the
+    self-join and cross-corpus variants."""
+    if max_doc_freq is None:
+        return fps
+    common = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("fp")
+    )
+    return fps.join(common, on="fp", how="left_anti")
+
+
 def winnow_match_pairs(
     df,
     text_col: str = "text",
@@ -474,14 +506,7 @@ def winnow_match_pairs(
     so one frame serves every slicing)."""
     if fps is None:
         fps = winnow_fingerprint_frame(df, text_col, id_col, k=k, window=window)
-    if max_doc_freq is not None:
-        common = (
-            fps.groupBy("fp")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_doc_freq)
-            .select("fp")
-        )
-        fps = fps.join(common, on="fp", how="left_anti")
+    fps = _cap_doc_freq(fps, max_doc_freq)
     a = fps.select(F.col("id").alias("id_a"), "fp")
     b = fps.select(F.col("id").alias("id_b"), "fp")
     return (
@@ -539,14 +564,7 @@ def winnow_cross_match(
 
     lfp = fp_frame(left, left_fps, "left_id")
     rfp = fp_frame(right, right_fps, "right_id")
-    if max_doc_freq is not None:
-        common = (
-            rfp.groupBy("fp")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_doc_freq)
-            .select("fp")
-        )
-        rfp = rfp.join(common, on="fp", how="left_anti")
+    rfp = _cap_doc_freq(rfp, max_doc_freq)
     return (
         lfp.join(rfp, on="fp")
         .groupBy("left_id", "right_id")
@@ -572,6 +590,15 @@ def duplicated_spans(
     the suffix-array construction the paper uses is a single-machine
     algorithm; the Spark-first equivalent is windowed gram hashing plus a
     corpus-wide occurrence count.
+
+    "Exact" is up to 60-bit window-hash collisions (``token_hash_expr``):
+    at W total windows the expected colliding pairs ≈ W²/2⁶¹ — negligible
+    below ~10¹⁰ windows, but at the full 100 TB (~10¹³ windows) ~10⁷ phantom
+    duplicate windows appear, each of which can cost an innocent document a
+    ≥``min_tokens`` span in :func:`remove_duplicated_spans`. At that scale
+    widen the key (e.g. a second independent hash joined alongside, the
+    composite-key pattern of the interpolated-LM bigram join) or shard the
+    corpus so W per shard stays under the comfort line.
 
     Returns (id_col, span_start, span_end, span_tokens, n_windows):
     0-based inclusive token positions, ``n_windows`` = number of duplicated
@@ -656,7 +683,17 @@ def remove_duplicated_spans(
     first-occurrence-wins convention as :func:`drop_duplicate_paragraphs`.
     For partially-overlapping repeats the loser's whole merged span is
     dropped (every window in it is duplicated somewhere, so only duplicated
-    content is ever removed — over-removal, never under-removal).
+    content is ever removed — over-removal of the LOSER, never removal of
+    non-duplicated text).
+
+    Known approximation (ownership is per MERGED span, keyed on its first
+    window): when the same passage P occurs both standalone and embedded in
+    a longer merged span (docs 'Q P' + 'P'), the 'Q P' winner keeps its
+    whole span INCLUDING P while the standalone 'P' doc also wins its own
+    hash group — P survives in two documents and one pass is not
+    idempotent (a second pass converges). Exact all-but-one semantics need
+    the suffix-array global ordering of Lee et al.; this composition trades
+    that for shuffle-only execution.
 
     Returns (id_col, out_col). Documents with no removed span keep their
     original text byte-for-byte; edited documents are rebuilt by re-joining
@@ -720,7 +757,13 @@ def remove_duplicated_spans(
 PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 # intl/us phone shapes: optional +, then >=9 chars of digits/space/()-, ending
 # in a digit. Dots are excluded from the body so IPv4 octets never qualify.
-PII_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+# >= 8 digits with at most two space/dash/paren chars between consecutive
+# digits (") " and " (" are two-char separators in +1 (415) 555-0100)
+# and NO newlines/tabs: the old [0-9()\-\s]{7,} body matched any digit run
+# spanning lines ('2021\n2022' scores, tables), redacting ordinary numeric
+# prose as <PHONE>. Single-line year lists remain a known false positive —
+# inherent to regex phone detection.
+PII_PHONE = r"\+?[0-9](?:[()\- ]{0,2}[0-9]){7,}"
 PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
 
 _PII_ORDER = (  # email first so phone can't eat a numeric local-part
@@ -886,12 +929,20 @@ def html_to_text_expr(html: Column) -> Column:
     """
     t = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
     t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    # an UNCLOSED script/style swallows the rest of the document (browser
+    # semantics: script runs to EOF) — without this the bare tag-strip would
+    # leave the script BODY behind as prose
+    t = F.regexp_replace(t, r"(?is)<script\b[^>]*>.*$", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*$", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(
         t, r"(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)\s*>", "\n\n"
     )
-    t = F.regexp_replace(t, r"(?i)<br\s*/?>", "\n")
-    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    t = F.regexp_replace(t, r"(?i)<br[^>]*>", "\n")  # incl. <br class=..>
+    # tags must START with a letter (or /! for closers/doctype): the bare
+    # <[^>]+> form ate real text between literal < and > in scraped prose
+    # ("if a < b and c > d" lost its middle)
+    t = F.regexp_replace(t, r"(?s)<[/!]?[A-Za-z][^>]*>", " ")
     for ent, rep in _HTML_ENTITIES:
         t = F.regexp_replace(t, ent, rep)
     t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
@@ -981,17 +1032,24 @@ def corpus_profile(
         df = with_compression_ratio(
             df, text_col, "__cr", bytes_col="__cbytes"
         ).drop("__cr")
-    m = with_text_metrics(df, text_col)
+    m = with_text_metrics(df, text_col, include_grams=False)
     # PII detection rides the same single scan (three codegen'd regexp passes)
     e, i, p = pii_count_exprs(F.col(text_col))
     staged = m.withColumn("__pii", (e + i + p) > 0)
     out = staged.groupBy(domain_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.when(F.length(text_col) == 0, 1).otherwise(0)).alias("n_empty"),
+        # NULL text counts as empty (length(NULL) is NULL, never == 0)
+        F.sum(
+            F.when(F.coalesce(F.length(text_col), F.lit(0)) == 0, 1).otherwise(0)
+        ).alias("n_empty"),
         F.sum("n_tokens").alias("n_tokens"),
         F.sum(F.length(text_col)).alias("n_chars"),
         F.round(F.avg("quality_score"), 4).alias("mean_quality"),
-        F.count_distinct("fingerprint").alias("distinct_content"),
+        # count_distinct ignores NULLs: a NULL-text doc must group with the
+        # empty-content fingerprint, not silently shrink the denominator
+        F.count_distinct(
+            F.coalesce(F.col("fingerprint"), F.md5(F.lit("")))
+        ).alias("distinct_content"),
         F.sum(F.when(F.col("__pii"), 1).otherwise(0)).alias("n_docs_with_pii"),
         *(
             [

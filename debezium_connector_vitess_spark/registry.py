@@ -1149,7 +1149,7 @@ _ORACLE_PII_SUFFIX = (
            CASE WHEN len(grams) > 0
                 THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE
                 ELSE 0.0 END AS repeated_frac,
-           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'),
                                    '\\s+', ' ', 'g'))) AS fingerprint,
            len(regexp_extract_all(ptext, '{_P_EMAIL}', 0)) AS n_pii_emails,
            len(regexp_extract_all(ptext, '{_P_IPV4}', 0)) AS n_pii_ipv4,
@@ -1287,7 +1287,7 @@ def smt_enforce_record_size(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id + 100000, text FROM documents),
     hashed AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'),
                                      '\\s+', ' ', 'g'))) AS content_hash
       FROM corpus),
     winners AS (
@@ -2846,13 +2846,16 @@ _ORACLE_HTML_EXTRACT = """
     regexp_replace(regexp_replace(
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(h,
           '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
           '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+          '(?is)<script\\b[^>]*>.*$', ' ', 'g'),
+          '(?is)<style\\b[^>]*>.*$', ' ', 'g'),
           '(?s)<!--.*?-->', ' ', 'g'),
           '(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)\\s*>', e'\\n\\n', 'g'),
-          '(?i)<br\\s*/?>', e'\\n', 'g'),
-          '(?s)<[^>]+>', ' ', 'g'),
+          '(?i)<br[^>]*>', e'\\n', 'g'),
+          '(?s)<[/!]?[A-Za-z][^>]*>', ' ', 'g'),
         '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
         '&#39;', CHR(39), 'g'),
       '&amp;', '&', 'g'),
@@ -3148,7 +3151,7 @@ def _corpus_health_oracle_sql() -> str:
            + (CASE WHEN stop_hits / greatest(n_tokens_d, 1) >= 0.05 THEN 0.25 ELSE 0.0 END)
            + (CASE WHEN n_punct_d / greatest(n_chars, 1) <= 0.1
                    AND mwl >= 2.0 AND mwl <= 12.0 THEN 0.25 ELSE 0.0 END) AS quality,
-             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'),
                                      '\\s+', ' ', 'g'))) AS fp,
              (len(regexp_extract_all(text, '{_P_EMAIL}', 0))
               + len(regexp_extract_all(text, '{_P_IPV4}', 0))
@@ -3157,11 +3160,11 @@ def _corpus_health_oracle_sql() -> str:
       FROM q),
     prof AS (
       SELECT source, count(*) AS n_docs,
-             sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS n_empty,
+             sum(CASE WHEN coalesce(length(text), 0) = 0 THEN 1 ELSE 0 END) AS n_empty,
              sum(n_tokens) AS n_tokens,
              sum(length(text)) AS n_chars,
              round(avg(quality), 4) AS mean_quality,
-             count(DISTINCT fp) AS distinct_content,
+             count(DISTINCT coalesce(fp, md5(''))) AS distinct_content,
              sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS n_docs_with_pii,
              round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 4) AS dup_ratio,
              sum(octet_length(encode(text))) AS raw_bytes

@@ -2247,7 +2247,7 @@ def test_corpus_profile_matches_duckdb(spark, sf_dir):
            + (CASE WHEN stop_hits / greatest(n_tokens_d, 1) >= 0.05 THEN 0.25 ELSE 0.0 END)
            + (CASE WHEN n_punct_d / greatest(n_chars, 1) <= 0.1
                    AND mwl >= 2.0 AND mwl <= 12.0 THEN 0.25 ELSE 0.0 END) AS quality,
-             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'),
                                      '\\s+', ' ', 'g'))) AS fp,
              (len(regexp_extract_all(text, '{PII_EMAIL}', 0))
               + len(regexp_extract_all(text, '{PII_IPV4}', 0))
@@ -2255,11 +2255,11 @@ def test_corpus_profile_matches_duckdb(spark, sf_dir):
                                        '{PII_PHONE}', 0))) > 0 AS has_pii
       FROM q)
     SELECT source, count(*) AS n_docs,
-           sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS n_empty,
+           sum(CASE WHEN coalesce(length(text), 0) = 0 THEN 1 ELSE 0 END) AS n_empty,
            sum(n_tokens) AS n_tokens,
            sum(length(text)) AS n_chars,
            round(avg(quality), 4) AS mean_quality,
-           count(DISTINCT fp) AS distinct_content,
+           count(DISTINCT coalesce(fp, md5(''))) AS distinct_content,
            sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS n_docs_with_pii,
            round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 4) AS dup_ratio
     FROM s GROUP BY source
@@ -2598,3 +2598,53 @@ def test_pipeline_null_and_edge_hardening(spark):
     assert lr.count() == 1  # just the sentinel
     imp = dsir_importance(docs.filter("text IS NOT NULL"), "text", "doc_id", lr, dim=64)
     assert imp.count() == 3
+
+
+def test_text_review_hardening(spark):
+    """r6 text review regressions: non-Latin documents get DISTINCT
+    fingerprints (ASCII-only normalize collapsed every zh/ru doc to
+    md5('')); corpus_profile counts NULL text as empty and groups it with
+    empty content; the phone pattern no longer swallows newline-separated
+    digit runs; unclosed <script> bodies never leak into extracted text;
+    '<' used as a comparison in prose survives tag stripping."""
+    from debezium_connector_vitess_spark.ops.text import (
+        corpus_profile,
+        fingerprint_expr,
+        html_to_text_expr,
+        pii_count_exprs,
+    )
+
+    ru = spark.createDataFrame(
+        [(1, "Привет мир, это первый документ."),
+         (2, "Совсем другой текст во втором документе."),
+         (3, None)],
+        "doc_id LONG, text STRING",
+    )
+    fps = [r.fp for r in ru.select(fingerprint_expr(F.col("text")).alias("fp")).collect()]
+    assert fps[0] != fps[1]  # distinct content -> distinct fingerprints
+    prof = corpus_profile(
+        ru.withColumn("source", F.lit("ru")), "text", "doc_id", domain_col="source"
+    ).collect()[0]
+    assert prof.n_empty == 1  # the NULL doc
+    assert prof.distinct_content == 3  # two texts + the empty-content group
+
+    txt = spark.createDataFrame(
+        [(1, "revenues for 2021\n2022\n2023 were flat"),
+         (2, "call +1 (415) 555-0100 now")],
+        "id INT, text STRING",
+    )
+    _, _, p = pii_count_exprs(F.col("text"))
+    got = {r.id: r.p for r in txt.select("id", p.alias("p")).collect()}
+    assert got[1] == 0  # newline-separated years are not a phone
+    assert got[2] == 1
+
+    html = spark.createDataFrame(
+        [(1, "<p>ok</p> <script>SECRET()"),
+         (2, "if a < b and c > d then stop")],
+        "id INT, h STRING",
+    )
+    out = {r.id: r.t for r in html.select(
+        "id", html_to_text_expr(F.col("h")).alias("t")
+    ).collect()}
+    assert "SECRET" not in out[1]  # unclosed script swallowed to EOF
+    assert "a < b and c > d" in out[2]  # prose comparison untouched
