@@ -63,12 +63,12 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query. The query side is broadcast (no corpus
     shuffle); ranking window is partitioned by query id."""
-    q = queries.select(
+    q = _drop_zero_vectors(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         norm_expr(F.col(vec_col)).alias("qnorm"),
     )
-    c = corpus.select(
+    c = _drop_zero_vectors(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm_expr(F.col(vec_col)).alias("cnorm"),
@@ -89,20 +89,31 @@ def brute_force_topk(
 
 
 def _hyperplanes(dim: int, count: int, seed: str = "vitess-cdc-lsh") -> list[list[float]]:
-    """Deterministic pseudo-random unit hyperplanes from SHA-256 (no RNG state,
-    reproducible across runs/engines)."""
+    """Deterministic pseudo-random unit hyperplanes from SHA-256 (no RNG
+    state, reproducible across runs/engines). Components are GAUSSIAN
+    (Box-Muller over two deterministic uniforms): uniform-cube sampling
+    concentrates directions toward cube diagonals as dim grows, biasing
+    sign-LSH collision probability away from the 1 − θ/π model for
+    axis-aligned embedding distributions; normalized Gaussian components are
+    rotationally symmetric. The planes are embedded as LITERALS in both the
+    Spark expressions and the DuckDB oracles (the registry calls this same
+    function), so the two engines always agree."""
     planes: list[list[float]] = []
     for p in range(count):
-        vals: list[float] = []
+        us: list[float] = []
         i = 0
-        while len(vals) < dim:
+        while len(us) < 2 * dim:
             h = hashlib.sha256(f"{seed}:{p}:{i}".encode()).digest()
             for off in range(0, 32, 4):
-                u = int.from_bytes(h[off : off + 4], "big") / 2**32  # [0,1)
-                vals.append(u * 2.0 - 1.0)
-                if len(vals) == dim:
+                us.append(int.from_bytes(h[off : off + 4], "big") / 2**32)  # [0,1)
+                if len(us) == 2 * dim:
                     break
             i += 1
+        vals = [
+            math.sqrt(-2.0 * math.log(max(us[2 * j], 1e-12)))
+            * math.cos(2.0 * math.pi * us[2 * j + 1])
+            for j in range(dim)
+        ]
         n = math.sqrt(sum(v * v for v in vals)) or 1.0
         planes.append([v / n for v in vals])
     return planes
@@ -113,6 +124,30 @@ def _quote_ident(name: str) -> str:
     backticks (`` ` `` → ```` `` ````) so unusual names can't produce
     malformed SQL."""
     return "`" + name.replace("`", "``") + "`"
+
+
+def _drop_zero_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude zero-norm (and null) embeddings up front: cosine against a
+    zero vector is 0/0 = NaN, and Spark ranks NaN ABOVE every real score and
+    passes it through ``>= threshold`` filters — a single all-zeros padding
+    vector would become the rank-1 neighbor of every query. ``F.exists``
+    short-circuits, so the guard is cheaper than a norm fold."""
+    return df.filter(F.exists(F.col(vec_col), lambda x: x != F.lit(0.0)))
+
+
+def _assert_dim(df: DataFrame, vec_col: str, dim: int, op: str) -> None:
+    """Fail loudly when the configured ``dim`` disagrees with the data: the
+    plane-dot SQL zips ``dim`` literal components against the vector, and a
+    mismatch silently NULL-poisons every dot so ALL bucket/band keys
+    collapse to 0 — the equi-join degenerates to the full O(n²) cross
+    product the LSH path exists to avoid. One-row driver check (LIMIT 1
+    short-circuits the scan)."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+    if row and row[0]["n"] is not None and row[0]["n"] != dim:
+        raise ValueError(
+            f"{op}: dim={dim} but {vec_col!r} vectors have "
+            f"{row[0]['n']} components — pass dim={row[0]['n']}"
+        )
 
 
 def lsh_bucket_expr(vec: "Column | str", planes: list[list[float]]) -> Column:
@@ -170,21 +205,37 @@ def lsh_topk(
     clustered corpora (the realistic 100 TB case) concentrate neighbors in the
     home bucket. Recall vs brute force is asserted in tests.
     """
+    _assert_dim(corpus, vec_col, dim, "lsh_topk")
     planes = _hyperplanes(dim, num_planes)
-    c = corpus.select(
+    c = _drop_zero_vectors(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm_expr(F.col(vec_col)).alias("cnorm"),
         lsh_bucket_expr(_quote_ident(vec_col), planes).alias("bucket"),
     )
-    qb = lsh_bucket_expr(_quote_ident(vec_col), planes)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        norm_expr(F.col(vec_col)).alias("qnorm"),
-        F.explode(
-            F.array(*[qb.bitwiseXOR(F.lit(m)).cast("long") for m in _probe_masks(num_planes, probe_radius)])
-        ).alias("bucket"),
+    # stage the home bucket ONCE: inlined per probe mask the num_planes
+    # interpreted plane-dot folds re-evaluate len(masks) times per row
+    q = (
+        _drop_zero_vectors(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm_expr(F.col(vec_col)).alias("qnorm"),
+            lsh_bucket_expr(_quote_ident(vec_col), planes).alias("__home"),
+        )
+        .select(
+            "query_id",
+            "qvec",
+            "qnorm",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("__home").bitwiseXOR(F.lit(m)).cast("long")
+                        for m in _probe_masks(num_planes, probe_radius)
+                    ]
+                )
+            ).alias("bucket"),
+        )
     )
     scored = c.join(F.broadcast(q), on="bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -215,6 +266,7 @@ def embedding_near_dup_pairs(
     Verification-scale ORACLE ONLY: the production path is
     :func:`lsh_banded_near_dup_pairs` (banded equi-join); this one exists so
     tests can measure the banded path's recall against exact ground truth."""
+    df = _drop_zero_vectors(df, vec_col)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -273,6 +325,9 @@ def band_key_exprs(
                 ).otherwise(F.lit(0))
             keys.append(key.cast("int"))
         return keys
+    from .dedup import _validate_banding
+
+    _validate_banding(len(planes), num_bands)  # same guard as MinHash banding
     per = len(planes) // num_bands
     keys: list[Column] = []
     for b in range(num_bands):
@@ -321,6 +376,8 @@ def lsh_banded_near_dup_pairs(
     (:func:`lsh_cross_near_pairs`) computes each side's keys once already
     and needs no checkpoint.
     """
+    _assert_dim(df, vec_col, dim, "lsh_banded_near_dup_pairs")
+    df = _drop_zero_vectors(df, vec_col)
     planes = _hyperplanes(dim, num_planes)
     keys = band_key_exprs(_quote_ident(vec_col), planes, num_bands)
     sigs = df.select(
@@ -374,10 +431,22 @@ def sampled_centroid_frame(
 
 def _collect_centroids(cent_df: DataFrame) -> list[tuple[int, list[float]]]:
     """The quantizer table is tiny (n_centroids × dim) — the one frame IVF is
-    allowed to collect."""
-    return sorted(
-        ((int(r["centroid_id"]), [float(x) for x in r["cent_vec"]]) for r in cent_df.collect())
-    )
+    allowed to collect. Centroid ids must be NUMERIC (the literal argmax
+    negates them to get (score desc, id asc) struct ordering) — string ids
+    work everywhere else in this module, so fail with the constraint named
+    instead of a bare int() ValueError."""
+    out = []
+    for r in cent_df.collect():
+        try:
+            cid = int(r["centroid_id"])
+        except (TypeError, ValueError):
+            raise ValueError(
+                "IVF centroid ids must be numeric (the centroid argmax "
+                f"negates them); got {r['centroid_id']!r} — map string ids "
+                "to longs first (e.g. xxhash64) or use the 'lsh' strategy"
+            ) from None
+        out.append((cid, [float(x) for x in r["cent_vec"]]))
+    return sorted(out)
 
 
 def _centroid_pick_expr(
@@ -491,6 +560,7 @@ def kmeans_centroid_frame(
     Deterministic up to float summation order; only the tiny
     ``n_centroids × dim`` centroid table is ever collected. Empty cells keep
     their previous centroid."""
+    _assert_dim(corpus, vec_col, dim, "kmeans_centroid_frame")
     spark = corpus.sparkSession
     cents = _collect_centroids(
         sampled_centroid_frame(
@@ -549,6 +619,8 @@ def ivf_topk(
     ``centroid_id``, so a probe touches n_probe/n_centroids of the data and
     the per-bucket join shuffles only the probed lists.
     """
+    corpus = _drop_zero_vectors(corpus, vec_col)
+    queries = _drop_zero_vectors(queries, vec_col)
     if quantizer == "kmeans":
         cent_df = kmeans_centroid_frame(
             corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
@@ -615,9 +687,17 @@ def quantize_embeddings(
     qmax = (1 << (bits - 1)) - 1
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform(vec, F.abs))
+    # NULL components quantize to 0 (coalesce BEFORE the divide): a NULL
+    # would make concat_ws silently skip the entry, misaligning every later
+    # component of the csv against its position
     q_of = lambda v: F.when(  # noqa: E731 - zero vector quantizes to zeros
         F.col("scale") == 0.0, F.transform(v, lambda x: F.lit(0))
-    ).otherwise(F.transform(v, lambda x: F.round(x / F.col("scale")).cast("int")))
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.round(F.coalesce(x, F.lit(0.0)) / F.col("scale")).cast("int"),
+        )
+    )
     return df.select(
         F.col(id_col), vec.alias("_v"), (maxabs / F.lit(float(qmax))).alias("scale")
     ).select(
@@ -650,6 +730,9 @@ def lsh_cross_near_pairs(
     contract (signature hamming < num_bands ⇒ found) carries over. Returns
     (left_id, right_id, score).
     """
+    _assert_dim(left, vec_col, dim, "lsh_cross_near_pairs")
+    left = _drop_zero_vectors(left, vec_col)
+    right = _drop_zero_vectors(right, vec_col)
     planes = _hyperplanes(dim, num_planes)
 
     def sigs(df: DataFrame, out: str) -> DataFrame:

@@ -2648,3 +2648,43 @@ def test_text_review_hardening(spark):
     ).collect()}
     assert "SECRET" not in out[1]  # unclosed script swallowed to EOF
     assert "a < b and c > d" in out[2]  # prose comparison untouched
+
+
+def test_similarity_review_hardening(spark):
+    """r6 similarity review regressions: a zero-norm embedding must never
+    rank (cosine would be NaN, which Spark sorts ABOVE every real score and
+    passes through >= thresholds); a dim mismatch fails loudly instead of
+    collapsing every LSH key to 0 (silent O(n²)); bad band geometry raises;
+    a NULL vector component quantizes to an ALIGNED 0 entry."""
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.ops.similarity import (
+        brute_force_topk,
+        embedding_near_dup_pairs,
+        lsh_banded_near_dup_pairs,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # the NaN hazard
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    top = brute_force_topk(df, df, k=2)
+    assert all(r.neighbor_id != 3 for r in top.collect())  # zero vec never ranks
+    assert all(r.query_id != 3 for r in top.collect())
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(df, threshold=0.5).collect()}
+    assert pairs == {(1, 2)}  # NaN >= 0.5 must not admit the zero vector
+
+    with _pytest.raises(ValueError, match="dim=64"):
+        lsh_banded_near_dup_pairs(df, num_planes=16, num_bands=4)  # default dim=64
+    with _pytest.raises(ValueError, match="divide"):
+        lsh_banded_near_dup_pairs(df, num_planes=16, num_bands=5, dim=4)
+
+    qdf = spark.createDataFrame(
+        [(1, [2.0, None, 1.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    q = quantize_embeddings(qdf).collect()[0]
+    assert len(q.q_csv.split(",")) == 3  # NULL component stays aligned
+    assert q.q_csv.split(",")[1] == "0"
