@@ -101,9 +101,17 @@ def time_to_micros(raw: Column) -> Column:
     Pure expression: sign split + regexp field extraction."""
     sign = F.when(raw.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
     body = F.regexp_replace(raw, "^-", "")
-    h = F.regexp_extract(body, r"^(\d+):", 1).cast("long")
-    m = F.regexp_extract(body, r"^\d+:(\d+)", 1).cast("long")
-    s = F.regexp_extract(body, r"^\d+:\d+:(\d+)", 1).cast("long")
+
+    def _digits(pat: str) -> Column:
+        # '' on a regexp miss: the ''-guard yields NULL instead of an ANSI
+        # CAST_INVALID_INPUT that would kill the task for one malformed TIME
+        # even in the warn/skip failure modes (same guard as gtid_seq_expr)
+        e = F.regexp_extract(body, pat, 1)
+        return F.when(e != F.lit(""), e).cast("long")
+
+    h = _digits(r"^(\d+):")
+    m = _digits(r"^\d+:(\d+)")
+    s = _digits(r"^\d+:\d+:(\d+)")
     frac = F.regexp_extract(body, r"\.(\d+)$", 1)
     micros = F.coalesce(
         (F.rpad(frac, 6, "0").cast("long")), F.lit(0)
@@ -197,8 +205,12 @@ def convert_raw(
     if fam in ("VARCHAR", "JSON"):
         return raw  # DECIMAL also lands here (scale-preserving string)
     if fam == "ENUM":
+        if resolved.enum_string_literals:
+            return raw  # FieldEvent.enum_set_string_values: already a literal
         return enum_index_to_literal(raw, resolved.enum_values)
     if fam == "SET":
+        if resolved.enum_string_literals:
+            return raw
         return set_bitmask_to_csv(raw, resolved.enum_values)
     if fam == "YEAR":
         return _cast(raw, T.IntegerType())
@@ -280,23 +292,47 @@ class EventProcessingFailureHandlingMode:
     SKIP = "skip"
 
 
-# families whose conversion can reject a malformed raw string
+# families whose conversion can reject a malformed raw string (UINT64 /
+# TIME / TIMESTAMP included: whether they CAN fail depends on the configured
+# mode, and the check below converts with the ACTUAL modes, so a mode whose
+# conversion is pure passthrough can never false-flag)
 _CASTABLE_FAMILIES = {
     "SMALLINT", "INTEGER", "BIGINT", "FLOAT", "DOUBLE", "YEAR", "DATE",
-    "DATETIME", "BIT",
+    "DATETIME", "BIT", "UINT64", "TIME", "TIMESTAMP",
 }
 
+_ZERO_DATE_FAMILIES = {"DATE", "DATETIME", "TIMESTAMP"}
 
-def decode_errors_expr(map_col: Column, schema: TableSchema) -> Column:
+
+def decode_errors_expr(
+    map_col: Column,
+    schema: TableSchema,
+    *,
+    nullable_zero_dates: bool = True,
+    **modes,
+) -> Column:
     """Array of column names whose raw value is present but fails conversion
-    (try_cast ⇒ null). Drives the warn/skip failure-handling modes."""
+    (try_cast ⇒ null). Drives the warn/skip failure-handling modes.
+
+    Must receive the SAME mode kwargs as the decode it polices — checking
+    with defaults while decoding with overrides diverges the two (a value
+    the real decode handled fine gets its row dropped in skip mode).
+    Legitimate MySQL zero-dates are exempt: under ``nullable_zero_dates``
+    their null is INTENTIONAL, indistinguishable from a try_cast failure
+    without this guard."""
     checks = []
     for c in schema.columns:
         if c.resolved.family not in _CASTABLE_FAMILIES:
             continue
         raw = map_col.getItem(c.name)
-        converted = convert_raw(raw, c.resolved, permissive=True)
-        checks.append(F.when(raw.isNotNull() & converted.isNull(), F.lit(c.name)))
+        converted = convert_raw(
+            raw, c.resolved, nullable_zero_dates=nullable_zero_dates,
+            permissive=True, **modes,
+        )
+        failed = raw.isNotNull() & converted.isNull()
+        if nullable_zero_dates and c.resolved.family in _ZERO_DATE_FAMILIES:
+            failed = failed & ~raw.startswith(ZERO_DATE)
+        checks.append(F.when(failed, F.lit(c.name)))
     if not checks:
         return F.array().cast(T.ArrayType(T.StringType()))
     return F.array_compact(F.array(*checks))
@@ -381,11 +417,17 @@ def collect_field_schemas(
         .collect()
     )
     per_shard: dict[str, list] = {}
-    for r in sorted(rows, key=lambda r: (r["shard"], r["seq"])):
+    # a FIELD event whose gtid has no parseable seq (gtid_seq_expr yields
+    # NULL) sorts and bounds as -1 — earliest — instead of a None/int
+    # TypeError on the driver and a null boundary that never matches
+    for r in sorted(
+        rows, key=lambda r: (r["shard"], r["seq"] if r["seq"] is not None else -1)
+    ):
         fields = [f.asDict() for f in r["fields"] or []]
         schema = field_event_to_schema(keyspace, r["shard"], table, fields, **resolve_modes)
         gens = per_shard.setdefault(r["shard"], [])
-        gens.append((r["seq"], len(gens) + 1, schema))
+        bseq = r["seq"] if r["seq"] is not None else -1
+        gens.append((bseq, len(gens) + 1, schema))
     return per_shard
 
 
@@ -393,8 +435,6 @@ def decode_table_evolving(
     raw_df: DataFrame,
     keyspace: str,
     table: str,
-    *,
-    server_name: str = "vitess",
     **modes,
 ) -> DataFrame:
     """D4+X3: decode a table whose schema is carried in-stream by FIELD events.
@@ -439,6 +479,12 @@ def decode_table_evolving(
         shard_gen = F.lit(0)
         for bseq, _g, _schema in gens:
             shard_gen = shard_gen + F.when(seq >= bseq, 1).otherwise(0)
+        # clamp to gen 1: VStream sends FIELD before any of a shard's rows,
+        # so a 0 here means an unparseable/null row gtid — decode it with
+        # the shard's first schema instead of silently dropping the row
+        # (rows from shards with NO field event still vanish: nothing can
+        # decode them, mirroring the loud no-FIELD-at-all ValueError above)
+        shard_gen = F.greatest(shard_gen, F.lit(1))
         cond = F.col("shard") == shard
         gen = F.when(cond, shard_gen) if gen is None else gen.when(cond, shard_gen)
     changes = changes.withColumn("seq", seq).withColumn(
@@ -447,17 +493,29 @@ def decode_table_evolving(
 
     # (3) group (shard, gen) by column-set signature
     def signature(schema: TableSchema):
-        return tuple((c.name, str(c.resolved.spark_type), c.resolved.family) for c in schema.columns)
+        # enum_values is part of the identity: generations differing only in
+        # ENUM/SET members must NOT share a decode branch (the stale value
+        # list silently mis-decodes indexes added by the DDL)
+        return tuple(
+            (c.name, str(c.resolved.spark_type), c.resolved.family, c.resolved.enum_values)
+            for c in schema.columns
+        )
 
     groups: dict[tuple, dict] = {}
-    superset: dict[str, object] = {}  # name -> ResolvedType (latest generation wins)
+    # name -> (boundary seq, ResolvedType): LATEST generation wins by the
+    # schema's boundary seq — plain insertion order would leave whichever
+    # shard iterated last, which can be the OLDEST type
+    latest: dict[str, tuple] = {}
     for shard, gens in per_shard.items():
         for bseq, g, schema in gens:
             sig = signature(schema)
             entry = groups.setdefault(sig, {"schema": schema, "keys": []})
             entry["keys"].append((shard, g))
             for c in schema.columns:
-                superset[c.name] = c.resolved
+                prev = latest.get(c.name)
+                if prev is None or bseq >= prev[0]:
+                    latest[c.name] = (bseq, c.resolved)
+    superset: dict[str, object] = {n: rv for n, (_b, rv) in latest.items()}
 
     ts_ms = F.unix_millis(F.col("ts"))
     frames = []
@@ -476,8 +534,10 @@ def decode_table_evolving(
                 if name in have:
                     col_schema = next(c for c in schema.columns if c.name == name)
                     v = convert_raw(m.getItem(name), col_schema.resolved, **convert_modes)
-                    # type conflicts across generations resolve to the latest type
-                    v = v.cast(resolved.spark_type)
+                    # type conflicts across generations resolve to the latest
+                    # type; try_cast: an unconvertible old-type value must
+                    # null, not ANSI-kill the job
+                    v = v.try_cast(resolved.spark_type)
                 else:
                     v = F.lit(None).cast(resolved.spark_type)
                 cols.append(F.when(m.isNotNull(), v).alias(f"{img}_{name}"))
@@ -514,6 +574,7 @@ def decode_table(
     single stage of narrow ops — scan → filter → project — so Catalyst pushes
     the table filter into the source and the whole thing codegens.
     """
+    modes = {k: v for k, v in modes.items() if k != "temporal_mode"}
     changes = explode_row_changes(raw_df).filter(
         (F.col("keyspace") == schema.keyspace) & (F.col("table_name") == schema.table)
     )

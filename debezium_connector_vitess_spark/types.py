@@ -102,6 +102,10 @@ class ResolvedType:
     logical_name: Optional[str] = None  # Debezium semantic-type analog
     enum_values: tuple[str, ...] = ()  # permitted values for ENUM/SET
     precision: Optional[int] = None  # fractional-second precision for temporals
+    # FieldEvent.enum_set_string_values: ENUM/SET arrive as literal STRINGS
+    # (copy phase / newer Vitess) — conversion must NOT reinterpret a
+    # numeric-looking literal ('2' in ENUM('2','1')) as an index/bitmask
+    enum_string_literals: bool = False
 
 
 def parse_enum_or_set_values(column_type: str) -> tuple[str, ...]:
@@ -296,9 +300,11 @@ def field_event_to_schema(
 
     ``enum_set_string_values`` mirrors ``FieldEvent.enum_set_string_values``
     (set during VStream Copy and on newer Vitess): ENUM/SET values arrive as
-    literal strings instead of indexes/bitmasks. It needs no type change here
-    because ``convert_raw`` already passes non-numeric ENUM/SET values
-    through unchanged — the flag is accepted for call-site parity.
+    literal strings instead of indexes/bitmasks. The flag is threaded into
+    each ENUM/SET column's :class:`ResolvedType` so ``convert_raw`` skips
+    index/bitmask reinterpretation entirely — relying on "non-numeric
+    literals pass through" corrupts permitted values that LOOK numeric
+    (ENUM('2','1'): literal '2' would decode as index 2 → '1').
     """
     columns: list[ColumnMetaData] = []
     for f in fields:
@@ -307,6 +313,10 @@ def field_event_to_schema(
         validate_column_name(name)
         flags = int(get("flags", 0) or 0)
         resolved = resolve(get("type", "") or "", get("column_type", "") or "", **resolve_modes)
+        if enum_set_string_values and resolved.family in ("ENUM", "SET"):
+            import dataclasses
+
+            resolved = dataclasses.replace(resolved, enum_string_literals=True)
         columns.append(
             ColumnMetaData(
                 name=name,

@@ -393,3 +393,61 @@ def test_connect_time_millis_many_cases(spark):
     }
     for c in cases:
         assert got[c] == expect(c), (c, got[c], expect(c))
+
+
+def test_decode_review_hardening(spark):
+    """r6 decode review regressions: numeric-looking ENUM/SET literals under
+    enum_set_string_values are NOT reinterpreted as indexes/bitmasks;
+    malformed TIME nulls instead of ANSI-killing the task; a legitimate
+    zero-date is not flagged as a decode error; decode_table accepts the
+    full mode set including temporal_mode."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.decode import (
+        convert_raw,
+        decode_errors_expr,
+        time_to_micros,
+    )
+    from debezium_connector_vitess_spark.types import (
+        TableSchema,
+        field_event_to_schema,
+    )
+
+    # ENUM('2','1') with string literals: '2' must stay '2', not index->'1'
+    schema = field_event_to_schema(
+        "ks", "-", "t",
+        [{"name": "e", "type": "ENUM", "column_type": "enum('2','1')", "flags": 0},
+         {"name": "s", "type": "SET", "column_type": "set('2','3')", "flags": 0}],
+        enum_set_string_values=True,
+    )
+    df = spark.createDataFrame([("2", "2")], "e STRING, s STRING")
+    got = df.select(
+        convert_raw(F.col("e"), schema.columns[0].resolved).alias("e"),
+        convert_raw(F.col("s"), schema.columns[1].resolved).alias("s"),
+    ).collect()[0]
+    assert (got.e, got.s) == ("2", "2")
+    # without the flag, index semantics still apply
+    schema_idx = field_event_to_schema(
+        "ks", "-", "t",
+        [{"name": "e", "type": "ENUM", "column_type": "enum('2','1')", "flags": 0}],
+    )
+    got_idx = df.select(
+        convert_raw(F.col("e"), schema_idx.columns[0].resolved).alias("e")
+    ).collect()[0]
+    assert got_idx.e == "1"  # '2' as 1-based index
+
+    # malformed TIME -> NULL, not an ANSI crash
+    bad = spark.createDataFrame([("garbage",), ("12:34:56",)], "t STRING")
+    vals = [r.v for r in bad.select(time_to_micros(F.col("t")).alias("v")).collect()]
+    assert vals[0] is None and vals[1] == (12 * 3600 + 34 * 60 + 56) * 1_000_000
+
+    # zero-date is an INTENTIONAL null, not a decode error
+    dschema = field_event_to_schema(
+        "ks", "-", "t",
+        [{"name": "d", "type": "DATE", "column_type": "date", "flags": 0}],
+    )
+    m = F.create_map(F.lit("d"), F.col("raw"))
+    errs = spark.createDataFrame(
+        [("0000-00-00",), ("not-a-date",), ("2024-01-01",)], "raw STRING"
+    ).select(decode_errors_expr(m, dschema).alias("errs")).collect()
+    assert [list(r.errs) for r in errs] == [[], ["d"], []]
