@@ -447,7 +447,15 @@ def test_banded_near_dup_recall_and_knob(spark, sf_dir):
         ).collect()
     }
     assert banded4 <= exact and banded8 <= exact  # no false positives
-    assert len(banded4) / len(exact) >= 0.5
+    # Recall bars are theory-anchored with slack, not coin-flip-tight: with
+    # Gaussian planes the per-pair band-collision model is 1-(1-(1-θ/π)^b)^B.
+    # At the cos=0.4 boundary that is ~0.50 for 4 bands×4 bits and ~0.98 for
+    # 8 bands×2 bits — a 0.5 bar for banded4 sits ON the expected value and
+    # fails on legitimate plane-set draws (observed 0.39 at sf0.001). The
+    # bars below separate "working LSH" (≥ theory minus pair-distribution
+    # skew) from "broken banding" (≈0) without asserting a coin lands heads.
+    assert len(banded4) / len(exact) >= 0.3
+    assert len(banded8) / len(exact) >= 0.85
     # more/narrower bands -> pigeonhole covers larger hamming -> recall up
     assert banded4 <= banded8
     assert len(banded8) / len(exact) >= len(banded4) / len(exact)
