@@ -280,6 +280,39 @@ def jaccard_pairs(
     )
 
 
+def _hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, shash): each shingle string hashed ONCE to a 64-bit key.
+
+    array_distinct AFTER hashing: shingle strings are already distinct, but
+    a 64-bit collision would otherwise double-count one shash in n_sh AND in
+    the intersection join — set semantics on the hashed key, no shuffle."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles_expr(F.col(text_col), shingle_n),
+                    lambda s: F.xxhash64(s),
+                )
+            )
+        ).alias("shash"),
+    )
+
+
+def _sig_from_hashed(sh: DataFrame, num_perm: int) -> DataFrame:
+    """Per-doc MinHash signature (h0..h{p-1}) + shingle-set size ``n_sh``
+    from a hashed-shingle frame: per-permutation hashes are hash-of-hash on
+    the 64-bit key (an equally valid min-wise family, far cheaper than
+    re-hashing the string num_perm times)."""
+    aggs = [F.count("*").alias("n_sh")] + [
+        F.min(F.xxhash64(F.lit(i), F.col("shash"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str,
@@ -317,27 +350,10 @@ def minhash_dedup_pairs(
     Verification joins on the long key, never on shingle strings, so strings
     never travel through a shuffle. union = |A| + |B| − inter.
     """
-    # array_distinct AFTER hashing: shingle strings are already distinct, but
-    # a 64-bit collision would otherwise double-count one shash in n_sh AND
-    # in the intersection join — set semantics on the hashed key, no shuffle
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    shingles_expr(F.col(text_col), shingle_n),
-                    lambda s: F.xxhash64(s),
-                )
-            )
-        ).alias("shash"),
-    )
+    sh = _hashed_shingles(df, text_col, id_col, shingle_n)
     if materialize:
         sh = sh.localCheckpoint(eager=True)
-    aggs = [F.count("*").alias("n_sh")] + [
-        F.min(F.xxhash64(F.lit(i), F.col("shash"))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    sig = sh.groupBy("id").agg(*aggs)
+    sig = _sig_from_hashed(sh, num_perm)
     if materialize:
         # the signature frame (8·num_perm bytes/doc) feeds banding AND the
         # size lookup; materializing it runs the 64-min aggregation once
@@ -366,6 +382,105 @@ def minhash_dedup_pairs(
     return verified.filter(
         F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num
     ).select("id_a", "id_b", "inter_size", "union_size")
+
+
+def minhash_cross_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    materialize: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-frame MinHash-LSH near-dup pairs: ``new_df`` against
+    ``corpus_df`` — the **incremental-ingest** shape (today's crawl vs the
+    standing corpus, or an eval set vs training data at the fuzzy-match
+    tier above :func:`~..pipeline.decontaminate`'s exact hashed-gram
+    semi-join). Returns (new_id, corpus_id, inter_size, union_size) at
+    exact shingle-Jaccard ≥ threshold_num/threshold_den; dropping matched
+    new docs is one ``left_anti`` join for the caller.
+
+    Same geometry as :func:`minhash_dedup_pairs` — a doc's signature and
+    band keys depend only on its text and the knobs, never on which frame
+    it sits in, so with equal knobs the cross candidates are EXACTLY the
+    self-join candidates of the union restricted to cross pairs (pinned by
+    tests/test_ops.py::test_minhash_cross_pairs_match_self_join): the
+    s-curve recall tune_minhash_bands() reasons about carries over
+    unchanged. The join is new-banded × corpus-banded on (band, bhash) —
+    a pure equi-join, never n_new × n_corpus: only 16-byte keyed rows and
+    (id, shash) longs shuffle, strings never leave the scan stage.
+
+    Scale notes: ``max_bucket_size`` caps EACH side's bucket membership
+    separately before the join (cross fan-out per bucket is
+    n_new × n_corpus; capping both sides bounds the product — boilerplate
+    lives on either side of an ingest boundary). At 100 TB the corpus
+    side's (id, shash) + signature frames are computed once per corpus
+    snapshot and persisted columnar (see ops/layout.py); this function
+    recomputes them from raw text because its surface is raw-text frames —
+    the banding/verify stages are indifferent to where ``sh``/``sig``
+    came from. Ids need not be disjoint across frames: pairs are keyed
+    (new_id, corpus_id), and a doc present verbatim on both sides returns
+    as its own (trivially jaccard-1) match — exactly what an ingest
+    dedup wants to catch."""
+    sh_n = _hashed_shingles(new_df, text_col, id_col, shingle_n)
+    sh_c = _hashed_shingles(corpus_df, text_col, id_col, shingle_n)
+    if materialize:
+        # each side feeds its signature aggregation AND one side of the
+        # intersection verify: tokenize+shingle once per side, not twice
+        sh_n = sh_n.localCheckpoint(eager=True)
+        sh_c = sh_c.localCheckpoint(eager=True)
+    sig_n = _sig_from_hashed(sh_n, num_perm)
+    sig_c = _sig_from_hashed(sh_c, num_perm)
+    if materialize:
+        sig_n = sig_n.localCheckpoint(eager=True)
+        sig_c = sig_c.localCheckpoint(eager=True)
+    banded_n = _drop_oversized_buckets(
+        minhash_band_keys(sig_n, num_perm=num_perm, bands=bands),
+        ["band", "bhash"],
+        max_bucket_size,
+    )
+    banded_c = _drop_oversized_buckets(
+        minhash_band_keys(sig_c, num_perm=num_perm, bands=bands),
+        ["band", "bhash"],
+        max_bucket_size,
+    )
+    cand = (
+        banded_n.select(F.col("id").alias("new_id"), "band", "bhash")
+        .join(
+            banded_c.select(F.col("id").alias("corpus_id"), "band", "bhash"),
+            on=["band", "bhash"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    a, b = sh_n.alias("a"), sh_c.alias("b")
+    inter = (
+        cand.join(a, cand.new_id == F.col("a.id"))
+        .join(b, (cand.corpus_id == F.col("b.id")) & (F.col("a.shash") == F.col("b.shash")))
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sizes_n = sig_n.select("id", "n_sh")
+    sizes_c = sig_c.select("id", "n_sh")
+    verified = (
+        inter.join(sizes_n.alias("sa"), inter.new_id == F.col("sa.id"))
+        .join(sizes_c.alias("sb"), inter.corpus_id == F.col("sb.id"))
+        .select(
+            "new_id",
+            "corpus_id",
+            "inter_size",
+            (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter_size")).alias("union_size"),
+        )
+    )
+    return verified.filter(
+        F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num
+    ).select("new_id", "corpus_id", "inter_size", "union_size")
 
 
 def ngram_jaccard_pairs(

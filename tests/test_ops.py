@@ -1273,6 +1273,57 @@ def test_sql_double_literal_roundtrip(spark):
         assert _struct.pack("<d", row[f"c{i}"]) == _struct.pack("<d", v), v
 
 
+def test_minhash_cross_pairs_match_self_join(spark, sf_dir):
+    """Incremental-ingest dedup: with equal knobs, a doc's signature and
+    band keys are frame-independent, so minhash_cross_pairs(A, B) must equal
+    the self-join pairs of A∪B restricted to cross pairs — same pairs, same
+    exact inter/union sizes. Anchors the cross variant to the oracle-checked
+    self-join path transitively."""
+    from debezium_connector_vitess_spark.ops.dedup import (
+        minhash_cross_pairs,
+        minhash_dedup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    cross = {
+        (r["new_id"], r["corpus_id"], r["inter_size"], r["union_size"])
+        for r in minhash_cross_pairs(new, corpus, "text", "doc_id").collect()
+    }
+    self_pairs = {
+        (r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
+        for r in minhash_dedup_pairs(docs, "text", "doc_id").collect()
+    }
+    self_cross = {
+        ((a if a % 2 == 1 else b), (b if a % 2 == 1 else a), i, u)
+        for (a, b, i, u) in self_pairs
+        if (a % 2) != (b % 2)
+    }
+    assert cross  # non-vacuous: sf0.001 has odd/even near-dup pairs
+    assert cross == self_cross
+
+
+def test_minhash_cross_pairs_plan_is_equi_join(spark, sf_dir):
+    """The candidate stage must join banded keys, never n_new × n_corpus."""
+    from debezium_connector_vitess_spark.ops.dedup import minhash_cross_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        minhash_cross_pairs(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+            "text",
+            "doc_id",
+            materialize=False,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_minhash_bucket_cap_drops_boilerplate(spark):
     """max_bucket_size: a giant exact-duplicate cluster stops fanning out
     into O(n^2) candidate pairs, while ordinary near-dup pairs survive."""
