@@ -17,10 +17,11 @@ Scale strategy (100 TB):
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Iterator, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..cache import eager_localcheckpoint
 from .text import (
@@ -481,6 +482,155 @@ def minhash_cross_pairs(
     return verified.filter(
         F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num
     ).select("new_id", "corpus_id", "inter_size", "union_size")
+
+
+MINHASH_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("dup_of", T.LongType(), False),
+        T.StructField("band", T.IntegerType(), False),
+    ]
+)
+
+_MINHASH_STATE_SCHEMA = T.StructType([T.StructField("first_id", T.LongType(), False)])
+
+
+def _bucket_first_arrival(
+    key: tuple,
+    pdf_iter: Iterator,
+    state,
+    idle_ttl_ms: int | None = None,
+) -> Iterator:
+    """Per-(band, bhash) bucket state fold: remember the bucket's FIRST
+    arrival; report every other member as its candidate duplicate. Within
+    one micro-batch the winner is the minimum id (batch minhash's min-id
+    convention — arrival order inside a batch is not observable)."""
+    import pandas as pd
+
+    empty = pd.DataFrame(columns=[f.name for f in MINHASH_STREAM_SCHEMA.fields])
+    if idle_ttl_ms is not None and state.hasTimedOut:
+        # bucket idle past the TTL: drop its state; a later arrival starts a
+        # fresh bucket (the bounded-state trade documented on the operator)
+        state.remove()
+        yield empty
+        return
+    chunks = list(pdf_iter)
+    if not chunks:
+        yield empty
+        return
+    ids = sorted({int(i) for c in chunks for i in c["id"].tolist()})
+    if state.exists:
+        first = int(state.get[0])
+    else:
+        first = ids[0]
+    state.update((first,))
+    if idle_ttl_ms is not None:
+        state.setTimeoutDuration(idle_ttl_ms)
+    dups = [i for i in ids if i != first]
+    if not dups:
+        yield empty
+        return
+    yield pd.DataFrame(
+        {"id": dups, "dup_of": first, "band": int(key[0])},
+        columns=[f.name for f in MINHASH_STREAM_SCHEMA.fields],
+    )
+
+
+def minhash_dedup_stream(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    idle_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming fuzzy dedup: MinHash-LSH CANDIDATE duplicates of a
+    continuously ingested corpus, first-arrival-wins — the streaming
+    counterpart of :func:`minhash_lsh_candidates`, as
+    :func:`exact_dedup_stream` is to :func:`exact_dedup`.
+
+    Output (append, candidate grain): one row per (later-arriving doc,
+    colliding band) with ``dup_of`` = the bucket's first arrival. A doc is a
+    candidate near-duplicate iff it appears at least once; consumers
+    ``distinct()`` on (id) for a drop list or on (id, dup_of) for
+    attribution edges. Precision is LSH-bucket precision: exact Jaccard
+    verification needs the shingle sets, which a bounded streaming state
+    cannot hold — run :func:`jaccard_pairs`/:func:`minhash_cross_pairs`
+    batch-side over the flagged sliver when exactness matters (it is
+    candidate-count-sized, not corpus-sized).
+
+    Signature parity: shingle hashing (xxhash64 once per distinct shingle),
+    per-permutation hash-of-hash minima, and band keys are the SAME
+    expressions as the batch path, so a doc's buckets are identical batch
+    vs stream — every emitted (id, dup_of) pair is a batch
+    ``minhash_lsh_candidates`` pair at equal knobs (pinned by
+    tests/test_materialize.py). Docs with no shingles (shorter than
+    ``shingle_n`` tokens) are excluded, exactly as the batch groupBy drops
+    them. The hashed-shingle array crosses ONE Arrow seam before the
+    per-permutation minima: projection collapse would otherwise inline the
+    tokenize+shingle+hash subtree into all ``num_perm`` minima (the blowup
+    minhash_signature_expr documents; batch materializes with
+    localCheckpoint, which a stream cannot).
+
+    Scale: state is ONE long per distinct non-empty bucket — ≤ bands ×
+    |docs| × 8 bytes, hash-partitioned across executors, RocksDB-spillable;
+    ``idle_ttl_ms`` (ProcessingTimeTimeout, same convention as
+    materialize_stream) evicts buckets idle past the TTL so state tracks
+    the active horizon on unbounded streams — after an eviction a
+    re-arriving bucket starts fresh, so duplicates are only suppressed
+    within the TTL horizon (the dropDuplicatesWithinWatermark trade).
+
+    TTL + ``Trigger.AvailableNow`` caveat: with ProcessingTimeTimeout the
+    stateful operator reports ``shouldRunAnotherBatch`` on every batch, so
+    an AvailableNow query schedules empty timer micro-batches forever and
+    never terminates. On a continuous trigger (the operator's intended
+    deployment) that is exactly the desired timer behavior; for bounded
+    drains set ``spark.sql.streaming.noDataMicroBatches.enabled=false`` —
+    timers still fire in every data batch, which is when state actually
+    grows and eviction matters.
+    """
+    _validate_banding(num_perm, bands)
+    sh = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.array_distinct(
+            F.transform(
+                shingles_expr(F.col(text_col), shingle_n),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("shashes"),
+    ).filter(F.size("shashes") > 0)
+    # Arrow barrier: materialize the hashed-shingle array once per row
+    sh = sh.mapInPandas(lambda it: it, schema="id bigint, shashes array<bigint>")
+    sig = sh.select(
+        "id",
+        *[
+            F.array_min(
+                F.transform("shashes", lambda x: F.xxhash64(F.lit(i), x))
+            ).alias(f"h{i}")
+            for i in range(num_perm)
+        ],
+    )
+    banded = minhash_band_keys(sig, num_perm=num_perm, bands=bands)
+
+    def process(key, pdf_iter, state):
+        return _bucket_first_arrival(key, pdf_iter, state, idle_ttl_ms=idle_ttl_ms)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return banded.groupBy("band", "bhash").applyInPandasWithState(
+        process,
+        outputStructType=MINHASH_STREAM_SCHEMA,
+        stateStructType=_MINHASH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
 
 
 def ngram_jaccard_pairs(

@@ -671,6 +671,171 @@ def test_dedup_stream_fixture_suppresses_every_copy_batch(spark, sf_dir, tmp_pat
     assert counts[1] == 0 and counts[2] == 0  # copies: all suppressed cross-batch
 
 
+def test_minhash_dedup_stream_candidates_match_batch(spark, tmp_path):
+    """Streaming fuzzy dedup: near-duplicates are flagged against the
+    bucket's FIRST arrival across micro-batch boundaries, distinct docs are
+    never flagged, and — because signature/band expressions are shared with
+    the batch path — every reported (id, dup_of) pair is a batch
+    minhash_lsh_candidates pair at equal knobs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_connector_vitess_spark.ops.dedup import (
+        minhash_dedup_stream,
+        minhash_lsh_candidates,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    rows_by_file = [
+        # batch 0: 1 and 2 are near-dups of each other; 3 is distinct
+        [
+            (1, base + "alpha tail"),
+            (2, base + "beta tail"),
+            (3, "completely different content about database replication streams"),
+        ],
+        # batch 1: 4 is a near-dup of 1/2 (MUST be attributed across the
+        # micro-batch boundary); 5 is distinct
+        [
+            (4, base + "gamma tail"),
+            (5, "unrelated corpus describing sailing knots and rigging maintenance"),
+        ],
+    ]
+    for order, rows in enumerate(rows_by_file):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        p = str(src / f"f{order}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + order * 10,) * 2)
+
+    emitted: list[tuple[int, int, int]] = []
+
+    def capture(df, batch_id):
+        for r in df.collect():
+            emitted.append((int(batch_id), r.id, r.dup_of))
+
+    raw = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        minhash_dedup_stream(raw, "text", "doc_id")
+        .writeStream.foreachBatch(capture)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    flagged = {(i, d) for (_b, i, d) in emitted}
+    flagged_ids = {i for (i, _d) in flagged}
+    # the near-dup family is flagged against first arrival (min id in batch
+    # 0 = doc 1); distinct docs never appear
+    assert flagged_ids == {2, 4}
+    assert all(d == 1 for (_i, d) in flagged)
+    # doc 4's report crossed the micro-batch boundary via bucket state
+    assert any(b == 1 and i == 4 for (b, i, _d) in emitted)
+    # parity: every streamed pair is a batch candidate pair at equal knobs
+    all_rows = [r for rows in rows_by_file for r in rows]
+    batch_df = spark.createDataFrame(all_rows, "doc_id bigint, text string")
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            batch_df, "text", "doc_id", num_perm=32, bands=8
+        ).collect()
+    }
+    assert {(min(i, d), max(i, d)) for (i, d) in flagged} <= batch_pairs
+
+
+def test_minhash_dedup_stream_idle_ttl_evicts_buckets(spark, tmp_path):
+    """idle_ttl_ms: buckets idle past the TTL leave the state store, so a
+    near-duplicate arriving AFTER eviction starts a fresh bucket and is NOT
+    flagged — the bounded-state horizon trade the operator documents.
+    Timed-out keys are only processed in a batch where they have no input
+    (input presence wins over expiry in applyInPandasWithState), so the
+    eviction is driven by an intermediate batch of unrelated content.
+
+    noDataMicroBatches is disabled for the test: with ProcessingTimeTimeout
+    the stateful operator reports shouldRunAnotherBatch=true on EVERY batch,
+    so Trigger.AvailableNow keeps scheduling empty timer batches and never
+    terminates (the operator docstring documents the trade). Timers still
+    fire in every DATA batch, which is when eviction matters."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_connector_vitess_spark.ops.dedup import minhash_dedup_stream
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+
+    def write(name, rows, order):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        p = str(src / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + order * 10,) * 2)
+
+    emitted: list[tuple[int, int]] = []
+
+    def capture(df, _batch_id):
+        for r in df.collect():
+            emitted.append((r.id, r.dup_of))
+
+    def run():
+        raw = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            minhash_dedup_stream(raw, "text", "doc_id", idle_ttl_ms=1)
+            .writeStream.foreachBatch(capture)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        # run 1: the near-dup family seeds its buckets; 2 flagged against 1
+        write("f0.parquet", [(1, base + "alpha tail"), (2, base + "beta tail")], 0)
+        run()
+        assert (2, 1) in emitted
+        _time.sleep(0.05)  # age the family's buckets past the 1 ms TTL
+        # run 2: unrelated content — the idle expired buckets are evicted here
+        write(
+            "f1.parquet",
+            [(3, "unrelated corpus describing sailing knots and rigging")],
+            1,
+        )
+        run()
+        # run 3: a near-dup re-arrival AFTER eviction starts a fresh bucket
+        write("f2.parquet", [(4, base + "gamma tail")], 2)
+        run()
+        assert all(i != 4 for (i, _d) in emitted)
+    finally:
+        spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+
+
 def test_exact_dedup_stream_watermark_bounds_state(spark, tmp_path):
     """`dedup_window` variant: duplicates within the watermark horizon are
     suppressed, and state is EVICTED once the watermark passes
