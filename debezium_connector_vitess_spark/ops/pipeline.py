@@ -1174,6 +1174,85 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 2048,
+    overlap: int = 0,
+    carry_cols: tuple[str, ...] = (),
+    include_text: bool = False,
+) -> DataFrame:
+    """Context-window chunking: split each document into fixed-size token
+    windows with ``overlap`` shared tokens between consecutive chunks — the
+    standard pre-packing step for documents longer than a training context.
+
+    Convention (mirrored exactly by the registry's DuckDB oracle): chunk
+    ``i`` starts at token ``i * stride`` where ``stride = chunk_tokens -
+    overlap``; ``n_chunks = 1 + ceil(max(n_tokens - chunk_tokens, 0) /
+    stride)``, so every token is covered, every chunk except possibly the
+    last has exactly ``chunk_tokens`` tokens, and the last has at least one
+    token past the previous chunk's coverage. Zero-token documents emit no
+    chunks (nothing to train on).
+
+    Output grain: one row per (doc, chunk) with ``chunk_idx``,
+    ``start_token`` (offset of the chunk's first token within the doc),
+    ``n_tokens`` (actual chunk length ≤ chunk_tokens) and ``chunk_md5``
+    (md5 of the space-joined chunk tokens — a content witness, so a
+    geometry-only bug that slices the wrong tokens is detectable).
+    ``include_text=True`` adds the chunk text itself (the payload a real
+    pipeline feeds to the tokenizer); off by default so the narrow
+    placement frame is what shuffles downstream.
+
+    Scale: map-only — no shuffle at any size. The token array is staged as
+    a real column in the projection BELOW the explode, so tokenization runs
+    once per document regardless of chunk count (Catalyst does not collapse
+    a projection through a Generate); the per-chunk work is an O(chunk)
+    array slice. Composes with :func:`pack_sequences` (chunk first, pack
+    the chunk grain) for the full sequence-prep path.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens): got overlap={overlap}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    # non-empty gate on the raw text (>=1 token <=> any non-whitespace char):
+    # filtering on size(__toks) would get pushed below the projection and
+    # re-run the tokenization per row just for the predicate
+    base = df.filter(F.col(text_col).rlike(r"\S")).select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        tokens_expr(F.col(text_col)).alias("__toks"),
+    )
+    n = F.size("__toks").cast("long")
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + (stride - 1)) / stride
+    )
+    ch = base.select(
+        id_col,
+        *carry_cols,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("__i"),
+    )
+    start = F.col("__i").cast("long") * stride
+    piece = F.slice(F.col("__toks"), (start + 1).cast("int"), F.lit(chunk_tokens))
+    out_cols = [
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.col("__i").cast("long").alias("chunk_idx"),
+        start.alias("start_token"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    ]
+    if include_text:
+        out_cols.append(F.array_join(piece, " ").alias("chunk_text"))
+    return ch.select(*out_cols)
+
+
 def plan_token_budgets(
     df: DataFrame,
     text_col: str,

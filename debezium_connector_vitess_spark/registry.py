@@ -2401,35 +2401,76 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(len({_ORACLE_TOKENS})) OVER (PARTITION BY source ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                - len({_ORACLE_TOKENS}) AS BIGINT) AS start_offset
-      FROM documents)
-    SELECT doc_id, source, n_tokens, start_offset,
-           CAST(start_offset // 2048 AS BIGINT) AS block_id,
-           CAST(start_offset % 2048 AS BIGINT) AS offset_in_block
-    FROM placed
+      FROM documents),
+    pack AS (
+      SELECT 'pack' AS side, doc_id, source, n_tokens, start_offset,
+             CAST(start_offset // 2048 AS BIGINT) AS block_id,
+             CAST(start_offset % 2048 AS BIGINT) AS offset_in_block,
+             CAST(NULL AS BIGINT) AS chunk_idx,
+             CAST(NULL AS VARCHAR) AS chunk_md5
+      FROM placed),
+    sized AS (
+      SELECT doc_id, source, {_ORACLE_TOKENS} AS toks,
+             len({_ORACLE_TOKENS}) AS n
+      FROM documents WHERE regexp_matches(text, '\\S')),
+    chunks AS (
+      SELECT 'chunk' AS side, doc_id, source,
+             CAST(least(32, n - i * 24) AS BIGINT) AS n_tokens,
+             CAST(i * 24 AS BIGINT) AS start_offset,
+             CAST(NULL AS BIGINT) AS block_id,
+             CAST(NULL AS BIGINT) AS offset_in_block,
+             CAST(i AS BIGINT) AS chunk_idx,
+             md5(array_to_string(
+               list_slice(toks, i * 24 + 1, least(i * 24 + 32, n)), ' '
+             )) AS chunk_md5
+      FROM sized, unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS t(i))
+    SELECT * FROM pack UNION ALL SELECT * FROM chunks
     """,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chop sequence packing through the SCALE path: the
+    """The sequence-prep family, both grains, one row:
+
+    side='pack' — concat-and-chop packing through the SCALE path: the
     order-preserving two-level cumsum (id-range buckets, n_buckets=8) gives
     every stream 8-way parallelism instead of one reducer task, with offsets
     provably identical to the single-window formulation the oracle runs.
-    Block id/offset by arithmetic. Standard LLM-pretraining packing
-    placement.
+    Block id/offset by arithmetic. Bucket bounds come from id-range
+    arithmetic over the parquet row count — a metadata-only action (footer
+    row counts, no data scan), exercising the operator's explicit
+    ``bucket_bounds`` path; ANY monotone bounds yield identical offsets.
 
-    Bucket bounds come from id-range arithmetic over the parquet row count —
-    a metadata-only action (footer row counts, no data scan), exercising the
-    operator's explicit-``bucket_bounds`` path; ANY monotone bounds yield
-    identical offsets (round-6 fix for the r5 bench regression: the full-pass
-    approxQuantile was one avoidable extra corpus scan)."""
+    side='chunk' (r6) — context-window chunking, the pre-packing step for
+    docs longer than a training context: 32-token windows with 8-token
+    overlap (stride 24), map-only (zero exchanges on this side). chunk_md5
+    witnesses the CONTENT of every chunk (md5 of the space-joined token
+    slice, recomputed independently by the DuckDB oracle), so a
+    geometry-only bug that slices the wrong tokens goes red, not just a
+    miscounted placement."""
+    from .ops.pipeline import chunk_documents as _chunk
     from .ops.pipeline import pack_sequences as _pack
 
     docs = _documents(spark, sf_dir)
     n = docs.count()  # parquet metadata only; doc_ids are dense 0..n-1
     step = max(1, n // 8)
-    return _pack(
+    nul_l = F.lit(None).cast("long")
+    pack = _pack(
         docs, "text", "doc_id", stream_col="source", block_tokens=2048,
         n_buckets=8, bucket_bounds=list(range(step, n, step)),
+    ).select(
+        F.lit("pack").alias("side"), "doc_id", "source", "n_tokens",
+        "start_offset", "block_id", "offset_in_block",
+        nul_l.alias("chunk_idx"), F.lit(None).cast("string").alias("chunk_md5"),
     )
+    chunk = _chunk(
+        docs, "text", "doc_id", chunk_tokens=32, overlap=8,
+        carry_cols=("source",),
+    ).select(
+        F.lit("chunk").alias("side"), "doc_id", "source", "n_tokens",
+        F.col("start_token").alias("start_offset"),
+        nul_l.alias("block_id"), nul_l.alias("offset_in_block"),
+        "chunk_idx", "chunk_md5",
+    )
+    return pack.unionByName(chunk)
 
 
 @register(

@@ -412,6 +412,56 @@ def test_pack_sequences_block_arithmetic(spark):
     assert out == {1: (0, 0, 0), 2: (100, 0, 100), 3: (200, 0, 200), 4: (300, 1, 44), 5: (400, 1, 144)}
 
 
+def test_chunk_documents_geometry_content_and_edges(spark):
+    """Context-window chunking: stride-spaced starts with exact coverage,
+    consecutive chunks share exactly `overlap` tokens, the original token
+    stream reconstructs from the chunks (chunk 0 + each later chunk minus
+    its overlap prefix), empty/NULL docs emit nothing, chunk_md5 witnesses
+    the content, and bad geometry raises."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.ops.pipeline import chunk_documents
+
+    toks = [f"t{i}" for i in range(11)]
+    rows = [
+        (1, " ".join(toks)),  # 11 tokens -> starts 0,3,6,9 lens 4,4,4,2
+        (2, "a b c"),         # 3 tokens  -> one short chunk
+        (3, ""),              # empty -> no chunks
+        (4, None),            # NULL  -> no chunks
+        (5, "   \t\n "),      # whitespace-only -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = chunk_documents(
+        df, "text", "doc_id", chunk_tokens=4, overlap=1, include_text=True
+    ).orderBy("doc_id", "chunk_idx").collect()
+
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    geo = [(r["chunk_idx"], r["start_token"], r["n_tokens"]) for r in by_doc[1]]
+    assert geo == [(0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 2)]
+    assert [(r["chunk_idx"], r["start_token"], r["n_tokens"]) for r in by_doc[2]] == [
+        (0, 0, 3)
+    ]
+    # content witness + reconstruction: chunk 0 whole, later chunks minus
+    # the overlap prefix, concatenated == the original token stream
+    rebuilt: list[str] = []
+    for r in by_doc[1]:
+        piece = r["chunk_text"].split(" ")
+        assert r["chunk_md5"] == hashlib.md5(r["chunk_text"].encode()).hexdigest()
+        assert piece == toks[r["start_token"]:r["start_token"] + r["n_tokens"]]
+        rebuilt.extend(piece if r["chunk_idx"] == 0 else piece[1:])
+    assert rebuilt == toks
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=0)
+
+
 def test_sample_by_hash_deterministic(spark, sf_dir):
     from pyspark.sql import functions as F
 

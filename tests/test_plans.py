@@ -316,6 +316,22 @@ def test_pack_sequences_shares_one_exchange(spark, sf_dir):
         assert "split(text" in head
 
 
+def test_chunk_documents_is_map_only_and_tokenizes_once(spark, sf_dir):
+    """The chunking side is a pure narrow pipeline — no Exchange at any
+    size — and the tokenization regex appears ONCE in the physical plan
+    (staged as a real column below the Generate; the non-empty gate is an
+    rlike on the raw text, so the predicate doesn't re-run the split)."""
+    from debezium_connector_vitess_spark.ops.pipeline import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        chunk_documents(docs, "text", "doc_id", chunk_tokens=32, overlap=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("split(text") == 1, plan[:2000]
+
+
 def test_dedup_spans_shuffles_carry_longs_only(spark, sf_dir):
     """The ExactSubstr detector's exchanges carry only (id, pos, 8-byte gram
     hash) — gram strings are hashed before the posexplode, so no string-typed
