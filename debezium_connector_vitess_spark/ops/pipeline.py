@@ -303,6 +303,92 @@ def sample_by_hash(
     return df.filter(hash_uniform_expr(F.col(id_col), salt) < rate_pct)
 
 
+def gumbel_key_expr(
+    log_weight: Column, key: Column, *, salt: str = "resample", temperature: float = 1.0
+) -> Column:
+    """Deterministic Gumbel perturbation key ``log_weight/T + G`` where
+    ``G = -ln(-ln(u))`` and ``u`` is the engine-agnostic md5 uniform in
+    (0, 1) (the +0.5 offset keeps u strictly inside the open interval, so
+    the double log never hits ±inf). Ranking rows by this key and taking
+    the top k draws a weighted sample WITHOUT replacement with inclusion
+    ∝ softmax(log_weight/T) — the Gumbel-top-k trick. No RNG state: the
+    same (salt, key) always yields the same perturbation, so a sample is
+    a pure function of the corpus, reproducible in any engine (the DuckDB
+    oracle recomputes it from the same md5 recipe)."""
+    u = (_md5_long_expr(key, salt) + F.lit(0.5)) / F.lit(float(2**60))
+    return log_weight / F.lit(float(temperature)) - F.log(-F.log(u))
+
+
+def resample_by_weight(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    *,
+    k: int | None = None,
+    expected_frac: float | None = None,
+    salt: str = "resample",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Importance resampling — the SELECTION step that turns
+    :func:`dsir_importance`'s per-document log-weights into an actual
+    resampled corpus (Xie et al. 2023 sample documents ∝ their importance
+    weight; ``weight_col`` is in LOG space, e.g. ``log_weight``).
+
+    Two modes, both deterministic (md5-derived noise, no RNG state):
+
+    ``k=`` — exact Gumbel-top-k: perturb each row's log-weight with a
+    deterministic Gumbel draw and keep the k largest keys. A weighted
+    sample without replacement, inclusion ∝ softmax(weight/T). Executes as
+    TakeOrderedAndProject (per-partition top-k, one merge of k rows) — use
+    when k is driver-sized. The top-k SET is robust to cross-engine libm
+    last-ulp drift because adjacent order-statistic gaps are O(1/n), not
+    O(ulp) (the oracle-parity margin test asserts the boundary gap).
+
+    ``expected_frac=`` — Poisson resampling for corpus-sized samples: keep
+    row i iff u_i < expected_frac · n · softmax_i. Two scalar aggregates
+    (max(w) for the standard softmax shift — exp(w) overflows to inf past
+    w ≈ 709 and one inf poisons Σ — then Σ exp(w−max), both broadcast
+    back) plus a narrow filter: no global sort, no driver-sized result,
+    scale-safe at any output size. Expected (not exact) sample size; rows
+    with softmax mass above 1/(frac·n) are always kept (the min(·, 1)
+    clamp), and a skewed corpus keeps proportionally FEWER of the light
+    rows — frac·n is the expected total only when mass is spread.
+
+    Exactly one of ``k`` / ``expected_frac`` must be given. Output keeps
+    the input columns (the sample IS the corpus slice)."""
+    if (k is None) == (expected_frac is None):
+        raise ValueError("pass exactly one of k= or expected_frac=")
+    w = F.col(weight_col).cast("double")
+    if k is not None:
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        gk = gumbel_key_expr(w, F.col(id_col), salt=salt, temperature=temperature)
+        return (
+            df.withColumn("__gk", gk)
+            .orderBy(F.col("__gk").desc())
+            .limit(k)
+            .drop("__gk")
+        )
+    if not 0.0 < expected_frac <= 1.0:
+        raise ValueError(f"expected_frac must be in (0, 1], got {expected_frac}")
+    wt = w / F.lit(float(temperature))
+    mx = df.select(F.max(wt).alias("__mw"))
+    base = df.crossJoin(F.broadcast(mx))
+    ew = F.exp(wt - F.col("__mw"))
+    totals = base.select(F.sum(ew).alias("__z"), F.count(F.lit(1)).alias("__n"))
+    u = (_md5_long_expr(F.col(id_col), salt) + F.lit(0.5)) / F.lit(float(2**60))
+    return (
+        base.crossJoin(F.broadcast(totals))
+        .filter(
+            u
+            < F.least(
+                F.lit(1.0), F.lit(expected_frac) * F.col("__n") * ew / F.col("__z")
+            )
+        )
+        .drop("__mw", "__z", "__n")
+    )
+
+
 def unigram_logprobs(df: DataFrame, text_col: str, *, alpha: float = 0.5) -> DataFrame:
     """Corpus unigram language model: (token, logp) with add-``alpha``
     smoothing over the observed vocabulary.

@@ -2372,16 +2372,35 @@ _SAMPLE_RATE_SQL = (
 @register(
     "sample_stratified",
     oracle=f"""
-    SELECT doc_id, source FROM documents
+    SELECT 'stratified' AS side, doc_id, source FROM documents
     WHERE ('0x' || substr(md5('sample' || doc_id::VARCHAR), 1, 15))::BIGINT % 100
           < {_SAMPLE_RATE_SQL}
+    UNION ALL
+    SELECT 'importance' AS side, doc_id, source FROM (
+      SELECT doc_id, source,
+             ln(1.0 + len({_ORACLE_TOKENS}))
+             - ln(-ln((('0x' || substr(md5('resample' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       + 0.5) / 1152921504606846976.0)) AS gk
+      FROM documents
+      ORDER BY gk DESC LIMIT 120)
     """,
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling: md5-derived uniform per row against
-    a per-stratum rate (10% for src0-2, 50% for English, 30% otherwise). No
-    RNG state, exactly reproducible across engines and re-runs."""
-    from .ops.pipeline import sample_by_hash
+    """Deterministic sampling, both modes, one row:
+
+    side='stratified' — md5-derived uniform per row against a per-stratum
+    rate (10% for src0-2, 50% for English, 30% otherwise). No RNG state,
+    exactly reproducible across engines and re-runs.
+
+    side='importance' (r6) — Gumbel-top-k importance resampling, the DSIR
+    selection step: log-weight ln(1+n_tokens) perturbed with the
+    deterministic md5-Gumbel draw, top 120 keys kept (inclusion ∝ softmax
+    of the weight). The output carries NO float column — the top-k SET is
+    the contract, robust to cross-engine libm last-ulp drift because
+    adjacent order-statistic gaps are O(1/n) (margin-asserted in
+    test_ops.py)."""
+    from .ops.pipeline import resample_by_weight, sample_by_hash
+    from .ops.text import token_count_expr
 
     rate = (
         F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(10))
@@ -2389,7 +2408,19 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(30))
     )
     docs = _documents(spark, sf_dir)
-    return sample_by_hash(docs, "doc_id", rate_pct=rate).select("doc_id", "source")
+    strat = (
+        sample_by_hash(docs, "doc_id", rate_pct=rate)
+        .select(F.lit("stratified").alias("side"), "doc_id", "source")
+    )
+    imp = resample_by_weight(
+        docs.withColumn(
+            "__w", F.log(1.0 + token_count_expr(F.col("text")).cast("double"))
+        ),
+        "__w",
+        "doc_id",
+        k=120,
+    ).select(F.lit("importance").alias("side"), "doc_id", "source")
+    return strat.unionByName(imp)
 
 
 @register(

@@ -462,6 +462,95 @@ def test_chunk_documents_geometry_content_and_edges(spark):
         chunk_documents(df, "text", "doc_id", chunk_tokens=0)
 
 
+def test_resample_by_weight_modes(spark, sf_dir):
+    """Gumbel-top-k importance resampling: deterministic across runs, k
+    respected, an overwhelming log-weight is always selected; the Poisson
+    (expected_frac) mode keeps its always-include clamp and lands near the
+    expected size on near-uniform weights; bad params raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import resample_by_weight
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", F.length("text").cast("double").alias("len"))
+        .withColumn(
+            # near-uniform weights, except doc 7 gets overwhelming mass
+            "w",
+            F.when(F.col("doc_id") == 7, F.lit(1000.0)).otherwise(
+                F.log(1.0 + F.col("len")) / 100.0
+            ),
+        )
+    )
+    a = sorted(r["doc_id"] for r in resample_by_weight(docs, "w", "doc_id", k=50).collect())
+    b = sorted(r["doc_id"] for r in resample_by_weight(docs, "w", "doc_id", k=50).collect())
+    assert a == b and len(a) == 50 and 7 in a
+
+    # Poisson mode on the SPIKED frame: doc 7's extreme weight (exp(1000)
+    # overflows a double — the max-shift keeps Σ finite) clamps its keep
+    # probability to 1; with ~all softmax mass on one row, the light rows'
+    # inclusion collapses toward 0 (correct ∝-mass behavior)
+    pois_skew = sorted(
+        r["doc_id"]
+        for r in resample_by_weight(docs, "w", "doc_id", expected_frac=0.3).collect()
+    )
+    assert 7 in pois_skew and len(pois_skew) < 10
+
+    # Poisson mode on NEAR-UNIFORM weights: every softmax_i ~ 1/n, so the
+    # sample lands around frac*n (loose band; the draw is a pure hash
+    # function, so the exact set is deterministic — asserted by re-run)
+    n = docs.count()
+    uni = docs.withColumn("w", F.log(1.0 + F.col("len")) / 100.0)
+    pois = sorted(
+        r["doc_id"]
+        for r in resample_by_weight(uni, "w", "doc_id", expected_frac=0.3).collect()
+    )
+    assert 0.15 * n < len(pois) < 0.5 * n
+    assert pois == sorted(
+        r["doc_id"]
+        for r in resample_by_weight(uni, "w", "doc_id", expected_frac=0.3).collect()
+    )
+
+    with _pytest.raises(ValueError):
+        resample_by_weight(docs, "w", "doc_id")
+    with _pytest.raises(ValueError):
+        resample_by_weight(docs, "w", "doc_id", k=10, expected_frac=0.5)
+    with _pytest.raises(ValueError):
+        resample_by_weight(docs, "w", "doc_id", k=0)
+    with _pytest.raises(ValueError):
+        resample_by_weight(docs, "w", "doc_id", expected_frac=1.5)
+
+
+def test_importance_resample_boundary_margins(spark):
+    """The sample_stratified row's side='importance' contract is a top-k SET
+    with no float output column; its only cross-engine hazard is the k-th /
+    (k+1)-th boundary. Assert the gumbel-key gap at that boundary is >=1e-6
+    at BOTH driver SFs — 9+ orders of magnitude above libm last-ulp drift —
+    so a testdata regen can't silently reintroduce a margin hazard (same
+    convention as test_curation_rounding_margins)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import gumbel_key_expr
+    from debezium_connector_vitess_spark.ops.text import token_count_expr
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        keys = (
+            docs.select(
+                gumbel_key_expr(
+                    F.log(1.0 + token_count_expr(F.col("text")).cast("double")),
+                    F.col("doc_id"),
+                ).alias("gk")
+            )
+            .orderBy(F.col("gk").desc())
+            .limit(121)
+            .collect()
+        )
+        gap = keys[119]["gk"] - keys[120]["gk"]
+        assert gap > 1e-6, f"{sf}: boundary gap {gap}"
+
+
 def test_sample_by_hash_deterministic(spark, sf_dir):
     from pyspark.sql import functions as F
 
