@@ -194,3 +194,70 @@ def read_shard_range(
     if not files:
         return base.load(path).filter(F.lit(False))
     return base.load(files).filter(F.col(sort_col).between(lo, hi))
+
+
+def key_skew_profile(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    top_n: int = 10,
+    sample_frac: float | None = None,
+) -> DataFrame:
+    """Heavy-hitter profile of candidate shuffle keys — the measurement
+    behind every salting / broadcast / AQE-skew decision: before keying a
+    100 TB join or groupBy on a column, ask what fraction of the corpus its
+    hottest values hold. Returns (column, value, n, rank, share) for each
+    column's ``top_n`` most frequent values; NULL is profiled as a value in
+    its own right (an unexpectedly hot NULL is the classic silent skew key,
+    and it sorts first among ties).
+
+    One pass for ALL columns: the frame stacks to (column, value) pairs and
+    aggregates once — partial (map-side) aggregation collapses each
+    partition's pairs to its local distinct set before the exchange, so the
+    shuffle carries per-partition distinct (column, value) combos, not
+    n_rows × n_cols. That is the right shape for KEY-like columns (bounded
+    cardinality); for near-unique columns the distinct set IS the data —
+    pass ``sample_frac`` to profile a Bernoulli sample instead (shares are
+    estimates; a heavy hitter at 1% of the corpus is unmissable at any
+    reasonable fraction). Ranking runs per column on the aggregated
+    (distinct-values)-sized frame; ties break on value ascending so the
+    report is deterministic across engines and runs.
+    """
+    if not cols:
+        raise ValueError("cols must name at least one column to profile")
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    if sample_frac is not None:
+        if not 0.0 < sample_frac <= 1.0:
+            raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+        df = df.sample(fraction=sample_frac, seed=7)
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column", "kv.value")
+    counts = stacked.groupBy("column", "value").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("column").orderBy(
+        F.col("n").desc(), F.col("value").asc_nulls_first()
+    )
+    totals = counts.groupBy("column").agg(F.sum("n").alias("__t"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .join(F.broadcast(totals), on="column")
+        .select(
+            "column",
+            "value",
+            "n",
+            "rank",
+            (F.col("n") / F.col("__t")).alias("share"),
+        )
+    )

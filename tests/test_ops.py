@@ -1744,6 +1744,68 @@ def test_read_shard_range_prunes_files(spark, sf_dir, tmp_path):
     assert empty.count() == 0 and empty.schema == out.schema
 
 
+def test_key_skew_profile_duckdb_parity_and_edges(spark, sf_dir):
+    """Heavy-hitter key profile: exact DuckDB parity on (column, value, n,
+    rank, share) for multi-column profiling including a NULL-bearing key,
+    deterministic ties (value ascending, NULL first), sample mode stays a
+    subset of the population values, bad params raise."""
+    import duckdb
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.layout import key_skew_profile
+    from oracle_harness import compare
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        # NULL-bearing derived key: NULL is the classic silent skew value
+        "domain_or_null",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(F.col("source")),
+    )
+    prof = key_skew_profile(docs, ["source", "lang", "domain_or_null"], top_n=4)
+    oracle = """
+    WITH d AS (
+      SELECT source, lang,
+             CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END AS domain_or_null
+      FROM documents),
+    stacked AS (
+      SELECT 'source' AS "column", source AS value FROM d
+      UNION ALL SELECT 'lang', lang FROM d
+      UNION ALL SELECT 'domain_or_null', domain_or_null FROM d),
+    counts AS (
+      SELECT "column", value, count(*) AS n FROM stacked GROUP BY 1, 2),
+    ranked AS (
+      SELECT "column", value, n,
+             row_number() OVER (PARTITION BY "column"
+                                ORDER BY n DESC, value ASC NULLS FIRST) AS rank,
+             CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY "column") AS share
+      FROM counts)
+    SELECT "column", value, CAST(n AS BIGINT) n, CAST(rank AS INT) rank, share
+    FROM ranked WHERE rank <= 4
+    """
+    compare(prof, oracle, sf_dir)
+    # NULL surfaced as a profiled value on the derived key
+    assert any(
+        r["column"] == "domain_or_null" and r["value"] is None for r in prof.collect()
+    )
+    # sample mode: every reported value exists in the full profile's column
+    full_vals = {
+        (r["column"], r["value"])
+        for r in key_skew_profile(docs, ["source"], top_n=100).collect()
+    }
+    samp_vals = {
+        (r["column"], r["value"])
+        for r in key_skew_profile(docs, ["source"], top_n=4, sample_frac=0.5).collect()
+    }
+    assert samp_vals and samp_vals <= full_vals
+
+    with _pytest.raises(ValueError):
+        key_skew_profile(docs, [])
+    with _pytest.raises(ValueError):
+        key_skew_profile(docs, ["source"], top_n=0)
+    with _pytest.raises(ValueError):
+        key_skew_profile(docs, ["source"], sample_frac=2.0)
+
+
 def test_shuffle_for_training_deterministic_and_seeded(spark, sf_dir):
     """The seeded global shuffle is a pure function of (id set, seed): the
     (shard, pos) assignment must be identical under adversarial input
@@ -2674,6 +2736,44 @@ def test_json_fields_stream_stateless(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_chunk_documents_stream_stateless(spark, sf_dir, tmp_path):
+    """chunk_documents is a stateless projection+generate: the identical
+    call works on a readStream frame (no watermark, no state store) and
+    yields the same (doc, chunk) geometry and content hashes as batch —
+    the chunking step drops into a streaming ingest unchanged."""
+    import os
+    import shutil
+
+    from debezium_connector_vitess_spark.ops.pipeline import chunk_documents
+
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    shutil.copy(src_file, src / "part-0.parquet")  # file source wants a dir
+    batch_df = spark.read.parquet(src_file)
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(src))
+    q = (
+        chunk_documents(stream, "text", "doc_id", chunk_tokens=32, overlap=8)
+        .writeStream.format("memory")
+        .queryName("chunk_stream_t")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_token"], r["n_tokens"], r["chunk_md5"])
+        for r in spark.sql("SELECT * FROM chunk_stream_t").collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_token"], r["n_tokens"], r["chunk_md5"])
+        for r in chunk_documents(
+            batch_df, "text", "doc_id", chunk_tokens=32, overlap=8
+        ).collect()
+    }
+    assert got == want and len(got) > len(set(k[0] for k in got))
 
 
 def test_json_fields_review_hardening(spark):
