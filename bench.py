@@ -56,13 +56,14 @@ HEADLINE = [
 # as value_core so round-over-round deltas need no hand-mapping. dedup_exact
 # is excluded from r6 on: it gained the streaming first-arrival-wins leg
 # (+~3.5 s fixed availableNow startup), so its total is no longer the batch
-# operator's cost.
+# operator's cost. sample_stratified and pack_sequences left the set late
+# in r6 for the same reason: they gained the importance-resampling and
+# context-window-chunking legs, so their totals include new work.
 CORE = [
     "cdc_envelope", "cdc_extract_new_state", "cdc_materialize", "tx_metadata",
     "heartbeat_positions", "pricing_summary", "revenue_by_nation",
     "text_metrics", "dedup_minhash_lsh", "dedup_clusters", "ann_topk",
-    "multimodal_metadata", "decontaminate_eval", "sample_stratified",
-    "pack_sequences",
+    "multimodal_metadata", "decontaminate_eval",
 ]
 
 

@@ -281,24 +281,47 @@ def jaccard_pairs(
     )
 
 
+def _hashed_shingle_array(text: Column, shingle_n: int) -> Column:
+    """THE hashed-shingle recipe, array form: each shingle string hashed
+    ONCE to a 64-bit key, set semantics on the hashed key (array_distinct
+    AFTER hashing: shingle strings are already distinct, but a 64-bit
+    collision would otherwise double-count one shash in n_sh AND in the
+    intersection join). One definition — :func:`_hashed_shingles` explodes
+    it for the batch groupBy path and :func:`minhash_dedup_stream` consumes
+    it row-local — so the batch and streaming bucket recipes cannot drift
+    (the `_md5_long_expr` convention)."""
+    return F.array_distinct(
+        F.transform(shingles_expr(text, shingle_n), lambda s: F.xxhash64(s))
+    )
+
+
+def _perm_hash(i: int, key: Column) -> Column:
+    """The per-permutation scalar recipe ``xxhash64(lit(i), key)`` — shared
+    by the batch aggregate (:func:`_sig_from_hashed`) and the row-local
+    array form (:func:`_perm_min_cols`) so the two signature paths cannot
+    drift."""
+    return F.xxhash64(F.lit(i), key)
+
+
+def _perm_min_cols(shashes: Column, num_perm: int) -> list:
+    """Per-permutation minima h0..h{p-1} over a hashed-shingle ARRAY — the
+    row-local twin of :func:`_sig_from_hashed`'s exploded ``F.min`` (same
+    :func:`_perm_hash` recipe, so a doc's signature is identical whichever
+    path computed it)."""
+    return [
+        F.array_min(F.transform(shashes, lambda x: _perm_hash(i, x))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+
+
 def _hashed_shingles(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
-    """(id, shash): each shingle string hashed ONCE to a 64-bit key.
-
-    array_distinct AFTER hashing: shingle strings are already distinct, but
-    a 64-bit collision would otherwise double-count one shash in n_sh AND in
-    the intersection join — set semantics on the hashed key, no shuffle."""
+    """(id, shash): :func:`_hashed_shingle_array` exploded to one row per
+    distinct hashed shingle — the batch groupBy form."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    shingles_expr(F.col(text_col), shingle_n),
-                    lambda s: F.xxhash64(s),
-                )
-            )
-        ).alias("shash"),
+        F.explode(_hashed_shingle_array(F.col(text_col), shingle_n)).alias("shash"),
     )
 
 
@@ -308,8 +331,7 @@ def _sig_from_hashed(sh: DataFrame, num_perm: int) -> DataFrame:
     the 64-bit key (an equally valid min-wise family, far cheaper than
     re-hashing the string num_perm times)."""
     aggs = [F.count("*").alias("n_sh")] + [
-        F.min(F.xxhash64(F.lit(i), F.col("shash"))).alias(f"h{i}")
-        for i in range(num_perm)
+        F.min(_perm_hash(i, F.col("shash"))).alias(f"h{i}") for i in range(num_perm)
     ]
     return sh.groupBy("id").agg(*aggs)
 
@@ -561,18 +583,26 @@ def minhash_dedup_stream(
     batch-side over the flagged sliver when exactness matters (it is
     candidate-count-sized, not corpus-sized).
 
-    Signature parity: shingle hashing (xxhash64 once per distinct shingle),
-    per-permutation hash-of-hash minima, and band keys are the SAME
-    expressions as the batch path, so a doc's buckets are identical batch
-    vs stream — every emitted (id, dup_of) pair is a batch
-    ``minhash_lsh_candidates`` pair at equal knobs (pinned by
-    tests/test_materialize.py). Docs with no shingles (shorter than
-    ``shingle_n`` tokens) are excluded, exactly as the batch groupBy drops
-    them. The hashed-shingle array crosses ONE Arrow seam before the
+    Signature parity — with the HASHED family (:func:`minhash_dedup_pairs`'
+    candidate stage), not :func:`minhash_lsh_candidates`: shingle hashing
+    and the per-permutation minima are literally shared expressions
+    (:func:`_hashed_shingle_array`, :func:`_perm_min_cols` — the same
+    ``xxhash64(lit(i), shash)`` recipe :func:`_sig_from_hashed` aggregates),
+    so a doc's buckets are identical batch vs stream and every emitted
+    (id, dup_of) pair is a hashed-family batch candidate pair at equal
+    knobs (pinned by tests/test_materialize.py). ``minhash_lsh_candidates``
+    hashes the shingle STRING per permutation — a different (equally valid)
+    min-wise family with different buckets; don't mix the two when
+    verifying stream output batch-side. Docs with no shingles (shorter
+    than ``shingle_n`` tokens) are excluded, exactly as the batch groupBy
+    drops them. The hashed-shingle array crosses ONE Arrow seam before the
     per-permutation minima: projection collapse would otherwise inline the
     tokenize+shingle+hash subtree into all ``num_perm`` minima (the blowup
     minhash_signature_expr documents; batch materializes with
-    localCheckpoint, which a stream cannot).
+    localCheckpoint, which a stream cannot), and the empty-shingle filter
+    sits ABOVE that seam — below it, Catalyst pushes the predicate through
+    the projection and re-runs the full tokenize+hash subtree per row just
+    for the size() check.
 
     Scale: state is ONE long per distinct non-empty bucket — ≤ bands ×
     |docs| × 8 bytes, hash-partitioned across executors, RocksDB-spillable;
@@ -594,24 +624,15 @@ def minhash_dedup_stream(
     _validate_banding(num_perm, bands)
     sh = df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.array_distinct(
-            F.transform(
-                shingles_expr(F.col(text_col), shingle_n),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("shashes"),
-    ).filter(F.size("shashes") > 0)
-    # Arrow barrier: materialize the hashed-shingle array once per row
-    sh = sh.mapInPandas(lambda it: it, schema="id bigint, shashes array<bigint>")
-    sig = sh.select(
-        "id",
-        *[
-            F.array_min(
-                F.transform("shashes", lambda x: F.xxhash64(F.lit(i), x))
-            ).alias(f"h{i}")
-            for i in range(num_perm)
-        ],
+        _hashed_shingle_array(F.col(text_col), shingle_n).alias("shashes"),
     )
+    # Arrow barrier: materialize the hashed-shingle array once per row; the
+    # empty-shingle filter goes ABOVE it (pushdown cannot cross MapInPandas,
+    # so the size() predicate reads the materialized array instead of
+    # re-running the tokenize+hash subtree)
+    sh = sh.mapInPandas(lambda it: it, schema="id bigint, shashes array<bigint>")
+    sh = sh.filter(F.size("shashes") > 0)
+    sig = sh.select("id", *_perm_min_cols(F.col("shashes"), num_perm))
     banded = minhash_band_keys(sig, num_perm=num_perm, bands=bands)
 
     def process(key, pdf_iter, state):

@@ -303,19 +303,35 @@ def sample_by_hash(
     return df.filter(hash_uniform_expr(F.col(id_col), salt) < rate_pct)
 
 
+def _unit_uniform_expr(key: Column, salt: str) -> Column:
+    """Engine-agnostic uniform in (0, 1): md5 60-bit long, +0.5 to open the
+    lower edge, clamped to 1−2⁻⁵³ because the long→double conversion rounds
+    the top 64 hash values up to exactly 2^60 (ulp 128 absorbs the +0.5).
+    One definition for every ∝-weight draw in this file; the SQL oracles
+    mirror it verbatim."""
+    return F.least(
+        (_md5_long_expr(key, salt) + F.lit(0.5)) / F.lit(float(2**60)),
+        F.lit(0.9999999999999999),  # 1 - 2^-53, largest double < 1
+    )
+
+
 def gumbel_key_expr(
     log_weight: Column, key: Column, *, salt: str = "resample", temperature: float = 1.0
 ) -> Column:
     """Deterministic Gumbel perturbation key ``log_weight/T + G`` where
     ``G = -ln(-ln(u))`` and ``u`` is the engine-agnostic md5 uniform in
-    (0, 1) (the +0.5 offset keeps u strictly inside the open interval, so
-    the double log never hits ±inf). Ranking rows by this key and taking
-    the top k draws a weighted sample WITHOUT replacement with inclusion
+    (0, 1). The +0.5 offset keeps the lower edge open, but NOT the upper:
+    for hash values within 64 of 2^60 the long→double conversion rounds
+    the numerator up to exactly 2^60 (the ulp there is 128, so +0.5 is
+    absorbed) and u lands on 1.0, where Spark's log(0) is NULL but DuckDB's
+    ln(0) is -inf — so u is clamped to 1−2⁻⁵³ (the largest double < 1),
+    identically in the SQL oracle. Ranking rows by this key and taking the
+    top k draws a weighted sample WITHOUT replacement with inclusion
     ∝ softmax(log_weight/T) — the Gumbel-top-k trick. No RNG state: the
     same (salt, key) always yields the same perturbation, so a sample is
     a pure function of the corpus, reproducible in any engine (the DuckDB
     oracle recomputes it from the same md5 recipe)."""
-    u = (_md5_long_expr(key, salt) + F.lit(0.5)) / F.lit(float(2**60))
+    u = _unit_uniform_expr(key, salt)
     return log_weight / F.lit(float(temperature)) - F.log(-F.log(u))
 
 
@@ -376,7 +392,7 @@ def resample_by_weight(
     base = df.crossJoin(F.broadcast(mx))
     ew = F.exp(wt - F.col("__mw"))
     totals = base.select(F.sum(ew).alias("__z"), F.count(F.lit(1)).alias("__n"))
-    u = (_md5_long_expr(F.col(id_col), salt) + F.lit(0.5)) / F.lit(float(2**60))
+    u = _unit_uniform_expr(F.col(id_col), salt)
     return (
         base.crossJoin(F.broadcast(totals))
         .filter(

@@ -2379,8 +2379,10 @@ _SAMPLE_RATE_SQL = (
     SELECT 'importance' AS side, doc_id, source FROM (
       SELECT doc_id, source,
              ln(1.0 + len({_ORACLE_TOKENS}))
-             - ln(-ln((('0x' || substr(md5('resample' || doc_id::VARCHAR), 1, 15))::BIGINT
-                       + 0.5) / 1152921504606846976.0)) AS gk
+             - ln(-ln(least(
+                 (('0x' || substr(md5('resample' || doc_id::VARCHAR), 1, 15))::BIGINT
+                  + 0.5) / 1152921504606846976.0,
+                 0.9999999999999999))) AS gk
       FROM documents
       ORDER BY gk DESC LIMIT 120)
     """,

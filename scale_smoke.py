@@ -61,11 +61,14 @@ def main() -> None:
         minhash_dedup_pairs,
         simhash_near_dup_pairs,
     )
+    from debezium_connector_vitess_spark.ops.layout import key_skew_profile
     from debezium_connector_vitess_spark.ops.pipeline import (
+        chunk_documents,
         contamination_flags,
         decontaminate,
         doc_perplexity,
         pack_sequences,
+        resample_by_weight,
         unigram_logprobs,
     )
     from debezium_connector_vitess_spark.ops.text import (
@@ -134,6 +137,20 @@ def main() -> None:
         ),
         "pack_sequences": lambda d: pack_sequences(
             d, "text", "doc_id", stream_col="source", block_tokens=2048, n_buckets=8
+        ),
+        "chunk_documents": lambda d: chunk_documents(
+            d, "text", "doc_id", chunk_tokens=32, overlap=8
+        ),
+        "resample_poisson": lambda d: resample_by_weight(
+            d.withColumn(
+                "__w", F.log(1.0 + F.length("text").cast("double")) / 10.0
+            ),
+            "__w",
+            "doc_id",
+            expected_frac=0.3,
+        ),
+        "key_skew_profile": lambda d: key_skew_profile(
+            d, ["source", "lang"], top_n=10
         ),
     }
 

@@ -674,17 +674,21 @@ def test_dedup_stream_fixture_suppresses_every_copy_batch(spark, sf_dir, tmp_pat
 def test_minhash_dedup_stream_candidates_match_batch(spark, tmp_path):
     """Streaming fuzzy dedup: near-duplicates are flagged against the
     bucket's FIRST arrival across micro-batch boundaries, distinct docs are
-    never flagged, and — because signature/band expressions are shared with
-    the batch path — every reported (id, dup_of) pair is a batch
-    minhash_lsh_candidates pair at equal knobs."""
+    never flagged, and — because the hashed-shingle and per-permutation
+    expressions are literally shared with the hashed batch family
+    (minhash_dedup_pairs' candidate stage) — every reported (id, dup_of)
+    pair is a hashed-family batch candidate pair at equal knobs."""
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from debezium_connector_vitess_spark.ops.dedup import (
+        _bucket_pair_candidates,
+        _hashed_shingles,
+        _sig_from_hashed,
+        minhash_band_keys,
         minhash_dedup_stream,
-        minhash_lsh_candidates,
     )
 
     src = tmp_path / "src"
@@ -744,14 +748,18 @@ def test_minhash_dedup_stream_candidates_match_batch(spark, tmp_path):
     assert all(d == 1 for (_i, d) in flagged)
     # doc 4's report crossed the micro-batch boundary via bucket state
     assert any(b == 1 and i == 4 for (b, i, _d) in emitted)
-    # parity: every streamed pair is a batch candidate pair at equal knobs
+    # parity: every streamed pair is a HASHED-family batch candidate pair
+    # at equal knobs (the stream shares _hashed_shingle_array/_perm_hash
+    # with this exact path — NOT with minhash_lsh_candidates, whose
+    # per-permutation hashes run over the shingle string, a different
+    # min-wise family with different buckets)
     all_rows = [r for rows in rows_by_file for r in rows]
     batch_df = spark.createDataFrame(all_rows, "doc_id bigint, text string")
+    sig = _sig_from_hashed(_hashed_shingles(batch_df, "text", "doc_id", 3), 32)
+    banded = minhash_band_keys(sig, num_perm=32, bands=8)
     batch_pairs = {
         (r["id_a"], r["id_b"])
-        for r in minhash_lsh_candidates(
-            batch_df, "text", "doc_id", num_perm=32, bands=8
-        ).collect()
+        for r in _bucket_pair_candidates(banded, ["band", "bhash"]).collect()
     }
     assert {(min(i, d), max(i, d)) for (i, d) in flagged} <= batch_pairs
 
