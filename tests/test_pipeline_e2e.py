@@ -226,3 +226,44 @@ def test_streaming_curation_chain_matches_batch(spark, sf_dir, tmp_path):
     want = sorted((r.doc_id, r.q) for r in gates(bootstrap).collect())
     got = sorted((r.doc_id, r.q) for r in collected)
     assert got == want and len(got) > 0
+
+
+def test_chunk_then_pack_sequence_prep(spark, sf_dir):
+    """The real sequence-prep path: chunk long documents into context
+    windows, then PACK the chunk grain — every chunk placed exactly once,
+    stream totals conserve the chunk token counts, and a block never starts
+    mid-air (offset arithmetic stays consistent at the finer grain)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = chunk_documents(
+        docs, "text", "doc_id", chunk_tokens=32, overlap=8,
+        carry_cols=("source",), include_text=True,
+    ).withColumn("chunk_id", F.col("doc_id") * 1000 + F.col("chunk_idx"))
+    placed = pack_sequences(
+        chunks, "chunk_text", "chunk_id", stream_col="source", block_tokens=256
+    )
+    n_chunks = chunks.count()
+    assert placed.count() == n_chunks  # every chunk placed exactly once
+    # placement token counts == the chunker's own n_tokens, row for row
+    joined = placed.alias("p").join(
+        chunks.alias("c"), F.col("p.chunk_id") == F.col("c.chunk_id")
+    )
+    assert joined.filter(F.col("p.n_tokens") != F.col("c.n_tokens")).count() == 0
+    # per-stream conservation: last start_offset + n_tokens == sum(n_tokens)
+    agg = placed.groupBy("source").agg(
+        F.max(F.col("start_offset") + F.col("n_tokens")).alias("end"),
+        F.sum("n_tokens").alias("total"),
+    )
+    assert agg.filter(F.col("end") != F.col("total")).count() == 0
+    # block arithmetic holds at the chunk grain
+    bad = placed.filter(
+        (F.col("block_id") != F.floor(F.col("start_offset") / 256))
+        | (F.col("offset_in_block") != F.col("start_offset") % 256)
+    )
+    assert bad.count() == 0
