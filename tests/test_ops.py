@@ -2986,3 +2986,75 @@ def test_similarity_review_hardening(spark):
     q = quantize_embeddings(qdf).collect()[0]
     assert len(q.q_csv.split(",")) == 3  # NULL component stays aligned
     assert q.q_csv.split(",")[1] == "0"
+
+
+def test_bpe_train_and_encode(spark):
+    """BPE tokenizer: training on the classic Sennrich corpus learns the
+    textbook merge sequence; encoding is lossless per word (concat of
+    tokens == word + end marker), more merges give monotonically fewer
+    tokens, training is invariant to partitioning (content-hash sample),
+    and count mode equals len(tokens)."""
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.ops.bpe import END, bpe_encode, train_bpe
+
+    rows = [
+        (i, "low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    merges = train_bpe(df, "text", num_merges=10, sample_rows=10)
+    # the famous first merges: es, est, est</w> (suffix learning via the
+    # end-of-word marker), then the 'low' stem
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", END)]
+    assert ("l", "o") in merges and ("lo", "w") in merges
+
+    toks = {
+        r["id"]: r["tokens"]
+        for r in bpe_encode(df, "text", "doc_id", merges).collect()
+    }
+    words = rows[0][1].lower().split()
+    assert "".join(toks[0]) == "".join(w + END for w in words)  # lossless
+    # high-frequency whole words collapse to single tokens
+    assert toks[0][:5] == ["low" + END] * 5
+
+    counts = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in bpe_encode(df, "text", "doc_id", merges, output="count").collect()
+    }
+    assert counts[0] == len(toks[0])
+    few = train_bpe(df, "text", num_merges=2, sample_rows=10)
+    count_few = bpe_encode(df, "text", "doc_id", few, output="count").collect()[0][
+        "n_bpe_tokens"
+    ]
+    assert counts[0] < count_few  # more merges -> fewer tokens
+
+    # determinism: partitioning must not change the learned tokenizer
+    assert train_bpe(df.repartition(7), "text", num_merges=10, sample_rows=10) == merges
+
+    # NULL/empty text encodes to zero tokens, never errors
+    edge = spark.createDataFrame([(1, None), (2, "")], "doc_id bigint, text string")
+    got = {
+        r["id"]: r["tokens"] for r in bpe_encode(edge, "text", "doc_id", merges).collect()
+    }
+    assert got == {1: [], 2: []}
+
+    with _pytest.raises(ValueError):
+        train_bpe(df, "text", num_merges=0)
+    with _pytest.raises(ValueError):
+        bpe_encode(df, "text", "doc_id", merges, output="wat")
+
+
+def test_bpe_encode_is_map_only(spark, sf_dir):
+    """The distributed half is one Arrow seam with no shuffle at any size."""
+    from debezium_connector_vitess_spark.ops.bpe import bpe_encode, train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, "text", num_merges=50, sample_rows=100)
+    assert len(merges) == 50
+    plan = (
+        bpe_encode(docs, "text", "doc_id", merges, output="count")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
