@@ -671,6 +671,18 @@ def doc_perplexity_interpolated(
     )
 
 
+def _n_tokens_expr(text_col: str, token_count_col: str | None) -> Column:
+    """Token-count column for the budget/packing ops: the whitespace
+    tokenizer by default, or a PRECOMPUTED count column (e.g.
+    ``bpe_encode(output='count')``'s ``n_bpe_tokens``) so budgets, packing
+    offsets, and chunk plans are denominated in the REAL training
+    vocabulary instead of the regex approximation. NULL counts as zero —
+    a NULL must never become a NULL offset that silently fails a filter."""
+    if token_count_col is not None:
+        return F.coalesce(F.col(token_count_col).cast("long"), F.lit(0))
+    return F.coalesce(token_count_expr(F.col(text_col)).cast("long"), F.lit(0))
+
+
 def sample_token_budget(
     df: DataFrame,
     text_col: str,
@@ -680,14 +692,18 @@ def sample_token_budget(
     budgets: DataFrame,
     n_buckets: int = 256,
     salt: str = "mixture",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Deterministic per-domain token-budget fill — the data-mixture sampler:
     given target token budgets per domain (e.g. web 60%, code 20%, ... of a
     total token count), select documents domain-by-domain in a fixed
     hash-random order until each domain's budget is met.
 
-    ``budgets`` is a small frame (domain_col, budget_tokens). Returns the
-    selected documents as (id, domain, n_tokens, doc_start) where
+    ``budgets`` is a small frame (domain_col, budget_tokens).
+    ``token_count_col`` switches the budget denomination from the
+    whitespace tokenizer to a precomputed count (e.g. ``bpe_encode``'s
+    ``n_bpe_tokens`` — budgets in the real training vocabulary). Returns
+    the selected documents as (id, domain, n_tokens, doc_start) where
     ``doc_start`` is the document's offset in its domain's fill order; the
     first document to cross the budget is kept (so every non-empty budget
     selects at least one document), all later ones are dropped.
@@ -712,9 +728,7 @@ def sample_token_budget(
     base = df.select(
         F.col(id_col),
         F.col(domain_col),
-        F.coalesce(token_count_expr(F.col(text_col)).cast("long"), F.lit(0)).alias(
-            "n_tokens"
-        ),
+        _n_tokens_expr(text_col, token_count_col).alias("n_tokens"),
         _md5_long_expr(F.col(id_col), salt).alias("__h"),
     ).withColumn("__bucket", F.col("__h") % n_buckets)
     bucket_totals = base.groupBy(domain_col, "__bucket").agg(
@@ -1173,6 +1187,7 @@ def pack_sequences(
     block_tokens: int = 2048,
     n_buckets: int | None = None,
     bucket_bounds: list | None = None,
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chop sequence packing: documents are laid end-to-end per
     stream (ordered by id), and the token stream is cut into fixed
@@ -1181,7 +1196,9 @@ def pack_sequences(
 
     A document whose tokens straddle a boundary belongs to the block where it
     starts (the trainer reads it across the cut — this op computes placement,
-    not the split payloads).
+    not the split payloads). ``token_count_col`` switches the offset
+    denomination from the whitespace tokenizer to a precomputed count
+    (e.g. ``bpe_encode``'s ``n_bpe_tokens``).
 
     ``n_buckets`` enables the ORDER-PRESERVING two-level cumsum (the same
     treatment :func:`sample_token_budget` applies to its fill order): the
@@ -1203,7 +1220,7 @@ def pack_sequences(
     skip the driver action entirely."""
     # NULL text = zero tokens: a NULL count would give the row itself NULL
     # offsets (window SUM skips NULL) — unexplained NULL block assignments
-    n_tok = F.coalesce(token_count_expr(F.col(text_col)).cast("long"), F.lit(0))
+    n_tok = _n_tokens_expr(text_col, token_count_col)
     base = df.select(
         F.col(id_col), F.col(stream_col), n_tok.alias("n_tokens")
     )
@@ -1362,6 +1379,7 @@ def plan_token_budgets(
     domain_col: str,
     total_tokens: int,
     proportions: dict[str, float],
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Turn target mixture PROPORTIONS into per-domain token BUDGETS against
     what the corpus actually has — the planning half of
@@ -1387,7 +1405,7 @@ def plan_token_budgets(
         .groupBy(domain_col)
         .agg(
             F.coalesce(
-                F.sum(token_count_expr(F.col(text_col)).cast("long")), F.lit(0)
+                F.sum(_n_tokens_expr(text_col, token_count_col)), F.lit(0)
             ).alias("avail")
         )
         .collect()

@@ -267,3 +267,66 @@ def test_chunk_then_pack_sequence_prep(spark, sf_dir):
         | (F.col("offset_in_block") != F.col("start_offset") % 256)
     )
     assert bad.count() == 0
+
+
+def test_bpe_counts_denominate_budget_and_packing(spark, sf_dir):
+    """Real-vocabulary integration: bpe_encode's counts flow through
+    pack_sequences and plan_token_budgets/sample_token_budget via
+    token_count_col, so offsets and budgets are denominated in learned
+    tokens — totals conserve the BPE counts exactly, and budgets never
+    exceed the BPE-denominated availability."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.bpe import bpe_encode, train_bpe
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        pack_sequences,
+        plan_token_budgets,
+        sample_token_budget,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    merges = train_bpe(docs, "text", num_merges=60, sample_rows=200)
+    counts = bpe_encode(docs, "text", "doc_id", merges, output="count")
+    with_counts = docs.join(counts, docs.doc_id == counts.id).drop("id")
+
+    placed = pack_sequences(
+        with_counts, "text", "doc_id", stream_col="source",
+        block_tokens=512, token_count_col="n_bpe_tokens",
+    )
+    # per-stream conservation in BPE units
+    want = {
+        r["source"]: r["t"]
+        for r in with_counts.groupBy("source")
+        .agg(F.sum("n_bpe_tokens").alias("t"))
+        .collect()
+    }
+    got = {
+        r["source"]: r["t"]
+        for r in placed.groupBy("source")
+        .agg(F.max(F.col("start_offset") + F.col("n_tokens")).alias("t"))
+        .collect()
+    }
+    assert got == want
+
+    plan = plan_token_budgets(
+        with_counts, "text", domain_col="source", total_tokens=5_000,
+        proportions={"src0": 0.5, "src1": 0.5}, token_count_col="n_bpe_tokens",
+    )
+    avail = {
+        r["source"]: r["t"]
+        for r in with_counts.filter(F.col("source").isin("src0", "src1"))
+        .groupBy("source").agg(F.sum("n_bpe_tokens").alias("t")).collect()
+    }
+    for r in plan.collect():
+        assert r["budget_tokens"] <= avail[r[plan.columns[0]]]
+    picked = sample_token_budget(
+        with_counts, "text", "doc_id", domain_col="source", budgets=plan,
+        token_count_col="n_bpe_tokens",
+    )
+    # every selected doc's n_tokens is its BPE count, not the regex count
+    chk = picked.alias("p").join(
+        with_counts.alias("c"), F.col("p.doc_id") == F.col("c.doc_id")
+    )
+    assert chk.filter(F.col("p.n_tokens") != F.col("c.n_bpe_tokens")).count() == 0
