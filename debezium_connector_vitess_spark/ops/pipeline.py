@@ -1302,6 +1302,7 @@ def chunk_documents(
     overlap: int = 0,
     carry_cols: tuple[str, ...] = (),
     include_text: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Context-window chunking: split each document into fixed-size token
     windows with ``overlap`` shared tokens between consecutive chunks — the
@@ -1322,7 +1323,10 @@ def chunk_documents(
     geometry-only bug that slices the wrong tokens is detectable).
     ``include_text=True`` adds the chunk text itself (the payload a real
     pipeline feeds to the tokenizer); off by default so the narrow
-    placement frame is what shuffles downstream.
+    placement frame is what shuffles downstream. ``tokens_col`` chunks a
+    PRECOMPUTED token array instead of whitespace-tokenizing ``text_col``
+    (e.g. ``bpe_encode(output='tokens')`` — context windows measured in
+    the real training vocabulary; ``text_col`` is ignored).
 
     Scale: map-only — no shuffle at any size. The token array is staged as
     a real column in the projection BELOW the explode, so tokenization runs
@@ -1339,14 +1343,22 @@ def chunk_documents(
             f"chunk_tokens={chunk_tokens}"
         )
     stride = chunk_tokens - overlap
-    # non-empty gate on the raw text (>=1 token <=> any non-whitespace char):
-    # filtering on size(__toks) would get pushed below the projection and
-    # re-run the tokenization per row just for the predicate
-    base = df.filter(F.col(text_col).rlike(r"\S")).select(
-        F.col(id_col),
-        *[F.col(c) for c in carry_cols],
-        tokens_expr(F.col(text_col)).alias("__toks"),
-    )
+    if tokens_col is not None:
+        base = df.filter(F.size(F.col(tokens_col)) > 0).select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.col(tokens_col).alias("__toks"),
+        )
+    else:
+        # non-empty gate on the raw text (>=1 token <=> any non-whitespace
+        # char): filtering on size(__toks) would get pushed below the
+        # projection and re-run the tokenization per row just for the
+        # predicate (a plain column reference above has nothing to re-run)
+        base = df.filter(F.col(text_col).rlike(r"\S")).select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            tokens_expr(F.col(text_col)).alias("__toks"),
+        )
     n = F.size("__toks").cast("long")
     n_chunks = F.lit(1) + F.floor(
         (F.greatest(n - chunk_tokens, F.lit(0)) + (stride - 1)) / stride

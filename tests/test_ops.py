@@ -3058,3 +3058,40 @@ def test_bpe_encode_is_map_only(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_chunk_documents_precomputed_tokens(spark, sf_dir):
+    """tokens_col: chunking a precomputed token array (here BPE tokens)
+    gives windows measured in the learned vocabulary — geometry follows
+    the array length, per-chunk losslessness carries over (chunk 0 plus
+    each later chunk minus its overlap prefix rebuilds the token stream),
+    and empty arrays emit nothing."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.bpe import bpe_encode, train_bpe
+    from debezium_connector_vitess_spark.ops.pipeline import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    merges = train_bpe(docs, "text", num_merges=40, sample_rows=100)
+    toks = bpe_encode(docs, "text", "doc_id", merges)  # (id, tokens)
+    out = chunk_documents(
+        toks, "unused", "id", chunk_tokens=16, overlap=4,
+        tokens_col="tokens", include_text=True,
+    )
+    joined = out.alias("o").join(toks.alias("t"), F.col("o.id") == F.col("t.id"))
+    rows = joined.select(
+        "o.id", "chunk_idx", "start_token", "n_tokens", "chunk_text", "t.tokens"
+    ).collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r["chunk_idx"])
+        full = doc_rows[0]["tokens"]
+        rebuilt: list = []
+        for r in doc_rows:
+            piece = r["chunk_text"].split(" ")
+            assert piece == full[r["start_token"]:r["start_token"] + r["n_tokens"]]
+            rebuilt.extend(piece if r["chunk_idx"] == 0 else piece[4:])
+        assert rebuilt == full
