@@ -108,6 +108,10 @@ def main() -> None:
     def run(df):
         df.write.format("noop").mode("overwrite").save()
 
+    from debezium_connector_vitess_spark.ops.bpe import bpe_encode, train_bpe
+
+    BPE_MERGES = train_bpe(docs1, "text", num_merges=200, sample_rows=1000)
+
     OPS = {
         "exact_dedup": lambda d: exact_dedup(d, "text", "doc_id"),
         "minhash_lsh": lambda d: minhash_dedup_pairs(
@@ -151,6 +155,11 @@ def main() -> None:
         ),
         "key_skew_profile": lambda d: key_skew_profile(
             d, ["source", "lang"], top_n=10
+        ),
+        # trained ONCE on the 1x corpus (training is a bounded driver-side
+        # fold by design); what scales is the apply seam
+        "bpe_encode": lambda d: bpe_encode(
+            d, "text", "doc_id", BPE_MERGES, output="count"
         ),
     }
 
