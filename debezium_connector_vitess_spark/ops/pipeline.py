@@ -671,6 +671,55 @@ def doc_perplexity_interpolated(
     )
 
 
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    *,
+    compare_cols: list[str],
+    emit_unchanged: bool = False,
+) -> DataFrame:
+    """Change data capture for corpora: classify every document as
+    ``added`` / ``removed`` / ``changed`` (/ ``unchanged``) between two
+    corpus snapshots — the primitive an INCREMENTAL pipeline keys on (what
+    must re-dedupe, re-score, re-shard after an ingest instead of
+    reprocessing 100 TB).
+
+    ``compare_cols`` define document identity-of-content: each side is
+    reduced map-side to (id, 16-byte md5 of the null-marked concatenation),
+    so the full-outer join shuffles ~24 bytes per doc per side, never the
+    documents. NULL in a compared column is distinguished from the empty
+    string by a marker (the usual concat-ws pitfall). Output:
+    (id, change, old_fp, new_fp) — fingerprints kept so a consumer can
+    route changed docs without recomputing. ``emit_unchanged=True`` keeps
+    the (typically dominant) unchanged class; off by default so the result
+    is delta-sized, not corpus-sized.
+    """
+    if not compare_cols:
+        raise ValueError("compare_cols must name at least one column")
+
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in compare_cols
+        ]
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.md5(F.concat_ws("\x1f", *parts)).alias(alias),
+        )
+
+    joined = fp(old_df, "old_fp").join(fp(new_df, "new_fp"), on="id", how="full_outer")
+    change = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select("id", change.alias("change"), "old_fp", "new_fp")
+    if not emit_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out
+
+
 def _n_tokens_expr(text_col: str, token_count_col: str | None) -> Column:
     """Token-count column for the budget/packing ops: the whitespace
     tokenizer by default, or a PRECOMPUTED count column (e.g.

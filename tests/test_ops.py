@@ -3095,3 +3095,70 @@ def test_chunk_documents_precomputed_tokens(spark, sf_dir):
             assert piece == full[r["start_token"]:r["start_token"] + r["n_tokens"]]
             rebuilt.extend(piece if r["chunk_idx"] == 0 else piece[4:])
         assert rebuilt == full
+
+
+def test_corpus_diff_duckdb_parity_and_null_marker(spark, sf_dir):
+    """Corpus CDC: added/removed/changed classification matches a DuckDB
+    full-outer-join oracle on a real snapshot pair; NULL vs empty-string in
+    a compared column is a CHANGE (the concat-ws pitfall); unchanged rows
+    are excluded by default and delta size == the injected edit count."""
+    import duckdb
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import corpus_diff
+    from oracle_harness import compare
+
+    old = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    # new snapshot: drop ids %17==0 (removed), rewrite ids %13==0 (changed),
+    # append two fresh ids (added)
+    new = (
+        old.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(900001, "srcX", "fresh doc one"), (900002, "srcX", "fresh doc two")],
+                "doc_id bigint, source string, text string",
+            )
+        )
+    )
+    got = {
+        r["id"]: r["change"]
+        for r in corpus_diff(old, new, "doc_id", compare_cols=["source", "text"]).collect()
+    }
+    con = duckdb.connect()
+    con.register("old_t", old.toPandas())
+    con.register("new_t", new.toPandas())
+    want = {
+        r[0]: r[1]
+        for r in con.execute("""
+            SELECT coalesce(o.doc_id, n.doc_id) AS id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.source IS DISTINCT FROM n.source
+                          OR o.text IS DISTINCT FROM n.text THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM old_t o FULL OUTER JOIN new_t n ON o.doc_id = n.doc_id
+        """).fetchall()
+        if r[1] != "unchanged"
+    }
+    assert got == want and "added" in got.values() and "removed" in got.values()
+
+    # NULL vs '' must classify as changed, and unchanged rows can be kept
+    a = spark.createDataFrame([(1, None), (2, "x")], "doc_id bigint, text string")
+    b = spark.createDataFrame([(1, ""), (2, "x")], "doc_id bigint, text string")
+    d = {
+        r["id"]: r["change"]
+        for r in corpus_diff(
+            a, b, "doc_id", compare_cols=["text"], emit_unchanged=True
+        ).collect()
+    }
+    assert d == {1: "changed", 2: "unchanged"}
+    with _pytest.raises(ValueError):
+        corpus_diff(a, b, "doc_id", compare_cols=[])
