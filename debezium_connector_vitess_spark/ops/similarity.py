@@ -768,3 +768,53 @@ def lsh_cross_near_pairs(
         .filter(F.col("score") >= threshold)
         .select("left_id", "right_id", "score")
     )
+
+
+def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """recall@k of an approximate top-k result against exact ground truth —
+    the measurement that justifies every LSH/IVF knob choice
+    (num_planes/num_bands/nprobe) before a 100 TB run commits to it.
+
+    Both inputs are frames in the shared (query_id, rank, neighbor_id)
+    shape every top-k in this module emits (:func:`brute_force_topk`,
+    :func:`lsh_topk`, :func:`ivf_topk`). Returns one row per query:
+    (query_id, n_exact, n_hit, recall). Queries the approximate method
+    returned NOTHING for (empty bucket/probe set) still appear, with
+    recall 0 — dropping them would inflate the average exactly for the
+    geometry's worst failure mode. Mean recall is one ``avg("recall")``
+    away; it is left to the caller so per-query tails stay inspectable.
+
+    The intended eval flow is sample-sized end to end, so cost is bounded
+    regardless of corpus size::
+
+        qs = corpus.filter(hash_uniform_expr(F.col("vec_id"), "anneval") < 2)
+        truth = brute_force_topk(corpus, qs, k=10)        # exact, on the sample
+        cand  = lsh_topk(corpus, qs, k=10, num_planes=16) # the knob under test
+        topk_recall(cand, truth).agg(F.avg("recall")).show()
+
+    Shuffles: two joins keyed by query_id on sample-sized frames — trivial
+    at any corpus scale.
+    """
+    ex = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hit = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id"),
+            on=["query_id", "neighbor_id"],
+            how="left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        ex.join(hit, on="query_id", how="left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )

@@ -3162,3 +3162,39 @@ def test_corpus_diff_duckdb_parity_and_null_marker(spark, sf_dir):
     assert d == {1: "changed", 2: "unchanged"}
     with _pytest.raises(ValueError):
         corpus_diff(a, b, "doc_id", compare_cols=[])
+
+
+def test_topk_recall_evaluator(spark, sf_dir):
+    """ANN recall@k evaluator: exact-vs-exact is recall 1.0 for every
+    query; the LSH variant lands in (0, 1]; a query with zero approximate
+    results still appears with recall 0 (dropping it would hide the
+    geometry's worst failure mode)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import hash_uniform_expr
+    from debezium_connector_vitess_spark.ops.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        topk_recall,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(hash_uniform_expr(F.col("vec_id"), "anneval") < 5)
+    assert qs.count() > 3
+    truth = brute_force_topk(emb, qs, k=5)
+
+    perfect = topk_recall(truth, truth).collect()
+    assert perfect and all(r["recall"] == 1.0 for r in perfect)
+
+    cand = lsh_topk(emb, qs, k=5, num_planes=8)
+    rows = topk_recall(cand, truth).collect()
+    assert len(rows) == len(perfect)  # every truth query present
+    mean = sum(r["recall"] for r in rows) / len(rows)
+    assert 0.0 < mean <= 1.0
+    assert all(r["n_hit"] <= r["n_exact"] for r in rows)
+
+    # a query absent from the approximate result keeps recall 0
+    some_q = perfect[0]["query_id"]
+    filtered = cand.filter(F.col("query_id") != some_q)
+    z = {r["query_id"]: r["recall"] for r in topk_recall(filtered, truth).collect()}
+    assert z[some_q] == 0.0
