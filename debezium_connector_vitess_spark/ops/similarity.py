@@ -818,3 +818,59 @@ def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def hyperplane_collision_prob(
+    cosine: float, num_planes: int, num_bands: int
+) -> float:
+    """Probability that a pair at the given cosine similarity collides in
+    ≥1 hyperplane band: a random hyperplane's sign bits agree with
+    probability p = 1 − θ/π, θ = arccos(cos) (Goemans–Williamson, the
+    SimHash bound of Charikar 2002); a band of r = planes/bands bits
+    collides iff all r agree, so P = 1 − (1 − p^r)^bands — the same
+    banding s-curve as MinHash, in angle space."""
+    import math
+
+    if not -1.0 <= cosine <= 1.0:
+        raise ValueError("cosine must be in [-1, 1]")
+    from .dedup import _validate_banding
+
+    _validate_banding(num_planes, num_bands)
+    rows = num_planes // num_bands
+    p = 1.0 - math.acos(max(-1.0, min(1.0, cosine))) / math.pi
+    return 1.0 - (1.0 - p**rows) ** num_bands
+
+
+def tune_hyperplane_bands(
+    threshold: float,
+    num_planes: int = 16,
+    *,
+    min_recall: float = 0.95,
+) -> tuple[int, int]:
+    """Pick (num_bands, rows) for :func:`lsh_banded_near_dup_pairs` /
+    :func:`lsh_cross_near_pairs`: among the divisor pairs
+    bands·rows = num_planes, choose the FEWEST bands (fewest band keys ⇒
+    smallest candidate volume) whose angle-space s-curve still catches
+    pairs AT the cosine threshold with probability ≥ ``min_recall``; if no
+    geometry reaches the bar, fall back to the recall-maximizing pair
+    (raise ``num_planes`` when that happens — more bits is the only real
+    lever). The exact twin of :func:`~.dedup.tune_minhash_bands`, with the
+    theory bound :func:`topk_recall` then verifies empirically on a query
+    sample. Deterministic driver-side arithmetic."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    pairs = [
+        (b, num_planes // b)
+        for b in range(1, num_planes + 1)
+        if num_planes % b == 0
+    ]
+    ok = [
+        (b, r)
+        for b, r in pairs
+        if hyperplane_collision_prob(threshold, num_planes, b) >= min_recall
+    ]
+    if ok:
+        return min(ok, key=lambda br: br[0])
+    return max(
+        pairs, key=lambda br: hyperplane_collision_prob(threshold, num_planes, br[0])
+    )

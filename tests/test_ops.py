@@ -3198,3 +3198,40 @@ def test_topk_recall_evaluator(spark, sf_dir):
     filtered = cand.filter(F.col("query_id") != some_q)
     z = {r["query_id"]: r["recall"] for r in topk_recall(filtered, truth).collect()}
     assert z[some_q] == 0.0
+
+
+def test_hyperplane_geometry_tuner():
+    """Angle-space banding math: identical vectors always collide, the
+    s-curve is monotone in cosine, orthogonal vectors follow the exact
+    (1/2)^rows per-band bound, and the chooser returns the fewest-bands
+    divisor geometry that clears the recall bar (fewest band keys =
+    smallest candidate volume), falling back to recall-max when nothing
+    clears it."""
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.ops.similarity import (
+        hyperplane_collision_prob,
+        tune_hyperplane_bands,
+    )
+
+    assert hyperplane_collision_prob(1.0, 16, 4) == 1.0
+    # orthogonal: p = 1/2 per bit -> exactly 1-(1-2^-rows)^bands
+    assert hyperplane_collision_prob(0.0, 16, 4) == _pytest.approx(
+        1 - (1 - 0.5**4) ** 4
+    )
+    probs = [hyperplane_collision_prob(c / 10, 16, 4) for c in range(0, 11)]
+    assert all(a <= b for a, b in zip(probs, probs[1:]))
+
+    bands, rows = tune_hyperplane_bands(0.8, 16, min_recall=0.9)
+    assert bands * rows == 16
+    assert hyperplane_collision_prob(0.8, 16, bands) >= 0.9
+    # every coarser (fewer-bands) divisor geometry must miss the bar
+    for b in [d for d in (1, 2, 4, 8, 16) if d < bands]:
+        assert hyperplane_collision_prob(0.8, 16, b) < 0.9
+    # unreachable bar -> recall-maximizing fallback (max bands, rows=1)
+    fb_bands, fb_rows = tune_hyperplane_bands(0.05, 4, min_recall=0.999999)
+    assert (fb_bands, fb_rows) == (4, 1)
+    with _pytest.raises(ValueError):
+        tune_hyperplane_bands(0.0)
+    with _pytest.raises(ValueError):
+        hyperplane_collision_prob(2.0, 16, 4)
