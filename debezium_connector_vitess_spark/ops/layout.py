@@ -261,3 +261,86 @@ def key_skew_profile(
             (F.col("n") / F.col("__t")).alias("share"),
         )
     )
+
+
+def audit_file_layout(
+    spark,
+    path: str,
+    *,
+    small_mb: float = 32.0,
+    large_mb: float = 2048.0,
+) -> DataFrame:
+    """Parquet file-geometry audit — the small-files / giant-files report
+    that decides whether a 100 TB corpus needs compaction before anything
+    else touches it: a scan of 10⁷ kilobyte files loses to task-scheduling
+    overhead no matter how good the query plan is, and multi-GB single-
+    row-group files defeat split parallelism.
+
+    One row per data file: (file, bytes, rows, n_row_groups,
+    max_row_group_bytes, flag) with flag ∈ small|large|fat_row_group|ok —
+    ``small``/``large`` against the thresholds, ``fat_row_group`` when one
+    row group exceeds ``large_mb`` (a file that size with MANY row groups
+    still splits fine, so the row-group check is what actually matters for
+    parallelism).
+
+    Scale shape: the file LIST is driver-side (same filesystem-metadata
+    cost every planner pays); the footer reads are DISTRIBUTED — the list
+    becomes a one-column frame and an Arrow seam opens each footer
+    (metadata pages only, never data pages), so auditing a million files
+    parallelizes across the cluster instead of serializing on the driver.
+    """
+    import os
+
+    names = []
+    for root, _dirs, fs in os.walk(path):
+        for f in fs:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                names.append(os.path.join(root, f))
+    if not names:
+        return spark.createDataFrame(
+            [],
+            "file string, bytes long, rows long, n_row_groups int, "
+            "max_row_group_bytes long, flag string",
+        )
+
+    small_b = int(small_mb * 1024 * 1024)
+    large_b = int(large_mb * 1024 * 1024)
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                size = os.path.getsize(f)
+                rg_bytes = [
+                    md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+                ]
+                max_rg = max(rg_bytes) if rg_bytes else 0
+                if max_rg > large_b:
+                    flag = "fat_row_group"
+                elif size < small_b:
+                    flag = "small"
+                elif size > large_b:
+                    flag = "large"
+                else:
+                    flag = "ok"
+                rows.append((f, size, md.num_rows, md.num_row_groups, max_rg, flag))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "bytes", "rows", "n_row_groups",
+                    "max_row_group_bytes", "flag",
+                ],
+            )
+
+    files = spark.createDataFrame([(n,) for n in sorted(names)], "file string")
+    return files.repartition(min(len(names), 64)).mapInPandas(
+        read_footers,
+        schema=(
+            "file string, bytes long, rows long, n_row_groups int, "
+            "max_row_group_bytes long, flag string"
+        ),
+    )

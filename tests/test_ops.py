@@ -3235,3 +3235,43 @@ def test_hyperplane_geometry_tuner():
         tune_hyperplane_bands(0.0)
     with _pytest.raises(ValueError):
         hyperplane_collision_prob(2.0, 16, 4)
+
+
+def test_audit_file_layout_flags(spark, sf_dir, tmp_path):
+    """File-geometry audit: footer stats match pyarrow ground truth, a
+    kilobyte file flags small, a healthy file under custom thresholds is
+    ok, and the report covers every data file exactly once (distributed
+    footer reads, one row per file)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.layout import audit_file_layout
+
+    src = str(tmp_path / "corpus")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(3).write.parquet(src)
+    # plus one deliberately tiny file
+    docs.limit(2).coalesce(1).write.mode("append").parquet(src)
+
+    rep = audit_file_layout(spark, src).collect()
+    names = sorted(
+        os.path.join(r2, f)
+        for r2, _d, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    assert sorted(r["file"] for r in rep) == names
+    for r in rep:
+        md = pq.ParquetFile(r["file"]).metadata
+        assert r["rows"] == md.num_rows and r["n_row_groups"] == md.num_row_groups
+        assert r["bytes"] == os.path.getsize(r["file"])
+    # everything here is tiny -> flagged small at the default 32 MB bar
+    assert all(r["flag"] == "small" for r in rep)
+    # with a floor below the real sizes, the healthy files turn ok
+    rep2 = audit_file_layout(spark, src, small_mb=0.001).collect()
+    assert {r["flag"] for r in rep2} == {"ok"}
+    # empty dir -> empty frame with the full schema
+    empty = audit_file_layout(spark, str(tmp_path / "nothing_here"))
+    assert empty.count() == 0 and "flag" in empty.columns
