@@ -344,3 +344,29 @@ def audit_file_layout(
             "max_row_group_bytes long, flag string"
         ),
     )
+
+
+def target_rows_per_shard(audit_df: DataFrame, *, target_mb: float = 512.0) -> int:
+    """The missing arithmetic between :func:`audit_file_layout` and
+    :func:`write_training_shards`: a rows-per-shard target that lands
+    output files near ``target_mb``, from the audited corpus's own
+    bytes-per-row (Σ bytes / Σ rows over the report — compression and
+    schema already priced in, no guessing). One aggregate over the
+    file-count-sized audit frame; returns at least 1.
+
+    Compaction is then two calls::
+
+        audit = audit_file_layout(spark, src)
+        rows = target_rows_per_shard(audit, target_mb=512)
+        write_training_shards(spark.read.parquet(src), dst,
+                              sort_col="doc_id", rows_per_shard=rows)
+    """
+    if target_mb <= 0:
+        raise ValueError(f"target_mb must be positive, got {target_mb}")
+    tot = audit_df.agg(
+        F.sum("bytes").alias("b"), F.sum("rows").alias("r")
+    ).collect()[0]
+    if not tot["r"]:
+        return 1
+    bytes_per_row = tot["b"] / tot["r"]
+    return max(1, int(target_mb * 1024 * 1024 / bytes_per_row))

@@ -3275,3 +3275,42 @@ def test_audit_file_layout_flags(spark, sf_dir, tmp_path):
     # empty dir -> empty frame with the full schema
     empty = audit_file_layout(spark, str(tmp_path / "nothing_here"))
     assert empty.count() == 0 and "flag" in empty.columns
+
+
+def test_target_rows_per_shard_arithmetic(spark, sf_dir, tmp_path):
+    """Compaction arithmetic: the rows-per-shard target derived from the
+    audit's own bytes-per-row actually lands rewritten files near the
+    byte target (loose band — parquet encoding varies with clustering),
+    and degenerate inputs stay sane."""
+    import os
+
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.ops.layout import (
+        audit_file_layout,
+        target_rows_per_shard,
+        write_training_shards,
+    )
+
+    src = str(tmp_path / "frag")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(8).write.parquet(src)  # fragmented input
+    audit = audit_file_layout(spark, src)
+    target_bytes = 64 * 1024  # tiny target so the corpus yields several files
+    rows = target_rows_per_shard(audit, target_mb=target_bytes / 1024 / 1024)
+    assert rows >= 1
+    dst = str(tmp_path / "compacted")
+    write_training_shards(docs, dst, sort_col="doc_id", rows_per_shard=rows)
+    sizes = [
+        os.path.getsize(os.path.join(dst, f))
+        for f in os.listdir(dst)
+        if f.endswith(".parquet")
+    ]
+    assert len(sizes) > 1
+    # every output file within a loose band of the byte target
+    assert all(0.2 * target_bytes < s < 3.0 * target_bytes for s in sizes)
+
+    empty = audit.filter("rows < 0")
+    assert target_rows_per_shard(empty) == 1
+    with _pytest.raises(ValueError):
+        target_rows_per_shard(audit, target_mb=0)
