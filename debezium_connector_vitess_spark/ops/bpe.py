@@ -87,9 +87,15 @@ def train_bpe(
         raise ValueError("sample_rows and max_chars_per_doc must be positive")
     from .pipeline import _md5_long_expr
 
-    keyed = df.select(
-        F.substring(F.col(text_col), 1, max_chars_per_doc).alias("__t")
-    ).select("__t", _md5_long_expr(F.col("__t"), salt).alias("__h"))
+    # NULL/whitespace-only docs are excluded BEFORE hashing: md5(NULL) is
+    # NULL and ascending orderBy puts NULLs first, so on a NULL-heavy
+    # corpus (common in scraped/CDC data) they would crowd real documents
+    # out of the sample — or consume it entirely and learn zero merges
+    keyed = (
+        df.filter(F.col(text_col).rlike(r"\S"))
+        .select(F.substring(F.col(text_col), 1, max_chars_per_doc).alias("__t"))
+        .select("__t", _md5_long_expr(F.col("__t"), salt).alias("__h"))
+    )
     sampled = keyed.orderBy("__h", "__t").limit(sample_rows)
     texts = [r["__t"] for r in sampled.collect()]
     wf = _word_freqs(texts, lowercase)
@@ -164,9 +170,12 @@ def bpe_encode(
 
     ``output='tokens'`` → (id, tokens array<string>); ``output='count'`` →
     (id, n_bpe_tokens). One map-only Arrow seam, zero shuffle at any size;
-    a per-batch word→tokens memo means each DISTINCT word in a batch pays
-    the merge loop once (natural text repeats words heavily — the memo hit
-    rate IS the corpus's token-type ratio). Pre-tokenization (whitespace +
+    a per-PARTITION word→tokens memo means each distinct word pays the
+    merge loop once (natural text repeats words heavily — the memo hit
+    rate IS the corpus's token-type ratio). The memo is size-capped and
+    reset when full: a near-unique "word" population (URLs, ids, code)
+    would otherwise accumulate unboundedly across a large partition's
+    batches and OOM the Python worker. Pre-tokenization (whitespace +
     end-of-word marker, optional lowercase) matches :func:`train_bpe`
     verbatim. Losslessness: ``concat(tokens)`` per word reproduces the
     word + marker — pinned by tests, so token counts are trustworthy
@@ -180,6 +189,7 @@ def bpe_encode(
         import pandas as pd
 
         memo: dict[str, list[str]] = {}
+        memo_cap = 1 << 20  # ~1M distinct words; reset beats eviction here
 
         def enc(text) -> list[str]:
             if text is None:
@@ -191,6 +201,8 @@ def bpe_encode(
                 got = memo.get(w)
                 if got is None:
                     got = _encode_word(w, ranks)
+                    if len(memo) >= memo_cap:
+                        memo.clear()
                     memo[w] = got
                 out.extend(got)
             return out

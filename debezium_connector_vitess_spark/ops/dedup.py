@@ -948,6 +948,24 @@ def lsh_collision_prob(jaccard: float, bands: int, rows: int) -> float:
     return 1.0 - (1.0 - jaccard**rows) ** bands
 
 
+def _pick_banding(prob_of_bands, n: int, min_recall: float) -> tuple[int, int]:
+    """Shared banding-geometry selection for the MinHash and hyperplane
+    tuners: among divisor pairs bands·rows = n, the FEWEST bands whose
+    collision probability (``prob_of_bands(bands)``) clears ``min_recall``
+    — fewest band keys ⇒ smallest candidate volume — else the
+    recall-maximizing pair. One definition so a selection fix cannot drift
+    between the two tuners."""
+    if n <= 0:
+        raise ValueError(f"signature size must be positive, got {n}")
+    if not 0.0 < min_recall <= 1.0:
+        raise ValueError(f"min_recall must be in (0, 1], got {min_recall}")
+    pairs = [(b, n // b) for b in range(1, n + 1) if n % b == 0]
+    ok = [(b, r) for b, r in pairs if prob_of_bands(b) >= min_recall]
+    if ok:
+        return min(ok, key=lambda br: br[0])
+    return max(pairs, key=lambda br: prob_of_bands(br[0]))
+
+
 def tune_minhash_bands(
     threshold: float,
     num_perm: int = 64,
@@ -966,14 +984,8 @@ def tune_minhash_bands(
     ``minhash_dedup_pairs(num_perm=..., bands=...)``."""
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1)")
-    pairs = [
-        (b, num_perm // b) for b in range(1, num_perm + 1) if num_perm % b == 0
-    ]
-    ok = [
-        (b, r)
-        for b, r in pairs
-        if lsh_collision_prob(threshold, b, r) >= min_recall
-    ]
-    if ok:
-        return min(ok, key=lambda br: br[0])
-    return max(pairs, key=lambda br: lsh_collision_prob(threshold, br[0], br[1]))
+    return _pick_banding(
+        lambda b: lsh_collision_prob(threshold, b, num_perm // b),
+        num_perm,
+        min_recall,
+    )

@@ -288,9 +288,25 @@ def audit_file_layout(
     becomes a one-column frame and an Arrow seam opens each footer
     (metadata pages only, never data pages), so auditing a million files
     parallelizes across the cluster instead of serializing on the driver.
+
+    Precondition: a POSIX path visible to driver AND executors (local
+    mode, NFS, fuse mounts). Remote schemes (s3://, hdfs://) are rejected
+    loudly — os.walk would silently find nothing and pyarrow's local open
+    would fail executor-side; route those through a mount or list+read via
+    the object store's own client. A nonexistent path raises rather than
+    returning an empty report: the documented compaction recipe feeds this
+    report into shard sizing, and an accidentally-empty report must not
+    masquerade as a healthy corpus.
     """
     import os
 
+    if "://" in path:
+        raise ValueError(
+            f"audit_file_layout reads POSIX paths only, got {path!r} — mount "
+            "the store or list it with its own client"
+        )
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"not a directory: {path!r}")
     names = []
     for root, _dirs, fs in os.walk(path):
         for f in fs:
@@ -352,7 +368,10 @@ def target_rows_per_shard(audit_df: DataFrame, *, target_mb: float = 512.0) -> i
     output files near ``target_mb``, from the audited corpus's own
     bytes-per-row (Σ bytes / Σ rows over the report — compression and
     schema already priced in, no guessing). One aggregate over the
-    file-count-sized audit frame; returns at least 1.
+    file-count-sized audit frame; returns at least 1. An EMPTY audit
+    raises: silently defaulting would hand write_training_shards
+    rows_per_shard=1 and explode the corpus into one file per row — the
+    exact pathology this pipeline exists to fix.
 
     Compaction is then two calls::
 
@@ -367,6 +386,9 @@ def target_rows_per_shard(audit_df: DataFrame, *, target_mb: float = 512.0) -> i
         F.sum("bytes").alias("b"), F.sum("rows").alias("r")
     ).collect()[0]
     if not tot["r"]:
-        return 1
+        raise ValueError(
+            "audit frame has no rows — refusing to size shards from an "
+            "empty report (would default to one file per row)"
+        )
     bytes_per_row = tot["b"] / tot["r"]
     return max(1, int(target_mb * 1024 * 1024 / bytes_per_row))

@@ -686,10 +686,14 @@ def corpus_diff(
     reprocessing 100 TB).
 
     ``compare_cols`` define document identity-of-content: each side is
-    reduced map-side to (id, 16-byte md5 of the null-marked concatenation),
-    so the full-outer join shuffles ~24 bytes per doc per side, never the
-    documents. NULL in a compared column is distinguished from the empty
-    string by a marker (the usual concat-ws pitfall). Output:
+    reduced map-side to (id, md5 over the per-column md5s), so the
+    full-outer join shuffles ~40 bytes per doc per side, never the
+    documents. Hashing each column SEPARATELY before combining makes the
+    fingerprint injection-proof — a raw separator-joined concat lets a
+    value containing the separator shift bytes between columns so distinct
+    tuples collide — and NULL is a 4-char marker that can never equal a
+    32-char hex digest, so NULL ≠ '' (the usual concat-ws pitfall, both
+    halves). Output:
     (id, change, old_fp, new_fp) — fingerprints kept so a consumer can
     route changed docs without recomputing. ``emit_unchanged=True`` keeps
     the (typically dominant) unchanged class; off by default so the result
@@ -699,12 +703,15 @@ def corpus_diff(
         raise ValueError("compare_cols must name at least one column")
 
     def fp(df: DataFrame, alias: str) -> DataFrame:
+        # fixed-width parts: md5 per column (32 hex chars) or the 4-char
+        # NULL marker — no separator to inject, no width ambiguity
         parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in compare_cols
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("null"))
+            for c in compare_cols
         ]
         return df.select(
             F.col(id_col).alias("id"),
-            F.md5(F.concat_ws("\x1f", *parts)).alias(alias),
+            F.md5(F.concat(*parts)).alias(alias),
         )
 
     joined = fp(old_df, "old_fp").join(fp(new_df, "new_fp"), on="id", how="full_outer")

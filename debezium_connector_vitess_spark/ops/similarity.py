@@ -859,18 +859,10 @@ def tune_hyperplane_bands(
     sample. Deterministic driver-side arithmetic."""
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1)")
-    pairs = [
-        (b, num_planes // b)
-        for b in range(1, num_planes + 1)
-        if num_planes % b == 0
-    ]
-    ok = [
-        (b, r)
-        for b, r in pairs
-        if hyperplane_collision_prob(threshold, num_planes, b) >= min_recall
-    ]
-    if ok:
-        return min(ok, key=lambda br: br[0])
-    return max(
-        pairs, key=lambda br: hyperplane_collision_prob(threshold, num_planes, br[0])
+    from .dedup import _pick_banding
+
+    return _pick_banding(
+        lambda b: hyperplane_collision_prob(threshold, num_planes, b),
+        num_planes,
+        min_recall,
     )

@@ -3039,6 +3039,14 @@ def test_bpe_train_and_encode(spark):
     }
     assert got == {1: [], 2: []}
 
+    # a NULL-heavy corpus must not crowd real documents out of the
+    # training sample (md5(NULL) sorts first): merges still get learned
+    nullheavy = spark.createDataFrame(
+        [(i, None) for i in range(50)] + [(100 + i, t) for i, t in rows],
+        "doc_id bigint, text string",
+    )
+    assert train_bpe(nullheavy, "text", num_merges=10, sample_rows=10) == merges
+
     with _pytest.raises(ValueError):
         train_bpe(df, "text", num_merges=0)
     with _pytest.raises(ValueError):
@@ -3160,6 +3168,12 @@ def test_corpus_diff_duckdb_parity_and_null_marker(spark, sf_dir):
         ).collect()
     }
     assert d == {1: "changed", 2: "unchanged"}
+    # separator injection: distinct tuples whose raw concatenation would be
+    # identical must still classify as changed (per-column hashing)
+    inj_a = spark.createDataFrame([(1, "x", "\x1fy")], "doc_id bigint, a string, b string")
+    inj_b = spark.createDataFrame([(1, "x\x1f", "y")], "doc_id bigint, a string, b string")
+    inj = corpus_diff(inj_a, inj_b, "doc_id", compare_cols=["a", "b"]).collect()
+    assert [r["change"] for r in inj] == ["changed"]
     with _pytest.raises(ValueError):
         corpus_diff(a, b, "doc_id", compare_cols=[])
 
@@ -3235,6 +3249,16 @@ def test_hyperplane_geometry_tuner():
         tune_hyperplane_bands(0.0)
     with _pytest.raises(ValueError):
         hyperplane_collision_prob(2.0, 16, 4)
+    # degenerate signature sizes raise a NAMED error from the shared
+    # selection core, never an opaque max()-of-empty — both tuners
+    from debezium_connector_vitess_spark.ops.dedup import tune_minhash_bands
+
+    with _pytest.raises(ValueError):
+        tune_hyperplane_bands(0.8, num_planes=0)
+    with _pytest.raises(ValueError):
+        tune_minhash_bands(0.8, num_perm=0)
+    with _pytest.raises(ValueError):
+        tune_hyperplane_bands(0.8, 16, min_recall=0.0)
 
 
 def test_audit_file_layout_flags(spark, sf_dir, tmp_path):
@@ -3272,8 +3296,17 @@ def test_audit_file_layout_flags(spark, sf_dir, tmp_path):
     # with a floor below the real sizes, the healthy files turn ok
     rep2 = audit_file_layout(spark, src, small_mb=0.001).collect()
     assert {r["flag"] for r in rep2} == {"ok"}
-    # empty dir -> empty frame with the full schema
-    empty = audit_file_layout(spark, str(tmp_path / "nothing_here"))
+    # a nonexistent path raises — an accidentally-empty report must never
+    # masquerade as a healthy corpus (it feeds shard sizing)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        audit_file_layout(spark, str(tmp_path / "nothing_here"))
+    with _pytest.raises(ValueError):
+        audit_file_layout(spark, "s3://bucket/corpus")
+    # an existing-but-parquet-free dir IS a valid (empty) report
+    (tmp_path / "empty_dir").mkdir()
+    empty = audit_file_layout(spark, str(tmp_path / "empty_dir"))
     assert empty.count() == 0 and "flag" in empty.columns
 
 
@@ -3310,7 +3343,9 @@ def test_target_rows_per_shard_arithmetic(spark, sf_dir, tmp_path):
     # every output file within a loose band of the byte target
     assert all(0.2 * target_bytes < s < 3.0 * target_bytes for s in sizes)
 
-    empty = audit.filter("rows < 0")
-    assert target_rows_per_shard(empty) == 1
+    # an empty audit refuses to size shards (rows_per_shard=1 would
+    # explode the corpus into one file per row)
+    with _pytest.raises(ValueError):
+        target_rows_per_shard(audit.filter("rows < 0"))
     with _pytest.raises(ValueError):
         target_rows_per_shard(audit, target_mb=0)
