@@ -330,3 +330,41 @@ def test_bpe_counts_denominate_budget_and_packing(spark, sf_dir):
         with_counts.alias("c"), F.col("p.doc_id") == F.col("c.doc_id")
     )
     assert chk.filter(F.col("p.n_tokens") != F.col("c.n_bpe_tokens")).count() == 0
+
+
+def test_incremental_ingest_diff_then_cross_dedup(spark, sf_dir):
+    """The incremental-pipeline composition: corpus_diff classifies a new
+    snapshot against the standing corpus, and ONLY the added/changed
+    sliver runs cross-frame MinHash dedup against the standing side — a
+    near-duplicate introduced by the ingest is caught without ever
+    re-deduping the unchanged corpus."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.dedup import minhash_cross_pairs
+    from debezium_connector_vitess_spark.ops.pipeline import corpus_diff
+
+    old = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # new snapshot = old, plus one near-duplicate of doc 3 and one fresh doc
+    dup_src = old.filter(F.col("doc_id") == 3).collect()[0]["text"]
+    new = old.unionByName(
+        spark.createDataFrame(
+            [
+                (900001, dup_src + " trailing edit"),
+                (900002, "a genuinely novel document about rigging maintenance"),
+            ],
+            "doc_id bigint, text string",
+        )
+    )
+    delta = corpus_diff(old, new, "doc_id", compare_cols=["text"])
+    added_ids = [r["id"] for r in delta.filter("change = 'added'").collect()]
+    assert sorted(added_ids) == [900001, 900002]
+
+    added_docs = new.filter(F.col("doc_id").isin(added_ids))
+    pairs = minhash_cross_pairs(
+        added_docs, old, "text", "doc_id", num_perm=32, bands=8
+    ).filter(F.col("inter_size") * 5 >= F.col("union_size") * 4)  # jaccard >= 0.8
+    hits = {(r["new_id"], r["corpus_id"]) for r in pairs.collect()}
+    assert (900001, 3) in hits            # the ingest near-dup is caught
+    assert all(n != 900002 for n, _c in hits)  # the novel doc is clean
