@@ -3349,3 +3349,37 @@ def test_target_rows_per_shard_arithmetic(spark, sf_dir, tmp_path):
         target_rows_per_shard(audit.filter("rows < 0"))
     with _pytest.raises(ValueError):
         target_rows_per_shard(audit, target_mb=0)
+
+
+def test_bpe_encode_stream_stateless(spark, sf_dir, tmp_path):
+    """bpe_encode is a stateless Arrow projection: the identical call (same
+    learned merges) runs on a readStream frame with no watermark or state
+    store and produces the same per-doc counts as batch — the tokenizer
+    drops into a streaming ingest unchanged."""
+    import os
+    import shutil
+
+    from debezium_connector_vitess_spark.ops.bpe import bpe_encode, train_bpe
+
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    shutil.copy(src_file, src / "part-0.parquet")
+    batch_df = spark.read.parquet(src_file)
+    merges = train_bpe(batch_df, "text", num_merges=30, sample_rows=100)
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(src))
+    q = (
+        bpe_encode(stream, "text", "doc_id", merges, output="count")
+        .writeStream.format("memory")
+        .queryName("bpe_stream_t")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = dict(spark.sql("SELECT id, n_bpe_tokens FROM bpe_stream_t").collect())
+    want = dict(
+        (r["id"], r["n_bpe_tokens"])
+        for r in bpe_encode(batch_df, "text", "doc_id", merges, output="count").collect()
+    )
+    assert got == want and len(got) > 0
