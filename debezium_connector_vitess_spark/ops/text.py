@@ -1075,3 +1075,55 @@ def corpus_profile(
             ),
         ).drop("__sum_cbytes", "__sum_raw")
     return out
+
+
+#: query parameters that never change page identity — the usual
+#: tracking/session noise a web-corpus dedup must see through
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref", "igshid",
+)
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """Canonical form of a URL — the dedup key for page-level web-corpus
+    dedup (the same page arrives as http/HTTPS, with/without :443, with a
+    fragment, with utm_* click-tracking appended; byte-exact dedup sees
+    five documents where there is one).
+
+    Convention, applied in order and mirrored exactly by the SQL-oracle
+    test: strip the fragment; lowercase scheme and host (path and query
+    stay case-sensitive — /Page ≠ /page on most servers); drop a default
+    port (:80 for http, :443 for https); normalize an empty path to "/";
+    drop :data:`TRACKING_PARAMS` query params; SORT the surviving params
+    (order does not change identity); drop the "?" when nothing survives.
+    NULL/malformed input passes through the regex extracts as a
+    best-effort string, never an error — garbage keys just don't collide.
+
+    Pure Catalyst (regexp + split + filter + array_sort + concat): a
+    map-side expression, so the canonical key is computed in the scan
+    stage and ONLY the 16-byte hash of it needs to shuffle (compose with
+    :func:`~.ops.dedup.exact_dedup` on the canonical column).
+    """
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")  # fragment never identity
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~F.lower(F.split(p, "=")[0]).isin(*TRACKING_PARAMS),
+        )
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme == "", u  # no scheme: not a URL shape we claim to normalize
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qpart))

@@ -3383,3 +3383,72 @@ def test_bpe_encode_stream_stateless(spark, sf_dir, tmp_path):
         for r in bpe_encode(batch_df, "text", "doc_id", merges, output="count").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_canonical_url_expr_duckdb_parity(spark):
+    """URL canonicalization: the five arrival variants of one page collapse
+    to a single key, path case survives, non-URL input passes through, and
+    the full convention matches an independently-written DuckDB oracle."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.text import canonical_url_expr
+
+    urls = [
+        (1, "HTTP://Example.COM:80/a/b?utm_source=x&id=2&b=1#frag"),
+        (2, "http://example.com/a/b?b=1&id=2"),
+        (3, "https://Example.com:443"),
+        (4, "https://example.com/"),
+        (5, "https://example.com/Page?fbclid=abc"),
+        (6, "https://example.com/page"),
+        (7, "not a url at all"),
+        (8, None),
+        (9, "https://example.com/x?a=1&a=0"),  # duplicate keys kept, sorted
+    ]
+    df = spark.createDataFrame(urls, "id bigint, url string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_url_expr(F.col("url")).alias("c")).collect()
+    }
+    # the page variants collapse
+    assert got[1] == got[2] == "http://example.com/a/b?b=1&id=2"
+    assert got[3] == got[4] == "https://example.com/"
+    assert got[5] == "https://example.com/Page"        # tracking dropped
+    assert got[5] != got[6]                             # path case preserved
+    assert got[7] == "not a url at all" and got[8] is None
+    assert got[9] == "https://example.com/x?a=0&a=1"
+
+    con = duckdb.connect()
+    con.register("u", df.toPandas())
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute("""
+        WITH s AS (
+          SELECT id, regexp_replace(trim(url), '#.*$', '') AS u FROM u),
+        parts AS (
+          SELECT id, u,
+            lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+            lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS h,
+            regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p,
+            regexp_extract(u, '\\?([^#]*)$', 1) AS q
+          FROM s),
+        norm AS (
+          SELECT id, u, sch,
+            CASE WHEN sch='http'  THEN regexp_replace(h, ':80$',  '')
+                 WHEN sch='https' THEN regexp_replace(h, ':443$', '')
+                 ELSE h END AS h,
+            CASE WHEN p='' THEN '/' ELSE p END AS p,
+            list_sort(list_filter(string_split(q, '&'),
+              x -> x <> '' AND NOT lower(string_split(x, '=')[1]) IN
+                ('utm_source','utm_medium','utm_campaign','utm_term',
+                 'utm_content','fbclid','gclid','msclkid','mc_cid',
+                 'mc_eid','ref','igshid'))) AS kept
+          FROM parts)
+        SELECT id, CASE WHEN sch='' THEN u ELSE
+          sch || '://' || h || p ||
+          CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+               ELSE '' END END AS c
+        FROM norm
+        """).fetchall()
+    }
+    assert got == oracle
