@@ -989,3 +989,49 @@ def tune_minhash_bands(
         num_perm,
         min_recall,
     )
+
+
+def select_cluster_representatives(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    *,
+    prefer_col: str | None = None,
+) -> DataFrame:
+    """The curation ACTION after near-dup clustering: keep exactly one
+    member of every cluster, drop the rest — ``labels`` is
+    :func:`connected_components` output (id, cluster_id).
+
+    Default keeps the minimum-id member (the CC label convention, zero
+    extra work: ``id == cluster_id``). ``prefer_col`` keeps the member
+    with the HIGHEST value of that column instead — e.g. a quality score,
+    so the cluster survivor is the best copy, not the numerically smallest
+    id (ties break to the smaller id, deterministic). Documents absent
+    from ``labels`` are kept — unlabeled means unclustered.
+
+    Scale: prefer mode is one groupBy(cluster_id) max_by over the
+    labels-sized frame (ids + one numeric column, never documents) and one
+    LEFT SEMI join back; min-id mode is a broadcast-size-independent
+    semi-join on the (id == cluster_id) slice. Document payloads shuffle
+    in neither mode.
+    """
+    lab = labels.select(F.col(id_col).alias("__lid"), "cluster_id")
+    if prefer_col is None:
+        reps = lab.filter(F.col("__lid") == F.col("cluster_id")).select("__lid")
+    else:
+        scored = lab.join(
+            docs.select(F.col(id_col).alias("__lid"), F.col(prefer_col).alias("__p")),
+            on="__lid",
+        )
+        # max_by on (prefer, -id): highest preference, then smallest id
+        reps = scored.groupBy("cluster_id").agg(
+            F.max_by(
+                F.col("__lid"), F.struct(F.col("__p"), (-F.col("__lid")).alias("__n"))
+            ).alias("__lid")
+        ).select("__lid")
+    labeled_ids = lab.select("__lid")
+    return docs.join(
+        labeled_ids, docs[id_col] == labeled_ids["__lid"], "left_anti"
+    ).unionByName(
+        docs.join(reps, docs[id_col] == reps["__lid"], "left_semi")
+    )

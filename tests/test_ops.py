@@ -3452,3 +3452,47 @@ def test_canonical_url_expr_duckdb_parity(spark):
         """).fetchall()
     }
     assert got == oracle
+
+
+def test_select_cluster_representatives(spark):
+    """Cluster-survivor selection: default keeps the min-id member (the CC
+    label convention), prefer_col keeps the highest-scoring member with
+    deterministic min-id ties, unlabeled docs always survive, and exactly
+    one member per cluster remains either way."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.dedup import (
+        connected_components,
+        select_cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, 0.5),   # cluster A (1-2, 2-3)
+            (10, 0.1), (11, 0.1),           # cluster B (10-11), tied quality
+            (20, 0.7),                       # singleton in labels
+            (99, 0.0),                       # never labeled
+        ],
+        "doc_id bigint, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    labels = connected_components(
+        docs.filter("doc_id != 99").select("doc_id"), pairs, id_col="doc_id"
+    )
+
+    kept_min = sorted(
+        r["doc_id"]
+        for r in select_cluster_representatives(docs, labels, "doc_id").collect()
+    )
+    assert kept_min == [1, 10, 20, 99]
+
+    kept_q = sorted(
+        r["doc_id"]
+        for r in select_cluster_representatives(
+            docs, labels, "doc_id", prefer_col="quality"
+        ).collect()
+    )
+    # cluster A keeps its best copy (2, q=0.9); B's tie breaks to min id 10
+    assert kept_q == [2, 10, 20, 99]
