@@ -889,3 +889,65 @@ def extract_multimodal_metadata(
             )
 
     return payloads.mapInPandas(op, schema=MULTIMODAL_META_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = (
+    "doc_id long, chunk_idx int, start_sample long, n_samples long, rms double"
+)
+
+
+def audio_chunk_energy(
+    binary_df: DataFrame, *, chunk_samples: int = 64
+) -> DataFrame:
+    """Per-chunk RMS energy over REAL decoded PCM — the feature-extraction
+    step after :func:`chunk_audio`'s geometry (silence trimming, VAD-ish
+    gating, and loudness normalization all key on exactly this signal).
+
+    Decodes each RIFF/WAVE payload's frames with the stdlib ``wave``
+    module, folds multi-channel frames by averaging channels per sample
+    position (the mono-mixdown convention), and emits one row per
+    ``chunk_samples`` window with its root-mean-square amplitude in
+    int16 units. Non-WAV payloads are skipped (energy over undecodable
+    bytes is noise, not a feature). Same Arrow fan-out shape as
+    chunk_audio: map-only, may yield more rows than it consumes, zero
+    shuffle at any size.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "chunk_idx": [], "start_sample": [],
+                "n_samples": [], "rms": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not is_wav(payload):
+                    continue
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    ch = w.getnchannels()
+                    raw = w.readframes(w.getnframes())
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                if ch > 1:
+                    samples = samples.reshape(-1, ch).mean(axis=1)
+                for idx in range(0, len(samples), chunk_samples):
+                    piece = samples[idx : idx + chunk_samples]
+                    out["doc_id"].append(did)
+                    out["chunk_idx"].append(idx // chunk_samples)
+                    out["start_sample"].append(idx)
+                    out["n_samples"].append(len(piece))
+                    out["rms"].append(float(np.sqrt(np.mean(piece * piece))))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "chunk_idx": pd.Series(out["chunk_idx"], dtype="int32"),
+                    "start_sample": pd.Series(out["start_sample"], dtype="int64"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "rms": pd.Series(out["rms"], dtype="float64"),
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=AUDIO_ENERGY_SCHEMA)

@@ -3496,3 +3496,46 @@ def test_select_cluster_representatives(spark):
     )
     # cluster A keeps its best copy (2, q=0.9); B's tie breaks to min id 10
     assert kept_q == [2, 10, 20, 99]
+
+
+def test_audio_chunk_energy_matches_independent_decode(spark, sf_dir):
+    """Per-chunk RMS: geometry aligns with chunk_audio over the same real
+    WAV payloads, and every RMS value equals an independent stdlib-wave +
+    numpy recomputation in the test (mono mixdown by channel mean)."""
+    import io
+    import wave
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        attach_wav_payload,
+        audio_chunk_energy,
+        chunk_audio,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    payloads = attach_wav_payload(docs)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_sample"], r["n_samples"], r["rms"])
+        for r in audio_chunk_energy(payloads, chunk_samples=64).collect()
+    }
+    geo = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_sample"], r["n_samples"])
+        for r in chunk_audio(payloads, chunk_samples=64).collect()
+    }
+    assert set(got) == set(geo)
+    for k, (s, n, _rms) in got.items():
+        assert geo[k] == (s, n)
+
+    for row in payloads.collect():
+        with wave.open(io.BytesIO(bytes(row["payload"])), "rb") as w:
+            ch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        if ch > 1:
+            samples = samples.reshape(-1, ch).mean(axis=1)
+        for idx in range(0, len(samples), 64):
+            piece = samples[idx : idx + 64]
+            want = float(np.sqrt(np.mean(piece * piece)))
+            assert got[(row["doc_id"], idx // 64)][2] == want
