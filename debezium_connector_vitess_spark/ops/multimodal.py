@@ -951,3 +951,67 @@ def audio_chunk_energy(
             )
 
     return binary_df.mapInPandas(op, schema=AUDIO_ENERGY_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, width int, height int, channels int, "
+    "mean_r double, mean_g double, mean_b double, brightness double"
+)
+
+
+def image_channel_stats(binary_df: DataFrame) -> DataFrame:
+    """Per-image channel statistics over REAL decoded pixels — the image
+    twin of :func:`audio_chunk_energy`: mean R/G/B and overall brightness
+    (channel-mean average) per document, the gates an image-curation pass
+    keys on (all-black/all-white frames, blown exposure, watermark-ish
+    uniform fills).
+
+    Decodes PNG payloads with the stdlib codec in :mod:`ops.png` (chunk
+    walk, inflate, all five row filters — real pixels, not header fields),
+    vectorizes the mean over a numpy view, and skips non-PNG payloads
+    (stats over undecodable bytes are noise). Grayscale images report the
+    single channel in all three means. Map-only Arrow seam, zero shuffle.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .png import decode_png, is_png
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "channels": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "brightness": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not is_png(payload):
+                    continue
+                w, h, ch, px = decode_png(bytes(payload))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, ch)
+                means = arr.mean(axis=0)
+                if ch == 1:
+                    r = g = b = float(means[0])
+                else:
+                    r, g, b = (float(means[i]) for i in range(3))
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["mean_r"].append(r)
+                out["mean_g"].append(g)
+                out["mean_b"].append(b)
+                out["brightness"].append((r + g + b) / 3.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "channels": pd.Series(out["channels"], dtype="int32"),
+                    "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                    "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                    "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                    "brightness": pd.Series(out["brightness"], dtype="float64"),
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=IMAGE_STATS_SCHEMA)

@@ -3539,3 +3539,36 @@ def test_audio_chunk_energy_matches_independent_decode(spark, sf_dir):
             piece = samples[idx : idx + 64]
             want = float(np.sqrt(np.mean(piece * piece)))
             assert got[(row["doc_id"], idx // 64)][2] == want
+
+
+def test_image_channel_stats_real_pixels(spark, sf_dir):
+    """Per-image channel means over REAL decoded PNG pixels: the solid-color
+    fixtures make exact expectations (mean == the doc's fill color, exact
+    because every pixel is identical), dimensions come from the decoded
+    IHDR, and non-PNG payloads are skipped."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        attach_binary_payload,
+        attach_png_payload,
+        image_channel_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    stats = {
+        r["doc_id"]: r for r in image_channel_stats(attach_png_payload(docs)).collect()
+    }
+    rows = docs.select("doc_id", F.length(F.encode("text", "utf-8")).alias("n")).collect()
+    assert len(stats) == len(rows)
+    for r in rows:
+        did, n = r["doc_id"], r["n"]
+        s = stats[did]
+        assert (s["width"], s["height"]) == (8 + n % 24, 8 + (n // 2) % 24)
+        assert s["channels"] == 3
+        # solid fill -> exact channel means
+        assert (s["mean_r"], s["mean_g"], s["mean_b"]) == (
+            float(did % 256), float((did * 7) % 256), float((did * 13) % 256)
+        )
+        assert s["brightness"] == (s["mean_r"] + s["mean_g"] + s["mean_b"]) / 3.0
+    # non-PNG payloads skipped, not scored
+    assert image_channel_stats(attach_binary_payload(docs)).count() == 0
