@@ -1127,3 +1127,69 @@ def canonical_url_expr(url: Column) -> Column:
     return F.when(
         scheme == "", u  # no scheme: not a URL shape we claim to normalize
     ).otherwise(F.concat(scheme, F.lit("://"), host, path, qpart))
+
+
+def corpus_datasheet(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    domain_col: str = "source",
+    lang_col: str | None = "lang",
+    top_n: int = 10,
+) -> dict:
+    """One-call dataset-release summary — the "datasheet" block every
+    corpus hand-off needs: global volumes, length distribution, duplicate
+    ratio, and the top domain / language mix, as one JSON-serializable
+    dict. :func:`corpus_profile` is the per-domain DIAGNOSTIC table; this
+    is the corpus-grain HEADLINE derived from the same one-scan metrics
+    projection.
+
+    Cost: one narrow :func:`with_text_metrics` pass feeding one global
+    aggregate (count/sum/mean/exact percentiles/count_distinct of the
+    16-byte fingerprint — all map-side-combining), plus a top-``top_n``
+    groupBy per mix column (TakeOrdered, never a full sort). The collect
+    is O(top_n) rows — a summary IS driver-sized by definition.
+    """
+    base = with_text_metrics(df, text_col, include_grams=False)
+    g = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
+        F.sum(F.length(text_col).cast("long")).alias("n_chars"),
+        F.avg("quality_score").alias("mean_quality"),
+        F.count_distinct("fingerprint").alias("distinct_content"),
+        F.expr("percentile(n_tokens, array(0.5, 0.95, 0.99))").alias("pcts"),
+        F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0)).alias("n_empty"),
+    ).collect()[0]
+
+    def mix(col: str) -> list[dict]:
+        rows = (
+            df.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc(col))
+            .limit(top_n)
+            .collect()
+        )
+        return [
+            {"value": r[col], "n_docs": r["n"], "share": r["n"] / g["n_docs"]}
+            for r in rows
+        ]
+
+    out = {
+        "n_docs": g["n_docs"],
+        "n_tokens": g["n_tokens"],
+        "n_chars": g["n_chars"],
+        "n_empty": g["n_empty"],
+        "mean_quality": g["mean_quality"],
+        "distinct_content": g["distinct_content"],
+        "dup_ratio": (
+            1.0 - g["distinct_content"] / g["n_docs"] if g["n_docs"] else 0.0
+        ),
+        "tokens_p50": g["pcts"][0],
+        "tokens_p95": g["pcts"][1],
+        "tokens_p99": g["pcts"][2],
+        "domain_mix": mix(domain_col),
+    }
+    if lang_col is not None:
+        out["lang_mix"] = mix(lang_col)
+    return out

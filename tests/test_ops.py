@@ -3572,3 +3572,51 @@ def test_image_channel_stats_real_pixels(spark, sf_dir):
         assert s["brightness"] == (s["mean_r"] + s["mean_g"] + s["mean_b"]) / 3.0
     # non-PNG payloads skipped, not scored
     assert image_channel_stats(attach_binary_payload(docs)).count() == 0
+
+
+def test_corpus_datasheet_cross_checked(spark, sf_dir):
+    """Datasheet: every headline number equals an independent DuckDB
+    recomputation over the same parquet (counts, token totals, exact
+    percentiles, dup ratio from distinct fingerprints, domain mix with
+    shares summing to <= 1)."""
+    import duckdb
+
+    from debezium_connector_vitess_spark.ops.text import corpus_datasheet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ds = corpus_datasheet(docs)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    row = con.execute(f"""
+        SELECT count(*), sum(len({toks})), sum(length(text)),
+               quantile_cont(len({toks}), 0.5),
+               count(DISTINCT md5(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'),
+                 '\\s+', ' ', 'g'))))
+        FROM documents
+    """).fetchone()
+    assert ds["n_docs"] == row[0]
+    assert ds["n_tokens"] == row[1]
+    assert ds["n_chars"] == row[2]
+    assert ds["tokens_p50"] == row[3]
+    assert ds["distinct_content"] == row[4]
+    assert ds["dup_ratio"] == 1.0 - row[4] / row[0]
+    assert ds["tokens_p50"] <= ds["tokens_p95"] <= ds["tokens_p99"]
+
+    mix = {m["value"]: m["n_docs"] for m in ds["domain_mix"]}
+    want_mix = dict(
+        con.execute(
+            "SELECT source, count(*) FROM documents GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"
+        ).fetchall()
+    )
+    assert mix == want_mix
+    assert 0 < sum(m["share"] for m in ds["domain_mix"]) <= 1.0 + 1e-9
+    assert "lang_mix" in ds and len(ds["lang_mix"]) > 0
+    # JSON-serializable contract
+    import json
+
+    json.dumps(ds)
