@@ -1002,33 +1002,44 @@ def select_cluster_representatives(
     member of every cluster, drop the rest — ``labels`` is
     :func:`connected_components` output (id, cluster_id).
 
-    Default keeps the minimum-id member (the CC label convention, zero
-    extra work: ``id == cluster_id``). ``prefer_col`` keeps the member
-    with the HIGHEST value of that column instead — e.g. a quality score,
-    so the cluster survivor is the best copy, not the numerically smallest
-    id (ties break to the smaller id, deterministic). Documents absent
-    from ``labels`` are kept — unlabeled means unclustered.
+    Default keeps the minimum-id member PRESENT IN ``docs`` (usually the
+    CC label itself; when docs was pre-filtered — quality gates, a prior
+    dedup — and the label member is gone, the smallest surviving member
+    still represents the cluster instead of the cluster silently losing
+    all members). ``prefer_col`` keeps the member with the HIGHEST value
+    of that column instead — e.g. a quality score, so the cluster
+    survivor is the best copy (ties break to the smallest id; the
+    tie-break uses ``min``, never numeric negation, so string ids work).
+    Members whose ``prefer_col`` is NULL lose to any scored member and
+    tie among themselves by min id. Documents absent from ``labels`` are
+    kept — unlabeled means unclustered.
 
-    Scale: prefer mode is one groupBy(cluster_id) max_by over the
-    labels-sized frame (ids + one numeric column, never documents) and one
-    LEFT SEMI join back; min-id mode is a broadcast-size-independent
-    semi-join on the (id == cluster_id) slice. Document payloads shuffle
-    in neither mode.
+    Scale: both modes aggregate the labels-sized frame (ids + at most one
+    scalar column, never documents) and LEFT SEMI join back; document
+    payloads shuffle in neither mode.
     """
     lab = labels.select(F.col(id_col).alias("__lid"), "cluster_id")
+    present = lab.join(
+        docs.select(
+            F.col(id_col).alias("__lid"),
+            *( [F.col(prefer_col).alias("__p")] if prefer_col is not None else [] ),
+        ),
+        on="__lid",
+    )
     if prefer_col is None:
-        reps = lab.filter(F.col("__lid") == F.col("cluster_id")).select("__lid")
+        reps = present.groupBy("cluster_id").agg(F.min("__lid").alias("__lid"))
     else:
-        scored = lab.join(
-            docs.select(F.col(id_col).alias("__lid"), F.col(prefer_col).alias("__p")),
-            on="__lid",
+        # two aggregations on the small labels frame, type-agnostic ids:
+        # the cluster's best score (NULL-safe), then the min id among the
+        # members that carry it
+        best = present.groupBy("cluster_id").agg(F.max("__p").alias("__best"))
+        reps = (
+            present.join(best, on="cluster_id")
+            .filter(F.col("__p").eqNullSafe(F.col("__best")))
+            .groupBy("cluster_id")
+            .agg(F.min("__lid").alias("__lid"))
         )
-        # max_by on (prefer, -id): highest preference, then smallest id
-        reps = scored.groupBy("cluster_id").agg(
-            F.max_by(
-                F.col("__lid"), F.struct(F.col("__p"), (-F.col("__lid")).alias("__n"))
-            ).alias("__lid")
-        ).select("__lid")
+    reps = reps.select("__lid")
     labeled_ids = lab.select("__lid")
     return docs.join(
         labeled_ids, docs[id_col] == labeled_ids["__lid"], "left_anti"

@@ -907,8 +907,9 @@ def audio_chunk_energy(
     module, folds multi-channel frames by averaging channels per sample
     position (the mono-mixdown convention), and emits one row per
     ``chunk_samples`` window with its root-mean-square amplitude in
-    int16 units. Non-WAV payloads are skipped (energy over undecodable
-    bytes is noise, not a feature). Same Arrow fan-out shape as
+    int16 units. Non-WAV and non-16-bit payloads are skipped (energy over
+    undecodable or mis-width bytes is noise, not a feature). Same Arrow
+    fan-out shape as
     chunk_audio: map-only, may yield more rows than it consumes, zero
     shuffle at any size.
     """
@@ -929,7 +930,13 @@ def audio_chunk_energy(
                     continue
                 with wave.open(io.BytesIO(payload), "rb") as w:
                     ch = w.getnchannels()
+                    width = w.getsampwidth()
                     raw = w.readframes(w.getnframes())
+                if width != 2:
+                    # 8/24/32-bit PCM would mis-parse as int16 pairs (wrong
+                    # RMS with no error, or a buffer-size crash on odd byte
+                    # counts) — skip like non-WAV rather than score garbage
+                    continue
                 samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
                 if ch > 1:
                     samples = samples.reshape(-1, ch).mean(axis=1)
@@ -989,9 +996,12 @@ def image_channel_stats(binary_df: DataFrame) -> DataFrame:
                 w, h, ch, px = decode_png(bytes(payload))
                 arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, ch)
                 means = arr.mean(axis=0)
-                if ch == 1:
+                if ch <= 2:
+                    # grayscale / grayscale+alpha: channel 0 is the gray
+                    # value (alpha is not a color — exposure gates ignore it)
                     r = g = b = float(means[0])
                 else:
+                    # RGB / RGBA: first three channels are the colors
                     r, g, b = (float(means[i]) for i in range(3))
                 out["doc_id"].append(did)
                 out["width"].append(w)

@@ -1078,10 +1078,14 @@ def corpus_profile(
 
 
 #: query parameters that never change page identity — the usual
-#: tracking/session noise a web-corpus dedup must see through
+#: tracking/session noise a web-corpus dedup must see through. Generic
+#: names like "ref" or "id" are deliberately NOT here: many sites use
+#: them to SELECT content (?ref=branch, ?id=article), and dropping a
+#: content-selecting param false-merges distinct pages — data loss, not
+#: noise. Only unambiguous click-tracking identifiers qualify.
 TRACKING_PARAMS = (
     "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
-    "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref", "igshid",
+    "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "igshid",
 )
 
 
@@ -1132,7 +1136,6 @@ def canonical_url_expr(url: Column) -> Column:
 def corpus_datasheet(
     df,
     text_col: str = "text",
-    id_col: str = "doc_id",
     *,
     domain_col: str = "source",
     lang_col: str | None = "lang",
@@ -1163,6 +1166,8 @@ def corpus_datasheet(
     ).collect()[0]
 
     def mix(col: str) -> list[dict]:
+        if not g["n_docs"]:
+            return []
         rows = (
             df.groupBy(col)
             .agg(F.count(F.lit(1)).alias("n"))
@@ -1175,6 +1180,7 @@ def corpus_datasheet(
             for r in rows
         ]
 
+    pcts = g["pcts"] if g["pcts"] is not None else [None, None, None]
     out = {
         "n_docs": g["n_docs"],
         "n_tokens": g["n_tokens"],
@@ -1185,9 +1191,9 @@ def corpus_datasheet(
         "dup_ratio": (
             1.0 - g["distinct_content"] / g["n_docs"] if g["n_docs"] else 0.0
         ),
-        "tokens_p50": g["pcts"][0],
-        "tokens_p95": g["pcts"][1],
-        "tokens_p99": g["pcts"][2],
+        "tokens_p50": pcts[0],
+        "tokens_p95": pcts[1],
+        "tokens_p99": pcts[2],
         "domain_mix": mix(domain_col),
     }
     if lang_col is not None:

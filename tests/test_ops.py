@@ -3404,6 +3404,10 @@ def test_canonical_url_expr_duckdb_parity(spark):
         (7, "not a url at all"),
         (8, None),
         (9, "https://example.com/x?a=1&a=0"),  # duplicate keys kept, sorted
+        # content-selecting params survive: ?ref= picks a branch/article on
+        # many sites — dropping it would false-merge distinct pages
+        (10, "https://example.com/tree?ref=main"),
+        (11, "https://example.com/tree?ref=dev"),
     ]
     df = spark.createDataFrame(urls, "id bigint, url string")
     got = {
@@ -3417,6 +3421,7 @@ def test_canonical_url_expr_duckdb_parity(spark):
     assert got[5] != got[6]                             # path case preserved
     assert got[7] == "not a url at all" and got[8] is None
     assert got[9] == "https://example.com/x?a=0&a=1"
+    assert got[10] != got[11]  # ?ref= selects content; never merged
 
     con = duckdb.connect()
     con.register("u", df.toPandas())
@@ -3442,7 +3447,7 @@ def test_canonical_url_expr_duckdb_parity(spark):
               x -> x <> '' AND NOT lower(string_split(x, '=')[1]) IN
                 ('utm_source','utm_medium','utm_campaign','utm_term',
                  'utm_content','fbclid','gclid','msclkid','mc_cid',
-                 'mc_eid','ref','igshid'))) AS kept
+                 'mc_eid','igshid'))) AS kept
           FROM parts)
         SELECT id, CASE WHEN sch='' THEN u ELSE
           sch || '://' || h || p ||
@@ -3496,6 +3501,27 @@ def test_select_cluster_representatives(spark):
     )
     # cluster A keeps its best copy (2, q=0.9); B's tie breaks to min id 10
     assert kept_q == [2, 10, 20, 99]
+
+    # docs pre-filtered so cluster A's label member (1) is ABSENT: the
+    # cluster must still keep its smallest PRESENT member, not vanish
+    filtered = docs.filter("doc_id != 1")
+    kept_f = sorted(
+        r["doc_id"]
+        for r in select_cluster_representatives(filtered, labels, "doc_id").collect()
+    )
+    assert kept_f == [2, 10, 20, 99]
+
+    # all-NULL preference in a cluster ties down to min id, never drops it
+    nulls = docs.withColumn(
+        "quality", F.when(F.col("doc_id").isin(10, 11), None).otherwise(F.col("quality"))
+    )
+    kept_n = sorted(
+        r["doc_id"]
+        for r in select_cluster_representatives(
+            nulls, labels, "doc_id", prefer_col="quality"
+        ).collect()
+    )
+    assert kept_n == [2, 10, 20, 99]
 
 
 def test_audio_chunk_energy_matches_independent_decode(spark, sf_dir):
