@@ -223,3 +223,43 @@ def bpe_encode(
         else "id long, n_bpe_tokens long"
     )
     return src.mapInPandas(run, schema=schema)
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge list as JSON — the tokenizer artifact a
+    dataset release ships alongside its shards (token counts are only
+    reproducible with the exact merges that produced them). Atomic write
+    (temp file + rename) so a crashed writer never leaves a torn artifact
+    for the next run to load."""
+    import json
+    import os
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump({"version": 1, "merges": [list(m) for m in merges]}, fh)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Load a merge list written by :func:`save_merges`; validates the
+    shape loudly (a truncated or foreign JSON must not silently become an
+    empty tokenizer that character-shatters the corpus)."""
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    if (
+        not isinstance(doc, dict)
+        or doc.get("version") != 1
+        or not isinstance(doc.get("merges"), list)
+        or not all(isinstance(m, list) and len(m) == 2 for m in doc["merges"])
+    ):
+        raise ValueError(f"not a BPE merges artifact: {path!r}")
+    return [tuple(m) for m in doc["merges"]]

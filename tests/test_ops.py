@@ -3646,3 +3646,36 @@ def test_corpus_datasheet_cross_checked(spark, sf_dir):
     import json
 
     json.dumps(ds)
+
+
+def test_bpe_merges_roundtrip(spark, tmp_path):
+    """Tokenizer persistence: save/load round-trips the merge list exactly
+    (so counts are reproducible from the artifact), writes atomically, and
+    loading a torn/foreign file raises instead of returning an empty
+    tokenizer."""
+    import json
+
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.ops.bpe import (
+        bpe_encode,
+        load_merges,
+        save_merges,
+        train_bpe,
+    )
+
+    rows = [(i, "low lower newest widest " * 4) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    merges = train_bpe(df, "text", num_merges=8, sample_rows=10)
+    p = str(tmp_path / "tok.json")
+    save_merges(merges, p)
+    assert load_merges(p) == merges
+    a = bpe_encode(df, "text", "doc_id", merges, output="count").collect()
+    b = bpe_encode(df, "text", "doc_id", load_merges(p), output="count").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as fh:
+        json.dump({"merges": "nope"}, fh)
+    with _pytest.raises(ValueError):
+        load_merges(bad)
