@@ -263,3 +263,20 @@ def load_merges(path: str) -> list[tuple[str, str]]:
     ):
         raise ValueError(f"not a BPE merges artifact: {path!r}")
     return [tuple(m) for m in doc["merges"]]
+
+
+def bpe_decode_expr(tokens: "F.Column") -> "F.Column":
+    """Reconstruct text from a BPE token array — the inverse that makes the
+    tokenizer auditable end to end: ``decode(encode(text))`` equals the
+    pre-tokenized form of ``text`` (lowercased when encoding lowercased,
+    whitespace collapsed to single spaces — the information the word-level
+    pre-tokenizer deliberately discards; everything else round-trips
+    exactly, which is what the losslessness tests pin).
+
+    Pure Catalyst (concat + one literal replace + trim): subword pieces
+    concatenate back into words because encoding is a partition of each
+    word's characters, and the end-of-word marker becomes the word
+    boundary. Map-side, composes in the same projection as any other
+    expression — no Arrow seam needed for the DECODE direction.
+    """
+    return F.trim(F.replace(F.array_join(tokens, ""), F.lit(END), F.lit(" ")))

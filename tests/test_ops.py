@@ -3679,3 +3679,27 @@ def test_bpe_merges_roundtrip(spark, tmp_path):
         json.dump({"merges": "nope"}, fh)
     with _pytest.raises(ValueError):
         load_merges(bad)
+
+
+def test_bpe_decode_roundtrip(spark, sf_dir):
+    """decode(encode(text)) == the pre-tokenized form of text (lowercase,
+    single-space) for every real document — the end-to-end audit that the
+    tokenizer never drops or duplicates a character."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.bpe import (
+        bpe_decode_expr,
+        bpe_encode,
+        train_bpe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    merges = train_bpe(docs, "text", num_merges=50, sample_rows=100)
+    toks = bpe_encode(docs, "text", "doc_id", merges)
+    decoded = toks.select("id", bpe_decode_expr(F.col("tokens")).alias("rt"))
+    want = docs.select(
+        F.col("doc_id").alias("id"),
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("norm"),
+    )
+    mism = decoded.join(want, on="id").filter(F.col("rt") != F.col("norm"))
+    assert mism.count() == 0
