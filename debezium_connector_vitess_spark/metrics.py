@@ -475,3 +475,87 @@ def funnel_pairs_stream(
         right_time, watermark_delay
     )
     return funnel_pairs(wl, wr, within=within, left_time=left_time, right_time=right_time, **kwargs)
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    on: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance: str | None = None,
+    suffix: str = "_r",
+):
+    """As-of join (``pandas.merge_asof`` semantics, backward direction):
+    each left row picks the LATEST right row with the same key whose time
+    is ``<= left_time`` — "what was the most recent reading/price/state
+    when this event happened", the temporal-enrichment join every
+    event-time pipeline eventually needs.
+
+    Built as UNION + window, not a join: both sides stack into one frame
+    tagged by origin, ONE shuffle on the key, and a per-key
+    ``last(ignorenulls)`` running window carries the latest right payload
+    forward onto each left row. No pair fan-out exists at any skew — a
+    key with a million left rows and a million right rows costs one sorted
+    partition pass, where a range-condition join would explode toward the
+    product. Ties (equal timestamps) match: the right row sorts BEFORE the
+    left row at the same instant.
+
+    ``value_cols`` names the right columns to carry (default: everything
+    except the key and time); each lands on the output with ``suffix``,
+    plus ``{right_time}{suffix}`` = the matched row's time (NULL when no
+    right row precedes). ``tolerance`` (e.g. ``"1 hour"``) voids matches
+    older than the window — the matched columns go NULL, exactly
+    merge_asof's contract. Event-time columns may be NTZ parquet reads;
+    both sides pass through :func:`ensure_utc_event_time`.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    left = ensure_utc_event_time(left, left_time)
+    right = ensure_utc_event_time(right, right_time)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_time)]
+    rv = F.struct(
+        F.col(right_time).alias("__t"), *[F.col(c) for c in value_cols]
+    )
+    r_side = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__ts"),
+        F.lit(0).alias("__tag"),  # right sorts first at equal times: ties match
+        rv.alias("__rv"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
+    )
+    l_side = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r_side.schema["__rv"].dataType).alias("__rv"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l_side.unionByName(r_side)
+        .withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == 1)
+    )
+    if tolerance is not None:
+        carried = carried.withColumn(
+            "__m",
+            F.when(
+                F.col("__m.__t")
+                >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"),
+                F.col("__m"),
+            ),
+        )
+    return carried.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        F.col("__m.__t").alias(f"{right_time}{suffix}"),
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

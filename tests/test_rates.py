@@ -837,3 +837,64 @@ def test_metrics_listener_scoping_and_guards():
     names = {k: v.connected for k, v in lis.metrics.items()}
     assert names["a"] is True  # untouched
     assert sum(1 for v in names.values() if not v) == 1  # only q2 disconnected
+
+
+def test_asof_join_matches_duckdb_asof(spark, sf_dir):
+    """As-of join: exact parity with DuckDB's native ASOF LEFT JOIN on a
+    real events split (orders enriched with the latest same-key event at or
+    before their time), ties match, tolerance voids stale matches, and the
+    plan is one key shuffle + one window — no join operator at all."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.metrics import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # split one frame into "quotes" (even ids) and "trades" (odd ids) on a
+    # shared low-cardinality key so as-of matches are plentiful
+    right = ev.filter("event_id % 2 = 0").select(
+        F.col("user_id").alias("k"), "ts", F.col("event_id").alias("rid")
+    )
+    left = ev.filter("event_id % 2 = 1").select(
+        F.col("user_id").alias("k"), "ts", F.col("event_id").alias("lid")
+    )
+    out = asof_join(left, right, on="k", value_cols=["rid"])
+    got = {
+        (r["lid"]): (r["rid_r"],)
+        for r in out.collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = {
+        r[0]: (r[1],)
+        for r in con.execute("""
+            SELECT l.event_id, r.event_id
+            FROM (SELECT user_id k, ts, event_id FROM events WHERE event_id % 2 = 1) l
+            ASOF LEFT JOIN
+                 (SELECT user_id k, ts, event_id FROM events WHERE event_id % 2 = 0) r
+            ON l.k = r.k AND l.ts >= r.ts
+        """).fetchall()
+    }
+    assert got == want and any(v[0] is not None for v in got.values())
+
+    # tolerance: a zero-window tolerance keeps only exact-tie matches
+    tol = asof_join(left, right, on="k", value_cols=["rid"], tolerance="0 seconds")
+    tied = {r["lid"]: r["rid_r"] for r in tol.collect()}
+    lt = {r["lid"]: r["ts"] for r in left.collect()}
+    rts = {r["rid"]: r["ts"] for r in right.collect()}
+    for lid, rid in tied.items():
+        if rid is not None:
+            assert rts[rid] == lt[lid]
+
+    # plan shape: NO join operator anywhere (the whole point — no pair
+    # fan-out at any skew); every row shuffles exactly once on the key
+    # (Spark pushes the window's single logical exchange below the union,
+    # one per branch, both keyed on __k — no secondary reshuffle)
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert 1 <= len(exchanges) <= 2
+    assert all(k.startswith("__k") for k in exchanges), exchanges
