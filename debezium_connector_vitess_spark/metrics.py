@@ -487,12 +487,15 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance: str | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ):
-    """As-of join (``pandas.merge_asof`` semantics, backward direction):
-    each left row picks the LATEST right row with the same key whose time
-    is ``<= left_time`` — "what was the most recent reading/price/state
-    when this event happened", the temporal-enrichment join every
-    event-time pipeline eventually needs.
+    """As-of join (``pandas.merge_asof`` semantics): each left row picks
+    the LATEST right row with the same key whose time is ``<= left_time``
+    (``direction="backward"``, the default — "what was the most recent
+    reading/price/state when this event happened"), or the EARLIEST right
+    row at-or-after it (``direction="forward"`` — "what happened next").
+    The temporal-enrichment join every event-time pipeline eventually
+    needs.
 
     Built as UNION + window, not a join: both sides stack into one frame
     tagged by origin, ONE shuffle on the key, and a per-key
@@ -514,6 +517,10 @@ def asof_join(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     left = ensure_utc_event_time(left, left_time)
     right = ensure_utc_event_time(right, right_time)
     if value_cols is None:
@@ -535,9 +542,13 @@ def asof_join(
         F.lit(None).cast(r_side.schema["__rv"].dataType).alias("__rv"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
+    # forward = the same scan mirrored: order time DESC so "latest
+    # preceding" becomes "earliest following"; the tag still puts the
+    # right row first at equal times, so ties match in both directions
+    tsord = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__tag")
+        .orderBy(tsord, "__tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
@@ -546,14 +557,13 @@ def asof_join(
         .filter(F.col("__tag") == 1)
     )
     if tolerance is not None:
-        carried = carried.withColumn(
-            "__m",
-            F.when(
-                F.col("__m.__t")
-                >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"),
-                F.col("__m"),
-            ),
+        iv = F.expr(f"INTERVAL {tolerance}")
+        in_window = (
+            F.col("__m.__t") >= F.col("__ts") - iv
+            if direction == "backward"
+            else F.col("__m.__t") <= F.col("__ts") + iv
         )
+        carried = carried.withColumn("__m", F.when(in_window, F.col("__m")))
     return carried.select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         F.col("__m.__t").alias(f"{right_time}{suffix}"),

@@ -898,3 +898,55 @@ def test_asof_join_matches_duckdb_asof(spark, sf_dir):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert 1 <= len(exchanges) <= 2
     assert all(k.startswith("__k") for k in exchanges), exchanges
+
+
+def test_asof_join_forward_direction(spark, sf_dir):
+    """direction='forward': each left row takes the EARLIEST same-key right
+    row at-or-after its time — parity with DuckDB ASOF (l.ts <= r.ts), and
+    the backward/forward pair brackets every left event correctly
+    (matched_backward.ts <= l.ts <= matched_forward.ts whenever both
+    exist)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.metrics import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    right = ev.filter("event_id % 2 = 0").select(
+        F.col("user_id").alias("k"), "ts", F.col("event_id").alias("rid")
+    )
+    left = ev.filter("event_id % 2 = 1").select(
+        F.col("user_id").alias("k"), "ts", F.col("event_id").alias("lid")
+    )
+    fwd = asof_join(left, right, on="k", value_cols=["rid"], direction="forward")
+    got = {r["lid"]: r["rid_r"] for r in fwd.collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = dict(
+        con.execute("""
+            SELECT l.event_id, r.event_id
+            FROM (SELECT user_id k, ts, event_id FROM events WHERE event_id % 2 = 1) l
+            ASOF LEFT JOIN
+                 (SELECT user_id k, ts, event_id FROM events WHERE event_id % 2 = 0) r
+            ON l.k = r.k AND l.ts <= r.ts
+        """).fetchall()
+    )
+    assert got == want and any(v is not None for v in got.values())
+
+    # bracket property vs the backward direction
+    back = {
+        r["lid"]: r["ts_r"]
+        for r in asof_join(left, right, on="k", value_cols=["rid"]).collect()
+    }
+    fts = {r["lid"]: r["ts_r"] for r in fwd.collect()}
+    lts = {r["lid"]: r["ts"] for r in left.collect()}
+    both = [l for l in lts if back.get(l) is not None and fts.get(l) is not None]
+    assert both
+    for l in both:
+        assert back[l] <= lts[l] <= fts[l]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on="k", direction="nearest")
