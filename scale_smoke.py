@@ -180,6 +180,7 @@ def main() -> None:
         shard_col,
     )
     from debezium_connector_vitess_spark.metrics import (
+        asof_join,
         change_rates,
         funnel_pairs,
         sessionize,
@@ -239,11 +240,24 @@ def main() -> None:
     evs10_raw = spark.read.parquet(evs_dir).select("user_id", "ts", "event_type")
     PAIR_OPS.add("funnel_pairs")
 
+    # as-of enrichment: one key shuffle + running window, no join operator —
+    # 10x distinct keys at constant per-key density must scale linearly
+    def asof_op(e):
+        return asof_join(
+            e.filter(F.col("event_type") != "error").select("user_id", "ts"),
+            e.filter(F.col("event_type") == "error").select(
+                "user_id", "ts", F.lit(1).alias("err")
+            ),
+            on="user_id",
+            value_cols=["err"],
+        )
+
     results: dict[str, dict] = {}
     all_ops = (
         [(name, fn, docs1, docs10) for name, fn in OPS.items()]
         + [(name, fn, evs1, evs10) for name, fn in EVENT_OPS.items()]
         + [("funnel_pairs", funnel_op, evs1_raw, evs10_raw)]
+        + [("asof_enrich", asof_op, evs1_raw, evs10_raw)]
     )
     for name, fn, frame1, frame10 in all_ops:
         rec: dict[str, float] = {}
