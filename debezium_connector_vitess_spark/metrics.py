@@ -544,11 +544,16 @@ def asof_join(
     )
     # forward = the same scan mirrored: order time DESC so "latest
     # preceding" becomes "earliest following"; the tag still puts the
-    # right row first at equal times, so ties match in both directions
+    # right row first at equal times, so ties match in both directions.
+    # The payload hash is the final sort key: two RIGHT rows sharing
+    # (key, time) would otherwise match nondeterministically by partition
+    # scan order — hashing the carried struct makes the pick a pure
+    # function of the data (left rows all carry NULL there, so they never
+    # compete).
     tsord = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(tsord, "__tag")
+        .orderBy(tsord, "__tag", F.xxhash64("__rv"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (

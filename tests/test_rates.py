@@ -950,3 +950,26 @@ def test_asof_join_forward_direction(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         asof_join(left, right, on="k", direction="nearest")
+
+
+def test_asof_join_duplicate_right_times_deterministic(spark):
+    """Two right rows sharing (key, time): the match is a pure function of
+    the data (payload-hash tiebreak), identical across runs and input
+    partitionings — never partition scan order."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.metrics import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1_000_000, 10)], "k bigint, ts_ms bigint, lid bigint"
+    ).select("k", F.timestamp_millis("ts_ms").alias("ts"), "lid")
+    right_rows = [(1, 500_000, rid) for rid in (101, 102, 103)]
+    right = spark.createDataFrame(
+        right_rows, "k bigint, ts_ms bigint, rid bigint"
+    ).select("k", F.timestamp_millis("ts_ms").alias("ts"), "rid")
+
+    picks = set()
+    for parts in (1, 3, 7):
+        out = asof_join(left, right.repartition(parts), on="k", value_cols=["rid"])
+        picks.add(out.collect()[0]["rid_r"])
+    assert len(picks) == 1 and picks.pop() in (101, 102, 103)
