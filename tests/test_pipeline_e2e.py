@@ -368,3 +368,87 @@ def test_incremental_ingest_diff_then_cross_dedup(spark, sf_dir):
     hits = {(r["new_id"], r["corpus_id"]) for r in pairs.collect()}
     assert (900001, 3) in hits            # the ingest near-dup is caught
     assert all(n != 900002 for n, _c in hits)  # the novel doc is clean
+
+
+def test_stream_enriched_by_materialized_cdc_state(spark, sf_dir, tmp_path):
+    """The engine's two halves composed: an event stream is enriched per
+    micro-batch with the CDC-materialized latest state (broadcast
+    stream-static join inside foreachBatch — the standard Spark pattern
+    for slowly-changing dimensions), and as-of enrichment against the SAME
+    changelog-derived frame agrees with the final-state join for events
+    after the last change."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.materialize import materialize_latest
+    from debezium_connector_vitess_spark.metrics import asof_join
+
+    # a small changelog: user tiers changing over time
+    env = spark.createDataFrame(
+        [
+            ("c", "MySQL56/h:1-1", (None, None), (1, "bronze"), ("t",)),
+            ("u", "MySQL56/h:1-2", (1, "bronze"), (1, "gold"), ("t",)),
+            ("c", "MySQL56/h:1-3", (None, None), (2, "silver"), ("t",)),
+        ],
+        "op string, gtid string,"
+        " before struct<user_id:int, tier:string>,"
+        " after struct<user_id:int, tier:string>,"
+        " source struct<table:string>",
+    )
+    latest = materialize_latest(env, key_cols=["user_id"], value_cols=["tier"])
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([10, 11, 12], pa.int64()),
+            "user_id": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(src / "f0.parquet"))
+
+    enriched: list = []
+
+    def enrich(batch_df, _bid):
+        out = batch_df.join(
+            F.broadcast(latest.withColumn("user_id", F.col("user_id").cast("long"))),
+            on="user_id",
+            how="left",
+        )
+        enriched.extend(out.collect())
+
+    q = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .parquet(str(src))
+        .writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["event_id"]: r["tier"] for r in enriched}
+    # user 1's latest tier is gold (the update won); user 3 is unknown
+    assert got == {10: "gold", 11: "silver", 12: None}
+
+    # the as-of view of the same changelog agrees at the end of history
+    changes = env.filter("op != 'd'").select(
+        F.col("after.user_id").cast("long").alias("user_id"),
+        F.timestamp_millis(
+            F.regexp_extract("gtid", r"(\d+)$", 1).cast("long") * 1000
+        ).alias("ts"),
+        F.col("after.tier").alias("tier"),
+    )
+    events = spark.createDataFrame(
+        [(10, 1, 99_000), (11, 2, 99_000), (12, 3, 99_000)],
+        "event_id bigint, user_id bigint, ts_ms bigint",
+    ).select("event_id", "user_id", F.timestamp_millis("ts_ms").alias("ts"))
+    asof = {
+        r["event_id"]: r["tier_r"]
+        for r in asof_join(
+            events, changes, on="user_id", value_cols=["tier"]
+        ).collect()
+    }
+    assert asof == got
