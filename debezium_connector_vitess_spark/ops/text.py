@@ -798,12 +798,17 @@ def redact_pii_expr(text: Column) -> Column:
 # --- paragraph-level dedup (the Dolma/CCNet cleaning pass) -----------------
 
 PARAGRAPH_SPLIT = r"\n{2,}"
+LINE_SPLIT = r"\n"
+#: dedup units: (split regex, canonical joiner)
+_BLOCK_UNITS = {"paragraph": (PARAGRAPH_SPLIT, "\n\n"), "line": (LINE_SPLIT, "\n")}
 
 
-def paragraphs_expr(text: Column) -> Column:
-    """Paragraph array: split on blank lines, trimmed, empties dropped."""
+def paragraphs_expr(text: Column, split: str = PARAGRAPH_SPLIT) -> Column:
+    """Block array: split on blank lines by default (``split=LINE_SPLIT``
+    for single lines — the Common-Crawl cleaning unit for nav menus and
+    footers), trimmed, empties dropped."""
     return F.filter(
-        F.transform(F.split(text, PARAGRAPH_SPLIT), lambda p: F.trim(p)),
+        F.transform(F.split(text, split), lambda p: F.trim(p)),
         lambda p: p != "",
     )
 
@@ -828,12 +833,16 @@ def drop_duplicate_paragraphs(
     *,
     min_chars: int = 1,
     out_col: str | None = None,
+    unit: str = "paragraph",
 ):
-    """Corpus-level paragraph dedup: a paragraph that appears in multiple
+    """Corpus-level block dedup: a block that appears in multiple
     documents survives ONLY in the document where it first appears (lowest
     ``id_col``; within a document, its first position). Boilerplate shorter
     than ``min_chars`` is exempt from cross-document matching (tiny
-    paragraphs like headings legitimately repeat).
+    blocks like headings legitimately repeat). ``unit`` picks the block
+    grain: ``"paragraph"`` (blank-line split, the default) or ``"line"``
+    (single newlines — the crawl-cleaning grain where nav menus, cookie
+    banners, and footers repeat across a whole domain).
 
     Scale shape: the dedup logic runs entirely on (16-byte md5, doc, pos)
     COORDINATES — paragraph strings are hashed map-side and never enter the
@@ -845,11 +854,14 @@ def drop_duplicate_paragraphs(
     elsewhere becoming empty strings.
     """
     out_col = out_col or text_col
+    if unit not in _BLOCK_UNITS:
+        raise ValueError(f"unit must be one of {sorted(_BLOCK_UNITS)}, got {unit!r}")
+    split, joiner = _BLOCK_UNITS[unit]
     from ..cache import eager_localcheckpoint
 
     coords = df.select(
         F.col(id_col),
-        F.posexplode(paragraphs_expr(F.col(text_col))).alias("pos", "para"),
+        F.posexplode(paragraphs_expr(F.col(text_col), split)).alias("pos", "para"),
     ).select(
         F.col(id_col),
         "pos",
@@ -878,10 +890,10 @@ def drop_duplicate_paragraphs(
     )
     rebuilt = F.array_join(
         F.filter(
-            paragraphs_expr(F.col(text_col)),
+            paragraphs_expr(F.col(text_col), split),
             lambda p, i: F.array_contains(F.col("__keep"), i),
         ),
-        "\n\n",
+        joiner,
     )
     return (
         df.select(F.col(id_col), F.col(text_col))

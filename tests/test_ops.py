@@ -3703,3 +3703,39 @@ def test_bpe_decode_roundtrip(spark, sf_dir):
     )
     mism = decoded.join(want, on="id").filter(F.col("rt") != F.col("norm"))
     assert mism.count() == 0
+
+
+def test_drop_duplicate_blocks_line_unit(spark):
+    """unit='line': a nav line repeated across every document survives only
+    in the lowest-id doc, unique lines stay, reconstruction keeps single
+    newlines, and the default paragraph unit is unchanged by the
+    parameterization (blank-line blocks, blank-line joiner)."""
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.ops.text import drop_duplicate_paragraphs
+
+    nav = "HOME | ABOUT | CONTACT US TODAY"
+    rows = [
+        (1, f"{nav}\nunique first body line\nanother unique line"),
+        (2, f"{nav}\nsecond doc content line"),
+        (3, f"{nav}\nthird doc body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in drop_duplicate_paragraphs(df, "text", "doc_id", unit="line").collect()
+    }
+    assert out[1] == f"{nav}\nunique first body line\nanother unique line"
+    assert out[2] == "second doc content line"
+    assert out[3] == "third doc body"
+
+    # paragraph unit: the same texts hold ONE paragraph each (no blank
+    # lines), so whole-doc paragraphs are distinct and nothing is dropped
+    para = {
+        r["doc_id"]: r["text"]
+        for r in drop_duplicate_paragraphs(df, "text", "doc_id").collect()
+    }
+    assert para == {i: t for i, t in rows}
+
+    with _pytest.raises(ValueError):
+        drop_duplicate_paragraphs(df, "text", "doc_id", unit="sentence")
