@@ -1211,3 +1211,56 @@ def corpus_datasheet(
     if lang_col is not None:
         out["lang_mix"] = mix(lang_col)
     return out
+
+
+def domain_suffixes_expr(domain: Column) -> Column:
+    """All registrable suffixes of a hostname, most-specific first:
+    ``a.b.example.com`` → [a.b.example.com, b.example.com, example.com,
+    com]. Lowercased and trimmed of a trailing dot; the explode size is
+    the label count (≤ ~10), never data-dependent blowup."""
+    d = F.lower(F.regexp_replace(F.trim(domain), r"\.$", ""))
+    labels = F.split(d, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def filter_blocked_domains(
+    df,
+    domain_col: str,
+    blocked,
+    *,
+    keep: bool = False,
+):
+    """Domain blocklist filter with SUFFIX semantics — blocking
+    ``example.com`` blocks ``a.b.example.com`` too, which a naive equality
+    or substring filter gets wrong in both directions (substring also
+    kills ``notexample.com``). ``blocked`` is a one-column frame of
+    blocked domains (apex or subdomain). ``keep=True`` inverts: keep ONLY
+    matching rows (an allowlist).
+
+    Scale: each row explodes to its ≤ label-count suffixes and LEFT
+    SEMI-joins the blocklist on the suffix — the exchange carries (row id,
+    short suffix string) and the blocklist side (typically small) is
+    broadcast by AQE; no substring scan, no cartesian. Rows with NULL
+    domains are never matched (kept under the default, dropped under
+    ``keep=True``).
+    """
+    bl = blocked.select(
+        F.lower(F.regexp_replace(F.trim(F.col(blocked.columns[0])), r"\.$", "")).alias(
+            "__bdom"
+        )
+    ).distinct()
+    sufs = df.select(
+        F.col(domain_col).alias("__dom"),
+        F.explode(domain_suffixes_expr(F.col(domain_col))).alias("__suf"),
+    )
+    hit_doms = (
+        sufs.join(bl, sufs["__suf"] == bl["__bdom"], "left_semi")
+        .select("__dom")
+        .distinct()
+    )
+    how = "left_semi" if keep else "left_anti"
+    return df.join(hit_doms, df[domain_col] == hit_doms["__dom"], how)

@@ -3739,3 +3739,35 @@ def test_drop_duplicate_blocks_line_unit(spark):
 
     with _pytest.raises(ValueError):
         drop_duplicate_paragraphs(df, "text", "doc_id", unit="sentence")
+
+
+def test_filter_blocked_domains_suffix_semantics(spark):
+    """Blocklist filtering matches by REGISTRABLE SUFFIX: blocking
+    example.com removes a.b.example.com but never notexample.com (the
+    substring trap); keep=True inverts into an allowlist; NULL domains
+    survive the blocklist and drop under the allowlist; trailing dots and
+    case differences are normalized on both sides."""
+    from debezium_connector_vitess_spark.ops.text import filter_blocked_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a.b.Example.COM"),
+            (2, "example.com."),
+            (3, "notexample.com"),
+            (4, "safe.org"),
+            (5, None),
+        ],
+        "doc_id bigint, domain string",
+    )
+    blocked = spark.createDataFrame([("example.com",), ("ads.net",)], "d string")
+
+    kept = sorted(
+        r["doc_id"] for r in filter_blocked_domains(docs, "domain", blocked).collect()
+    )
+    assert kept == [3, 4, 5]
+
+    allow = sorted(
+        r["doc_id"]
+        for r in filter_blocked_domains(docs, "domain", blocked, keep=True).collect()
+    )
+    assert allow == [1, 2]
