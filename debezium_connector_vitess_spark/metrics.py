@@ -509,13 +509,20 @@ def asof_join(
     ``value_cols`` names the right columns to carry (default: everything
     except the key and time); each lands on the output with ``suffix``,
     plus ``{right_time}{suffix}`` = the matched row's time (NULL when no
-    right row precedes). ``tolerance`` (e.g. ``"1 hour"``) voids matches
-    older than the window — the matched columns go NULL, exactly
-    merge_asof's contract. Event-time columns may be NTZ parquet reads;
-    both sides pass through :func:`ensure_utc_event_time`.
+    right row precedes). A collision between those output names and an
+    existing left column raises up front (two same-named columns would
+    poison every downstream reference). ``tolerance`` (e.g. ``"1 hour"``)
+    voids matches older than the window — the matched columns go NULL,
+    exactly merge_asof's contract. NULL times never participate: right
+    rows with a NULL time are dropped (pandas raises on them; silently
+    sorting them first would phantom-match every row with no real
+    predecessor) and left rows with a NULL time come back unmatched.
+    Event-time columns may be NTZ parquet reads; both sides pass through
+    :func:`ensure_utc_event_time`.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.sql import types as _T
 
     if direction not in ("backward", "forward"):
         raise ValueError(
@@ -525,13 +532,44 @@ def asof_join(
     right = ensure_utc_event_time(right, right_time)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_time)]
+    out_names = [f"{right_time}{suffix}"] + [f"{c}{suffix}" for c in value_cols]
+    clash = [n for n in out_names if n in left.columns]
+    if clash:
+        raise ValueError(
+            f"output column(s) {clash} collide with left columns — pick a "
+            f"different suffix (got {suffix!r})"
+        )
+    right = right.filter(F.col(right_time).isNotNull())
     rv = F.struct(
         F.col(right_time).alias("__t"), *[F.col(c) for c in value_cols]
+    )
+
+    def _hashable(dt) -> bool:
+        if isinstance(dt, _T.MapType):
+            return False
+        if isinstance(dt, _T.ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, _T.StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
+    # the duplicate-(key,time) tiebreak hashes only hash-capable value
+    # columns (xxhash64 rejects MapType anywhere in its input); when none
+    # qualify the pick among byte-identical-time rows falls back to scan
+    # order — documented, and only reachable for duplicate right times
+    tie_cols = [
+        c
+        for c in (right_time, *value_cols)
+        if _hashable(right.schema[c].dataType)
+    ]
+    tie = (
+        F.xxhash64(*[F.col(c) for c in tie_cols]) if tie_cols else F.lit(0)
     )
     r_side = right.select(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__ts"),
         F.lit(0).alias("__tag"),  # right sorts first at equal times: ties match
+        tie.cast("long").alias("__tie"),
         rv.alias("__rv"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
     )
@@ -539,6 +577,7 @@ def asof_join(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__ts"),
         F.lit(1).alias("__tag"),
+        F.lit(0).cast("long").alias("__tie"),
         F.lit(None).cast(r_side.schema["__rv"].dataType).alias("__rv"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
@@ -547,19 +586,23 @@ def asof_join(
     # right row first at equal times, so ties match in both directions.
     # The payload hash is the final sort key: two RIGHT rows sharing
     # (key, time) would otherwise match nondeterministically by partition
-    # scan order — hashing the carried struct makes the pick a pure
-    # function of the data (left rows all carry NULL there, so they never
-    # compete).
+    # scan order — hashing the hashable value columns makes the pick a
+    # pure function of the data (left rows carry a constant there, so
+    # they never compete).
     tsord = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(tsord, "__tag", F.xxhash64("__rv"))
+        .orderBy(tsord, "__tag", "__tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
         l_side.unionByName(r_side)
         .withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
         .filter(F.col("__tag") == 1)
+        # a NULL-time left row has no temporal position: unmatched by
+        # contract (in the forward scan NULLs sort last and would
+        # otherwise inherit the earliest right row)
+        .withColumn("__m", F.when(F.col("__ts").isNotNull(), F.col("__m")))
     )
     if tolerance is not None:
         iv = F.expr(f"INTERVAL {tolerance}")

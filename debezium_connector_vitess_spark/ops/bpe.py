@@ -65,6 +65,7 @@ def train_bpe(
     max_chars_per_doc: int = 10_000,
     lowercase: bool = True,
     salt: str = "bpe",
+    end_marker: str = END,
 ) -> list[tuple[str, str]]:
     """Learn an ordered BPE merge list from a bounded deterministic sample.
 
@@ -103,7 +104,7 @@ def train_bpe(
     # Sennrich fold: words as symbol tuples, repeatedly merge the most
     # frequent adjacent pair (lexicographic tie-break for determinism)
     words: dict[tuple[str, ...], int] = {
-        tuple(w) + (END,): c for w, c in wf.items()
+        tuple(w) + (end_marker,): c for w, c in wf.items()
     }
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -140,10 +141,12 @@ def train_bpe(
     return merges
 
 
-def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    """Apply ranked merges to one word (chars + END), lowest rank first —
-    the standard BPE apply loop."""
-    sym = list(word) + [END]
+def _encode_word(
+    word: str, ranks: dict[tuple[str, str], int], end_marker: str = END
+) -> list[str]:
+    """Apply ranked merges to one word (chars + end marker), lowest rank
+    first — the standard BPE apply loop."""
+    sym = list(word) + [end_marker]
     while len(sym) > 1:
         best_rank = None
         best_i = -1
@@ -165,6 +168,7 @@ def bpe_encode(
     *,
     lowercase: bool = True,
     output: str = "tokens",
+    end_marker: str = END,
 ) -> DataFrame:
     """Tokenize a corpus with a learned merge list — the distributed half.
 
@@ -200,7 +204,7 @@ def bpe_encode(
             for w in text.split():
                 got = memo.get(w)
                 if got is None:
-                    got = _encode_word(w, ranks)
+                    got = _encode_word(w, ranks, end_marker)
                     if len(memo) >= memo_cap:
                         memo.clear()
                     memo[w] = got
@@ -240,6 +244,11 @@ def save_merges(merges: list[tuple[str, str]], path: str) -> None:
     try:
         with os.fdopen(fd, "w", encoding="utf-8") as fh:
             json.dump({"version": 1, "merges": [list(m) for m in merges]}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())  # rename durability needs the data durable
+        mask = os.umask(0)
+        os.umask(mask)
+        os.chmod(tmp, 0o666 & ~mask)  # mkstemp's 0600 ignores the umask
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
@@ -259,13 +268,18 @@ def load_merges(path: str) -> list[tuple[str, str]]:
         not isinstance(doc, dict)
         or doc.get("version") != 1
         or not isinstance(doc.get("merges"), list)
-        or not all(isinstance(m, list) and len(m) == 2 for m in doc["merges"])
+        or not all(
+            isinstance(m, list)
+            and len(m) == 2
+            and all(isinstance(x, str) for x in m)
+            for m in doc["merges"]
+        )
     ):
         raise ValueError(f"not a BPE merges artifact: {path!r}")
     return [tuple(m) for m in doc["merges"]]
 
 
-def bpe_decode_expr(tokens: "F.Column") -> "F.Column":
+def bpe_decode_expr(tokens: "F.Column", end_marker: str = END) -> "F.Column":
     """Reconstruct text from a BPE token array — the inverse that makes the
     tokenizer auditable end to end: ``decode(encode(text))`` equals the
     pre-tokenized form of ``text`` (lowercased when encoding lowercased,
@@ -278,5 +292,14 @@ def bpe_decode_expr(tokens: "F.Column") -> "F.Column":
     word's characters, and the end-of-word marker becomes the word
     boundary. Map-side, composes in the same projection as any other
     expression — no Arrow seam needed for the DECODE direction.
+
+    Marker aliasing: source text CONTAINING the marker string decodes
+    wrong (an in-word ``</w>`` is indistinguishable from the boundary
+    after concatenation). For corpora where the default marker occurs
+    in-band — HTML/XML crawls — train/encode/decode with an
+    ``end_marker`` absent from the data (e.g. ``"\x00w"``); the marker
+    threads through all three functions.
     """
-    return F.trim(F.replace(F.array_join(tokens, ""), F.lit(END), F.lit(" ")))
+    return F.trim(
+        F.replace(F.array_join(tokens, ""), F.lit(end_marker), F.lit(" "))
+    )

@@ -1213,12 +1213,19 @@ def corpus_datasheet(
     return out
 
 
+def _norm_domain_expr(domain: Column) -> Column:
+    """THE hostname normalization (lowercase, trim, strip one trailing
+    dot) — one definition shared by the suffix expansion and the
+    blocklist side, so the two halves of suffix matching cannot drift."""
+    return F.lower(F.regexp_replace(F.trim(domain), r"\.$", ""))
+
+
 def domain_suffixes_expr(domain: Column) -> Column:
     """All registrable suffixes of a hostname, most-specific first:
     ``a.b.example.com`` → [a.b.example.com, b.example.com, example.com,
-    com]. Lowercased and trimmed of a trailing dot; the explode size is
+    com]. Normalized via :func:`_norm_domain_expr`; the explode size is
     the label count (≤ ~10), never data-dependent blowup."""
-    d = F.lower(F.regexp_replace(F.trim(domain), r"\.$", ""))
+    d = _norm_domain_expr(domain)
     labels = F.split(d, r"\.")
     n = F.size(labels)
     return F.transform(
@@ -1242,16 +1249,18 @@ def filter_blocked_domains(
     matching rows (an allowlist).
 
     Scale: each row explodes to its ≤ label-count suffixes and LEFT
-    SEMI-joins the blocklist on the suffix — the exchange carries (row id,
-    short suffix string) and the blocklist side (typically small) is
+    SEMI-joins the blocklist on the suffix — the exchanges carry short
+    domain/suffix strings and the blocklist side (typically small) is
     broadcast by AQE; no substring scan, no cartesian. Rows with NULL
     domains are never matched (kept under the default, dropped under
-    ``keep=True``).
+    ``keep=True``). Note ``df`` is read TWICE (the suffix pass and the
+    final semi/anti join): when it is the output of an expensive lineage,
+    localCheckpoint it first (`cache.checkpoint_scope`) per the
+    materialize-once rule — the op cannot checkpoint for you because the
+    right checkpoint point is the caller's pipeline, not the filter.
     """
     bl = blocked.select(
-        F.lower(F.regexp_replace(F.trim(F.col(blocked.columns[0])), r"\.$", "")).alias(
-            "__bdom"
-        )
+        _norm_domain_expr(F.col(blocked.columns[0])).alias("__bdom")
     ).distinct()
     sufs = df.select(
         F.col(domain_col).alias("__dom"),

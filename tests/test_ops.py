@@ -3771,3 +3771,48 @@ def test_filter_blocked_domains_suffix_semantics(spark):
         for r in filter_blocked_domains(docs, "domain", blocked, keep=True).collect()
     )
     assert allow == [1, 2]
+
+
+def test_bpe_end_marker_override_and_artifact_validation(spark, tmp_path):
+    """Corpora containing the default marker in-band: a custom end_marker
+    threads through train/encode/decode and the roundtrip survives literal
+    '</w>' in the text (the default marker aliases there — documented);
+    load_merges rejects non-string pair members that would silently
+    character-shatter the corpus."""
+    import json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.bpe import (
+        bpe_decode_expr,
+        bpe_encode,
+        load_merges,
+        train_bpe,
+    )
+
+    rows = [(1, "see <w>tag</w> here " * 4), (2, "plain words repeat words " * 3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    mk = "\x00w"
+    merges = train_bpe(df, "text", num_merges=12, sample_rows=10, end_marker=mk)
+    toks = bpe_encode(df, "text", "doc_id", merges, end_marker=mk)
+    rt = {
+        r["id"]: r["rt"]
+        for r in toks.select(
+            "id", bpe_decode_expr(F.col("tokens"), end_marker=mk).alias("rt")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["norm"]
+        for r in df.select(
+            "doc_id",
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("norm"),
+        ).collect()
+    }
+    assert rt == want  # literal '</w>' in the data survives the roundtrip
+
+    bad = str(tmp_path / "bad_types.json")
+    with open(bad, "w") as fh:
+        json.dump({"version": 1, "merges": [[1, 2]]}, fh)
+    with _pytest.raises(ValueError):
+        load_merges(bad)

@@ -973,3 +973,48 @@ def test_asof_join_duplicate_right_times_deterministic(spark):
         out = asof_join(left, right.repartition(parts), on="k", value_cols=["rid"])
         picks.add(out.collect()[0]["rid_r"])
     assert len(picks) == 1 and picks.pop() in (101, 102, 103)
+
+
+def test_asof_join_null_times_and_collisions(spark):
+    """NULL times never participate: a NULL-time right row is no phantom
+    match (backward), a NULL-time left row comes back unmatched (forward —
+    where desc ordering would otherwise hand it the earliest right row);
+    map-typed value columns work (tie-break skips unhashable types); an
+    output-name collision raises up front."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.metrics import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1_000_000, 10), (1, None, 11)], "k bigint, ts_ms bigint, lid bigint"
+    ).select("k", F.timestamp_millis("ts_ms").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [(1, None, 101)], "k bigint, ts_ms bigint, rid bigint"
+    ).select("k", F.timestamp_millis("ts_ms").alias("ts"), "rid")
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: r["rid_r"]
+            for r in asof_join(
+                left, right, on="k", value_cols=["rid"], direction=direction
+            ).collect()
+        }
+        assert got == {10: None, 11: None}, (direction, got)
+
+    # map-typed value column: plan must build (xxhash64 rejects MapType)
+    right_map = spark.createDataFrame(
+        [(1, 500_000)], "k bigint, ts_ms bigint"
+    ).select(
+        "k",
+        F.timestamp_millis("ts_ms").alias("ts"),
+        F.create_map(F.lit("a"), F.lit("b")).alias("attrs"),
+    )
+    out = asof_join(left, right_map, on="k", value_cols=["attrs"]).collect()
+    got_m = {r["lid"]: r["attrs_r"] for r in out}
+    assert got_m[10] == {"a": "b"} and got_m[11] is None
+
+    with _pytest.raises(ValueError):
+        asof_join(
+            left.withColumn("rid_r", F.lit(1)), right, on="k", value_cols=["rid"]
+        )
