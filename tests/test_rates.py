@@ -1018,3 +1018,63 @@ def test_asof_join_null_times_and_collisions(spark):
         asof_join(
             left.withColumn("rid_r", F.lit(1)), right, on="k", value_cols=["rid"]
         )
+
+
+def test_asof_join_property_vs_brute_force(spark):
+    """Property: for arbitrary small event sets (duplicate keys and times,
+    NULL-free), the union+window as-of equals a literal per-row brute
+    force in BOTH directions — each left row's match is the max (backward)
+    / min (forward) right time satisfying the inequality, with the matched
+    payload drawn from that timestamp's rows."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.metrics import asof_join
+
+    side_st = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # key
+            st.integers(min_value=0, max_value=20),     # time (seconds)
+        ),
+        min_size=1, max_size=12,
+    )
+
+    @given(side_st, side_st)
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(lrows, rrows):
+        left = spark.createDataFrame(
+            [(k, t * 1000, i) for i, (k, t) in enumerate(lrows)],
+            "k bigint, ts_ms bigint, lid bigint",
+        ).select("k", F.timestamp_millis("ts_ms").alias("ts"), "lid")
+        right = spark.createDataFrame(
+            [(k, t * 1000, 100 + i) for i, (k, t) in enumerate(rrows)],
+            "k bigint, ts_ms bigint, rid bigint",
+        ).select("k", F.timestamp_millis("ts_ms").alias("ts"), "rid")
+        for direction in ("backward", "forward"):
+            got = {
+                r["lid"]: (r["ts_r"], r["rid_r"])
+                for r in asof_join(
+                    left, right, on="k", value_cols=["rid"], direction=direction
+                ).collect()
+            }
+            assert set(got) == set(range(len(lrows)))
+            for i, (k, t) in enumerate(lrows):
+                cands = [
+                    (rt, 100 + j)
+                    for j, (rk, rt) in enumerate(rrows)
+                    if rk == k and (rt <= t if direction == "backward" else rt >= t)
+                ]
+                mt, mrid = got[i]
+                if not cands:
+                    assert (mt, mrid) == (None, None), (direction, i)
+                    continue
+                best_t = (max if direction == "backward" else min)(
+                    rt for rt, _ in cands
+                )
+                assert mt is not None and mt.second + mt.minute * 60 == best_t
+                # the matched payload is one of that timestamp's rows
+                assert mrid in {rid for rt, rid in cands if rt == best_t}
+
+    check()
