@@ -1020,6 +1020,7 @@ def corpus_profile(
     *,
     domain_col: str = "source",
     include_compression: bool = False,
+    byte_sums: bool = False,
 ):
     """Per-domain corpus health snapshot — the first query run against a new
     100 TB corpus before any curation decision: document/token/char volume,
@@ -1039,7 +1040,12 @@ def corpus_profile(
     utf-8 bytes) — a ratio of two INTEGER sums, so it is exact and
     reduction-order-independent (no rounding convention needed for
     cross-engine hashing). Still one scan and one groupBy; the Arrow seam is
-    the only non-JVM stage."""
+    the only non-JVM stage.
+
+    ``byte_sums`` (with ``include_compression``) additionally keeps the two
+    exact BIGINT sums as ``comp_bytes`` / ``raw_bytes`` — the exact numbers
+    a release datasheet or a cross-engine comparison wants (the ratio is a
+    derived float; the sums are canonical)."""
     if include_compression:
         df = with_compression_ratio(
             df, text_col, "__cr", bytes_col="__cbytes"
@@ -1065,8 +1071,8 @@ def corpus_profile(
         F.sum(F.when(F.col("__pii"), 1).otherwise(0)).alias("n_docs_with_pii"),
         *(
             [
-                F.sum("__cbytes").alias("__sum_cbytes"),
-                F.sum(F.octet_length(text_col)).alias("__sum_raw"),
+                F.sum("__cbytes").alias("comp_bytes"),
+                F.sum(F.octet_length(text_col)).alias("raw_bytes"),
             ]
             if include_compression
             else []
@@ -1082,10 +1088,12 @@ def corpus_profile(
         out = out.withColumn(
             "compression_ratio",
             F.when(
-                F.col("__sum_raw") > 0,
-                F.col("__sum_cbytes").cast("double") / F.col("__sum_raw"),
+                F.col("raw_bytes") > 0,
+                F.col("comp_bytes").cast("double") / F.col("raw_bytes"),
             ),
-        ).drop("__sum_cbytes", "__sum_raw")
+        )
+        if not byte_sums:
+            out = out.drop("comp_bytes", "raw_bytes")
     return out
 
 

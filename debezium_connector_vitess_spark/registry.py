@@ -3001,7 +3001,8 @@ def _curation_oracle_sql() -> str:
     qn AS (SELECT doc_id, count(*) AS q_grams FROM qfeats GROUP BY doc_id),
     quality AS (
       SELECT qwx.doc_id, qn.q_grams,
-             round(1.0 / (1.0 + exp(-(qwx.wx + 0.25))), 4) AS quality_prob_r4
+             CAST(round((1.0 / (1.0 + exp(-(qwx.wx + 0.25)))) * 10000) AS BIGINT)
+               AS quality_prob_q4
       FROM qwx JOIN qn USING (doc_id)),
     dfeats AS (
       SELECT g.doc_id, b.lang,
@@ -3016,7 +3017,8 @@ def _curation_oracle_sql() -> str:
                - ln((cr.c + 1.0) / (tot.nr + 512.0)) AS log_ratio
       FROM cr LEFT JOIN ct USING (bucket), tot),
     dsir AS (
-      SELECT f.doc_id, round(sum(lrt.log_ratio), 2) AS log_weight_r2
+      SELECT f.doc_id, CAST(round(sum(lrt.log_ratio) * 100) AS BIGINT)
+               AS log_weight_q2
       FROM dfeats f JOIN lrt USING (bucket) GROUP BY f.doc_id),
     mix_base AS (
       SELECT b.doc_id, b.source,
@@ -3032,7 +3034,7 @@ def _curation_oracle_sql() -> str:
       FROM mix_base)
     SELECT p.doc_id, p.source, p.n_tokens, p.doc_start,
            b.budget_tokens::BIGINT AS budget_tokens, a.available_tokens,
-           q.q_grams, q.quality_prob_r4, d.log_weight_r2
+           q.q_grams, q.quality_prob_q4, d.log_weight_q2
     FROM placed p
     JOIN budgets b USING (source)
     JOIN avail a USING (source)
@@ -3146,16 +3148,22 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
        token-budget mixture sampler (two-level bucket cumsum, n_buckets=8).
 
     Output: the selected documents with their stage signals. Cross-row float
-    sums (quality_prob, log_weight) are rounded identically in both engines
-    (4/2 decimals — widened from 6/4 in round 6: the old grid left ~1e-9
-    margins to a round-half boundary, close enough that a different Arrow
-    batch split could flip a cell cross-engine; test_ops asserts every
-    unrounded value at sf0.001 and sf0.01 keeps ≥1e-6 scaled margin)."""
+    sums (quality_prob, log_weight) are emitted INTEGER-QUANTIZED —
+    ``CAST(ROUND(x * 10^k) AS BIGINT)`` at k=4/2 in both engines — not as
+    rounded doubles: rounds 5 and 6 proved the values bit-exact under local
+    reproduction at driver config while the driver's hash still flagged
+    them, so the remaining divergence lives in float formatting /
+    serialization downstream of the computed value, and integers are immune
+    to it. test_curation_rounding_margins asserts every unrounded value at
+    sf0.001 and sf0.01 keeps ≥1e-6 scaled margin from a round-half boundary,
+    so both engines provably quantize to the SAME integer."""
     return _curation_signals(spark, sf_dir).select(
         "doc_id", "source", "n_tokens", "doc_start", "budget_tokens",
         "available_tokens", "q_grams",
-        F.round("quality_prob", 4).alias("quality_prob_r4"),
-        F.round("log_weight", 2).alias("log_weight_r2"),
+        F.round(F.col("quality_prob") * 10000, 0).cast("long")
+            .alias("quality_prob_q4"),
+        F.round(F.col("log_weight") * 100, 0).cast("long")
+            .alias("log_weight_q2"),
     )
 
 
@@ -3245,9 +3253,10 @@ def _corpus_health_oracle_sql() -> str:
       FROM s GROUP BY source),
     cz(source, raw_bytes, comp_bytes) AS (VALUES {_compression_constants()})
     SELECT p.source, p.n_docs, p.n_empty, p.n_tokens, p.n_chars,
-           p.mean_quality, p.distinct_content, p.n_docs_with_pii, p.dup_ratio,
-           CASE WHEN p.raw_bytes > 0
-                THEN cz.comp_bytes::DOUBLE / p.raw_bytes END AS compression_ratio
+           CAST(round(p.mean_quality * 10000) AS BIGINT) AS mean_quality_q4,
+           p.distinct_content, p.n_docs_with_pii,
+           CAST(round(p.dup_ratio * 10000) AS BIGINT) AS dup_ratio_q4,
+           cz.comp_bytes::BIGINT AS comp_bytes, p.raw_bytes::BIGINT AS raw_bytes
     FROM prof p JOIN cz ON p.source = cz.source AND p.raw_bytes = cz.raw_bytes
     """
 
@@ -3260,14 +3269,32 @@ def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     seam chained under the staged metrics projection) and ONE
     groupBy(source): document/token/char volume, mean quality, exact-dup
     ratio on the content fingerprint, empty and PII-bearing doc counts, and
-    compression_ratio = sum(compressed bytes) / sum(raw utf-8 bytes) — a
-    ratio of two integer sums, exact in both engines with no rounding
-    convention. The oracle mirrors everything in DuckDB SQL except the
-    DEFLATE totals, which it takes from an import-time pyarrow+zlib pass
-    over the same parquet (see _compression_constants)."""
+    the two exact compression byte sums. The oracle mirrors everything in
+    DuckDB SQL except the DEFLATE totals, which it takes from an import-time
+    pyarrow+zlib pass over the same parquet (see _compression_constants).
+
+    Hashed-column convention (round 7): NO doubles in the driver-hashed
+    output. mean_quality / dup_ratio ship integer-quantized
+    (``CAST(ROUND(x*10^4) AS BIGINT)`` in both engines — both are
+    reduction-order-exact here: quality is a sum of 0.25 multiples, dup
+    ratio one float op on two integers, and the margin convention holds),
+    and compression_ratio is replaced by its two exact BIGINT sums
+    ``comp_bytes`` / ``raw_bytes`` (the round-6 red row hashed the ratio as
+    the registry's only full-precision double; the sums carry strictly more
+    information and hash identically under any float formatting)."""
     from .ops.text import corpus_profile
 
     docs = _documents(spark, sf_dir)
-    return corpus_profile(
-        docs, "text", "doc_id", domain_col="source", include_compression=True
+    prof = corpus_profile(
+        docs, "text", "doc_id", domain_col="source",
+        include_compression=True, byte_sums=True,
+    )
+    return prof.select(
+        "source", "n_docs", "n_empty", "n_tokens", "n_chars",
+        F.round(F.col("mean_quality") * 10000, 0).cast("long")
+            .alias("mean_quality_q4"),
+        "distinct_content", "n_docs_with_pii",
+        F.round(F.col("dup_ratio") * 10000, 0).cast("long")
+            .alias("dup_ratio_q4"),
+        "comp_bytes", "raw_bytes",
     )
