@@ -603,13 +603,25 @@ def smt_use_local_vgtid(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
         ON s.user_id = e.user_id
        AND epoch_ms(e.ts) > epoch_ms(s.ts)
-       AND epoch_ms(e.ts) <= epoch_ms(s.ts) + 3600000)
+       AND epoch_ms(e.ts) <= epoch_ms(s.ts) + 3600000),
+    enrich AS (
+      SELECT l.user_id,
+             epoch_ms(l.ts) AS t1_ms,
+             epoch_ms(r.ts) AS t2_ms,
+             r.rid AS n_events,
+             epoch_ms(l.ts) - epoch_ms(r.ts) AS span_ms
+      FROM (SELECT user_id, ts FROM events WHERE event_id % 2 = 1) l
+      ASOF LEFT JOIN
+           (SELECT user_id, ts, max(event_id) AS rid
+              FROM events WHERE event_id % 2 = 0 GROUP BY user_id, ts) r
+        ON l.user_id = r.user_id AND l.ts >= r.ts)
     SELECT 'session' AS side, * FROM sess
     UNION ALL SELECT 'funnel' AS side, * FROM funnel
+    UNION ALL SELECT 'asof' AS side, * FROM enrich
     """,
 )
 def event_time_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two non-fixed-window event-time shapes, one row (slot freed by
+    """The three non-fixed-window event-time shapes, one row (slot freed by
     folding the M4 filter into ``smt_field_transforms``):
 
     side='session' — :func:`~.metrics.sessionize`: gap-based sessions per
@@ -622,16 +634,30 @@ def event_time_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     signups kept with null t2/span — the conversion-rate shape. Oracle = the
     equivalent LEFT interval join.
 
-    Every column is integral (epoch millis / counts): no cross-engine
-    float-rounding convention needed. Streaming twins of both shapes are
+    side='asof' (round 7 promotion — VERDICT r6 item #2) —
+    :func:`~.metrics.asof_join`: odd-event_id events enriched with the
+    latest same-user even-event_id event at-or-before their time (t1 = left
+    time, t2 = matched time, n_events = matched event_id, span = staleness;
+    unmatched lefts kept with NULLs). The right side is pre-deduped to one
+    row per (user, ts) via max(event_id) so the match is unique in BOTH
+    engines (DuckDB's native ASOF picks arbitrarily among duplicate right
+    times; the repo's tie-break is deterministic but engine-specific).
+    Oracle = DuckDB's native ``ASOF LEFT JOIN`` — an independent
+    implementation, not a SQL transliteration of ours.
+
+    Every column is integral (epoch millis / counts / ids): no cross-engine
+    float-rounding convention needed. Streaming twins of session/funnel are
     exercised in tests/test_rates.py (cross-micro-batch session merge;
-    watermark-proven no-match emission).
+    watermark-proven no-match emission); asof direction/tolerance/tie edges
+    likewise (DuckDB-parity + brute-force property).
     """
     from .cache import eager_localcheckpoint
-    from .metrics import funnel_pairs, sessionize
+    from .metrics import asof_join, funnel_pairs, sessionize
 
-    evs = changelog.load_events(spark, sf_dir).select("user_id", "ts", "event_type")
-    evs, _release = eager_localcheckpoint(evs)  # one scan feeds all three legs
+    evs = changelog.load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    evs, _release = eager_localcheckpoint(evs)  # one scan feeds all four legs
 
     sess = sessionize(evs, gap="30 minutes", keys=("user_id",)).select(
         F.lit("session").alias("side"),
@@ -655,7 +681,23 @@ def event_time_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_events"),
         F.col("lag_ms").alias("span_ms"),
     )
-    return sess.unionAll(fun)
+    lhs = evs.filter(F.col("event_id") % 2 == 1).select(
+        F.col("user_id").alias("k"), "ts"
+    )
+    rhs = (
+        evs.filter(F.col("event_id") % 2 == 0)
+        .groupBy(F.col("user_id").alias("k"), "ts")
+        .agg(F.max("event_id").alias("rid"))
+    )
+    asof = asof_join(lhs, rhs, on="k", value_cols=["rid"]).select(
+        F.lit("asof").alias("side"),
+        F.col("k").alias("user_id"),
+        F.unix_millis("ts").alias("t1_ms"),
+        F.unix_millis("ts_r").alias("t2_ms"),
+        F.col("rid_r").alias("n_events"),
+        (F.unix_millis("ts") - F.unix_millis("ts_r")).alias("span_ms"),
+    )
+    return sess.unionAll(fun).unionAll(asof)
 
 
 @register(
