@@ -1333,10 +1333,42 @@ def smt_enforce_record_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      '\\s+', ' ', 'g'))) AS content_hash
       FROM corpus),
     winners AS (
-      SELECT content_hash, min(doc_id) AS doc_id FROM hashed GROUP BY 1)
-    SELECT content_hash, doc_id, 'batch' AS side FROM winners
+      SELECT content_hash, min(doc_id) AS doc_id FROM hashed GROUP BY 1),
+    new_t AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT * FROM (VALUES (900001, 'srcX', 'fresh doc one'),
+                            (900002, 'srcX', 'fresh doc two')) t(doc_id, source, text)),
+    ofp AS (
+      SELECT doc_id AS id,
+             md5(coalesce(md5(source), 'null') || coalesce(md5(text), 'null')) AS old_fp
+      FROM documents),
+    nfp AS (
+      SELECT doc_id AS id,
+             md5(coalesce(md5(source), 'null') || coalesce(md5(text), 'null')) AS new_fp
+      FROM new_t),
+    diff AS (
+      SELECT coalesce(o.id, n.id) AS doc_id,
+             CASE WHEN o.id IS NULL THEN 'added'
+                  WHEN n.id IS NULL THEN 'removed'
+                  WHEN o.old_fp <> n.new_fp THEN 'changed'
+                  ELSE 'unchanged' END AS change,
+             o.old_fp, n.new_fp
+      FROM ofp o FULL OUTER JOIN nfp n ON o.id = n.id)
+    SELECT content_hash, doc_id, 'batch' AS side,
+           CAST(NULL AS VARCHAR) AS change,
+           CAST(NULL AS VARCHAR) AS old_fp, CAST(NULL AS VARCHAR) AS new_fp
+    FROM winners
     UNION ALL
-    SELECT content_hash, doc_id, 'stream' AS side FROM winners
+    SELECT content_hash, doc_id, 'stream' AS side,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM winners
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR) AS content_hash, doc_id, 'diff' AS side,
+           change, old_fp, new_fp
+    FROM diff WHERE change <> 'unchanged'
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1354,10 +1386,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, oldest first). Every copy must be suppressed by state seeded in
     EARLIER micro-batches, so first-arrival-wins provably crossed batch
     boundaries and equals batch's min-id answer — the bootstrap-then-ingest
-    contract of a continuously fed corpus."""
+    contract of a continuously fed corpus.
+
+    side='diff' (round 7 promotion — VERDICT r6 item #3) —
+    :func:`~.ops.pipeline.corpus_diff`: CDC for corpora, the third
+    16-byte-fingerprint shape. A deterministic second snapshot (ids %17==0
+    removed, %13==0 rewritten, two fresh ids appended) is diffed against
+    the documents table; the delta rows (added/removed/changed with both
+    per-side fingerprints) are the row's third leg. Oracle = an independent
+    DuckDB full-outer-join classification over per-column md5 fingerprints."""
     import tempfile as _tempfile
 
     from .ops.dedup import exact_dedup, exact_dedup_stream
+    from .ops.pipeline import corpus_diff
     from .sources.fixtures import cached_fixture_dir, write_dedup_stream_fixture
 
     docs = _documents(spark, sf_dir).select("doc_id", "text")
@@ -1396,8 +1437,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     stream = spark.createDataFrame(collected, "content_hash string, doc_id bigint")
-    return batch.withColumn("side", F.lit("batch")).unionAll(
-        stream.withColumn("side", F.lit("stream"))
+
+    old = _documents(spark, sf_dir).select("doc_id", "source", "text")
+    new = (
+        old.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(900001, "srcX", "fresh doc one"),
+                 (900002, "srcX", "fresh doc two")],
+                "doc_id bigint, source string, text string",
+            )
+        )
+    )
+    diff = corpus_diff(old, new, "doc_id", compare_cols=["source", "text"]).select(
+        F.lit(None).cast("string").alias("content_hash"),
+        F.col("id").alias("doc_id"),
+        F.lit("diff").alias("side"),
+        "change", "old_fp", "new_fp",
+    )
+
+    null_s = F.lit(None).cast("string")
+    return (
+        batch.select(
+            "content_hash", "doc_id", F.lit("batch").alias("side"),
+            null_s.alias("change"), null_s.alias("old_fp"), null_s.alias("new_fp"),
+        )
+        .unionAll(
+            stream.select(
+                "content_hash", "doc_id", F.lit("stream").alias("side"),
+                null_s.alias("change"), null_s.alias("old_fp"),
+                null_s.alias("new_fp"),
+            )
+        )
+        .unionAll(diff)
     )
 
 
