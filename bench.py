@@ -70,7 +70,7 @@ CORE = [
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    from debezium_connector_vitess_spark.registry import QUERIES
+    from debezium_connector_vitess_spark.registry import QUERIES, SIDES
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -139,33 +139,57 @@ def main() -> None:
             "parquet_scans": plan.count("Scan parquet"),
         }
 
-    for name in HEADLINE:
-        # measurement hygiene: collect the previous query's garbage before
-        # timing this one — accumulated heap pressure otherwise surfaces as
-        # multi-second GC pauses attributed to whichever query runs next
-        # (observed: a 1.1 s query measuring 3+ s on every attempt late in a
-        # sweep, while isolated runs stay at 1.1 s)
+    def _timed_runs(build, min_attempts: int, max_attempts: int,
+                    stats_key: str | None = None) -> list[float]:
+        """Adaptive best-of-N: stop once the two best post-warmup runs agree
+        within 25% (+0.15 s floor) — a host stall inflates single attempts
+        by 3-10× here, so a min over runs that never stabilized would still
+        misreport; capped to bound the sweep. Each run owns its job
+        lifecycle via checkpoint_scope. Also collects the previous query's
+        garbage first — accumulated heap pressure otherwise surfaces as
+        multi-second GC pauses attributed to whichever query runs next
+        (observed: a 1.1 s query measuring 3+ s on every attempt late in a
+        sweep, while isolated runs stay at 1.1 s)."""
         spark._jvm.System.gc()
-        fn = QUERIES[name]
         runs: list[float] = []
-        # adaptive attempts: stop once the two best post-warmup runs agree
-        # within 25% (+0.15 s floor) — a host stall inflates single attempts
-        # by 3-10× here, so a min over runs that never stabilized would still
-        # misreport; cap at 6 attempts to bound the sweep
         while True:
             with checkpoint_scope(spark):
                 t0 = time.perf_counter()
-                df = fn(spark, SF_DIR)
+                df = build()
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(round(time.perf_counter() - t0, 3))
-                if name not in plan_stats:
-                    plan_stats[name] = _plan_stats(df)
-            if len(runs) >= 3:
+                if stats_key is not None and stats_key not in plan_stats:
+                    plan_stats[stats_key] = _plan_stats(df)
+            if len(runs) >= min_attempts:
                 best2 = sorted(runs)[:2]
-                if best2[1] <= best2[0] * 1.25 + 0.15 or len(runs) >= 6:
+                if best2[1] <= best2[0] * 1.25 + 0.15 or len(runs) >= max_attempts:
                     break
+        return runs
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        runs = _timed_runs(
+            lambda: fn(spark, SF_DIR), min_attempts=3, max_attempts=6,
+            stats_key=name,
+        )
         attempts[name] = runs
         timings[name] = min(runs)
+
+    # r6 VERDICT item #4: rows bundling several execution legs (batch +
+    # streaming + ...) get per-LEG attempts in the details artifact, so a
+    # batch-path regression can't hide under a fixed streaming-startup cost.
+    # Diagnostic only — the headline number stays the full row.
+    side_attempts: dict[str, dict[str, list[float]]] = {}
+    for name, side_names in SIDES.items():
+        if name not in HEADLINE:
+            continue
+        side_attempts[name] = {}
+        for s in side_names:
+            fn = QUERIES[name]
+            side_attempts[name][s] = _timed_runs(
+                lambda: fn(spark, SF_DIR, sides=(s,)),
+                min_attempts=2, max_attempts=4,
+            )
     load_after = os.getloadavg()
 
     # measurement hygiene: flag queries whose post-warmup attempts still
@@ -184,6 +208,7 @@ def main() -> None:
     # BENCH_DETAILS.json next to this script.
     details = {
         "attempts": attempts,
+        "side_attempts": side_attempts,
         "plan_stats": plan_stats,
         "noise_queries": noise_queries,
         "loadavg_before": [round(x, 2) for x in load_before],

@@ -31,6 +31,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: rows that bundle several execution legs (batch + streaming + ...) accept
+#: ``sides=(one,)`` to build a single leg — bench.py times each leg
+#: separately into BENCH_DETAILS so a batch-path regression can't hide under
+#: a fixed streaming-startup cost (r6 VERDICT item #4). The driver and the
+#: parity suite keep calling the two-arg form, which builds every side.
+SIDES: dict[str, tuple[str, ...]] = {
+    "dedup_exact": ("batch", "stream", "diff"),
+    "change_rate_windows": ("tumbling", "sliding", "stream"),
+    "cdc_materialize": ("latest", "history"),
+    "pack_sequences": ("pack", "chunk"),
+}
+
 
 def register(name: str, oracle: Optional[str] = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -188,7 +200,11 @@ def cdc_extract_new_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM hist WHERE op <> 'd'
     """,
 )
-def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cdc_materialize(
+    spark: SparkSession,
+    sf_dir: str,
+    sides: tuple[str, ...] = ("latest", "history"),
+) -> DataFrame:
     """Latest-state materialization: apply the decoded CDC envelope stream to
     derive the current snapshot of every source table — the standard
     downstream-consumer pattern for the reference's records (Debezium users
@@ -241,13 +257,17 @@ def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             *interval,
         )
 
-    parts = [
-        flatten(df, "latest", hist=False)
-        for _, df in sorted(materialize_latest_multi(raw, schemas).items())
-    ] + [
-        flatten(df, "history", hist=True)
-        for _, df in sorted(materialize_history_multi(raw, schemas).items())
-    ]
+    parts = []
+    if "latest" in sides:
+        parts += [
+            flatten(df, "latest", hist=False)
+            for _, df in sorted(materialize_latest_multi(raw, schemas).items())
+        ]
+    if "history" in sides:
+        parts += [
+            flatten(df, "history", hist=True)
+            for _, df in sorted(materialize_history_multi(raw, schemas).items())
+        ]
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
@@ -827,7 +847,11 @@ _RATE_AGG_SQL = """
     UNION ALL SELECT 'stream' AS side, * FROM tumb
     """,
 )
-def change_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def change_rate_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    sides: tuple[str, ...] = ("tumbling", "sliding", "stream"),
+) -> DataFrame:
     """E5 as a first-class time series: per-(window, table, shard) change
     counts/rates via event-time window aggregation — the Structured
     Streaming windowed-agg + watermark pattern, all three shapes against one
@@ -854,57 +878,6 @@ def change_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .metrics import change_rates, change_rates_stream
     from .sources.fixtures import cached_fixture_dir, write_rate_stream_fixture
 
-    # tumbling and sliding aggregate the same 4-column frame: materialize it
-    # once so the source is scanned once, not twice (blocks reclaimed by the
-    # caller's cache.checkpoint_scope)
-    evs = changelog.load_events(spark, sf_dir).select(
-        "ts",
-        F.concat(F.lit("tbl"), (F.col("user_id") % 3).cast("string")).alias("table_name"),
-        changelog.shard_col().alias("shard"),
-        changelog.op_col().alias("op"),
-    )
-    evs, _release = eager_localcheckpoint(evs)
-    tumbling = change_rates(evs).withColumn("side", F.lit("tumbling"))
-    sliding = change_rates(evs, window_duration="2 hours", slide_duration="1 hour").withColumn(
-        "side", F.lit("sliding")
-    )
-
-    fixture = cached_fixture_dir("rate_stream", sf_dir, write_rate_stream_fixture)
-    ckpt = _tempfile.mkdtemp(prefix="rate_stream_ckpt_")
-    raw = (
-        spark.readStream.schema("ts_ms bigint, table_name string, shard string, op string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(fixture)
-        .select(F.timestamp_millis("ts_ms").alias("ts"), "table_name", "shard", "op")
-    )
-    rates = change_rates_stream(
-        raw, watermark_delay="2 hours", exclude=F.col("table_name") == "__advance__"
-    )
-    collected: list = []
-
-    def capture(df, _batch_id) -> None:
-        collected.extend(df.collect())  # closed windows only: |windows|·|keys|
-
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")  # state sized to volume
-    try:
-        q = (
-            rates.writeStream.foreachBatch(capture)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    stream = spark.createDataFrame(
-        collected,
-        "window_start_ms bigint, window_end_ms bigint, table_name string, shard string,"
-        " n_events bigint, n_creates bigint, n_updates bigint, n_deletes bigint,"
-        " events_per_hour double",
-    ).withColumn("side", F.lit("stream"))
-
     cols = [
         "side",
         "window_start_ms",
@@ -917,7 +890,75 @@ def change_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_deletes",
         "events_per_hour",
     ]
-    return tumbling.select(cols).unionAll(sliding.select(cols)).unionAll(stream.select(cols))
+    parts: list[DataFrame] = []
+
+    if "tumbling" in sides or "sliding" in sides:
+        # tumbling and sliding aggregate the same 4-column frame: materialize
+        # it once so the source is scanned once, not twice (blocks reclaimed
+        # by the caller's cache.checkpoint_scope)
+        evs = changelog.load_events(spark, sf_dir).select(
+            "ts",
+            F.concat(F.lit("tbl"), (F.col("user_id") % 3).cast("string")).alias("table_name"),
+            changelog.shard_col().alias("shard"),
+            changelog.op_col().alias("op"),
+        )
+        evs, _release = eager_localcheckpoint(evs)
+        if "tumbling" in sides:
+            parts.append(
+                change_rates(evs).withColumn("side", F.lit("tumbling")).select(cols)
+            )
+        if "sliding" in sides:
+            parts.append(
+                change_rates(evs, window_duration="2 hours", slide_duration="1 hour")
+                .withColumn("side", F.lit("sliding"))
+                .select(cols)
+            )
+
+    if "stream" in sides:
+        fixture = cached_fixture_dir("rate_stream", sf_dir, write_rate_stream_fixture)
+        ckpt = _tempfile.mkdtemp(prefix="rate_stream_ckpt_")
+        raw = (
+            spark.readStream.schema("ts_ms bigint, table_name string, shard string, op string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(fixture)
+            .select(F.timestamp_millis("ts_ms").alias("ts"), "table_name", "shard", "op")
+        )
+        rates = change_rates_stream(
+            raw, watermark_delay="2 hours", exclude=F.col("table_name") == "__advance__"
+        )
+        collected: list = []
+
+        def capture(df, _batch_id) -> None:
+            collected.extend(df.collect())  # closed windows only: |windows|·|keys|
+
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")  # state sized to volume
+        try:
+            q = (
+                rates.writeStream.foreachBatch(capture)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        parts.append(
+            spark.createDataFrame(
+                collected,
+                "window_start_ms bigint, window_end_ms bigint, table_name string, shard string,"
+                " n_events bigint, n_creates bigint, n_updates bigint, n_deletes bigint,"
+                " events_per_hour double",
+            )
+            .withColumn("side", F.lit("stream"))
+            .select(cols)
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 @register(
@@ -1371,7 +1412,11 @@ def smt_enforce_record_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM diff WHERE change <> 'unchanged'
     """,
 )
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    sides: tuple[str, ...] = ("batch", "stream", "diff"),
+) -> DataFrame:
     """Exact dedup, BOTH execution shapes against one oracle (the pattern of
     cdc_materialize/cdc_materialize_stream, in one row):
 
@@ -1401,82 +1446,99 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.pipeline import corpus_diff
     from .sources.fixtures import cached_fixture_dir, write_dedup_stream_fixture
 
-    docs = _documents(spark, sf_dir).select("doc_id", "text")
-    corpus = docs.unionAll(docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
-    batch = exact_dedup(corpus, "text", "doc_id")
+    null_s = F.lit(None).cast("string")
+    parts: list[DataFrame] = []
 
-    fixture = cached_fixture_dir("dedup_stream", sf_dir, write_dedup_stream_fixture)
-    ckpt = _tempfile.mkdtemp(prefix="dedup_stream_ckpt_")
-    raw = (
-        spark.readStream.schema("doc_id bigint, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(fixture)
-    )
-    survivors = exact_dedup_stream(raw, "text").select("content_hash", "doc_id")
-    collected: list = []
-
-    def capture(df, _batch_id) -> None:
-        collected.extend(df.collect())  # survivors only: ≤ |unique docs|
-
-    # state partitions are baked into the checkpoint at first start — size
-    # them to the stream's volume (a few thousand rows/micro-batch), not the
-    # session's batch default: 32 HDFS state-store instances cost ~32 file
-    # commits PER micro-batch for the same answer (a production deployment
-    # sizes this to ingest volume the same way)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            survivors.writeStream.foreachBatch(capture)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    if "batch" in sides:
+        docs = _documents(spark, sf_dir).select("doc_id", "text")
+        corpus = docs.unionAll(
+            docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
         )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    stream = spark.createDataFrame(collected, "content_hash string, doc_id bigint")
-
-    old = _documents(spark, sf_dir).select("doc_id", "source", "text")
-    new = (
-        old.filter(F.col("doc_id") % 17 != 0)
-        .withColumn(
-            "text",
-            F.when(
-                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
-            ).otherwise(F.col("text")),
-        )
-        .unionByName(
-            spark.createDataFrame(
-                [(900001, "srcX", "fresh doc one"),
-                 (900002, "srcX", "fresh doc two")],
-                "doc_id bigint, source string, text string",
+        parts.append(
+            exact_dedup(corpus, "text", "doc_id").select(
+                "content_hash", "doc_id", F.lit("batch").alias("side"),
+                null_s.alias("change"), null_s.alias("old_fp"),
+                null_s.alias("new_fp"),
             )
         )
-    )
-    diff = corpus_diff(old, new, "doc_id", compare_cols=["source", "text"]).select(
-        F.lit(None).cast("string").alias("content_hash"),
-        F.col("id").alias("doc_id"),
-        F.lit("diff").alias("side"),
-        "change", "old_fp", "new_fp",
-    )
 
-    null_s = F.lit(None).cast("string")
-    return (
-        batch.select(
-            "content_hash", "doc_id", F.lit("batch").alias("side"),
-            null_s.alias("change"), null_s.alias("old_fp"), null_s.alias("new_fp"),
+    if "stream" in sides:
+        fixture = cached_fixture_dir(
+            "dedup_stream", sf_dir, write_dedup_stream_fixture
         )
-        .unionAll(
+        ckpt = _tempfile.mkdtemp(prefix="dedup_stream_ckpt_")
+        raw = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(fixture)
+        )
+        survivors = exact_dedup_stream(raw, "text").select("content_hash", "doc_id")
+        collected: list = []
+
+        def capture(df, _batch_id) -> None:
+            collected.extend(df.collect())  # survivors only: ≤ |unique docs|
+
+        # state partitions are baked into the checkpoint at first start — size
+        # them to the stream's volume (a few thousand rows/micro-batch), not the
+        # session's batch default: 32 HDFS state-store instances cost ~32 file
+        # commits PER micro-batch for the same answer (a production deployment
+        # sizes this to ingest volume the same way)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                survivors.writeStream.foreachBatch(capture)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        stream = spark.createDataFrame(
+            collected, "content_hash string, doc_id bigint"
+        )
+        parts.append(
             stream.select(
                 "content_hash", "doc_id", F.lit("stream").alias("side"),
                 null_s.alias("change"), null_s.alias("old_fp"),
                 null_s.alias("new_fp"),
             )
         )
-        .unionAll(diff)
-    )
+
+    if "diff" in sides:
+        old = _documents(spark, sf_dir).select("doc_id", "source", "text")
+        new = (
+            old.filter(F.col("doc_id") % 17 != 0)
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 13 == 0,
+                    F.concat(F.col("text"), F.lit(" v2")),
+                ).otherwise(F.col("text")),
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(900001, "srcX", "fresh doc one"),
+                     (900002, "srcX", "fresh doc two")],
+                    "doc_id bigint, source string, text string",
+                )
+            )
+        )
+        parts.append(
+            corpus_diff(old, new, "doc_id", compare_cols=["source", "text"]).select(
+                F.lit(None).cast("string").alias("content_hash"),
+                F.col("id").alias("doc_id"),
+                F.lit("diff").alias("side"),
+                "change", "old_fp", "new_fp",
+            )
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 _ORACLE_SHINGLES = """list_distinct(list_transform(
@@ -2580,7 +2642,11 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM pack UNION ALL SELECT * FROM chunks
     """,
 )
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    sides: tuple[str, ...] = ("pack", "chunk"),
+) -> DataFrame:
     """The sequence-prep family, both grains, one row:
 
     side='pack' — concat-and-chop packing through the SCALE path: the
@@ -2603,27 +2669,38 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.pipeline import pack_sequences as _pack
 
     docs = _documents(spark, sf_dir)
-    n = docs.count()  # parquet metadata only; doc_ids are dense 0..n-1
-    step = max(1, n // 8)
     nul_l = F.lit(None).cast("long")
-    pack = _pack(
-        docs, "text", "doc_id", stream_col="source", block_tokens=2048,
-        n_buckets=8, bucket_bounds=list(range(step, n, step)),
-    ).select(
-        F.lit("pack").alias("side"), "doc_id", "source", "n_tokens",
-        "start_offset", "block_id", "offset_in_block",
-        nul_l.alias("chunk_idx"), F.lit(None).cast("string").alias("chunk_md5"),
-    )
-    chunk = _chunk(
-        docs, "text", "doc_id", chunk_tokens=32, overlap=8,
-        carry_cols=("source",),
-    ).select(
-        F.lit("chunk").alias("side"), "doc_id", "source", "n_tokens",
-        F.col("start_token").alias("start_offset"),
-        nul_l.alias("block_id"), nul_l.alias("offset_in_block"),
-        "chunk_idx", "chunk_md5",
-    )
-    return pack.unionByName(chunk)
+    parts: list[DataFrame] = []
+    if "pack" in sides:
+        n = docs.count()  # parquet metadata only; doc_ids are dense 0..n-1
+        step = max(1, n // 8)
+        parts.append(
+            _pack(
+                docs, "text", "doc_id", stream_col="source", block_tokens=2048,
+                n_buckets=8, bucket_bounds=list(range(step, n, step)),
+            ).select(
+                F.lit("pack").alias("side"), "doc_id", "source", "n_tokens",
+                "start_offset", "block_id", "offset_in_block",
+                nul_l.alias("chunk_idx"),
+                F.lit(None).cast("string").alias("chunk_md5"),
+            )
+        )
+    if "chunk" in sides:
+        parts.append(
+            _chunk(
+                docs, "text", "doc_id", chunk_tokens=32, overlap=8,
+                carry_cols=("source",),
+            ).select(
+                F.lit("chunk").alias("side"), "doc_id", "source", "n_tokens",
+                F.col("start_token").alias("start_offset"),
+                nul_l.alias("block_id"), nul_l.alias("offset_in_block"),
+                "chunk_idx", "chunk_md5",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @register(
