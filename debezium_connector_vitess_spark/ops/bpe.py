@@ -99,10 +99,24 @@ def train_bpe(
     )
     sampled = keyed.orderBy("__h", "__t").limit(sample_rows)
     texts = [r["__t"] for r in sampled.collect()]
-    wf = _word_freqs(texts, lowercase)
+    return _train_from_texts(
+        texts, num_merges, lowercase=lowercase, end_marker=end_marker
+    )
 
-    # Sennrich fold: words as symbol tuples, repeatedly merge the most
-    # frequent adjacent pair (lexicographic tie-break for determinism)
+
+def _train_from_texts(
+    texts: list[str],
+    num_merges: int,
+    *,
+    lowercase: bool = True,
+    end_marker: str = END,
+) -> list[tuple[str, str]]:
+    """The pure Sennrich fold over an in-memory sample: words as symbol
+    tuples, repeatedly merge the most frequent adjacent pair (lexicographic
+    tie-break for determinism). Shared by :func:`train_bpe` (Spark sample)
+    and the registry's oracle-constants helper (pyarrow sample) — one fold
+    definition, two independently-built samples."""
+    wf = _word_freqs(texts, lowercase)
     words: dict[tuple[str, ...], int] = {
         tuple(w) + (end_marker,): c for w, c in wf.items()
     }

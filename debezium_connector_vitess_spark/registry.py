@@ -40,7 +40,7 @@ SIDES: dict[str, tuple[str, ...]] = {
     "dedup_exact": ("batch", "stream", "diff"),
     "change_rate_windows": ("tumbling", "sliding", "stream"),
     "cdc_materialize": ("latest", "history"),
-    "pack_sequences": ("pack", "chunk"),
+    "pack_sequences": ("pack", "chunk", "bpe"),
 }
 
 
@@ -2607,6 +2607,81 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strat.unionByName(imp)
 
 
+# BPE side of pack_sequences: train-on-sample geometry, shared between the
+# Spark query and the oracle-constants helper so the learned merges are a
+# pure function of (corpus, salt, caps) in both engines.
+_BPE_NUM_MERGES = 120
+_BPE_SAMPLE_ROWS = 80
+_BPE_MAX_CHARS = 65536  # above every doc length at these SFs: truncation is
+#                         a no-op, so substring-semantics (UTF-16 code units
+#                         vs code points) cannot diverge between engines
+
+
+def _bpe_count_constants() -> str:
+    """Per-document BPE token counts for the ``pack_sequences`` side='bpe'
+    oracle, computed at import time directly from the parquet files with
+    pyarrow — BPE's ranked iterative merging has no SQL form. The SAMPLING
+    is independently rebuilt here (Python md5 top-k mirroring train_bpe's
+    TakeOrdered hash sample) and the pure fold/apply loops are the shared
+    textbook core (``_train_from_texts``/``_encode_word`` — unit-pinned
+    against Sennrich's published example; the same sharing relationship
+    every other oracle has to md5/zlib). What the driver row therefore
+    proves end-to-end is the DISTRIBUTED plumbing: the TakeOrdered sample,
+    merge persistence, the Arrow-seam encode, the count join, and the
+    packing window.
+
+    Keyed by (doc_id, md5(text)) because the parity SF dirs carry the SAME
+    doc_id range with different text — the content fingerprint picks each
+    view's own constants (the ``_compression_constants`` convention).
+    Self-healing under testdata regen (recomputed at import)."""
+    import hashlib
+    import os
+    import re
+
+    from .ops.bpe import _encode_word, _train_from_texts
+
+    rows = []
+    for sfd in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = f"{sfd}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        # mirror train_bpe's deterministic sample: smallest salted content
+        # hashes first (salt='bpe'; ASCII \S mirrors Java regex semantics)
+        cand = []
+        for txt in texts:
+            if txt and re.search(r"\S", txt, re.ASCII):
+                tt = txt[:_BPE_MAX_CHARS]
+                h = int(
+                    hashlib.md5(("bpe" + tt).encode("utf-8")).hexdigest()[:15], 16
+                )
+                cand.append((h, tt))
+        cand.sort()
+        merges = _train_from_texts(
+            [tt for _, tt in cand[:_BPE_SAMPLE_ROWS]], _BPE_NUM_MERGES
+        )
+        ranks = {p: i for i, p in enumerate(merges)}
+        memo: dict = {}
+        for did, txt in zip(ids, texts):
+            c = 0
+            for w in (txt or "").lower().split():
+                got = memo.get(w)
+                if got is None:
+                    got = len(_encode_word(w, ranks))
+                    memo[w] = got
+                c += got
+            fp = hashlib.md5((txt or "").encode("utf-8")).hexdigest()
+            rows.append((did, fp, c))
+    rows = sorted(set(rows))
+    if not rows:  # no testdata present: emit a never-matching placeholder
+        rows = [(-1, "__no_testdata__", 0)]
+    return ", ".join(f"({d}, '{fp}', {c})" for d, fp, c in rows)
+
+
 @register(
     "pack_sequences",
     oracle=f"""
@@ -2638,14 +2713,30 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(array_to_string(
                list_slice(toks, i * 24 + 1, least(i * 24 + 32, n)), ' '
              )) AS chunk_md5
-      FROM sized, unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS t(i))
+      FROM sized, unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS t(i)),
+    bpe_counts(bdoc_id, fp, bn) AS (VALUES {{BPE_COUNTS}}),
+    bpe_placed AS (
+      SELECT d.doc_id, d.source, CAST(c.bn AS BIGINT) AS n_tokens,
+             CAST(sum(c.bn) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - c.bn AS BIGINT) AS start_offset
+      FROM documents d JOIN bpe_counts c
+        ON d.doc_id = c.bdoc_id AND md5(coalesce(d.text, '')) = c.fp),
+    bpe_side AS (
+      SELECT 'bpe' AS side, doc_id, source, n_tokens, start_offset,
+             CAST(start_offset // 2048 AS BIGINT) AS block_id,
+             CAST(start_offset % 2048 AS BIGINT) AS offset_in_block,
+             CAST(NULL AS BIGINT) AS chunk_idx,
+             CAST(NULL AS VARCHAR) AS chunk_md5
+      FROM bpe_placed)
     SELECT * FROM pack UNION ALL SELECT * FROM chunks
-    """,
+    UNION ALL SELECT * FROM bpe_side
+    """.replace("{BPE_COUNTS}", _bpe_count_constants()),
 )
 def pack_sequences(
     spark: SparkSession,
     sf_dir: str,
-    sides: tuple[str, ...] = ("pack", "chunk"),
+    sides: tuple[str, ...] = ("pack", "chunk", "bpe"),
 ) -> DataFrame:
     """The sequence-prep family, both grains, one row:
 
@@ -2664,20 +2755,32 @@ def pack_sequences(
     witnesses the CONTENT of every chunk (md5 of the space-joined token
     slice, recomputed independently by the DuckDB oracle), so a
     geometry-only bug that slices the wrong tokens goes red, not just a
-    miscounted placement."""
+    miscounted placement.
+
+    side='bpe' (round 7 promotion — VERDICT r6 item #5) — the SAME packing
+    geometry denominated in a LEARNED vocabulary: ``train_bpe`` on the
+    corpus's deterministic hash sample (120 merges), the merge artifact
+    round-tripped through ``save_merges``/``load_merges``, counts from the
+    ``bpe_encode`` Arrow seam, offsets from ``pack_sequences``'s
+    ``token_count_col`` path — train→persist→apply→budget end to end under
+    the driver's hasher. The oracle recomputes every count from the parquet
+    at import time (see ``_bpe_count_constants``), so a drifted sample, a
+    torn artifact, or a lossy encode all go red."""
     from .ops.pipeline import chunk_documents as _chunk
     from .ops.pipeline import pack_sequences as _pack
 
     docs = _documents(spark, sf_dir)
     nul_l = F.lit(None).cast("long")
     parts: list[DataFrame] = []
-    if "pack" in sides:
+    if "pack" in sides or "bpe" in sides:
         n = docs.count()  # parquet metadata only; doc_ids are dense 0..n-1
         step = max(1, n // 8)
+        bounds = list(range(step, n, step))
+    if "pack" in sides:
         parts.append(
             _pack(
                 docs, "text", "doc_id", stream_col="source", block_tokens=2048,
-                n_buckets=8, bucket_bounds=list(range(step, n, step)),
+                n_buckets=8, bucket_bounds=bounds,
             ).select(
                 F.lit("pack").alias("side"), "doc_id", "source", "n_tokens",
                 "start_offset", "block_id", "offset_in_block",
@@ -2695,6 +2798,37 @@ def pack_sequences(
                 F.col("start_token").alias("start_offset"),
                 nul_l.alias("block_id"), nul_l.alias("offset_in_block"),
                 "chunk_idx", "chunk_md5",
+            )
+        )
+    if "bpe" in sides:
+        import os as _os
+        import tempfile as _tempfile
+
+        from .ops.bpe import bpe_encode, load_merges, save_merges, train_bpe
+
+        merges = train_bpe(
+            docs, "text", num_merges=_BPE_NUM_MERGES,
+            sample_rows=_BPE_SAMPLE_ROWS, max_chars_per_doc=_BPE_MAX_CHARS,
+        )
+        mpath = _os.path.join(
+            _tempfile.mkdtemp(prefix="bpe_merges_"), "merges.json"
+        )
+        save_merges(merges, mpath)
+        merges = load_merges(mpath)  # persistence round-trip is on the path
+        counts = bpe_encode(docs, "text", "doc_id", merges, output="count")
+        enriched = docs.select("doc_id", "source").join(
+            counts.withColumnRenamed("id", "doc_id"), "doc_id"
+        )
+        parts.append(
+            _pack(
+                enriched, "text", "doc_id", stream_col="source",
+                block_tokens=2048, n_buckets=8, bucket_bounds=bounds,
+                token_count_col="n_bpe_tokens",
+            ).select(
+                F.lit("bpe").alias("side"), "doc_id", "source", "n_tokens",
+                "start_offset", "block_id", "offset_in_block",
+                nul_l.alias("chunk_idx"),
+                F.lit(None).cast("string").alias("chunk_md5"),
             )
         )
     out = parts[0]
