@@ -284,6 +284,49 @@ def main() -> None:
         results[name] = rec
         print(f"# {name}: {rec}", flush=True)
 
+    # Bucketed-layout win (r6 VERDICT item #6): the zero-Exchange SMJ plan is
+    # pinned by tests/test_plans.py — this puts a NUMBER on it at 10x. Two
+    # doc_id-keyed frames joined as plain parquet (shuffle + sort on both
+    # sides) vs pre-bucketed catalog tables (co-located scan, no Exchange, no
+    # per-task Sort). Both joins are hinted to SortMergeJoin so the measured
+    # delta is exactly the layout's shuffle elimination, not a broadcast
+    # taking over on the small test corpus.
+    from debezium_connector_vitess_spark.ops.layout import write_bucketed
+
+    def _adaptive_time(build) -> float:
+        runs: list[float] = []
+        while True:
+            with checkpoint_scope(spark):
+                t0 = time.time()
+                run(build())
+                runs.append(time.time() - t0)
+            if len(runs) >= 3:
+                best2 = sorted(runs)[:2]
+                if best2[1] <= best2[0] * 1.25 + 0.15 or len(runs) >= 6:
+                    break
+        return round(min(runs), 2)
+
+    left = docs10.select("doc_id", "source", "text")
+    right = docs10.select("doc_id", F.length("text").alias("n_chars"))
+    try:
+        write_bucketed(left, "smoke_bl", bucket_col="doc_id", num_buckets=CPUS)
+        write_bucketed(right, "smoke_br", bucket_col="doc_id", num_buckets=CPUS)
+        t_unbucketed = _adaptive_time(
+            lambda: left.hint("merge").join(right, "doc_id")
+        )
+        bl, br = spark.table("smoke_bl"), spark.table("smoke_br")
+        t_bucketed = _adaptive_time(lambda: bl.hint("merge").join(br, "doc_id"))
+    finally:
+        for t in ("smoke_bl", "smoke_br"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    bucketed_join = {
+        "t_unbucketed_smj": t_unbucketed,
+        "t_bucketed_smj": t_bucketed,
+        "join_speedup": round(t_unbucketed / max(t_bucketed, 1e-9), 2),
+        "rows": n10,
+    }
+    print(f"# bucketed_join: {bucketed_join}", flush=True)
+
     out = {
         "metric": "scale_smoke_ratio_max",
         "value": max(r["ratio"] for r in results.values()),
@@ -291,6 +334,7 @@ def main() -> None:
         "copies": COPIES,
         "rows_1x": n1,
         "rows_10x": n10,
+        "bucketed_join": bucketed_join,
         "ops": results,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_SMOKE.json"), "w") as fh:
