@@ -28,7 +28,8 @@ HEADLINE = [
     "cdc_extract_new_state",
     "cdc_materialize",
     "tx_metadata",  # r5: merged tx_boundaries/tx_rank/tx_epoch/tx_order
-    "heartbeat_positions",
+    "json_fields",  # r7: typed JSON column extraction (ex heartbeat slot;
+    #                 heartbeat now rides change_rate_windows side='heartbeat')
     "pricing_summary",
     "revenue_by_nation",
     "text_metrics",  # r5: incl. lang_pred (merged text_lang_id)
@@ -59,9 +60,13 @@ HEADLINE = [
 # operator's cost. sample_stratified and pack_sequences left the set late
 # in r6 for the same reason: they gained the importance-resampling and
 # context-window-chunking legs, so their totals include new work.
+# heartbeat_positions left in r7: its registry row merged into
+# change_rate_windows side='heartbeat' (the standalone row no longer
+# exists; value_core is 12 queries from r7 on — compare per-query, not
+# the total, across that boundary).
 CORE = [
     "cdc_envelope", "cdc_extract_new_state", "cdc_materialize", "tx_metadata",
-    "heartbeat_positions", "pricing_summary", "revenue_by_nation",
+    "pricing_summary", "revenue_by_nation",
     "text_metrics", "dedup_minhash_lsh", "dedup_clusters", "ann_topk",
     "multimodal_metadata", "decontaminate_eval",
 ]

@@ -59,10 +59,19 @@ def op_col() -> F.Column:
     )
 
 
+def gtid_col() -> F.Column:
+    """The fixture model's deterministic per-event GTID (one definition,
+    shared by the raw-VEvent builder and any registry row that needs a
+    position without the full envelope)."""
+    return F.concat(
+        F.lit("MySQL56/host0:1-"), (F.col("event_id") + 100).cast("string")
+    )
+
+
 def events_to_raw_vevents(events: DataFrame) -> DataFrame:
     """events parquet → raw VEvent frame (decode.RAW_EVENT_SCHEMA layout)."""
     shard = shard_col()
-    gtid = F.concat(F.lit("MySQL56/host0:1-"), (F.col("event_id") + 100).cast("string"))
+    gtid = gtid_col()
     vgtid = F.concat(
         F.lit('[{"keyspace":"ks0","shard":"'), shard, F.lit('","gtid":"'), gtid, F.lit('"}]')
     )

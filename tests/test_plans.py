@@ -285,6 +285,22 @@ def test_corpus_health_is_one_scan_one_groupby(spark, sf_dir):
         assert join not in plan, join
 
 
+def test_json_fields_row_is_map_only(spark, sf_dir):
+    """The json_fields driver row is two codegen'd from_json projections
+    unioned: zero exchanges, zero joins, zero Python seams — a JSON parse
+    that shuffles or drops to Python would be the wrong plan at 100 TB.
+    (The only exchanges allowed are the harness's explicit
+    REPARTITION_BY_NUM spread of the single-file test scan — never an
+    ENSURE_REQUIREMENTS shuffle demanded by the parse itself.)"""
+    plan = _formatted(QUERIES["json_fields"](spark, sf_dir))
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "hashpartitioning" not in plan
+    assert "MapInPandas" not in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+
+
 def test_pack_sequences_shares_one_exchange(spark, sf_dir):
     """The two-level cumsum's bucket totals and per-doc window must consume
     the SAME (stream, bucket) repartition, so AQE's stage cache runs the
