@@ -573,8 +573,27 @@ def decode_table(
     Output: op, before, after, source, ts_ms (FIXTURES.md §1). The plan is a
     single stage of narrow ops — scan → filter → project — so Catalyst pushes
     the table filter into the source and the whole thing codegens.
+
+    ``temporal_mode`` is a RESOLVE-time setting (it picks the decoded Spark
+    type, so it is baked into the pre-resolved ``schema``): passing one here
+    that contradicts the schema's resolve-time mode raises instead of being
+    silently dropped — the silent drop masked schema/decode mode mismatches.
+    A matching (or redundant-on-non-temporal) value is accepted and ignored.
     """
-    modes = {k: v for k, v in modes.items() if k != "temporal_mode"}
+    passed_tm = modes.pop("temporal_mode", None)
+    if passed_tm is not None:
+        resolved_tms = {
+            c.resolved.temporal_mode
+            for c in schema.columns
+            if c.resolved.temporal_mode is not None
+        }
+        if resolved_tms and resolved_tms != {passed_tm}:
+            raise ValueError(
+                f"decode_table: temporal_mode={passed_tm} contradicts the "
+                f"schema's resolve-time mode(s) {sorted(m.value for m in resolved_tms)} — "
+                f"temporal_mode picks the decoded Spark type and must be "
+                f"passed to types.resolve() when the schema is built"
+            )
     changes = explode_row_changes(raw_df).filter(
         (F.col("keyspace") == schema.keyspace) & (F.col("table_name") == schema.table)
     )

@@ -235,10 +235,14 @@ def bpe_encode(
                 )
 
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    # ids pass through the seam untouched: carry the INPUT column's type
+    # (string/decimal doc ids are first-class elsewhere — a hardcoded long
+    # here failed them with an opaque Arrow type error)
+    id_dt = src.schema["id"].dataType.simpleString()
     schema = (
-        "id long, tokens array<string>"
+        f"id {id_dt}, tokens array<string>"
         if output == "tokens"
-        else "id long, n_bpe_tokens long"
+        else f"id {id_dt}, n_bpe_tokens long"
     )
     return src.mapInPandas(run, schema=schema)
 

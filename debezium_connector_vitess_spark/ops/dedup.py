@@ -622,6 +622,21 @@ def minhash_dedup_stream(
     grows and eviction matters.
     """
     _validate_banding(num_perm, bands)
+    from pyspark.sql import types as _T
+
+    # the per-bucket state schema is FIXED (one long per bucket) and baked
+    # into checkpoints — non-integral ids can't ride it; fail loudly instead
+    # of silently NULLing (or ANSI-killing) every id at the cast below
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (_T.LongType, _T.IntegerType, _T.ShortType, _T.ByteType)
+    ):
+        raise ValueError(
+            f"minhash_dedup_stream requires an integral {id_col!r} (state "
+            f"keys one long per bucket); got {id_type.simpleString()} — map "
+            f"ids to longs upstream (e.g. xxhash64) or use the batch "
+            f"minhash_dedup_pairs, which carries any id type"
+        )
     sh = df.select(
         F.col(id_col).cast("long").alias("id"),
         _hashed_shingle_array(F.col(text_col), shingle_n).alias("shashes"),

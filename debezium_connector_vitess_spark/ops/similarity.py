@@ -206,6 +206,7 @@ def lsh_topk(
     home bucket. Recall vs brute force is asserted in tests.
     """
     _assert_dim(corpus, vec_col, dim, "lsh_topk")
+    _assert_dim(queries, vec_col, dim, "lsh_topk")  # both sides dot the planes
     planes = _hyperplanes(dim, num_planes)
     c = _drop_zero_vectors(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -621,6 +622,11 @@ def ivf_topk(
     """
     corpus = _drop_zero_vectors(corpus, vec_col)
     queries = _drop_zero_vectors(queries, vec_col)
+    # query vectors dot the corpus-derived centroids: a dim mismatch would
+    # NULL-poison every probe score silently — check it like the LSH paths
+    crow = corpus.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+    if crow and crow[0]["n"] is not None:
+        _assert_dim(queries, vec_col, crow[0]["n"], "ivf_topk (queries vs corpus)")
     if quantizer == "kmeans":
         cent_df = kmeans_centroid_frame(
             corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
@@ -731,6 +737,7 @@ def lsh_cross_near_pairs(
     (left_id, right_id, score).
     """
     _assert_dim(left, vec_col, dim, "lsh_cross_near_pairs")
+    _assert_dim(right, vec_col, dim, "lsh_cross_near_pairs")
     left = _drop_zero_vectors(left, vec_col)
     right = _drop_zero_vectors(right, vec_col)
     planes = _hyperplanes(dim, num_planes)

@@ -106,6 +106,11 @@ class ResolvedType:
     # (copy phase / newer Vitess) — conversion must NOT reinterpret a
     # numeric-looking literal ('2' in ENUM('2','1')) as an index/bitmask
     enum_string_literals: bool = False
+    # the TemporalPrecisionMode this type was RESOLVED under (temporal
+    # families only; None elsewhere) — decode paths that take a pre-resolved
+    # schema use it to reject a contradictory temporal_mode kwarg instead of
+    # silently ignoring it
+    temporal_mode: Optional["TemporalPrecisionMode"] = None
 
 
 def parse_enum_or_set_values(column_type: str) -> tuple[str, ...]:
@@ -155,7 +160,35 @@ def resolve(
     Mirrors the semantics of VitessType.resolve (VitessType.java:89-157) +
     VitessValueConverter.schemaBuilder (VitessValueConverter.java:81-128);
     Spark-native expression: the mapping table in SURVEY.md §1.3.
+
+    Temporal families record the ``temporal_mode`` they were resolved under
+    (``ResolvedType.temporal_mode``), so decode paths taking a pre-resolved
+    schema can reject a contradictory mode kwarg loudly.
     """
+    import dataclasses
+
+    rt = _resolve_type(
+        field_type,
+        column_type,
+        decimals=decimals,
+        bigint_unsigned_mode=bigint_unsigned_mode,
+        temporal_mode=temporal_mode,
+        binary_mode=binary_mode,
+    )
+    if rt.family in ("DATE", "TIME", "DATETIME", "TIMESTAMP"):
+        rt = dataclasses.replace(rt, temporal_mode=temporal_mode)
+    return rt
+
+
+def _resolve_type(
+    field_type: str,
+    column_type: str = "",
+    *,
+    decimals: Optional[int] = None,
+    bigint_unsigned_mode: BigIntUnsignedHandlingMode = BigIntUnsignedHandlingMode.STRING,
+    temporal_mode: TemporalPrecisionMode = TemporalPrecisionMode.ADAPTIVE_TIME_MICROSECONDS,
+    binary_mode: BinaryHandlingMode = BinaryHandlingMode.BYTES,
+) -> ResolvedType:
     ft = field_type.upper()
     family = _VSTREAM_TO_FAMILY.get(ft, "OTHER")
 

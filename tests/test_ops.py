@@ -3816,3 +3816,99 @@ def test_bpe_end_marker_override_and_artifact_validation(spark, tmp_path):
         json.dump({"version": 1, "merges": [[1, 2]]}, fh)
     with _pytest.raises(ValueError):
         load_merges(bad)
+
+
+def test_r7_advice_guards(spark):
+    """Round-6 ADVICE regressions: dim mismatches raise on BOTH frames of
+    every two-frame similarity op (a mismatch on the unchecked side silently
+    NULL-poisoned its plane dots); bpe_encode carries non-long doc ids
+    through the Arrow seam; minhash_dedup_stream rejects non-integral ids
+    loudly (its per-bucket state schema is a fixed long)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.bpe import bpe_encode, train_bpe
+    from debezium_connector_vitess_spark.ops.dedup import minhash_dedup_stream
+    from debezium_connector_vitess_spark.ops.similarity import (
+        ivf_topk,
+        lsh_cross_near_pairs,
+        lsh_topk,
+    )
+
+    ok = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)]) for i in range(1, 9)],
+        "vec_id long, embedding array<double>",
+    )
+    bad = spark.createDataFrame(
+        [(99, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        lsh_topk(ok, bad, dim=4, num_planes=2)  # queries side checked too
+    with _pytest.raises(ValueError, match="dim"):
+        lsh_cross_near_pairs(ok, bad, dim=4)  # right side checked too
+    with _pytest.raises(ValueError, match="dim"):
+        ivf_topk(ok, bad, n_centroids=2, quantizer="kmeans")
+
+    # string doc ids ride the BPE seam untouched
+    sdocs = spark.createDataFrame(
+        [("a", "low lower lowest"), ("b", "new newer newest")],
+        "doc_id string, text string",
+    )
+    merges = train_bpe(sdocs, "text", num_merges=8)
+    got = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in bpe_encode(sdocs, "text", "doc_id", merges, output="count").collect()
+    }
+    assert set(got) == {"a", "b"} and all(v > 0 for v in got.values())
+
+    # streaming minhash: non-integral id is a loud misconfiguration, not a
+    # silent NULL/ANSI-error at runtime
+    sstream = (
+        spark.readStream.format("rate").load()
+        .select(F.col("timestamp").cast("string").alias("doc_id"),
+                F.lit("some text body").alias("text"))
+    )
+    with _pytest.raises(ValueError, match="integral"):
+        minhash_dedup_stream(sstream, "text", "doc_id")
+
+
+def test_decode_table_rejects_contradictory_temporal_mode(spark):
+    """decode_table used to silently strip temporal_mode: a caller passing a
+    mode that differs from the one the pre-resolved schema was built with
+    now gets a loud error (the type choice happened at resolve time); the
+    MATCHING mode stays accepted for signature compatibility."""
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark import changelog
+    from debezium_connector_vitess_spark.decode import decode_table
+    from debezium_connector_vitess_spark.types import (
+        ColumnMetaData,
+        TableSchema,
+        TemporalPrecisionMode,
+        resolve,
+    )
+
+    raw = changelog.events_to_raw_vevents(
+        changelog.load_events(spark, "/root/testdata/sf0.001")
+    )
+    schema = TableSchema(
+        keyspace="ks0", shard="-40", table="tbl0",
+        columns=[
+            ColumnMetaData("user_id", resolve("INT64"), is_primary_key=True),
+            ColumnMetaData(
+                "value",
+                resolve(
+                    "DATETIME",
+                    temporal_mode=TemporalPrecisionMode.ADAPTIVE_TIME_MICROSECONDS,
+                ),
+            ),
+        ],
+    )
+    with _pytest.raises(ValueError, match="temporal_mode"):
+        decode_table(raw, schema, temporal_mode=TemporalPrecisionMode.CONNECT)
+    # matching mode: accepted, identical plan
+    df = decode_table(
+        raw, schema,
+        temporal_mode=TemporalPrecisionMode.ADAPTIVE_TIME_MICROSECONDS,
+    )
+    assert "before" in df.columns
