@@ -43,7 +43,7 @@ def test_pricing_summary_pushes_filter_and_prunes_columns(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["cdc_envelope", "text_metrics", "smt_enforce_record_size", "type_decode_all"],
+    ["cdc_envelope", "text_metrics", "filter_column_ops", "type_decode_all"],
 )
 def test_catalyst_only_paths_have_no_python_eval(spark, sf_dir, name):
     """The decode spine, SMTs, and text analysis are pure Catalyst — no

@@ -464,10 +464,10 @@ def test_wire_fixture_generated_once_per_session(spark, sf_dir):
         write_wire_replay_fixture,
     )
 
-    n1 = QUERIES["cdc_envelope_wire"](spark, sf_dir).count()
+    n1 = QUERIES["cdc_envelope"](spark, sf_dir, sides=("wire",)).count()
     d = cached_fixture_dir("wire_replay", sf_dir, write_wire_replay_fixture, tx_size=10)
     mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
-    n2 = QUERIES["cdc_envelope_wire"](spark, sf_dir).count()
+    n2 = QUERIES["cdc_envelope"](spark, sf_dir, sides=("wire",)).count()
     assert n1 == n2 > 0
     d2 = cached_fixture_dir("wire_replay", sf_dir, write_wire_replay_fixture, tx_size=10)
     assert d2 == d
