@@ -62,10 +62,13 @@ HEADLINE = [
 # context-window-chunking legs, so their totals include new work.
 # heartbeat_positions left in r7: its registry row merged into
 # change_rate_windows side='heartbeat' (the standalone row no longer
-# exists; value_core is 12 queries from r7 on — compare per-query, not
-# the total, across that boundary).
+# exists). cdc_envelope also left in r7: it absorbed the wire-path
+# streaming leg (ex cdc_envelope_wire, ~4 s fixed availableNow startup),
+# so its total no longer measures the batch decode; its per-leg numbers
+# live in BENCH_DETAILS.side_attempts. value_core is 11 queries from r7
+# on — compare per-query, not the total, across that boundary.
 CORE = [
-    "cdc_envelope", "cdc_extract_new_state", "cdc_materialize", "tx_metadata",
+    "cdc_extract_new_state", "cdc_materialize", "tx_metadata",
     "pricing_summary", "revenue_by_nation",
     "text_metrics", "dedup_minhash_lsh", "dedup_clusters", "ann_topk",
     "multimodal_metadata", "decontaminate_eval",
