@@ -317,6 +317,74 @@ def repetition_expr(text: Column, n: int = 3) -> tuple[Column, Column, Column]:
     return total, distinct, frac
 
 
+def repetition_signal_exprs(
+    text: Column,
+) -> tuple[Column, Column, Column, Column]:
+    """Gopher-style repetition-filter signals (Rae et al. 2021, appendix
+    A1.1 — the duplicate-line and top-n-gram rules every large-corpus
+    quality gate applies), as EXACT integer counts so the driver-hashed
+    ratios are derivable without any float convention:
+
+    - ``n_lines``: non-empty trimmed lines (split on ``\\n``);
+    - ``n_dup_lines``: duplicate line INSTANCES beyond each first
+      occurrence (Gopher's "fraction of duplicate lines" numerator);
+    - ``dup_line_chars``: characters in those duplicate instances
+      ("fraction of characters in duplicate lines" numerator);
+    - ``top_bigram_chars``: occurrences × length of the most frequent word
+      2-gram (ties: larger character coverage wins — "fraction of
+      characters in the most common 2-gram" numerator).
+
+    Pure Catalyst, map-only, no shuffle: duplicate detection sorts the
+    per-document line array and compares adjacent entries (O(L log L), L =
+    line count); the top-bigram scan is ONE ``aggregate`` fold over the
+    sorted gram array carrying (prev, run, best) state. NULL text is the
+    empty document (all zeros), never NULL counts."""
+    t = F.coalesce(text, F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    sl = F.array_sort(lines)
+    n_lines = F.size(lines)
+    n_dup = (n_lines - F.size(F.array_distinct(lines))).cast("long")
+    zero = F.lit(0).cast("long")
+    dup_chars = F.when(
+        n_lines > 1,
+        F.aggregate(
+            F.sequence(F.lit(1), n_lines - 1),
+            zero,
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(sl, i + 1) == F.element_at(sl, i),
+                F.length(F.element_at(sl, i + 1)).cast("long"),
+            ).otherwise(zero),
+        ),
+    ).otherwise(zero)
+
+    toks = tokens_expr(t)
+    grams = F.array_sort(shingles_from_tokens_expr(toks, 2, distinct=False))
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"),
+        zero.alias("best_run"), zero.alias("best_chars"),
+    )
+
+    def _step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        chars = run * F.length(g).cast("long")
+        better = (run > acc["best_run"]) | (
+            (run == acc["best_run"]) & (chars > acc["best_chars"])
+        )
+        return F.struct(
+            g.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc["best_run"]).alias("best_run"),
+            F.when(better, chars).otherwise(acc["best_chars"]).alias("best_chars"),
+        )
+
+    top_bigram_chars = F.aggregate(
+        grams, init, _step, lambda acc: acc["best_chars"]
+    )
+    return n_lines.cast("long"), n_dup, dup_chars, top_bigram_chars
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the rolling-hash
 # document fingerprinting used by MOSS): hash every character k-gram, then

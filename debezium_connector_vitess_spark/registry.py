@@ -1356,7 +1356,12 @@ _ORACLE_PII_SUFFIX = (
       SELECT doc_id, text,
              text || {_ORACLE_PII_SUFFIX} AS ptext,
              {_ORACLE_TOKENS} AS toks,
-             length(text)::DOUBLE AS n_chars
+             length(text)::DOUBLE AS n_chars,
+             list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                        x -> trim(x)), x -> x <> '') AS __lines,
+             list_sort(__lines) AS __sl,
+             list_transform(range(1, greatest(len(toks), 1)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS __g2
       FROM documents),
     g AS (
       SELECT *,
@@ -1394,6 +1399,17 @@ _ORACLE_PII_SUFFIX = (
                  '{_P_EMAIL}', '<EMAIL>', 'g'),
                  '{_P_IPV4}', '<IP>', 'g'),
                  '{_P_PHONE}', '<PHONE>', 'g')) AS redacted_fingerprint,
+           len(__lines)::BIGINT AS n_lines,
+           (len(__lines) - len(list_distinct(__lines)))::BIGINT AS n_dup_lines,
+           CASE WHEN len(__lines) > 1 THEN
+             coalesce(list_sum(list_transform(range(2, len(__lines) + 1),
+               i -> CASE WHEN __sl[i] = __sl[i-1] THEN length(__sl[i]) ELSE 0 END)), 0)
+           ELSE 0 END::BIGINT AS dup_line_chars,
+           CASE WHEN len(__g2) = 0 THEN 0 ELSE
+             (SELECT max(struct_pack(c := cnt, ch := cnt * length(gg))).ch FROM (
+                SELECT gg, len(list_filter(__g2, x -> x = gg)) AS cnt
+                FROM unnest(list_distinct(__g2)) AS u(gg)))
+           END::BIGINT AS top_bigram_chars,
            CASE
              WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
              WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
@@ -1431,11 +1447,19 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram arrays are staged once as real columns so the regex tokenization
     runs once per row, not once per consuming expression (see
     ops.text.with_text_metrics). Each signal also remains an independent
-    expression in ops/text.py, unit-tested there."""
+    expression in ops/text.py, unit-tested there.
+
+    Round 7 adds the Gopher repetition-filter signals
+    (:func:`~.ops.text.repetition_signal_exprs`, Rae et al. 2021 A1.1):
+    ``n_lines`` / ``n_dup_lines`` / ``dup_line_chars`` (duplicate-line
+    rules) and ``top_bigram_chars`` (most-common-2-gram coverage) — all
+    EXACT integer counts (the hashed-ratio numerators; denominators are
+    already in the row), per the no-hashed-doubles convention."""
     from .ops.text import (
         lang_id_expr,
         pii_count_exprs,
         redact_pii_expr,
+        repetition_signal_exprs,
         with_text_metrics,
     )
 
@@ -1467,6 +1491,9 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__ptext", F.concat(F.col("text"), suffix)
     )
     n_emails, n_ipv4, n_phones = pii_count_exprs(F.col("__ptext"))
+    n_lines, n_dup_lines, dup_line_chars, top_bigram_chars = (
+        repetition_signal_exprs(F.col("text"))
+    )
     return staged.select(
         "doc_id", "n_tokens", "n_bpe_pieces", "n_punct", "mean_word_len",
         "quality_score", "total_grams", "distinct_grams", "repeated_frac",
@@ -1475,6 +1502,10 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ipv4.alias("n_pii_ipv4"),
         n_phones.alias("n_pii_phones"),
         F.md5(redact_pii_expr(F.col("__ptext"))).alias("redacted_fingerprint"),
+        n_lines.alias("n_lines"),
+        n_dup_lines.alias("n_dup_lines"),
+        dup_line_chars.alias("dup_line_chars"),
+        top_bigram_chars.alias("top_bigram_chars"),
         lang_id_expr(F.col("text")).alias("lang_pred"),
     )
 

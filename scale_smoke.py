@@ -306,16 +306,22 @@ def main() -> None:
                     break
         return round(min(runs), 2)
 
+    def _join_shape(df) -> dict:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return {"exchanges": plan.count("Exchange"), "sorts": plan.count("+- Sort ")}
+
     left = docs10.select("doc_id", "source", "text")
     right = docs10.select("doc_id", F.length("text").alias("n_chars"))
     try:
         write_bucketed(left, "smoke_bl", bucket_col="doc_id", num_buckets=CPUS)
         write_bucketed(right, "smoke_br", bucket_col="doc_id", num_buckets=CPUS)
-        t_unbucketed = _adaptive_time(
-            lambda: left.hint("merge").join(right, "doc_id")
-        )
+        unb_df = left.hint("merge").join(right, "doc_id")
+        t_unbucketed = _adaptive_time(lambda: unb_df)
+        unb_shape = _join_shape(unb_df)
         bl, br = spark.table("smoke_bl"), spark.table("smoke_br")
-        t_bucketed = _adaptive_time(lambda: bl.hint("merge").join(br, "doc_id"))
+        b_df = bl.hint("merge").join(br, "doc_id")
+        t_bucketed = _adaptive_time(lambda: b_df)
+        b_shape = _join_shape(b_df)
     finally:
         for t in ("smoke_bl", "smoke_br"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -324,6 +330,16 @@ def main() -> None:
         "t_bucketed_smj": t_bucketed,
         "join_speedup": round(t_unbucketed / max(t_bucketed, 1e-9), 2),
         "rows": n10,
+        "unbucketed_plan": unb_shape,
+        "bucketed_plan": b_shape,
+        # the structural claim is the plan delta (shuffle+sort of BOTH sides
+        # eliminated); the wall delta only crosses over once the shuffled
+        # bytes dominate the per-bucket fixed costs — at this smoke's ~15 MB
+        # the fixed costs win and the bucketed wall time can be SLOWER.
+        # Record both honestly: plan shape is the 100 TB signal, wall time
+        # is the small-scale reality.
+        "note": "plan delta is the scale signal; below the shuffle-bytes "
+                "crossover the per-bucket fixed costs dominate wall time",
     }
     print(f"# bucketed_join: {bucketed_join}", flush=True)
 

@@ -3912,3 +3912,40 @@ def test_decode_table_rejects_contradictory_temporal_mode(spark):
         temporal_mode=TemporalPrecisionMode.ADAPTIVE_TIME_MICROSECONDS,
     )
     assert "before" in df.columns
+
+
+def test_repetition_signal_exprs_gopher_rules(spark):
+    """Gopher repetition-filter signals (Rae et al. 2021 A1.1) as exact
+    integer counts: duplicate-line instances and their character mass count
+    beyond each first occurrence (trimmed, blank lines ignored), the
+    top-bigram coverage picks the most frequent word 2-gram with
+    larger-coverage tie-break, and NULL text is the all-zeros empty
+    document. Expected values hand-derived; the text_metrics driver row
+    carries the same four columns against an independent DuckDB derivation
+    (relational unnest/group, not a fold transliteration)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.text import repetition_signal_exprs
+
+    rows = [
+        (1, "a b\na b\nc d\n\n a b "),       # 'a b' line x3 -> 2 dup instances
+        (2, "one two three two three two"),  # 'two three' x2, len 9 -> 18
+        (3, None),
+        (4, "single"),
+        (5, "x\nx\nx"),                      # line 'x' x3; bigram 'x x' x2
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    nl, nd, dc, tb = repetition_signal_exprs(F.col("text"))
+    got = {
+        r["id"]: (r["nl"], r["nd"], r["dc"], r["tb"])
+        for r in df.select(
+            "id", nl.alias("nl"), nd.alias("nd"), dc.alias("dc"), tb.alias("tb")
+        ).collect()
+    }
+    assert got == {
+        1: (4, 2, 6, 9),
+        2: (1, 0, 0, 18),
+        3: (0, 0, 0, 0),
+        4: (1, 0, 0, 0),
+        5: (3, 2, 2, 6),
+    }
