@@ -183,6 +183,7 @@ def bpe_encode(
     lowercase: bool = True,
     output: str = "tokens",
     end_marker: str = END,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Tokenize a corpus with a learned merge list — the distributed half.
 
@@ -198,6 +199,12 @@ def bpe_encode(
     verbatim. Losslessness: ``concat(tokens)`` per word reproduces the
     word + marker — pinned by tests, so token counts are trustworthy
     budget units.
+
+    ``carry_cols`` rides extra columns through the seam unchanged (their
+    input types preserved), so a downstream consumer keyed on more than the
+    id — packing by stream, budgeting by domain — needs NO join back to the
+    corpus: at 100 TB that join is a full (id, count) ⊳⊲ (id, cols) shuffle
+    this option eliminates.
     """
     if output not in ("tokens", "count"):
         raise ValueError(f"output must be 'tokens' or 'count', got {output!r}")
@@ -227,24 +234,34 @@ def bpe_encode(
 
         for pdf in batches:
             toks = pdf["__text"].map(enc)
+            out_cols = {"id": pdf["id"]}
             if output == "tokens":
-                yield pd.DataFrame({"id": pdf["id"], "tokens": toks})
+                out_cols["tokens"] = toks
             else:
-                yield pd.DataFrame(
-                    {"id": pdf["id"], "n_bpe_tokens": toks.map(len)}
-                )
+                out_cols["n_bpe_tokens"] = toks.map(len)
+            for c in carry_cols:
+                out_cols[c] = pdf[c]
+            yield pd.DataFrame(out_cols)
 
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-    # ids pass through the seam untouched: carry the INPUT column's type
-    # (string/decimal doc ids are first-class elsewhere — a hardcoded long
-    # here failed them with an opaque Arrow type error)
-    id_dt = src.schema["id"].dataType.simpleString()
-    schema = (
-        f"id {id_dt}, tokens array<string>"
-        if output == "tokens"
-        else f"id {id_dt}, n_bpe_tokens long"
+    clash = [c for c in carry_cols if c in ("id", "tokens", "n_bpe_tokens")]
+    if clash:
+        raise ValueError(f"carry_cols collide with output columns: {clash}")
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        *[F.col(c) for c in carry_cols],
     )
-    return src.mapInPandas(run, schema=schema)
+    # ids (and carried columns) pass through the seam untouched: keep the
+    # INPUT column types (string/decimal doc ids are first-class elsewhere —
+    # a hardcoded long here failed them with an opaque Arrow type error)
+    id_dt = src.schema["id"].dataType.simpleString()
+    out_field = (
+        "tokens array<string>" if output == "tokens" else "n_bpe_tokens long"
+    )
+    carried = "".join(
+        f", {c} {src.schema[c].dataType.simpleString()}" for c in carry_cols
+    )
+    return src.mapInPandas(run, schema=f"id {id_dt}, {out_field}{carried}")
 
 
 def save_merges(merges: list[tuple[str, str]], path: str) -> None:

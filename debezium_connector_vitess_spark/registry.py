@@ -2966,10 +2966,12 @@ def pack_sequences(
         )
         save_merges(merges, mpath)
         merges = load_merges(mpath)  # persistence round-trip is on the path
-        counts = bpe_encode(docs, "text", "doc_id", merges, output="count")
-        enriched = docs.select("doc_id", "source").join(
-            counts.withColumnRenamed("id", "doc_id"), "doc_id"
-        )
+        # carry_cols rides the stream key through the Arrow seam — NO join
+        # back to the corpus (at 100 TB that join is a full-corpus shuffle)
+        enriched = bpe_encode(
+            docs, "text", "doc_id", merges, output="count",
+            carry_cols=("source",),
+        ).withColumnRenamed("id", "doc_id")
         parts.append(
             _pack(
                 enriched, "text", "doc_id", stream_col="source",
