@@ -49,7 +49,11 @@ HEADLINE = [
     "corpus_health",  # r6: corpus_profile + zlib compressibility, one scan
     "dedup_spans",  # r6: ExactSubstr duplicate-span detector
     "change_rate_windows",  # r6: tumbling/sliding/watermarked-stream rates
+    # (r7: + side='heartbeat', the ex heartbeat_positions row)
     "event_time_analytics",  # r6: sessionization + left-outer funnel join
+    # (r7: + side='asof')
+    "url_ops",  # r7: URL canonicalization + suffix-semantics blocklist
+    "corpus_datasheet",  # r7: release summary, flattened integral metrics
 ]
 
 # Stable cross-round comparison set: queries whose COMPOSITION is unchanged
