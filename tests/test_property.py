@@ -486,3 +486,70 @@ def test_duplicated_spans_matches_bruteforce(spark, texts, km):
         ).collect()
     }
     assert got == _brute_spans(texts, k, min_count)
+
+
+_urlish = st.text(
+    alphabet="abAB.:/?&=#%_-09 ", min_size=0, max_size=60
+).map(lambda s: "https://" + s if len(s) % 3 == 0 else s)
+
+
+@given(st.lists(_urlish, min_size=1, max_size=12))
+@settings(max_examples=10, deadline=None)
+def test_canonical_url_is_idempotent(spark, urls):
+    """Canonicalization is a projection: canonical(canonical(u)) ==
+    canonical(u) for arbitrary URL-ish garbage — a second pass through the
+    dedup key must never change page identity (the property that lets a
+    pipeline canonicalize incrementally without tracking whether a column
+    was already canonical)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.text import canonical_url_expr
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+    out = df.select(
+        "id",
+        canonical_url_expr(F.col("url")).alias("c1"),
+        canonical_url_expr(canonical_url_expr(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], (urls[r["id"]], r["c1"], r["c2"])
+
+
+@given(st.lists(st.text(alphabet="ab \n", max_size=40), min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None)
+def test_repetition_signals_invariants(spark, texts):
+    """Structural invariants of the Gopher repetition signals on
+    adversarial tiny-alphabet docs: counts are non-negative and bounded
+    (dup instances < line count; dup chars ≤ total trimmed line chars);
+    zero duplicate lines ⇒ zero duplicate-line chars; and doubling a
+    document (self-concatenation with a separator line) never DECREASES
+    any duplication signal."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.text import repetition_signal_exprs
+
+    rows = [(i, t, t + "\n" + t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string, doubled string")
+    nl, nd, dc, tb = repetition_signal_exprs(F.col("text"))
+    nl2, nd2, dc2, tb2 = repetition_signal_exprs(F.col("doubled"))
+    out = df.select(
+        "id", nl.alias("nl"), nd.alias("nd"), dc.alias("dc"), tb.alias("tb"),
+        nd2.alias("nd2"), dc2.alias("dc2"), tb2.alias("tb2"),
+        F.aggregate(
+            F.filter(
+                F.transform(F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
+                            lambda x: F.trim(x)),
+                lambda x: x != "",
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        ).alias("line_chars"),
+    ).collect()
+    for r in out:
+        assert 0 <= r["nd"] <= max(r["nl"] - 1, 0)
+        assert 0 <= r["dc"] <= r["line_chars"]
+        if r["nd"] == 0:
+            assert r["dc"] == 0
+        assert r["nd2"] >= r["nd"] and r["dc2"] >= r["dc"] and r["tb2"] >= r["tb"]
