@@ -69,12 +69,14 @@ HEADLINE = [
 # exists). cdc_envelope also left in r7: it absorbed the wire-path
 # streaming leg (ex cdc_envelope_wire, ~4 s fixed availableNow startup),
 # so its total no longer measures the batch decode; its per-leg numbers
-# live in BENCH_DETAILS.side_attempts. value_core is 11 queries from r7
+# live in BENCH_DETAILS.side_attempts. text_metrics also left in r7: it
+# gained the four Gopher repetition-signal columns (line/gram sorts + an
+# aggregate fold of real per-row work). value_core is 10 queries from r7
 # on — compare per-query, not the total, across that boundary.
 CORE = [
     "cdc_extract_new_state", "cdc_materialize", "tx_metadata",
     "pricing_summary", "revenue_by_nation",
-    "text_metrics", "dedup_minhash_lsh", "dedup_clusters", "ann_topk",
+    "dedup_minhash_lsh", "dedup_clusters", "ann_topk",
     "multimodal_metadata", "decontaminate_eval",
 ]
 

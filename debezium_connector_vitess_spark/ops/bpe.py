@@ -243,9 +243,15 @@ def bpe_encode(
                 out_cols[c] = pdf[c]
             yield pd.DataFrame(out_cols)
 
-    clash = [c for c in carry_cols if c in ("id", "tokens", "n_bpe_tokens")]
-    if clash:
-        raise ValueError(f"carry_cols collide with output columns: {clash}")
+    clash = [
+        c for c in carry_cols
+        if c in ("id", "tokens", "n_bpe_tokens", "__text")
+        or c in (id_col, text_col)
+    ]
+    if clash or len(set(carry_cols)) != len(carry_cols):
+        raise ValueError(
+            f"carry_cols collide with seam columns or repeat: {clash or carry_cols}"
+        )
     src = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("__text"),

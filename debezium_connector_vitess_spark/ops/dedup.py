@@ -626,11 +626,18 @@ def minhash_dedup_stream(
 
     # the per-bucket state schema is FIXED (one long per bucket) and baked
     # into checkpoints — non-integral ids can't ride it; fail loudly instead
-    # of silently NULLing (or ANSI-killing) every id at the cast below
+    # of silently NULLing (or ANSI-killing) every id at the cast below.
+    # Scale-0 decimals up to precision 18 fit a long losslessly (the common
+    # unsigned-bigint decode shape here) and stay accepted.
     id_type = df.schema[id_col].dataType
-    if not isinstance(
+    lossless = isinstance(
         id_type, (_T.LongType, _T.IntegerType, _T.ShortType, _T.ByteType)
-    ):
+    ) or (
+        isinstance(id_type, _T.DecimalType)
+        and id_type.scale == 0
+        and id_type.precision <= 18
+    )
+    if not lossless:
         raise ValueError(
             f"minhash_dedup_stream requires an integral {id_col!r} (state "
             f"keys one long per bucket); got {id_type.simpleString()} — map "

@@ -135,18 +135,28 @@ def _drop_zero_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     return df.filter(F.exists(F.col(vec_col), lambda x: x != F.lit(0.0)))
 
 
+def _observed_dim(df: DataFrame, vec_col: str) -> int | None:
+    """One-row probe of the vector width (LIMIT 1 short-circuits the scan);
+    None when the frame is empty or the probed vector is NULL. THE probe
+    recipe — every dim check routes through here so edge handling can't
+    drift between call sites."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+    if row and row[0]["n"] is not None and row[0]["n"] >= 0:
+        return row[0]["n"]
+    return None
+
+
 def _assert_dim(df: DataFrame, vec_col: str, dim: int, op: str) -> None:
     """Fail loudly when the configured ``dim`` disagrees with the data: the
     plane-dot SQL zips ``dim`` literal components against the vector, and a
     mismatch silently NULL-poisons every dot so ALL bucket/band keys
     collapse to 0 — the equi-join degenerates to the full O(n²) cross
-    product the LSH path exists to avoid. One-row driver check (LIMIT 1
-    short-circuits the scan)."""
-    row = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
-    if row and row[0]["n"] is not None and row[0]["n"] != dim:
+    product the LSH path exists to avoid."""
+    n = _observed_dim(df, vec_col)
+    if n is not None and n != dim:
         raise ValueError(
             f"{op}: dim={dim} but {vec_col!r} vectors have "
-            f"{row[0]['n']} components — pass dim={row[0]['n']}"
+            f"{n} components — pass dim={n}"
         )
 
 
@@ -624,9 +634,9 @@ def ivf_topk(
     queries = _drop_zero_vectors(queries, vec_col)
     # query vectors dot the corpus-derived centroids: a dim mismatch would
     # NULL-poison every probe score silently — check it like the LSH paths
-    crow = corpus.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
-    if crow and crow[0]["n"] is not None:
-        _assert_dim(queries, vec_col, crow[0]["n"], "ivf_topk (queries vs corpus)")
+    cdim = _observed_dim(corpus, vec_col)
+    if cdim is not None:
+        _assert_dim(queries, vec_col, cdim, "ivf_topk (queries vs corpus)")
     if quantizer == "kmeans":
         cent_df = kmeans_centroid_frame(
             corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,

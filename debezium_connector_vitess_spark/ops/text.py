@@ -229,7 +229,12 @@ def shingles_from_tokens_expr(toks: Column, n: int = 3, *, distinct: bool = True
 
 
 def with_text_metrics(
-    df, text_col: str = "text", *, gram_n: int = 3, include_grams: bool = True
+    df,
+    text_col: str = "text",
+    *,
+    gram_n: int = 3,
+    include_grams: bool = True,
+    tokens_col: str | None = None,
 ):
     """Every per-document text signal in one staged narrow projection:
     n_tokens, n_bpe_pieces, n_punct, mean_word_len, quality_score,
@@ -243,7 +248,12 @@ def with_text_metrics(
     aliases are non-cheap and multiply referenced, so CollapseProject keeps
     the staging). Codegen-time subexpression elimination usually achieves
     the same for naively composed copies; staging doesn't depend on it and
-    keeps the physical plan readable."""
+    keeps the physical plan readable.
+
+    ``tokens_col`` additionally RETAINS the staged token array under that
+    name, so a caller composing further token-consuming expressions (e.g.
+    :func:`repetition_signal_exprs`) reuses the one tokenization instead of
+    re-running the regex split per consumer."""
     t = F.col(text_col)
     c_toks, c_grams = "__tm_toks", "__tm_grams"
     c_tg, c_dg, c_punct, c_mwl = "__tm_tg", "__tm_dg", "__tm_punct", "__tm_mwl"
@@ -298,6 +308,8 @@ def with_text_metrics(
             .withColumn("repeated_frac", frac)
             .drop(c_grams, c_tg, c_dg)
         )
+    if tokens_col is not None:
+        return out.withColumnRenamed(c_toks, tokens_col).drop(c_punct, c_mwl)
     return out.drop(c_toks, c_punct, c_mwl)
 
 
@@ -319,6 +331,7 @@ def repetition_expr(text: Column, n: int = 3) -> tuple[Column, Column, Column]:
 
 def repetition_signal_exprs(
     text: Column,
+    toks: Column | None = None,
 ) -> tuple[Column, Column, Column, Column]:
     """Gopher-style repetition-filter signals (Rae et al. 2021, appendix
     A1.1 — the duplicate-line and top-n-gram rules every large-corpus
@@ -338,7 +351,10 @@ def repetition_signal_exprs(
     per-document line array and compares adjacent entries (O(L log L), L =
     line count); the top-bigram scan is ONE ``aggregate`` fold over the
     sorted gram array carrying (prev, run, best) state. NULL text is the
-    empty document (all zeros), never NULL counts."""
+    empty document (all zeros), never NULL counts. Pass ``toks`` (an
+    already-STAGED token array column, e.g. ``with_text_metrics(...,
+    tokens_col=...)``'s) to reuse one tokenization instead of re-running
+    the regex split here."""
     t = F.coalesce(text, F.lit(""))
     lines = F.filter(
         F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
@@ -360,7 +376,8 @@ def repetition_signal_exprs(
         ),
     ).otherwise(zero)
 
-    toks = tokens_expr(t)
+    if toks is None:
+        toks = tokens_expr(t)
     grams = F.array_sort(shingles_from_tokens_expr(toks, 2, distinct=False))
     init = F.struct(
         F.lit("").alias("prev"), zero.alias("run"),
@@ -1114,6 +1131,12 @@ def corpus_profile(
     exact BIGINT sums as ``comp_bytes`` / ``raw_bytes`` — the exact numbers
     a release datasheet or a cross-engine comparison wants (the ratio is a
     derived float; the sums are canonical)."""
+    if byte_sums and not include_compression:
+        raise ValueError(
+            "byte_sums=True requires include_compression=True (the sums are "
+            "the compression aggregates) — it would otherwise be silently "
+            "ignored and surface later as a missing-column error"
+        )
     if include_compression:
         df = with_compression_ratio(
             df, text_col, "__cr", bytes_col="__cbytes"
@@ -1206,10 +1229,16 @@ def canonical_url_expr(url: Column) -> Column:
     path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(u, r"\?([^#]*)$", 1)
+    # whitespace-only params are dropped (not just empty ones) and the
+    # result is edge-trimmed: a trailing-space param would otherwise
+    # survive one pass and be trimmed by the NEXT pass's input trim,
+    # breaking idempotence (canonical(canonical(u)) == canonical(u) is
+    # property-tested — an incremental pipeline must be free to
+    # re-canonicalize without changing page identity)
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),
-            lambda p: (p != "")
+            lambda p: (F.trim(p) != "")
             & ~F.lower(F.split(p, "=")[0]).isin(*TRACKING_PARAMS),
         )
     )
@@ -1217,8 +1246,11 @@ def canonical_url_expr(url: Column) -> Column:
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
     return F.when(
-        scheme == "", u  # no scheme: not a URL shape we claim to normalize
-    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qpart))
+        # no scheme: not a URL shape we claim to normalize — but still
+        # edge-trimmed, or a stripped trailing fragment leaves unstable
+        # trailing whitespace ('00 #' -> '00 ' -> '00')
+        scheme == "", F.trim(u)
+    ).otherwise(F.trim(F.concat(scheme, F.lit("://"), host, path, qpart)))
 
 
 def corpus_datasheet(

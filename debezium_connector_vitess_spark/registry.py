@@ -1487,12 +1487,14 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    staged = with_text_metrics(docs, "text").withColumn(
+    staged = with_text_metrics(docs, "text", tokens_col="__toks").withColumn(
         "__ptext", F.concat(F.col("text"), suffix)
     )
     n_emails, n_ipv4, n_phones = pii_count_exprs(F.col("__ptext"))
+    # reuse the metrics projection's staged token array: the bigram scan
+    # must not re-run the regex tokenization (the row's staging convention)
     n_lines, n_dup_lines, dup_line_chars, top_bigram_chars = (
-        repetition_signal_exprs(F.col("text"))
+        repetition_signal_exprs(F.col("text"), toks=F.col("__toks"))
     )
     return staged.select(
         "doc_id", "n_tokens", "n_bpe_pieces", "n_punct", "mean_word_len",
@@ -2781,10 +2783,15 @@ def _bpe_count_constants() -> str:
     merge persistence, the Arrow-seam encode, the count join, and the
     packing window.
 
-    Keyed by (doc_id, md5(text)) because the parity SF dirs carry the SAME
-    doc_id range with different text — the content fingerprint picks each
-    view's own constants (the ``_compression_constants`` convention).
-    Self-healing under testdata regen (recomputed at import)."""
+    Keyed by (doc_id, md5(text), corpus_bytes) because the parity SF dirs
+    carry the SAME doc_id range with different text — the per-doc content
+    fingerprint picks each view's own constants (the
+    ``_compression_constants`` convention), and the CORPUS-level byte total
+    disambiguates the count when a regen leaves some doc's text identical
+    across dirs (the learned merges are per-corpus, so the same (id, text)
+    legitimately carries a different count per dir; without the corpus key
+    the join would fan out). Self-healing under testdata regen (recomputed
+    at import)."""
     import hashlib
     import os
     import re
@@ -2817,6 +2824,7 @@ def _bpe_count_constants() -> str:
         )
         ranks = {p: i for i, p in enumerate(merges)}
         memo: dict = {}
+        corp = sum(len((txt or "").encode("utf-8")) for txt in texts)
         for did, txt in zip(ids, texts):
             c = 0
             for w in (txt or "").lower().split():
@@ -2826,11 +2834,11 @@ def _bpe_count_constants() -> str:
                     memo[w] = got
                 c += got
             fp = hashlib.md5((txt or "").encode("utf-8")).hexdigest()
-            rows.append((did, fp, c))
+            rows.append((did, fp, c, corp))
     rows = sorted(set(rows))
     if not rows:  # no testdata present: emit a never-matching placeholder
-        rows = [(-1, "__no_testdata__", 0)]
-    return ", ".join(f"({d}, '{fp}', {c})" for d, fp, c in rows)
+        rows = [(-1, "__no_testdata__", 0, -1)]
+    return ", ".join(f"({d}, '{fp}', {c}, {corp})" for d, fp, c, corp in rows)
 
 
 @register(
@@ -2865,14 +2873,16 @@ def _bpe_count_constants() -> str:
                list_slice(toks, i * 24 + 1, least(i * 24 + 32, n)), ' '
              )) AS chunk_md5
       FROM sized, unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS t(i)),
-    bpe_counts(bdoc_id, fp, bn) AS (VALUES {{BPE_COUNTS}}),
+    bpe_counts(bdoc_id, fp, bn, corp) AS (VALUES {{BPE_COUNTS}}),
     bpe_placed AS (
       SELECT d.doc_id, d.source, CAST(c.bn AS BIGINT) AS n_tokens,
              CAST(sum(c.bn) OVER (PARTITION BY d.source ORDER BY d.doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                - c.bn AS BIGINT) AS start_offset
       FROM documents d JOIN bpe_counts c
-        ON d.doc_id = c.bdoc_id AND md5(coalesce(d.text, '')) = c.fp),
+        ON d.doc_id = c.bdoc_id AND md5(coalesce(d.text, '')) = c.fp
+       AND c.corp = (SELECT sum(octet_length(encode(coalesce(text, ''))))
+                     FROM documents)),
     bpe_side AS (
       SELECT 'bpe' AS side, doc_id, source, n_tokens, start_offset,
              CAST(start_offset // 2048 AS BIGINT) AS block_id,
@@ -3828,16 +3838,16 @@ _URL_BLOCKED = ("example.com", "ads.net")
              ELSE hh END AS hh,
         CASE WHEN p='' THEN '/' ELSE p END AS p,
         list_sort(list_filter(string_split(q, '&'),
-          x -> x <> '' AND NOT lower(string_split(x, '=')[1]) IN
+          x -> trim(x) <> '' AND NOT lower(string_split(x, '=')[1]) IN
             ('utm_source','utm_medium','utm_campaign','utm_term',
              'utm_content','fbclid','gclid','msclkid','mc_cid',
              'mc_eid','igshid'))) AS kept
       FROM parts),
     canon AS (
-      SELECT doc_id, host, url, CASE WHEN sch='' THEN su ELSE
-        sch || '://' || hh || p ||
+      SELECT doc_id, host, url, CASE WHEN sch='' THEN trim(su) ELSE
+        trim(sch || '://' || hh || p ||
         CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
-             ELSE '' END END AS canon
+             ELSE '' END) END AS canon
       FROM norm),
     blocked(bd) AS (VALUES {", ".join(f"('{b}')" for b in _URL_BLOCKED)}),
     kept_docs AS (

@@ -3444,15 +3444,15 @@ def test_canonical_url_expr_duckdb_parity(spark):
                  ELSE h END AS h,
             CASE WHEN p='' THEN '/' ELSE p END AS p,
             list_sort(list_filter(string_split(q, '&'),
-              x -> x <> '' AND NOT lower(string_split(x, '=')[1]) IN
+              x -> trim(x) <> '' AND NOT lower(string_split(x, '=')[1]) IN
                 ('utm_source','utm_medium','utm_campaign','utm_term',
                  'utm_content','fbclid','gclid','msclkid','mc_cid',
                  'mc_eid','igshid'))) AS kept
           FROM parts)
-        SELECT id, CASE WHEN sch='' THEN u ELSE
-          sch || '://' || h || p ||
+        SELECT id, CASE WHEN sch='' THEN trim(u) ELSE
+          trim(sch || '://' || h || p ||
           CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
-               ELSE '' END END AS c
+               ELSE '' END) END AS c
         FROM norm
         """).fetchall()
     }
