@@ -65,6 +65,7 @@ def main() -> None:
     from debezium_connector_vitess_spark.ops.pipeline import (
         chunk_documents,
         contamination_flags,
+        corpus_diff,
         decontaminate,
         doc_perplexity,
         pack_sequences,
@@ -161,6 +162,20 @@ def main() -> None:
         "bpe_encode": lambda d: bpe_encode(
             d, "text", "doc_id", BPE_MERGES, output="count"
         ),
+        # r7: corpus CDC — the one r7 promotion with a (fingerprint-only)
+        # full-outer join; the ~24 B/doc/side exchange must scale linearly
+        "corpus_diff": lambda d: corpus_diff(
+            d,
+            d.filter(F.col("doc_id") % 17 != 0).withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 13 == 0,
+                    F.concat(F.col("text"), F.lit(" v2")),
+                ).otherwise(F.col("text")),
+            ),
+            "doc_id",
+            compare_cols=["source", "text"],
+        ),
     }
 
     from debezium_connector_vitess_spark.cache import checkpoint_scope
@@ -197,9 +212,13 @@ def main() -> None:
             op_col().alias("op"),
         )
 
-    evs_base = load_events(spark, SF_DIR).select("event_id", "ts", "user_id", "event_type")
+    evs_base = load_events(spark, SF_DIR).select(
+        "event_id", "ts", "user_id", "event_type", "props"
+    )
+    # _v2: r7 added props to the blow-up (json-extraction smoke) — new dir
+    # name so a pre-r7 cached fixture without the column regenerates
     evs_dir = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), f"scale_smoke_events_{COPIES}x"
+        os.environ.get("TMPDIR", "/tmp"), f"scale_smoke_events_{COPIES}x_v2"
     )
     if not os.path.isdir(evs_dir):
         copies = spark.range(COPIES).select(F.col("id").alias("copy"))
@@ -208,6 +227,7 @@ def main() -> None:
             .select(
                 "ts",
                 "event_type",
+                "props",
                 (F.col("user_id") + F.col("copy") * 1_000_000).alias("user_id"),
             )
             .repartition(CPUS)
@@ -222,6 +242,13 @@ def main() -> None:
         "change_rates": lambda e: change_rates(e),
         "sessionize": lambda e: sessionize(e, keys=("user_id",)),
     }
+
+    # r7: typed JSON extraction — one codegen'd from_json projection over
+    # the events props column; map-only, must scale with the scan
+    from debezium_connector_vitess_spark.ops.jsoncol import with_json_fields
+
+    def json_op(e):
+        return with_json_fields(e, "props", "k BIGINT", errors="null")
 
     # funnel interval join runs on the raw frames (needs event_type): the
     # id-shift gives 10x distinct keys at constant per-key density, so the
@@ -252,12 +279,16 @@ def main() -> None:
             value_cols=["err"],
         )
 
+    ej1 = evs_base.select("props")
+    ej10 = spark.read.parquet(evs_dir).select("props")
+
     results: dict[str, dict] = {}
     all_ops = (
         [(name, fn, docs1, docs10) for name, fn in OPS.items()]
         + [(name, fn, evs1, evs10) for name, fn in EVENT_OPS.items()]
         + [("funnel_pairs", funnel_op, evs1_raw, evs10_raw)]
         + [("asof_enrich", asof_op, evs1_raw, evs10_raw)]
+        + [("json_extract", json_op, ej1, ej10)]
     )
     for name, fn, frame1, frame10 in all_ops:
         rec: dict[str, float] = {}
