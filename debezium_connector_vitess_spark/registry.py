@@ -3105,8 +3105,8 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks t LEFT JOIN ulm USING (token), fl),
     u_agg AS (
       SELECT doc_id, count(*) AS n_tokens,
-             round(-avg(lp), 4) AS avg_neg_logp_r4,
-             round(exp(-avg(lp)), 2) AS perplexity_r2
+             CAST(round(-avg(lp) * 10000) AS BIGINT) AS avg_neg_logp_q4,
+             CAST(round(exp(-avg(lp)) * 100) AS BIGINT) AS perplexity_q2
       FROM u_scored GROUP BY doc_id),
     i_scored AS (
       SELECT f.doc_id,
@@ -3118,11 +3118,12 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN blm ON blm.prev = f.prev AND blm.token = f.token
       LEFT JOIN ctx0 ON ctx0.prev = f.prev, fl, g0),
     i_agg AS (
-      SELECT doc_id, round(-avg(ln(p)), 4) AS interp_neg_logp_r4,
-             round(exp(-avg(ln(p))), 2) AS interp_perplexity_r2
+      SELECT doc_id,
+             CAST(round(-avg(ln(p)) * 10000) AS BIGINT) AS interp_neg_logp_q4,
+             CAST(round(exp(-avg(ln(p))) * 100) AS BIGINT) AS interp_perplexity_q2
       FROM i_scored GROUP BY doc_id)
-    SELECT u.doc_id, u.n_tokens, u.avg_neg_logp_r4, u.perplexity_r2,
-           i.interp_neg_logp_r4, i.interp_perplexity_r2
+    SELECT u.doc_id, u.n_tokens, u.avg_neg_logp_q4, u.perplexity_q2,
+           i.interp_neg_logp_q4, i.interp_perplexity_q2
     FROM u_agg u JOIN i_agg i USING (doc_id)
     """,
 )
@@ -3141,10 +3142,12 @@ def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       vocabulary-sized frame broadcasts (ops/pipeline.py
       doc_perplexity_interpolated).
 
-    Float outputs are rounded (4/2 decimals) in BOTH engines: the per-doc
-    averages are cross-row float sums whose reduction order differs between
-    engines at ~1e-13 relative — far below the rounding grid, so the
-    driver's exact value-hash stays stable."""
+    Hashed-column convention (r7): the per-doc averages are cross-row
+    float sums — the exact shape of the r5/r6 phantom hash-reds — so the
+    outputs ship INTEGER-QUANTIZED (CAST(ROUND(x*10^k) AS BIGINT), k=4 for
+    log-space, k=2 for perplexity) in both engines; reduction-order jitter
+    is ~1e-13 relative, far inside the quantization margin
+    (test_perplexity_quantization_margins pins it at both SFs)."""
     from .ops.pipeline import (
         bigram_logprobs,
         doc_perplexity,
@@ -3157,16 +3160,20 @@ def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = doc_perplexity(docs, "text", "doc_id", lm).select(
         "doc_id",
         "n_tokens",
-        F.round("avg_neg_logp", 4).alias("avg_neg_logp_r4"),
-        F.round("perplexity", 2).alias("perplexity_r2"),
+        F.round(F.col("avg_neg_logp") * 10000, 0).cast("long")
+            .alias("avg_neg_logp_q4"),
+        F.round(F.col("perplexity") * 100, 0).cast("long")
+            .alias("perplexity_q2"),
     )
     bi = bigram_logprobs(docs, "text", alpha=0.5)
     interp = doc_perplexity_interpolated(
         docs, "text", "doc_id", lm, bi, lam=0.7, alpha=0.5
     ).select(
         "doc_id",
-        F.round("avg_neg_logp", 4).alias("interp_neg_logp_r4"),
-        F.round("perplexity", 2).alias("interp_perplexity_r2"),
+        F.round(F.col("avg_neg_logp") * 10000, 0).cast("long")
+            .alias("interp_neg_logp_q4"),
+        F.round(F.col("perplexity") * 100, 0).cast("long")
+            .alias("interp_perplexity_q2"),
     )
     return uni.join(interp, "doc_id")
 

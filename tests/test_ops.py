@@ -3949,3 +3949,41 @@ def test_repetition_signal_exprs_gopher_rules(spark):
         4: (1, 0, 0, 0),
         5: (3, 2, 2, 6),
     }
+
+
+def test_perplexity_quantization_margins(spark):
+    """doc_perplexity ships integer-quantized twins (q4 log-space / q2
+    perplexity). Both per-doc averages are cross-row float sums with
+    ~1e-13 relative reduction-order jitter, so the convention is safe only
+    while every value keeps real distance from a round-half boundary at
+    the quantization grid — assert ≥1e-6 scaled margin at BOTH SFs (the
+    curation-row convention)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        bigram_logprobs,
+        doc_perplexity,
+        doc_perplexity_interpolated,
+        unigram_logprobs,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        lm = unigram_logprobs(docs, "text", alpha=0.5)
+        bi = bigram_logprobs(docs, "text", alpha=0.5)
+        uni = doc_perplexity(docs, "text", "doc_id", lm).select(
+            F.col("avg_neg_logp").alias("l4"), F.col("perplexity").alias("p2")
+        )
+        interp = doc_perplexity_interpolated(
+            docs, "text", "doc_id", lm, bi, lam=0.7, alpha=0.5
+        ).select(
+            F.col("avg_neg_logp").alias("l4"), F.col("perplexity").alias("p2")
+        )
+        for r in uni.unionAll(interp).collect():
+            for v, scale in ((r["l4"], 10000), (r["p2"], 100)):
+                scaled = v * scale
+                dist = abs((scaled - int(scaled // 1)) - 0.5)
+                assert dist >= 1e-6, (
+                    f"{v!r} sits {dist:.2e} from a round-half boundary "
+                    f"at 1/{scale} ({sf_dir})"
+                )
