@@ -254,6 +254,11 @@ def with_text_metrics(
     name, so a caller composing further token-consuming expressions (e.g.
     :func:`repetition_signal_exprs`) reuses the one tokenization instead of
     re-running the regex split per consumer."""
+    if tokens_col is not None and tokens_col in df.columns:
+        raise ValueError(
+            f"tokens_col {tokens_col!r} already exists on the input frame — "
+            f"the staged token array would silently shadow/duplicate it"
+        )
     t = F.col(text_col)
     c_toks, c_grams = "__tm_toks", "__tm_grams"
     c_tg, c_dg, c_punct, c_mwl = "__tm_tg", "__tm_dg", "__tm_punct", "__tm_mwl"
@@ -378,6 +383,11 @@ def repetition_signal_exprs(
 
     if toks is None:
         toks = tokens_expr(t)
+    else:
+        # a staged token column may carry NULL for NULL text (callers stage
+        # tokens_expr(text) without coalescing); hold the all-zeros contract
+        # on this path too instead of propagating NULL through the folds
+        toks = F.coalesce(toks, F.array().cast("array<string>"))
     grams = F.array_sort(shingles_from_tokens_expr(toks, 2, distinct=False))
     init = F.struct(
         F.lit("").alias("prev"), zero.alias("run"),

@@ -3533,8 +3533,10 @@ def _curation_oracle_sql() -> str:
              sum(n_tokens) OVER (PARTITION BY source ORDER BY hh % 8, hh, doc_id
                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS doc_start
       FROM mix_base)
-    SELECT p.doc_id, p.source, p.n_tokens, p.doc_start,
-           b.budget_tokens::BIGINT AS budget_tokens, a.available_tokens,
+    SELECT p.doc_id, p.source, p.n_tokens,
+           p.doc_start::BIGINT AS doc_start,
+           b.budget_tokens::BIGINT AS budget_tokens,
+           a.available_tokens::BIGINT AS available_tokens,
            q.q_grams, q.quality_prob_q4, d.log_weight_q2
     FROM placed p
     JOIN budgets b USING (source)
@@ -3753,9 +3755,11 @@ def _corpus_health_oracle_sql() -> str:
              sum(octet_length(encode(text))) AS raw_bytes
       FROM s GROUP BY source),
     cz(source, raw_bytes, comp_bytes) AS (VALUES {_compression_constants()})
-    SELECT p.source, p.n_docs, p.n_empty, p.n_tokens, p.n_chars,
+    SELECT p.source, p.n_docs,
+           p.n_empty::BIGINT AS n_empty, p.n_tokens::BIGINT AS n_tokens,
+           p.n_chars::BIGINT AS n_chars,
            CAST(round(p.mean_quality * 10000) AS BIGINT) AS mean_quality_q4,
-           p.distinct_content, p.n_docs_with_pii,
+           p.distinct_content, p.n_docs_with_pii::BIGINT AS n_docs_with_pii,
            CAST(round(p.dup_ratio * 10000) AS BIGINT) AS dup_ratio_q4,
            cz.comp_bytes::BIGINT AS comp_bytes, p.raw_bytes::BIGINT AS raw_bytes
     FROM prof p JOIN cz ON p.source = cz.source AND p.raw_bytes = cz.raw_bytes

@@ -58,6 +58,25 @@ def compare(spark_df, oracle_sql: str, sf_dir: str, *, float_rtol: float = 0.0) 
     )
     a, e = _normalize(actual), _normalize(expected)
     for c in a.columns:
+        # Dtype-KIND gate: if one engine hands pandas an integer column and
+        # the other a float column, the values may be numerically equal but
+        # they format differently ("1234" vs "1234.0") — the driver's value
+        # hash compares FORMATTED values, so this is a real red even when
+        # allclose passes. The canonical offender: DuckDB SUM(BIGINT) returns
+        # HUGEINT, which .df() converts to float64, while Spark SUM(BIGINT)
+        # stays int64 — cast such oracle outputs ::BIGINT in the outer
+        # SELECT. (NULL-bearing int columns convert to float64 in BOTH
+        # engines, so that case stays symmetric and passes this gate.)
+        ak, ek = a[c].dtype.kind, e[c].dtype.kind
+        numeric = {"i", "u", "f"}
+        if ak in numeric and ek in numeric:
+            assert (ak in "iu") == (ek in "iu"), (
+                f"dtype kind mismatch in column {c!r}: spark={a[c].dtype} "
+                f"oracle={e[c].dtype} — numerically equal values hash "
+                f"differently when one side is float-formatted; cast the "
+                f"oracle output (::BIGINT for DuckDB HUGEINT sums) or the "
+                f"query so both engines agree"
+            )
         av, ev = a[c].to_numpy(), e[c].to_numpy()
         if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(
             np.asarray(ev).dtype, np.floating

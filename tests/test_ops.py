@@ -1256,7 +1256,7 @@ def test_sample_token_budget_matches_duckdb(spark, sf_dir):
                                  ORDER BY h % 8, h, doc_id
                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS doc_start
       FROM base)
-    SELECT p.doc_id, p.source, p.n_tokens, p.doc_start
+    SELECT p.doc_id, p.source, p.n_tokens, p.doc_start::BIGINT AS doc_start
     FROM placed p JOIN budgets b USING (source)
     WHERE p.doc_start < b.budget_tokens
     """
@@ -2515,12 +2515,13 @@ def test_corpus_profile_matches_duckdb(spark, sf_dir):
                                        '{PII_PHONE}', 0))) > 0 AS has_pii
       FROM q)
     SELECT source, count(*) AS n_docs,
-           sum(CASE WHEN coalesce(length(text), 0) = 0 THEN 1 ELSE 0 END) AS n_empty,
-           sum(n_tokens) AS n_tokens,
-           sum(length(text)) AS n_chars,
+           sum(CASE WHEN coalesce(length(text), 0) = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_empty,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           sum(length(text))::BIGINT AS n_chars,
            round(avg(quality), 4) AS mean_quality,
            count(DISTINCT coalesce(fp, md5(''))) AS distinct_content,
-           sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS n_docs_with_pii,
+           sum(CASE WHEN has_pii THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_pii,
            round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 4) AS dup_ratio
     FROM s GROUP BY source
     """

@@ -40,8 +40,10 @@ def _cases():
 @pytest.mark.parametrize("name,fn,oracle", _cases(), ids=[c[0] for c in _cases()])
 def test_query_matches_oracle(spark, sf_dir, name, fn, oracle):
     df = fn(spark, sf_dir)
+    # substring match so array<double>/struct<...float...> nested floats hit
+    # the gate too, not only top-level double columns (r7 advice)
     stray = {
-        c for c, t in df.dtypes if t in ("double", "float")
+        c for c, t in df.dtypes if ("double" in t or "float" in t)
     } - _HASHED_DOUBLE_ALLOWLIST.get(name, set())
     assert not stray, (
         f"{name} hashes new double column(s) {sorted(stray)} — emit "
