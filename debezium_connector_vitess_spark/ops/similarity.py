@@ -787,6 +787,120 @@ def lsh_cross_near_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    quantizer: str = "sample",
+    kmeans_iters: int = 2,
+    threshold: float = 0.95,
+    keep: str = "min_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    by centroid blocking — cluster the embedding space coarsely, then flag a
+    document as a semantic duplicate when a HIGHER-PRIORITY member of its own
+    cluster is cosine-similar above ``threshold``. Unlike the pairwise LSH
+    path (:func:`lsh_banded_near_dup_pairs`, which targets a similarity
+    THRESHOLD globally), this is the curation action the paper validates for
+    pruning semantically redundant training data: the candidate set is the
+    cluster, not a hash bucket, so near-identical paraphrases that land in
+    the same region are caught even when banding would need many more planes.
+
+    Priority (who survives a duplicate group):
+    - ``keep='min_id'`` (default): lowest id — the repo-wide
+      first-occurrence-wins convention (paragraph/streaming/minhash dedup);
+    - ``keep='far_centroid'``: the member LEAST similar to its centroid
+      (ties → lowest id) — the paper's diversity-preserving rule (§3: keep
+      the point with the lowest centroid cosine inside each dup group).
+
+    Returns one row per (non-zero-vector) input doc:
+    ``(id_col, cluster_id, is_dup, witness_id)`` where ``witness_id`` is the
+    smallest-id higher-priority neighbor that convicted the doc (NULL when
+    kept). Deterministic — no RNG, both quantizers are the seeded/iterated
+    deterministic frames IVF uses — and exactly replicable in SQL.
+
+    100 TB shape: assignment is the LITERAL-centroid argmax projection
+    (:func:`_centroid_pick_expr`) — narrow, zero shuffle; the only vector
+    exchange is ONE hash partition on ``cluster_id`` for the within-cluster
+    self-join (inherent to SemDeDup's exact within-cluster cosine; cluster
+    size — and thus the per-task pair product — is controlled by
+    ``n_centroids``, the paper runs ~50k clusters at LAION scale, and an
+    equi-join lets AQE split stragglers); the conviction groupBy and the
+    join-back move ids only. Cites reference parity: none — extension
+    operator (SURVEY §2.9)."""
+    if keep not in ("min_id", "far_centroid"):
+        raise ValueError(f"keep must be 'min_id' or 'far_centroid', got {keep!r}")
+    corpus = _drop_zero_vectors(corpus, vec_col)
+    if quantizer == "kmeans":
+        cent_df = kmeans_centroid_frame(
+            corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
+            iters=kmeans_iters,
+        )
+    elif quantizer == "sample":
+        cent_df = sampled_centroid_frame(
+            corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+        )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    cents = _collect_centroids(cent_df)
+
+    staged = corpus.select(
+        F.col(id_col).alias("__sid"),
+        F.col(vec_col).alias("__svec"),
+        norm_expr(F.col(vec_col)).alias("__snorm"),
+    )
+    best = F.array_max(_centroid_pick_expr(cents, "`__svec`", "`__snorm`"))
+    assigned = staged.select(
+        "__sid", "__svec", "__snorm",
+        (-best["nid"]).cast("long").alias("cluster_id"),
+        best["s"].alias("__cscore"),
+    )
+    # one exchange keyed on cluster_id feeds BOTH join sides (self-join on
+    # the same assigned frame); priority compares inline on the joined row
+    a = assigned.select(
+        F.col("__sid").alias("__aid"), F.col("__svec").alias("__avec"),
+        F.col("__snorm").alias("__anorm"), "cluster_id",
+        F.col("__cscore").alias("__acs"),
+    )
+    b = assigned.select(
+        F.col("__sid").alias("__bid"), F.col("__svec").alias("__bvec"),
+        F.col("__snorm").alias("__bnorm"), "cluster_id",
+        F.col("__cscore").alias("__bcs"),
+    )
+    if keep == "min_id":
+        higher_priority = F.col("__aid") < F.col("__bid")
+    else:
+        higher_priority = (F.col("__acs") < F.col("__bcs")) | (
+            (F.col("__acs") == F.col("__bcs")) & (F.col("__aid") < F.col("__bid"))
+        )
+    convicted = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("__aid") != F.col("__bid"))
+        .filter(higher_priority)
+        .filter(
+            cosine_from_norms(
+                F.col("__avec"), F.col("__bvec"),
+                F.col("__anorm"), F.col("__bnorm"),
+            )
+            >= threshold
+        )
+        .groupBy(F.col("__bid").alias("__sid"))
+        .agg(F.min("__aid").alias("witness_id"))
+    )
+    return (
+        assigned.select("__sid", "cluster_id")
+        .join(convicted, on="__sid", how="left")
+        .select(
+            F.col("__sid").alias(id_col),
+            "cluster_id",
+            F.col("witness_id").isNotNull().alias("is_dup"),
+            "witness_id",
+        )
+    )
+
+
 def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """recall@k of an approximate top-k result against exact ground truth —
     the measurement that justifies every LSH/IVF knob choice

@@ -42,6 +42,7 @@ SIDES: dict[str, tuple[str, ...]] = {
     "change_rate_windows": ("tumbling", "sliding", "stream", "heartbeat"),
     "cdc_materialize": ("latest", "history"),
     "pack_sequences": ("pack", "chunk", "bpe"),
+    "dedup_embedding_cosine": ("lsh", "semdedup"),
 }
 
 
@@ -1847,18 +1848,91 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(emb, "embedding", "vec_id", bits=8)
 
 
-@register("dedup_embedding_cosine", oracle=_lsh_banded_oracle_sql())
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs through the 100 TB path: banded
-    hyperplane-LSH candidates (pure equi-join on (band, key) — ids and small
-    ints shuffle, never vectors) + exact cosine verify (cos ≥ 0.4). The
-    oracle replicates the banding deterministically, so the approximate
-    semantics are checked end to end; brute force
-    (``embedding_near_dup_pairs``) remains as the recall baseline in tests."""
-    from .ops.similarity import lsh_banded_near_dup_pairs
+def _semdedup_oracle_sql(threshold: float = 0.4, n_centroids: int = 16) -> str:
+    """DuckDB mirror of ``semantic_dedup(keep='min_id')``: the identical
+    deterministic md5-sampled centroids (the IVF oracle's quantizer), the
+    same max-cosine/min-id assignment, within-cluster pairs above the
+    threshold, and the min-witness conviction — replicate-the-approximation,
+    like the banded and IVF oracles."""
+    cosq = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings
+               WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+    cent AS (SELECT vec_id AS centroid_id, embedding AS cent_vec FROM v
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}),
+    sd_assign AS (
+      SELECT vec_id, embedding, bucket FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id AS bucket,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {cosq.format(a="v.embedding", b="c.cent_vec")} DESC,
+                 c.centroid_id) AS crank
+        FROM v CROSS JOIN cent c)
+      WHERE crank = 1)
+    SELECT min(a.vec_id) AS id_a, b.vec_id AS id_b
+    FROM sd_assign a JOIN sd_assign b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cosq.format(a="a.embedding", b="b.embedding")} >= {threshold}
+    GROUP BY b.vec_id
+    """
 
-    emb = _embeddings(spark, sf_dir)
-    return lsh_banded_near_dup_pairs(emb, threshold=0.4)
+
+def _embedding_dedup_oracle_sql() -> str:
+    return f"""
+    SELECT id_a, id_b, 'lsh' AS side FROM ({_lsh_banded_oracle_sql()})
+    UNION ALL
+    SELECT id_a, id_b, 'semdedup' AS side FROM ({_semdedup_oracle_sql()})
+    """
+
+
+@register("dedup_embedding_cosine", oracle=_embedding_dedup_oracle_sql())
+def dedup_embedding_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    sides: tuple[str, ...] = ("lsh", "semdedup"),
+) -> DataFrame:
+    """Embedding near-dup, both curation shapes against one oracle:
+
+    side='lsh' — pairs through the 100 TB threshold path: banded
+    hyperplane-LSH candidates (pure equi-join on (band, key) — ids and small
+    ints shuffle, never vectors) + exact cosine verify (cos ≥ 0.4). Brute
+    force (``embedding_near_dup_pairs``) remains the recall baseline in
+    tests.
+
+    side='semdedup' (round 8) — :func:`~.ops.similarity.semantic_dedup`
+    (SemDeDup, Abbas et al. 2023): centroid-blocked within-cluster pruning —
+    deterministic sampled centroids, literal-argmax assignment (zero
+    shuffle), ONE cluster-keyed vector exchange for the within-cluster
+    cosine, min-id priority. Emitted as conviction pairs (id_a = the
+    smallest-id higher-priority witness, id_b = the pruned doc) so both
+    sides share the pair schema. The oracle replicates centroids,
+    assignment, and conviction exactly."""
+    from .ops.similarity import lsh_banded_near_dup_pairs, semantic_dedup
+
+    parts: list[DataFrame] = []
+    if "lsh" in sides:
+        emb = _embeddings(spark, sf_dir)
+        parts.append(
+            lsh_banded_near_dup_pairs(emb, threshold=0.4).select(
+                "id_a", "id_b", F.lit("lsh").alias("side")
+            )
+        )
+    if "semdedup" in sides:
+        emb = _embeddings(spark, sf_dir)
+        flags = semantic_dedup(emb, threshold=0.4, n_centroids=16)
+        parts.append(
+            flags.filter(F.col("is_dup")).select(
+                F.col("witness_id").alias("id_a"),
+                F.col("vec_id").alias("id_b"),
+                F.lit("semdedup").alias("side"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 _ORACLE_BRUTE_TOPK = """

@@ -3988,3 +3988,99 @@ def test_perplexity_quantization_margins(spark):
                     f"{v!r} sits {dist:.2e} from a round-half boundary "
                     f"at 1/{scale} ({sf_dir})"
                 )
+
+
+def _semdedup_expected(rows, n_centroids, threshold, keep):
+    """Independent Python recomputation of semantic_dedup: sequential-fold
+    double cosine (the identical left-fold both engines use, so comparisons
+    are bit-exact), md5-ordered sampled centroids, max-cosine/min-id
+    assignment, exists-a-higher-priority-similar-neighbor conviction."""
+    import hashlib
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc += float(x) * float(x)
+        return acc ** 0.5
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    vecs = {i: v for i, v in vecs.items() if any(x != 0.0 for x in v)}
+    order = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = {i: vecs[i] for i in order[:n_centroids]}
+    assign, cscore = {}, {}
+    for i, v in vecs.items():
+        best = max(
+            ((dot(v, cv) / (norm(v) * norm(cv)), -cid) for cid, cv in cents.items())
+        )
+        assign[i], cscore[i] = -best[1], best[0]
+    prio = (lambda i: i) if keep == "min_id" else (lambda i: (cscore[i], i))
+    expected = {}
+    for i in vecs:
+        witnesses = [
+            j
+            for j in vecs
+            if j != i
+            and assign[j] == assign[i]
+            and prio(j) < prio(i)
+            and dot(vecs[i], vecs[j]) / (norm(vecs[i]) * norm(vecs[j])) >= threshold
+        ]
+        expected[i] = (assign[i], min(witnesses) if witnesses else None)
+    return expected
+
+
+def test_semantic_dedup_matches_brute_force(spark, sf_dir):
+    """SemDeDup conviction flags equal an independent brute-force
+    recomputation (same-fold double arithmetic) for BOTH keep rules."""
+    from debezium_connector_vitess_spark.ops.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    for keep in ("min_id", "far_centroid"):
+        expected = _semdedup_expected(rows, 16, 0.4, keep)
+        got = {
+            r["vec_id"]: (r["cluster_id"], r["witness_id"])
+            for r in semantic_dedup(emb, threshold=0.4, keep=keep).collect()
+        }
+        assert got == expected, (
+            f"keep={keep}: {len(set(got) ^ set(expected))} id mismatches; "
+            f"sample diff: "
+            f"{[(i, got.get(i), expected.get(i)) for i in list(set(got) ^ set(expected) or [k for k in got if got[k] != expected.get(k)])[:3]]}"
+        )
+
+
+def test_semantic_dedup_threshold_and_guards(spark, sf_dir):
+    from debezium_connector_vitess_spark.ops.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # a threshold above attainable cosine keeps everything
+    out = semantic_dedup(emb, threshold=1.01).collect()
+    assert all(not r["is_dup"] and r["witness_id"] is None for r in out)
+    assert len(out) == emb.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep must be"):
+        semantic_dedup(emb, keep="random")
+    with _pytest.raises(ValueError, match="unknown quantizer"):
+        semantic_dedup(emb, quantizer="grid")
+
+
+def test_semantic_dedup_kmeans_quantizer_runs(spark, sf_dir):
+    """The refined-centroid path flags a superset-or-different but valid
+    partition: every doc appears once, witnesses precede their convicts."""
+    from debezium_connector_vitess_spark.ops.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(
+        emb, threshold=0.4, quantizer="kmeans", kmeans_iters=1
+    ).collect()
+    assert len(out) == emb.count()
+    assert len({r["vec_id"] for r in out}) == len(out)
+    for r in out:
+        if r["is_dup"]:
+            assert r["witness_id"] < r["vec_id"]  # min_id priority

@@ -424,3 +424,17 @@ def test_change_rate_windows_materializes_events_once(spark, sf_dir):
     with checkpoint_scope(spark):
         plan = _formatted(QUERIES["change_rate_windows"](spark, sf_dir))
     assert "Scan parquet" not in plan
+
+
+def test_semantic_dedup_shape(spark, sf_dir):
+    """SemDeDup's plan: centroid assignment is the literal-argmax projection
+    (no join/window for assignment), the within-cluster pairing is a plain
+    equi-join on cluster_id (never a cartesian/BNLJ — cluster size is the
+    knob, AQE can split stragglers), and the conviction/join-back legs move
+    ids only."""
+    from debezium_connector_vitess_spark.ops.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _formatted(semantic_dedup(emb, threshold=0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
