@@ -121,6 +121,163 @@ def shuffle_for_training(
     )
 
 
+def zorder_key_expr(
+    cols: list[str],
+    *,
+    bounds: dict[str, tuple[int, int]],
+    bits: int = 8,
+) -> "F.Column":
+    """Morton/Z-order key over ``cols``: each column's value is normalized to
+    a ``bits``-bit integer code against its EXACT global [min, max] (pure
+    integer math — ``((v - mn) * 2^bits) div (mx - mn + 1)`` — so the key is
+    an engine-independent deterministic function, auditable in any SQL
+    engine), then the codes' bits are interleaved (bit b of column i lands
+    at position ``b * len(cols) + i``).
+
+    Range-clustering by this key (``repartitionByRange`` + in-partition
+    sort) gives files whose parquet min/max footers are narrow on EVERY
+    participating column at once — the multi-dimensional generalization of
+    the single-key range layout: a 2-D box predicate prunes files on both
+    dimensions, where a single-key sort prunes on one and scans everything
+    for the other (the lakehouse OPTIMIZE ZORDER BY pattern).
+
+    ``bounds`` maps column → (min, max), computed exactly by
+    :func:`column_bounds` (one tiny global aggregate). NULLs code to 0 (the
+    minimum cell) — they cluster together at the origin instead of
+    poisoning the key. Columns must be integral; ``bits`` × len(cols) ≤ 63
+    so the key fits a BIGINT. Exactness guard: the normalization is
+    ``floor((v - mn) * 2^bits / span)`` in double arithmetic, which is
+    provably floor-exact while ``span * 2^bits < 2^52`` (numerator exactly
+    representable; IEEE nearest-division error < the 1/span gap to the next
+    integer) — wider spans (hash-distributed ids) raise, pre-shift them
+    into range first.
+    """
+    k = len(cols)
+    if k == 0:
+        raise ValueError("zorder_key_expr needs at least one column")
+    if bits * k > 63:
+        raise ValueError(f"bits * len(cols) = {bits * k} exceeds a BIGINT")
+    terms = []
+    for i, c in enumerate(cols):
+        if c not in bounds:
+            raise ValueError(f"no bounds for column {c!r}")
+        mn, mx = bounds[c]
+        if mx < mn:
+            raise ValueError(f"bounds for {c!r} are inverted: ({mn}, {mx})")
+        span = (mx - mn) + 1
+        if span << bits >= 1 << 52:
+            raise ValueError(
+                f"column {c!r} spans {span} values — floor-exact z-coding "
+                f"needs span * 2^bits < 2^52; shift/bucket the column (e.g. "
+                f"v >> {max(0, (span.bit_length() + bits) - 52)}) first"
+            )
+        code = F.floor(
+            ((F.coalesce(F.col(c), F.lit(mn)).cast("long") - F.lit(mn)) * F.lit(1 << bits))
+            / F.lit(span)
+        ).cast("long")
+        for b in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(code, b).bitwiseAND(F.lit(1)), b * k + i
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def column_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple[int, int]]:
+    """Exact global (min, max) per column in ONE aggregate pass — the tiny
+    scan that anchors :func:`zorder_key_expr`'s normalization. min/max are
+    exact (not sampled) so the z-key is reproducible by any engine reading
+    the same data."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    out = {}
+    for c in cols:
+        mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
+        if mn is None:
+            raise ValueError(f"column {c!r} is all-NULL — no z-order bounds")
+        out[c] = (int(mn), int(mx))
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    cols: list[str],
+    num_shards: int,
+    bits: int = 8,
+    bounds: Optional[dict[str, tuple[int, int]]] = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write ``df`` Z-order-clustered on ``cols`` and return the
+    MULTI-COLUMN manifest (one row per file with min/max of EVERY
+    participating column) that :func:`read_zordered_box` prunes against.
+
+    Layout = ``repartitionByRange(num_shards, zkey)`` + in-partition sort by
+    the key: one exchange, boundaries from Spark's reservoir sample of the
+    key (balanced shards without a full sort), same write shape as
+    :func:`write_training_shards`. The z-key itself is dropped from the
+    files — it's reconstructible from ``bounds``, and the pruning contract
+    lives in the per-column footer ranges, not the key."""
+    if bounds is None:
+        bounds = column_bounds(df, cols)
+    zkey = zorder_key_expr(cols, bounds=bounds, bits=bits)
+    clustered = (
+        df.withColumn("__zkey", zkey)
+        .repartitionByRange(num_shards, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    clustered.write.format(format).mode(mode).save(path)
+    spark = df.sparkSession
+    aggs = [F.count("*").alias("rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        spark.read.format(format)
+        .load(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+    )
+
+
+def read_zordered_box(
+    spark,
+    path: str,
+    *,
+    box: dict[str, tuple[int, int]],
+    manifest: DataFrame,
+    format: str = "parquet",
+) -> DataFrame:
+    """Manifest-pruned BOX read over a Z-ordered layout: open only the files
+    whose per-column [min, max] spans overlap EVERY box edge (inclusive),
+    then filter exactly. The multi-dimensional twin of
+    :func:`read_shard_range` — on a Z-ordered layout each dimension's spans
+    are narrow, so a selective 2-D box opens a small corner of the file set
+    instead of every file a single-key sort would leave overlapping on the
+    second dimension."""
+    pred = F.lit(True)
+    for c, (lo, hi) in box.items():
+        pred = pred & (F.col(f"min_{c}") <= hi) & (F.col(f"max_{c}") >= lo)
+    files = [r["file"] for r in manifest.filter(pred).collect()]
+    base = spark.read.format(format)
+    if not files:
+        return base.load(path).filter(F.lit(False))
+    out = base.load(files)
+    for c, (lo, hi) in box.items():
+        out = out.filter(F.col(c).between(lo, hi))
+    return out
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -3403,9 +3403,20 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("left_id", "right_id")
 
 
-@register(
-    "shard_layout",
-    oracle="""
+def _shard_layout_oracle_sql(bits: int = 8) -> str:
+    """side='zorder' mirror: the bit-interleaved Morton key recomputed with
+    DuckDB integer arithmetic (exact `//`, `>>`, `&`, `<<`) against the same
+    exact global bounds — proving the z-key is an engine-independent pure
+    function of (values, bounds), the property that makes the layout
+    auditable. Column i of (doc_id, n_chars) lands at bit position
+    ``b * 2 + i``, matching ops.layout.zorder_key_expr."""
+    interleave = " + ".join(
+        f"((((c{i} >> {b}) & 1)) << {b * 2 + i})"
+        for b in range(bits)
+        for i in (0, 1)
+    )
+    cells = 1 << (bits * 2)
+    return f"""
     WITH docs AS (
       SELECT doc_id, source, lang, length(text) AS n_chars FROM documents),
     keyed AS (
@@ -3418,15 +3429,34 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(skey % 8 AS INT) AS shard,
              CAST(row_number() OVER (
                PARTITION BY skey % 8 ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
-      FROM keyed)
+      FROM keyed),
+    zb AS (
+      SELECT min(doc_id) AS mnd, max(doc_id) AS mxd,
+             min(n_chars) AS mnc, max(n_chars) AS mxc
+      FROM docs),
+    zc AS (
+      SELECT d.doc_id, d.source, d.lang, d.n_chars,
+             ((d.doc_id - zb.mnd) * {1 << bits}) // (zb.mxd - zb.mnd + 1) AS c0,
+             ((d.n_chars - zb.mnc) * {1 << bits}) // (zb.mxc - zb.mnc + 1) AS c1
+      FROM docs d, zb),
+    zk AS (
+      SELECT doc_id, source, lang, n_chars,
+             CAST({interleave} AS BIGINT) AS zkey
+      FROM zc)
     SELECT 'range' AS side, doc_id, source, lang, n_chars,
            CAST(NULL AS INT) AS shard, CAST(NULL AS BIGINT) AS pos
     FROM docs WHERE doc_id BETWEEN 120 AND 330
     UNION ALL
     SELECT 'shuffle' AS side, doc_id, source, lang, n_chars, shard, pos
     FROM shuf
-    """,
-)
+    UNION ALL
+    SELECT 'zorder' AS side, doc_id, source, lang, n_chars,
+           CAST(zkey // {cells // 8} AS INT) AS shard, zkey AS pos
+    FROM zk
+    """
+
+
+@register("shard_layout", oracle=_shard_layout_oracle_sql())
 def shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard layout round trip, both layout directions in one row:
 
@@ -3445,13 +3475,26 @@ def shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shard, pos) from the 60-bit md5 key of "{doc_id}:{seed}". The oracle
     recomputes the exact permutation in DuckDB, proving the shuffle is an
     engine-independent pure function of (ids, seed) — the property that
-    makes a 100 TB training epoch reproducible and auditable."""
+    makes a 100 TB training epoch reproducible and auditable.
+
+    side='zorder' (r8) — the multi-dimensional layout direction
+    (`ops.layout.zorder_key_expr`): every doc's Morton key over
+    (doc_id, n_chars) against exact global bounds, plus its key-range shard
+    under a fixed 8-way split of the 2^16 cell space. The oracle recomputes
+    the normalization and the bit interleave with DuckDB integer arithmetic
+    — engine-independence is the contract that lets any reader reproduce
+    (and any auditor verify) the clustering. The pruning payoff (a 2-D box
+    opens a corner of the file set, not every file a 1-D sort leaves
+    overlapping on the second dimension) is measured in
+    tests/test_ops.py::test_zorder_box_prunes_files."""
     import tempfile
 
     from .ops.layout import (
+        column_bounds,
         read_shard_range,
         shuffle_for_training,
         write_training_shards,
+        zorder_key_expr,
     )
 
     docs = _documents(spark, sf_dir).select(
@@ -3483,7 +3526,18 @@ def shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         "pos",
     )
-    return ranged.unionByName(shuffled)
+    bounds = column_bounds(docs, ["doc_id", "n_chars"])
+    zkey = zorder_key_expr(["doc_id", "n_chars"], bounds=bounds, bits=8)
+    zordered = docs.select(
+        F.lit("zorder").alias("side"),
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.floor(zkey / F.lit((1 << 16) // 8)).cast("int").alias("shard"),
+        zkey.alias("pos"),
+    )
+    return ranged.unionByName(shuffled).unionByName(zordered)
 
 
 _CURATION_BANNER = "subscribe to our newsletter for daily updates and offers"

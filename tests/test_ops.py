@@ -4084,3 +4084,128 @@ def test_semantic_dedup_kmeans_quantizer_runs(spark, sf_dir):
     for r in out:
         if r["is_dup"]:
             assert r["witness_id"] < r["vec_id"]  # min_id priority
+
+
+def _morton_ref(v0, v1, b0, b1, bits=8):
+    """Reference Morton coding in plain Python: normalize against exact
+    bounds, interleave bit b of column i to position b*2+i."""
+    (mn0, mx0), (mn1, mx1) = b0, b1
+    c0 = ((v0 - mn0) * (1 << bits)) // (mx0 - mn0 + 1)
+    c1 = ((v1 - mn1) * (1 << bits)) // (mx1 - mn1 + 1)
+    z = 0
+    for b in range(bits):
+        z |= ((c0 >> b) & 1) << (b * 2)
+        z |= ((c1 >> b) & 1) << (b * 2 + 1)
+    return z
+
+
+def test_zorder_key_matches_reference(spark):
+    from debezium_connector_vitess_spark.ops.layout import (
+        column_bounds,
+        zorder_key_expr,
+    )
+
+    rows = [(i, (i * 37) % 101) for i in range(200)] + [(200, None)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    bounds = column_bounds(df, ["a", "b"])
+    assert bounds == {"a": (0, 200), "b": (0, 100)}
+    got = {
+        r["a"]: r["z"]
+        for r in df.select(
+            "a", zorder_key_expr(["a", "b"], bounds=bounds).alias("z")
+        ).collect()
+    }
+    for a, b in rows:
+        want = _morton_ref(a, b if b is not None else 0, (0, 200), (0, 100))
+        assert got[a] == want, (a, b, got[a], want)
+
+
+def test_zorder_guards(spark):
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.ops.layout import (
+        column_bounds,
+        zorder_key_expr,
+    )
+
+    with _pytest.raises(ValueError, match="exceeds a BIGINT"):
+        zorder_key_expr(["a", "b"], bounds={"a": (0, 1), "b": (0, 1)}, bits=32)
+    with _pytest.raises(ValueError, match="floor-exact"):
+        zorder_key_expr(["a"], bounds={"a": (0, 1 << 50)}, bits=8)
+    with _pytest.raises(ValueError, match="inverted"):
+        zorder_key_expr(["a"], bounds={"a": (5, 1)})
+    with _pytest.raises(ValueError, match="no bounds"):
+        zorder_key_expr(["a"], bounds={})
+    df = spark.createDataFrame([(None,)], "a long")
+    with _pytest.raises(ValueError, match="all-NULL"):
+        column_bounds(df, ["a"])
+
+
+def test_zorder_box_prunes_files(spark, sf_dir, tmp_path):
+    """The payoff measurement: a Z-ordered layout answers a selective 2-D
+    box by opening a strict subset of files AND returns exactly the
+    brute-force rows; the same box's secondary dimension prunes NOTHING on
+    a 1-D doc_id-sorted layout (every file's n_chars span covers the box)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.layout import (
+        read_zordered_box,
+        write_training_shards,
+        write_zordered,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.length("text").alias("n_chars"))
+    )
+    zpath = str(tmp_path / "zorder")
+    manifest = write_zordered(
+        docs, zpath, cols=["doc_id", "n_chars"], num_shards=8
+    )
+    n_files = manifest.count()
+    assert n_files >= 4  # enough geometry for pruning to mean something
+
+    # a quarter-ish box on both dimensions
+    lo_d, hi_d = 100, 220
+    stats = docs.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
+    mnc, mxc = stats[0], stats[1]
+    lo_c, hi_c = mnc, mnc + (mxc - mnc) // 4
+    box = {"doc_id": (lo_d, hi_d), "n_chars": (lo_c, hi_c)}
+
+    pruned = read_zordered_box(spark, zpath, box=box, manifest=manifest)
+    opened = {
+        r["file"]
+        for r in manifest.filter(
+            (F.col("min_doc_id") <= hi_d) & (F.col("max_doc_id") >= lo_d)
+            & (F.col("min_n_chars") <= hi_c) & (F.col("max_n_chars") >= lo_c)
+        ).collect()
+    }
+    assert len(opened) < n_files, "2-D box should prune at least one file"
+    expected = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            F.col("doc_id").between(lo_d, hi_d)
+            & F.col("n_chars").between(lo_c, hi_c)
+        ).collect()
+    )
+    assert sorted(r["doc_id"] for r in pruned.collect()) == expected
+
+    # 1-D comparison: a doc_id-sorted layout leaves every file's n_chars
+    # span covering the box — zero pruning on the second dimension
+    lpath = str(tmp_path / "linear")
+    write_training_shards(docs, lpath, sort_col="doc_id", num_shards=8)
+    lin_spans = (
+        spark.read.parquet(lpath)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    )
+    lin_overlapping = lin_spans.filter(
+        (F.col("mn") <= hi_c) & (F.col("mx") >= lo_c)
+    ).count()
+    z_chars_overlapping = manifest.filter(
+        (F.col("min_n_chars") <= hi_c) & (F.col("max_n_chars") >= lo_c)
+    ).count()
+    assert z_chars_overlapping < lin_overlapping, (
+        f"z-order should narrow n_chars spans: {z_chars_overlapping} vs "
+        f"linear {lin_overlapping} of {n_files}"
+    )
