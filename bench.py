@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_embedding_cosine",  # r8: + side='semdedup' (SemDeDup pruning)
     "ann_topk",
     "multimodal_metadata",  # r5: merged image+wav+video incl. resize/sampling
     "decontaminate_eval",

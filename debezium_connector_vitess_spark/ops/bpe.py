@@ -270,6 +270,61 @@ def bpe_encode(
     return src.mapInPandas(run, schema=f"id {id_dt}, {out_field}{carried}")
 
 
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+    *,
+    by: str | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenizer fertility report: how many BPE pieces the merge table
+    spends per word and per character, overall or per group (pass
+    ``by='lang'`` to see which languages a merge table under-serves — the
+    standard multilingual-tokenizer health check before committing a vocab
+    to a 100 TB tokenization run).
+
+    Output: one row per group with EXACT integer sums (n_docs, n_words,
+    n_chars, n_bpe_tokens) — the ratios (fertility = tokens/words,
+    compression = chars/tokens) are one division away and stay out of any
+    hashed artifact per the no-hashed-doubles convention. The word/char
+    counts are staged BEFORE the seam and ride through ``carry_cols`` (no
+    join-back), so the whole report is one map-only Arrow seam + one
+    partial-aggregated groupBy: the same scale shape as corpus_profile."""
+    group = [by] if by is not None else []
+    words = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    chars = F.coalesce(F.length(text_col), F.lit(0)).cast("long")
+    staged = df.select(
+        *([F.col(by)] if by is not None else []),
+        F.col(id_col),
+        F.col(text_col),
+        words.alias("__tf_words"),
+        chars.alias("__tf_chars"),
+    )
+    counted = bpe_encode(
+        staged,
+        text_col,
+        id_col,
+        merges,
+        lowercase=lowercase,
+        output="count",
+        carry_cols=tuple(group) + ("__tf_words", "__tf_chars"),
+    )
+    gb = counted.groupBy(*group) if group else counted.groupBy()
+    return gb.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__tf_words").alias("n_words"),
+        F.sum("__tf_chars").alias("n_chars"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+    )
+
+
 def save_merges(merges: list[tuple[str, str]], path: str) -> None:
     """Persist a learned merge list as JSON — the tokenizer artifact a
     dataset release ships alongside its shards (token counts are only

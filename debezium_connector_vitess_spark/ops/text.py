@@ -412,6 +412,44 @@ def repetition_signal_exprs(
     return n_lines.cast("long"), n_dup, dup_chars, top_bigram_chars
 
 
+def filter_by_repetition(
+    df: DataFrame,
+    text_col: str,
+    *,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_bigram_char_frac: float = 0.20,
+    keep: bool = True,
+) -> DataFrame:
+    """APPLY the Gopher repetition gates (Rae et al. 2021, A1.1 — the rule
+    set behind :func:`repetition_signal_exprs`' counts): drop a document
+    when too many of its lines repeat, too many of its characters sit in
+    repeated lines, or its most frequent word 2-gram covers too much of it.
+    Defaults are the paper's published thresholds (0.30 / 0.20 / 0.20).
+
+    A doc with no lines (empty/NULL text) passes every gate — the signals'
+    all-zeros contract makes each fraction 0. ``keep=False`` inverts the
+    predicate, returning the REJECTED docs (the audit view a curation run
+    reviews before committing a filter). Map-only: one narrow projection,
+    predicate evaluated in the scan stage — composes with every downstream
+    dedup/score/pack step at zero shuffle cost."""
+    t = F.col(text_col)
+    n_lines, n_dup, dup_chars, top_bigram_chars = repetition_signal_exprs(t)
+    n_chars = F.coalesce(F.length(t), F.lit(0)).cast("long")
+    ok = (
+        (n_dup.cast("double") <= max_dup_line_frac * F.greatest(n_lines, F.lit(1)))
+        & (
+            dup_chars.cast("double")
+            <= max_dup_line_char_frac * F.greatest(n_chars, F.lit(1))
+        )
+        & (
+            top_bigram_chars.cast("double")
+            <= max_top_bigram_char_frac * F.greatest(n_chars, F.lit(1))
+        )
+    )
+    return df.filter(ok if keep else ~ok)
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the rolling-hash
 # document fingerprinting used by MOSS): hash every character k-gram, then

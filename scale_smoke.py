@@ -282,6 +282,56 @@ def main() -> None:
     ej1 = evs_base.select("props")
     ej10 = spark.read.parquet(evs_dir).select("props")
 
+    # r8: SemDeDup on a 10x embeddings blow-up (identical vectors, shifted
+    # ids → semantic dup groups of size COPIES — the structure the op
+    # exists to prune). n_centroids SCALES with the corpus (the knob's
+    # contract: constant expected cluster size keeps the within-cluster
+    # pair product per task fixed; a fixed centroid count would grow
+    # clusters 10x and pair work 100x — knob misuse, not op shape).
+    from debezium_connector_vitess_spark.ops.similarity import semantic_dedup
+
+    emb1 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    emb_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"scale_smoke_emb_{COPIES}x"
+    )
+    if not os.path.isdir(emb_dir):
+        copies = spark.range(COPIES).select(F.col("id").alias("copy"))
+        (
+            emb1.crossJoin(copies)
+            .select(
+                (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
+                "embedding",
+            )
+            .repartition(CPUS)
+            .write.mode("overwrite")
+            .parquet(emb_dir)
+        )
+    emb10 = spark.read.parquet(emb_dir)
+    emb1.count(), emb10.count()  # warm both scans
+
+    def semdedup_op(e):
+        n = e.count()
+        return semantic_dedup(
+            e, threshold=0.4, n_centroids=max(16, n // 125)
+        ).filter(F.col("is_dup"))
+
+    # r8: Z-order layout write — one exchange + multi-column manifest; the
+    # write (and the one tiny bounds aggregate) must scale with the scan
+    from debezium_connector_vitess_spark.ops.layout import write_zordered
+
+    def zorder_op(d):
+        import tempfile as _tf
+
+        path = _tf.mkdtemp(prefix="smoke_zorder_")
+        return write_zordered(
+            d.select("doc_id", F.length("text").alias("n_chars")),
+            path,
+            cols=["doc_id", "n_chars"],
+            num_shards=max(8, CPUS),
+        )
+
     results: dict[str, dict] = {}
     all_ops = (
         [(name, fn, docs1, docs10) for name, fn in OPS.items()]
@@ -289,7 +339,10 @@ def main() -> None:
         + [("funnel_pairs", funnel_op, evs1_raw, evs10_raw)]
         + [("asof_enrich", asof_op, evs1_raw, evs10_raw)]
         + [("json_extract", json_op, ej1, ej10)]
+        + [("semantic_dedup", semdedup_op, emb1, emb10)]
+        + [("zorder_write", zorder_op, docs1, docs10)]
     )
+    PAIR_OPS.add("semantic_dedup")
     for name, fn, frame1, frame10 in all_ops:
         rec: dict[str, float] = {}
         for label, frame in (("1x", frame1), ("10x", frame10)):

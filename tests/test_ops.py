@@ -4209,3 +4209,79 @@ def test_zorder_box_prunes_files(spark, sf_dir, tmp_path):
         f"z-order should narrow n_chars spans: {z_chars_overlapping} vs "
         f"linear {lin_overlapping} of {n_files}"
     )
+
+
+def test_filter_by_repetition_gates(spark):
+    from debezium_connector_vitess_spark.ops.text import filter_by_repetition
+
+    # genuinely varied text — a REPEATED sentence would (correctly) trip the
+    # top-bigram gate at 5 repetitions (each bigram covers >20% of chars)
+    prose = (
+        "the quick brown fox jumps over a lazy dog\n"
+        "meanwhile seventeen geese wandered across the frozen lake\n"
+        "nobody expected rain during such a bright afternoon\n"
+        "her telescope revealed four new moons around the planet"
+    )
+    dup_lines = "\n".join(["copy this line"] * 10 + ["one original line here"])
+    bigram_spam = "buy now " * 40
+    rows = [
+        (1, prose),
+        (2, dup_lines),
+        (3, bigram_spam),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in filter_by_repetition(df, "text").collect()}
+    # prose passes; duplicate-line doc and bigram-spam doc are rejected;
+    # empty/NULL docs pass (all-zero signals → every fraction 0)
+    assert kept == {1, 4, 5}
+    rejected = {
+        r["doc_id"] for r in filter_by_repetition(df, "text", keep=False).collect()
+    }
+    assert rejected == {2, 3}
+    # loosening every threshold to 1.0 keeps everything
+    all_kept = filter_by_repetition(
+        df, "text",
+        max_dup_line_frac=1.0, max_dup_line_char_frac=1.0,
+        max_top_bigram_char_frac=1.0,
+    ).count()
+    assert all_kept == 5
+
+
+def test_tokenizer_fertility(spark, sf_dir):
+    """Exact integer sums, grouped and global; fertility ≥ 1 piece per word
+    (losslessness floor) and sums recompute from the per-doc counts."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.bpe import (
+        bpe_encode,
+        tokenizer_fertility,
+        train_bpe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    merges = train_bpe(docs, "text", num_merges=50, sample_rows=200)
+    per_lang = {
+        r["lang"]: r for r in tokenizer_fertility(
+            docs, "text", "doc_id", merges, by="lang"
+        ).collect()
+    }
+    assert set(per_lang) == {r["lang"] for r in docs.select("lang").distinct().collect()}
+    total = tokenizer_fertility(docs, "text", "doc_id", merges).collect()[0]
+    assert total["n_docs"] == docs.count()
+    assert total["n_docs"] == sum(r["n_docs"] for r in per_lang.values())
+    assert total["n_bpe_tokens"] == sum(r["n_bpe_tokens"] for r in per_lang.values())
+    # ground truth: the op's sums equal independent recomputation
+    counts = bpe_encode(docs, "text", "doc_id", merges, output="count")
+    expect_tokens = counts.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    expect_words = docs.select(
+        F.size(F.filter(F.split(F.coalesce("text", F.lit("")), r"\s+"),
+                        lambda x: x != "")).alias("w")
+    ).agg(F.sum("w")).collect()[0][0]
+    assert total["n_bpe_tokens"] == expect_tokens
+    assert total["n_words"] == expect_words
+    # losslessness floor: every word costs at least one piece
+    assert total["n_bpe_tokens"] >= total["n_words"]
