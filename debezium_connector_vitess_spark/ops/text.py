@@ -1236,6 +1236,78 @@ def corpus_profile(
     return out
 
 
+def corpus_profile_stream(
+    stream_df,
+    text_col: str = "text",
+    *,
+    ts_col: str = "ts",
+    domain_col: str = "source",
+    window: str = "1 hour",
+    watermark_delay: str = "2 hours",
+):
+    """Streaming twin of :func:`corpus_profile`: per-(event-time window,
+    domain) ingest-health rows over a continuously arriving document stream
+    — the monitoring a 100 TB crawl feed runs IN FLIGHT, so a source that
+    starts shipping empty/PII-laden/duplicate-heavy pages is caught within
+    a window's delay instead of at the next full corpus profile.
+
+    Same one-scan metrics projection (:func:`with_text_metrics` — stateless,
+    so it streams as-is) + ONE watermarked tumbling-window aggregation in
+    APPEND mode: each (window, domain) row is emitted exactly once when the
+    watermark passes the window's end; documents later than
+    ``watermark_delay`` are dropped (the explicit late-data policy, same as
+    the change-rate stream). Differences from the batch profile, both
+    forced by streaming-append semantics and named honestly in the schema:
+
+    - ``approx_distinct_content`` (HLL) replaces the exact
+      ``count_distinct`` — exact distinct inside a streaming window would
+      hold every fingerprint in state;
+    - ``quality_points`` = sum of (quality_score × 4) as an exact BIGINT
+      (quality is a sum of 0.25 multiples, so ×4 is integral) — mean
+      quality is quality_points / 4 / n_docs, derivable without hashing a
+      float.
+
+    Output: (window_start_ms, window_end_ms, domain, n_docs, n_empty,
+    n_tokens, n_chars, quality_points, approx_distinct_content,
+    n_docs_with_pii) — all integral. Scale shape: map-side-combining
+    partial aggregation into |windows × domains| state rows, the same as
+    the change-rate history table."""
+    from ..metrics import ensure_utc_event_time
+
+    wm = ensure_utc_event_time(stream_df, ts_col).withWatermark(
+        ts_col, watermark_delay
+    )
+    m = with_text_metrics(wm, text_col, include_grams=False)
+    e, i, p = pii_count_exprs(F.col(text_col))
+    staged = m.withColumn("__pii", (e + i + p) > 0)
+    win = F.window(F.col(ts_col), window)
+    agg = staged.groupBy(win.alias("w"), F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.coalesce(F.length(text_col), F.lit(0)) == 0, 1).otherwise(0)
+        ).alias("n_empty"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.coalesce(F.length(text_col), F.lit(0))).alias("n_chars"),
+        F.sum((F.col("quality_score") * 4).cast("long")).alias("quality_points"),
+        F.approx_count_distinct(
+            F.coalesce(F.col("fingerprint"), F.md5(F.lit("")))
+        ).alias("approx_distinct_content"),
+        F.sum(F.when(F.col("__pii"), 1).otherwise(0)).alias("n_docs_with_pii"),
+    )
+    return agg.select(
+        F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+        F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+        "domain",
+        "n_docs",
+        "n_empty",
+        "n_tokens",
+        "n_chars",
+        "quality_points",
+        "approx_distinct_content",
+        "n_docs_with_pii",
+    )
+
+
 #: query parameters that never change page identity — the usual
 #: tracking/session noise a web-corpus dedup must see through. Generic
 #: names like "ref" or "id" are deliberately NOT here: many sites use

@@ -1078,3 +1078,87 @@ def test_asof_join_property_vs_brute_force(spark):
                 assert mrid in {rid for rt, rid in cands if rt == best_t}
 
     check()
+
+
+def test_corpus_profile_stream_matches_batch(spark, tmp_path):
+    """Streaming corpus health: each closed (window, domain) row emits
+    exactly once in APPEND mode and equals the same aggregation run in
+    batch over the pre-sentinel documents (shared plan — the function works
+    on both input kinds; watermark is a no-op in batch)."""
+    from debezium_connector_vitess_spark.ops.text import corpus_profile_stream
+
+    fixture = str(tmp_path / "docsfix")
+    os.makedirs(fixture)
+    schema = "ts_ms bigint, source string, text string"
+    # two content batches inside hours 0-1, then two clock-advancing
+    # sentinel files (first moves the watermark, second's batch flushes)
+    rows1 = [
+        (T0 + i * 60000, "srcA",
+         f"document number {i} with some plainly varied prose content here")
+        for i in range(6)
+    ] + [(T0 + 10 * 60000, "srcB", "")]
+    rows2 = [
+        (T0 + (30 + i) * 60000, "srcA",
+         f"later cohort {i} carrying contact me at bob{i}@example.com please")
+        for i in range(4)
+    ]
+    rows3 = [(T0 + 9 * HOUR_MS, "__advance__", "x")]
+    rows4 = [(T0 + 10 * HOUR_MS, "__advance__", "x")]
+    now = time.time()
+    for i, rows in enumerate((rows1, rows2, rows3, rows4)):
+        tmp = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(fixture, f"f{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (now - 100 + i, now - 100 + i))
+
+    def to_docs(df):
+        return df.select(F.timestamp_millis("ts_ms").alias("ts"), "source", "text")
+
+    stream = to_docs(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(fixture)
+    )
+    prof = corpus_profile_stream(
+        stream, "text", ts_col="ts", window="1 hour", watermark_delay="30 minutes"
+    )
+    collected = []
+    q = (
+        prof.writeStream.foreachBatch(lambda df, _b: collected.extend(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start_ms"], r["domain"]): (
+            r["n_docs"], r["n_empty"], r["n_tokens"], r["n_chars"],
+            r["quality_points"], r["n_docs_with_pii"],
+        )
+        for r in collected
+        if r["domain"] != "__advance__"
+    }
+    assert got, "no closed windows flushed — watermark never advanced"
+    batch = to_docs(spark.createDataFrame(rows1 + rows2, schema))
+    expected = {
+        (r["window_start_ms"], r["domain"]): (
+            r["n_docs"], r["n_empty"], r["n_tokens"], r["n_chars"],
+            r["quality_points"], r["n_docs_with_pii"],
+        )
+        for r in corpus_profile_stream(
+            batch, "text", ts_col="ts", window="1 hour",
+            watermark_delay="30 minutes",
+        ).collect()
+    }
+    assert got == expected
+    # the PII cohort landed: srcA's window counts 4 email-bearing docs
+    key = (T0, "srcA")
+    assert key in got and got[key][5] == 4
+    # exactly-once: no (window, domain) appeared twice across micro-batches
+    seen = [
+        (r["window_start_ms"], r["domain"])
+        for r in collected if r["domain"] != "__advance__"
+    ]
+    assert len(seen) == len(set(seen))
