@@ -787,6 +787,65 @@ def lsh_cross_near_pairs(
     )
 
 
+def _assign_centroids_gemm(
+    staged: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Centroid assignment as ONE Arrow-batched numpy matmul per batch —
+    the 100 TB shape for LARGE centroid counts, where the literal-argmax
+    expression stops scaling twice over: per-row cost is an O(k)
+    interpreted HOF fold (k ∝ corpus under a constant-cluster-size policy,
+    so total assignment work grows n·k), and a k×dim literal tree past a
+    few hundred centroids blows up planning/codegen (measured in
+    _centroid_pick_expr's docstring). BLAS does the same n·k·d FLOPs at
+    memory bandwidth — the faiss/SemDeDup-paper assignment shape — with
+    the centroid matrix broadcast in the closure, zero shuffle.
+
+    Trade-off stated honestly: numpy's pairwise summation is NOT the
+    sequential fold Catalyst and DuckDB compute, so scores can differ in
+    the last ulps and an argmax between near-tied centroids can flip —
+    this path is for production scale, while ``assignment='expr'`` stays
+    the bit-exact default the driver row's oracle replicates. Ties on
+    equal score break to the smaller centroid id in both paths (ids are
+    sorted ascending; argmax returns the first maximum).
+
+    Input/output contract: staged carries (__sid, __svec, __snorm); the
+    output appends (cluster_id, __cscore) and keeps the vector+norm for
+    the within-cluster pair stage."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.float64)  # k × d
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    out_schema = StructType(
+        list(staged.schema.fields)
+        + [
+            StructField("cluster_id", LongType()),
+            StructField("__cscore", DoubleType()),
+        ]
+    )
+
+    def assign(batches) -> "Iterator[pd.DataFrame]":  # noqa: F821
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__svec"]])
+            vn = pdf["__snorm"].to_numpy(dtype=np.float64)
+            scores = (V @ C.T) / (vn[:, None] * cn[None, :])
+            best = scores.argmax(axis=1)  # first max = smallest centroid id
+            pdf = pdf.copy()
+            pdf["cluster_id"] = ids[best]
+            pdf["__cscore"] = scores[np.arange(len(pdf)), best]
+            yield pdf
+
+    return staged.mapInPandas(assign, schema=out_schema)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     *,
@@ -797,6 +856,7 @@ def semantic_dedup(
     kmeans_iters: int = 2,
     threshold: float = 0.95,
     keep: str = "min_id",
+    assignment: str = "expr",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
     by centroid blocking — cluster the embedding space coarsely, then flag a
@@ -821,17 +881,27 @@ def semantic_dedup(
     kept). Deterministic — no RNG, both quantizers are the seeded/iterated
     deterministic frames IVF uses — and exactly replicable in SQL.
 
-    100 TB shape: assignment is the LITERAL-centroid argmax projection
-    (:func:`_centroid_pick_expr`) — narrow, zero shuffle; the only vector
-    exchange is ONE hash partition on ``cluster_id`` for the within-cluster
-    self-join (inherent to SemDeDup's exact within-cluster cosine; cluster
-    size — and thus the per-task pair product — is controlled by
-    ``n_centroids``, the paper runs ~50k clusters at LAION scale, and an
-    equi-join lets AQE split stragglers); the conviction groupBy and the
-    join-back move ids only. Cites reference parity: none — extension
-    operator (SURVEY §2.9)."""
+    100 TB shape: assignment is narrow and shuffle-free in both modes —
+    ``assignment='expr'`` (default) is the LITERAL-centroid argmax
+    projection (:func:`_centroid_pick_expr`), bit-exact against the SQL
+    oracle but O(k) interpreted folds per row, right for small k;
+    ``assignment='gemm'`` is one Arrow-batched numpy matmul per batch
+    against the broadcast centroid matrix (:func:`_assign_centroids_gemm`)
+    — the faiss-style shape that holds when a constant-cluster-size policy
+    pushes k into the tens of thousands (float-order differs in the last
+    ulps; see its docstring). The only vector exchange is ONE hash
+    partition on ``cluster_id`` for the within-cluster self-join (inherent
+    to SemDeDup's exact within-cluster cosine; cluster size — and thus the
+    per-task pair product — is controlled by ``n_centroids``, the paper
+    runs ~50k clusters at LAION scale, and an equi-join lets AQE split
+    stragglers); the conviction groupBy and the join-back move ids only.
+    Cites reference parity: none — extension operator (SURVEY §2.9)."""
     if keep not in ("min_id", "far_centroid"):
         raise ValueError(f"keep must be 'min_id' or 'far_centroid', got {keep!r}")
+    if assignment not in ("expr", "gemm"):
+        raise ValueError(
+            f"assignment must be 'expr' or 'gemm', got {assignment!r}"
+        )
     corpus = _drop_zero_vectors(corpus, vec_col)
     if quantizer == "kmeans":
         cent_df = kmeans_centroid_frame(
@@ -851,12 +921,15 @@ def semantic_dedup(
         F.col(vec_col).alias("__svec"),
         norm_expr(F.col(vec_col)).alias("__snorm"),
     )
-    best = F.array_max(_centroid_pick_expr(cents, "`__svec`", "`__snorm`"))
-    assigned = staged.select(
-        "__sid", "__svec", "__snorm",
-        (-best["nid"]).cast("long").alias("cluster_id"),
-        best["s"].alias("__cscore"),
-    )
+    if assignment == "gemm":
+        assigned = _assign_centroids_gemm(staged, cents)
+    else:
+        best = F.array_max(_centroid_pick_expr(cents, "`__svec`", "`__snorm`"))
+        assigned = staged.select(
+            "__sid", "__svec", "__snorm",
+            (-best["nid"]).cast("long").alias("cluster_id"),
+            best["s"].alias("__cscore"),
+        )
     # one exchange keyed on cluster_id feeds BOTH join sides (self-join on
     # the same assigned frame); priority compares inline on the joined row
     a = assigned.select(

@@ -317,6 +317,17 @@ def main() -> None:
             e, threshold=0.4, n_centroids=max(16, n // 125)
         ).filter(F.col("is_dup"))
 
+    # the large-k production assignment (BLAS matmul seam) next to the
+    # bit-exact expr path: at constant cluster size k grows with the
+    # corpus, so expr assignment work is n*k interpreted folds — the gemm
+    # entry shows the shape that absorbs it
+    def semdedup_gemm_op(e):
+        n = e.count()
+        return semantic_dedup(
+            e, threshold=0.4, n_centroids=max(16, n // 125),
+            assignment="gemm",
+        ).filter(F.col("is_dup"))
+
     # r8: Z-order layout write — one exchange + multi-column manifest; the
     # write (and the one tiny bounds aggregate) must scale with the scan
     from debezium_connector_vitess_spark.ops.layout import write_zordered
@@ -340,9 +351,11 @@ def main() -> None:
         + [("asof_enrich", asof_op, evs1_raw, evs10_raw)]
         + [("json_extract", json_op, ej1, ej10)]
         + [("semantic_dedup", semdedup_op, emb1, emb10)]
+        + [("semantic_dedup_gemm", semdedup_gemm_op, emb1, emb10)]
         + [("zorder_write", zorder_op, docs1, docs10)]
     )
     PAIR_OPS.add("semantic_dedup")
+    PAIR_OPS.add("semantic_dedup_gemm")
     for name, fn, frame1, frame10 in all_ops:
         rec: dict[str, float] = {}
         for label, frame in (("1x", frame1), ("10x", frame10)):

@@ -4285,3 +4285,33 @@ def test_tokenizer_fertility(spark, sf_dir):
     assert total["n_words"] == expect_words
     # losslessness floor: every word costs at least one piece
     assert total["n_bpe_tokens"] >= total["n_words"]
+
+
+def test_semantic_dedup_gemm_assignment_agrees(spark, sf_dir):
+    """The BLAS assignment path (the large-k production shape) produces the
+    same clustering as the bit-exact literal-expr path on real data — ulp
+    flips are possible only between near-tied centroids, so demand full
+    agreement here and fall back to a 99% bar only if the fixture ever
+    produces a genuine near-tie."""
+    from debezium_connector_vitess_spark.ops.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    expr_out = {
+        r["vec_id"]: (r["cluster_id"], r["is_dup"], r["witness_id"])
+        for r in semantic_dedup(emb, threshold=0.4, assignment="expr").collect()
+    }
+    gemm_out = {
+        r["vec_id"]: (r["cluster_id"], r["is_dup"], r["witness_id"])
+        for r in semantic_dedup(emb, threshold=0.4, assignment="gemm").collect()
+    }
+    assert set(expr_out) == set(gemm_out)
+    agree = sum(expr_out[i] == gemm_out[i] for i in expr_out)
+    assert agree / len(expr_out) >= 0.99
+    assert agree == len(expr_out), (
+        f"{len(expr_out) - agree} docs flipped between assignment paths — "
+        f"near-tied centroids; acceptable only if scores genuinely tie"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="assignment must be"):
+        semantic_dedup(emb, assignment="blas")
