@@ -857,6 +857,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     keep: str = "min_id",
     assignment: str = "expr",
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
     by centroid blocking — cluster the embedding space coarsely, then flag a
@@ -930,6 +931,15 @@ def semantic_dedup(
             (-best["nid"]).cast("long").alias("cluster_id"),
             best["s"].alias("__cscore"),
         )
+    # materialize-once (the r6 self-join dedup rule): the assigned frame is
+    # consumed on BOTH join sides AND by the final join-back — without the
+    # checkpoint, the assignment pass (the O(k)-fold argmax or the BLAS
+    # seam) re-runs per consumer. Blocks reclaimed by the caller's
+    # cache.checkpoint_scope, same as the MinHash/Jaccard materializations.
+    if materialize:
+        from ..cache import eager_localcheckpoint
+
+        assigned, _release = eager_localcheckpoint(assigned)
     # one exchange keyed on cluster_id feeds BOTH join sides (self-join on
     # the same assigned frame); priority compares inline on the joined row
     a = assigned.select(

@@ -435,6 +435,8 @@ def test_semantic_dedup_shape(spark, sf_dir):
     from debezium_connector_vitess_spark.ops.similarity import semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    plan = _formatted(semantic_dedup(emb, threshold=0.4))
+    # materialize=False keeps the full lazy plan visible (the checkpointed
+    # form hides the assignment subtree behind a LogicalRDD)
+    plan = _formatted(semantic_dedup(emb, threshold=0.4, materialize=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
