@@ -1234,6 +1234,43 @@ def curation_gram_signals(
     ).join(imp.select(id_col, "log_weight"), id_col)
 
 
+def packing_efficiency(
+    packed: DataFrame,
+    *,
+    block_tokens: int,
+    stream_col: str = "stream",
+) -> DataFrame:
+    """Packing-efficiency report over :func:`pack_sequences`' placement
+    frame: per stream, how full the emitted blocks actually are — the
+    number a trainer checks before paying for a 100 TB tokenization run
+    whose tail blocks might be mostly padding.
+
+    Exact integer sums only (the no-hashed-doubles convention): n_docs,
+    n_tokens, n_blocks = ceil(n_tokens / block_tokens) — NOT a distinct
+    count of start-block ids, which undercounts when a document longer
+    than a block spans blocks no document starts in — capacity_tokens
+    (n_blocks × block_tokens), padding_tokens (capacity − tokens; under
+    concat-and-chop only the final block of a stream can be short, so
+    0 ≤ padding < block_tokens per stream — the invariant the unit test
+    pins). Fill rate = n_tokens / capacity_tokens, one division away.
+
+    One groupBy(stream) over the placement frame — map-side combining,
+    |streams| output rows."""
+    agg = packed.groupBy(F.col(stream_col).alias("stream")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    n_blocks = F.ceil(F.col("n_tokens") / F.lit(block_tokens)).cast("long")
+    return agg.select(
+        "stream",
+        "n_docs",
+        "n_tokens",
+        n_blocks.alias("n_blocks"),
+        (n_blocks * block_tokens).alias("capacity_tokens"),
+        (n_blocks * block_tokens - F.col("n_tokens")).alias("padding_tokens"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str,

@@ -4315,3 +4315,44 @@ def test_semantic_dedup_gemm_assignment_agrees(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="assignment must be"):
         semantic_dedup(emb, assignment="blas")
+
+
+def test_packing_efficiency(spark, sf_dir):
+    """Exact-sum invariants against pack_sequences placements: capacity
+    accounts for long docs spanning start-less blocks, padding stays inside
+    [0, block_tokens), and totals reconcile with the raw token counts."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    block = 64  # small enough that some docs span multiple blocks
+    packed = pack_sequences(
+        docs, "text", "doc_id", stream_col="source", block_tokens=block
+    )
+    eff = {r["stream"]: r for r in packing_efficiency(
+        packed, block_tokens=block, stream_col="source"
+    ).collect()}
+    totals = {
+        r["source"]: (r["docs"], r["toks"])
+        for r in docs.groupBy("source").agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size(F.filter(
+                F.split(F.coalesce("text", F.lit("")), r"\s+"),
+                lambda x: x != "",
+            ))).alias("toks"),
+        ).collect()
+    }
+    assert set(eff) == set(totals)
+    for s, r in eff.items():
+        docs_n, toks = totals[s]
+        assert r["n_docs"] == docs_n
+        assert r["n_tokens"] == toks
+        assert 0 <= r["padding_tokens"] < block
+        assert r["capacity_tokens"] == r["n_blocks"] * block
+        assert r["n_blocks"] == -(-toks // block)  # ceil
