@@ -74,6 +74,9 @@ HEADLINE = [
 # gained the four Gopher repetition-signal columns (line/gram sorts + an
 # aggregate fold of real per-row work). value_core is 10 queries from r7
 # on — compare per-query, not the total, across that boundary.
+# dedup_clusters STAYS in r8 despite gaining the split column: the addition
+# is one md5+CASE per OUTPUT row (500 rows at sf0.1) on top of the CC loop —
+# sub-millisecond, not a composition change in any measurable sense.
 CORE = [
     "cdc_extract_new_state", "cdc_materialize", "tx_metadata",
     "pricing_summary", "revenue_by_nation",

@@ -303,6 +303,51 @@ def sample_by_hash(
     return df.filter(hash_uniform_expr(F.col(id_col), salt) < rate_pct)
 
 
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    *,
+    fractions: "dict[str, float]",
+    salt: str = "split",
+    out_col: str = "split",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic leakage-safe train/val/test assignment: the split is a
+    pure function of ``key_col``, so every row sharing a key lands in the
+    SAME split. Pass the near-dup ``cluster_id`` (or the canonical URL /
+    domain) as the key and no near-duplicate pair can straddle the
+    train/test boundary — splitting on ``doc_id`` leaks duplicated content
+    across splits, the classic eval-contamination bug that survives exact
+    dedup because near-dups have distinct ids.
+
+    ``fractions`` is an ordered name→fraction mapping summing to 1 (the
+    last name absorbs integer-floor remainder). Assignment thresholds are
+    EXACT integers on the md5 60-bit long mod ``resolution`` — no float
+    comparison anywhere, so any engine reproduces the split bit-for-bit
+    (DuckDB mirror: ``('0x' || substr(md5(salt || key), 1, 15))::BIGINT %
+    resolution`` against the same thresholds).
+
+    Scale: one narrow map-side projection — no shuffle, no RNG state, no
+    split-assignment table to join. Re-running on a grown corpus keeps
+    every previously-assigned key in its split (hash stability), the
+    property that keeps a frozen test set frozen across dataset versions.
+    """
+    names = list(fractions)
+    if len(names) < 2:
+        raise ValueError("fractions needs at least two splits")
+    vals = [fractions[n] for n in names]
+    if min(vals) < 0 or abs(sum(vals) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must be non-negative and sum to 1: {fractions}")
+    u = _md5_long_expr(F.col(key_col), salt) % F.lit(resolution)
+    expr = None
+    acc = 0.0
+    for n in names[:-1]:
+        acc += fractions[n]
+        bound = F.lit(int(round(acc * resolution)))
+        expr = F.when(u < bound, F.lit(n)) if expr is None else expr.when(u < bound, F.lit(n))
+    return df.withColumn(out_col, expr.otherwise(F.lit(names[-1])))
+
+
 def _unit_uniform_expr(key: Column, salt: str) -> Column:
     """Engine-agnostic uniform in (0, 1): md5 60-bit long, +0.5 to open the
     lower edge, clamped to 1−2⁻⁵³ because the long→double conversion rounds
@@ -1558,4 +1603,78 @@ def plan_token_budgets(
     return spark.createDataFrame(
         [(d, budgets[d], avail[d]) for d in sorted(proportions)],
         f"{domain_col} string, budget_tokens long, available_tokens long",
+    )
+
+
+def reweight_mixture(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    loss_col: str,
+    ref_loss_col: str | None = None,
+    rounds: int = 10,
+    step: float = 1.0,
+    init: "dict[str, float] | None" = None,
+    smoothing: float = 1e-3,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing Data
+    Mixtures Speeds Up Language Model Pretraining", 2023) reduced to its
+    data-engine half: multiplicative-weights updates over per-domain EXCESS
+    LOSS. Each round reweights domains by ``exp(step × clipped mean excess
+    loss)`` and renormalizes with uniform smoothing — domains where the
+    proxy model underperforms the reference gain mixture weight.
+
+    Here the per-example losses are INPUT COLUMNS (e.g. the engine's own
+    ``doc_perplexity`` output for the proxy and reference LMs) — the
+    training loop that produces them lives outside the data engine, exactly
+    as the reference connector leaves model training to consumers. With
+    ``ref_loss_col=None`` the reference loss is 0 (raw-loss reweighting).
+
+    Scale: ONE distributed aggregation (per-domain mean excess loss and
+    counts — |domains| rows); the ``rounds`` iterations are driver
+    arithmetic on that tiny frame, never touching the corpus again — the
+    same one-pass-then-plan shape as :func:`plan_token_budgets`. Feed the
+    returned weights to :func:`plan_token_budgets` (as proportions) or
+    :func:`resample_by_weight` (as log-weights) to realize the mixture.
+
+    Returns (domain_col, n_docs, mean_excess_loss, weight) sorted by domain.
+    """
+    import math
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    excess = F.col(loss_col) - (
+        F.col(ref_loss_col) if ref_loss_col is not None else F.lit(0.0)
+    )
+    agg = (
+        df.groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(excess).alias("mean_excess_loss"),
+        )
+        .collect()
+    )
+    if not agg:
+        raise ValueError("empty frame: no domains to reweight")
+    domains = sorted(r[domain_col] for r in agg)
+    stats = {r[domain_col]: (int(r["n_docs"]), float(r["mean_excess_loss"])) for r in agg}
+    if init is None:
+        w = {d: 1.0 / len(domains) for d in domains}
+    else:
+        tot = sum(init.get(d, 0.0) for d in domains)
+        if tot <= 0:
+            raise ValueError("init weights must have positive mass on observed domains")
+        w = {d: init.get(d, 0.0) / tot for d in domains}
+    u = 1.0 / len(domains)
+    for _ in range(rounds):
+        # clip at 0: only UNDERperformance (positive excess) gains weight,
+        # per the DoReMi objective; exp is bounded by the per-round step
+        scores = {d: math.exp(step * max(stats[d][1], 0.0)) for d in domains}
+        raw = {d: w[d] * scores[d] for d in domains}
+        z = sum(raw.values())
+        w = {d: (1.0 - smoothing) * raw[d] / z + smoothing * u for d in domains}
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(d, stats[d][0], stats[d][1], w[d]) for d in domains],
+        f"{domain_col} string, n_docs long, mean_excess_loss double, weight double",
     )

@@ -725,6 +725,125 @@ def quantize_embeddings(
     )
 
 
+def project_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    k: int = 8,
+    dim: int | None = None,
+    seed: str = "vitess-cdc-rp",
+    out_col: str = "projected",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``k`` dimensions with the
+    SAME deterministic SHA-256 Gaussian planes as the LSH family — no RNG
+    state, so the projection matrix is a pure function of (seed, dim, k)
+    and any engine (or a later re-run over new data) reproduces it exactly.
+    Rows are unit-normalized Gaussians scaled by ``sqrt(dim/k)``, the
+    variant that preserves squared norms in expectation, so downstream
+    cosine/L2 structure survives at the JL distortion bound.
+
+    Scale: the k plane-dots compile to ONE SQL parse of codegen'd
+    ``aggregate(zip_with(...))`` folds — a narrow map-only projection, no
+    shuffle, no Python; at 100 TB this is the embedding-width reducer that
+    runs fused into the scan before any ANN/dedup pass, cutting every
+    downstream vector exchange by dim/k. Compose with
+    :func:`quantize_embeddings` for the int8 storage path."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if dim is None:
+        dim = _observed_dim(df, vec_col)
+        if dim is None:
+            raise ValueError("cannot probe vector dim from an empty frame; pass dim=")
+    else:
+        _assert_dim(df, vec_col, dim, "project_embeddings")
+    planes = _hyperplanes(dim, k, seed=seed)
+    scale = math.sqrt(dim / float(k))
+    vec_sql = _quote_ident(vec_col)
+    comps = ", ".join(
+        f"{_plane_dot_sql(vec_sql, p)} * {_dlit(scale)}" for p in planes
+    )
+    return df.select(
+        id_col, *keep_cols, F.expr(f"array({comps})").alias(out_col)
+    )
+
+
+def project_quantized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    k: int = 8,
+    dim: int | None = None,
+    seed: str = "vitess-cdc-rp",
+    bits: int = 8,
+    weight_scale_bits: int = 20,
+    out_col: str = "q_proj_csv",
+) -> DataFrame:
+    """Integer-exact random projection: int8-quantize the vector (the
+    :func:`quantize_embeddings` scale/codes), then project the CODES with
+    integer-quantized plane weights ``round(w · 2^weight_scale_bits)`` —
+    every product and sum is BIGINT arithmetic, so the projection is
+    bit-identical in ANY engine and under ANY reduction order (the int8-GEMM
+    shape production inference uses). The real-valued projection is
+    recovered as ``csv_j × scale × sqrt(dim/k) / 2^weight_scale_bits``;
+    relative to :func:`project_embeddings` it adds only the int8
+    quantization error.
+
+    Scale: one narrow zero-shuffle projection like the float path; |term| ≤
+    (2^(bits−1)−1) · 2^weight_scale_bits and dim terms keep the sums far
+    inside int64. Returns (id_col, scale, out_col)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if dim is None:
+        dim = _observed_dim(df, vec_col)
+        if dim is None:
+            raise ValueError("cannot probe vector dim from an empty frame; pass dim=")
+    else:
+        _assert_dim(df, vec_col, dim, "project_quantized")
+    qmax = (1 << (bits - 1)) - 1
+    if (qmax << weight_scale_bits) * dim >= 1 << 62:
+        raise ValueError("bits + weight_scale_bits too large: int64 overflow risk")
+    planes = _hyperplanes(dim, k, seed=seed)
+    w_ints = [[int(round(w * (1 << weight_scale_bits))) for w in p] for p in planes]
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = df.select(
+        id_col,
+        vec.alias("__v"),
+        (F.array_max(F.transform(vec, F.abs)) / F.lit(float(qmax))).alias("scale"),
+    ).select(
+        id_col,
+        "scale",
+        F.when(
+            F.col("scale") == 0.0,
+            F.transform(F.col("__v"), lambda x: F.lit(0).cast("long")),
+        )
+        .otherwise(
+            F.transform(
+                F.col("__v"),
+                lambda x: F.round(
+                    F.coalesce(x, F.lit(0.0)) / F.col("scale")
+                ).cast("long"),
+            )
+        )
+        .alias("__q"),
+    )
+    comps = ", ".join(
+        "aggregate(zip_with(`__q`, array("
+        + ", ".join(f"{w}L" for w in p)
+        + "), (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+        for p in w_ints
+    )
+    return staged.select(
+        id_col,
+        "scale",
+        F.expr(
+            f"concat_ws(',', transform(array({comps}), v -> CAST(v AS STRING)))"
+        ).alias(out_col),
+    )
+
+
 def lsh_cross_near_pairs(
     left: DataFrame,
     right: DataFrame,

@@ -1501,3 +1501,78 @@ def filter_blocked_domains(
     )
     how = "left_semi" if keep else "left_anti"
     return df.join(hit_doms, df[domain_col] == hit_doms["__dom"], how)
+
+
+def badword_pattern(words, *, whole_word: bool = True) -> str:
+    """ONE compiled alternation for a bad-word/phrase list (the C4-style
+    blocklist gate). Lowercased, longest-first (so a phrase wins over its
+    prefix word in the alternation), escaped with a conservative escape
+    set that Java regex and RE2 read identically — the match is then run
+    against ``lower(text)``, avoiding case-insensitivity flags whose
+    Unicode semantics differ across engines."""
+    import re
+
+    ws = sorted({w.lower().strip() for w in words if w and w.strip()},
+                key=lambda w: (-len(w), w))
+    if not ws:
+        raise ValueError("empty badword list")
+    alt = "|".join(re.escape(w) for w in ws)
+    return rf"\b(?:{alt})\b" if whole_word else f"(?:{alt})"
+
+
+def badword_flag_expr(text: Column, words, *, whole_word: bool = True) -> Column:
+    """Boolean per-document flag: does the text contain any listed word or
+    phrase? NULL text flags false (the empty-document contract)."""
+    return F.coalesce(
+        F.lower(text).rlike(badword_pattern(words, whole_word=whole_word)),
+        F.lit(False),
+    )
+
+
+def filter_badwords(
+    df,
+    text_col: str,
+    words,
+    *,
+    mode: str = "regex",
+    flag_col: str | None = None,
+    keep: str = "clean",
+):
+    """Bad-word/phrase document gate (the C4 "dirty word list" filter).
+
+    ``mode='regex'`` — one alternation over the lowercased text: supports
+    multi-word phrases and runs as a single codegen'd ``RLIKE`` projection.
+    ``mode='token'`` — exact unigram membership via ``arrays_overlap``
+    against the broadcast-literal word array: no substring semantics (so
+    "class" never trips on "ass"), still a pure map-side projection.
+
+    Both modes are zero-shuffle: the list ships inside the task binary as
+    a literal — at 100 TB this is a narrow filter fused into the scan, the
+    cheapest possible gate, which is why it runs FIRST in a curation
+    pipeline (before any shuffle-bearing dedup touches the dropped docs).
+    ``flag_col`` annotates instead of filtering; ``keep='flagged'`` inverts
+    (auditing the dropped slice)."""
+    if mode == "regex":
+        flag = badword_flag_expr(F.col(text_col), words)
+    elif mode == "token":
+        ws = sorted({w.lower() for w in words if w})
+        if not ws:
+            raise ValueError("empty badword list")
+        if any(" " in w for w in ws):
+            raise ValueError("mode='token' is unigram-only; use mode='regex' for phrases")
+        flag = F.coalesce(
+            F.arrays_overlap(
+                F.transform(tokens_expr(F.col(text_col)), F.lower),
+                F.array(*[F.lit(w) for w in ws]),
+            ),
+            F.lit(False),
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    if flag_col is not None:
+        return df.withColumn(flag_col, flag)
+    if keep == "clean":
+        return df.filter(~flag)
+    if keep == "flagged":
+        return df.filter(flag)
+    raise ValueError(f"unknown keep {keep!r}")

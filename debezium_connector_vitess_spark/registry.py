@@ -43,6 +43,7 @@ SIDES: dict[str, tuple[str, ...]] = {
     "cdc_materialize": ("latest", "history"),
     "pack_sequences": ("pack", "chunk", "bpe"),
     "dedup_embedding_cosine": ("lsh", "semdedup"),
+    "embedding_quantize": ("int8", "project"),
 }
 
 
@@ -1350,6 +1351,14 @@ _ORACLE_PII_SUFFIX = (
 )
 
 
+#: badword-gate list for the text_metrics row: one unigram + one phrase that
+#: genuinely occur in the fixture corpus (~10% of docs flag at both SFs), so
+#: the boundary/phrase semantics are row-count-visible, not decorative. The
+#: oracle embeds badword_pattern(_BADWORDS) verbatim (longest-first
+#: alternation over lower(text) — Java regex ∩ RE2).
+_BADWORDS = ("dup", "batch batch")
+
+
 @register(
     "text_metrics",
     oracle=f"""
@@ -1419,7 +1428,8 @@ _ORACLE_PII_SUFFIX = (
              WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
              WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
              WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
-             ELSE 'fr' END AS lang_pred
+             ELSE 'fr' END AS lang_pred,
+           has_badword
     FROM (
       SELECT *,
         len(list_filter(list_transform(toks, x -> lower(x)),
@@ -1429,7 +1439,9 @@ _ORACLE_PII_SUFFIX = (
         len(list_filter(list_transform(toks, x -> lower(x)),
             x -> x IN ('der','die','das','und','ist','ein','eine','zu','mit','von'))) AS s_de,
         len(list_filter(list_transform(toks, x -> lower(x)),
-            x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS s_fr
+            x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS s_fr,
+        coalesce(regexp_matches(lower(text), '\\b(?:batch batch|dup)\\b'), FALSE)
+          AS has_badword
       FROM g)
     """,
 )
@@ -1455,8 +1467,14 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_lines`` / ``n_dup_lines`` / ``dup_line_chars`` (duplicate-line
     rules) and ``top_bigram_chars`` (most-common-2-gram coverage) — all
     EXACT integer counts (the hashed-ratio numerators; denominators are
-    already in the row), per the no-hashed-doubles convention."""
+    already in the row), per the no-hashed-doubles convention.
+
+    Round 8 adds ``has_badword`` — the C4-style bad-word/phrase gate
+    (:func:`~.ops.text.badword_flag_expr`): ONE codegen'd alternation over
+    ``lower(text)`` with word boundaries (so unigram traps like
+    "class"∋"ass" cannot fire), list at ``_BADWORDS``."""
     from .ops.text import (
+        badword_flag_expr,
         lang_id_expr,
         pii_count_exprs,
         redact_pii_expr,
@@ -1510,6 +1528,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_line_chars.alias("dup_line_chars"),
         top_bigram_chars.alias("top_bigram_chars"),
         lang_id_expr(F.col("text")).alias("lang_pred"),
+        badword_flag_expr(F.col("text"), _BADWORDS).alias("has_badword"),
     )
 
 
@@ -1818,34 +1837,95 @@ def _lsh_banded_oracle_sql(
     """
 
 
-@register(
-    "embedding_quantize",
-    oracle="""
+def _embedding_quantize_oracle_sql(k: int = 8, dim: int = 64) -> str:
+    """DuckDB mirror of both sides: the raw int8 quantization, and the
+    integer-exact projection of the int8 CODES by integer-quantized plane
+    weights (identical SHA-256 planes via the same ``_hyperplanes`` call
+    the Spark expression uses). The projection side is pure BIGINT
+    arithmetic on the proven-green quantizer output — bit-exact in any
+    engine (a FLOAT-column × DOUBLE-literal multiply is NOT: DuckDB 1.0
+    rounds it differently than strict IEEE double ops by 1 ulp, measured,
+    which is why the driver row projects codes, not floats)."""
+    from .ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, k, seed="vitess-cdc-rp")
+    w_ints = [[int(round(w * (1 << 20))) for w in p] for p in planes]
+    comps = ", ".join(
+        "(" + " + ".join(f"q[{i + 1}] * {w}" for i, w in enumerate(p)) + ")"
+        for p in w_ints
+    )
+    return f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       FROM embeddings),
     s AS (
       SELECT vec_id, vec,
              list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
-      FROM v)
-    SELECT vec_id, scale,
+      FROM v),
+    pq AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(vec, x -> 0::BIGINT)
+                  ELSE list_transform(vec, x -> CAST(round(x / scale) AS BIGINT))
+             END AS q
+      FROM s)
+    SELECT 'int8' AS side, vec_id, scale,
            CASE WHEN scale = 0
                 THEN array_to_string(list_transform(vec, x -> 0), ',')
                 ELSE array_to_string(
                        list_transform(vec, x -> CAST(round(x / scale) AS INT)), ',')
            END AS q_csv
     FROM s
-    """,
-)
-def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric per-vector int8 quantization — map-only narrow pass (the
-    4× embedding-storage compression step of a training pipeline). The
-    oracle recomputes scale+codes; both engines widen float32→double
-    exactly and max|x| is order-insensitive, so values are bit-identical."""
-    from .ops.similarity import quantize_embeddings
+    UNION ALL
+    SELECT 'project' AS side, vec_id, scale,
+           array_to_string([{comps}], ',') AS q_csv
+    FROM pq
+    """
+
+
+@register("embedding_quantize", oracle=_embedding_quantize_oracle_sql())
+def embedding_quantize(
+    spark: SparkSession,
+    sf_dir: str,
+    sides: tuple[str, ...] = ("int8", "project"),
+) -> DataFrame:
+    """Embedding storage compression, both shapes against one oracle:
+
+    side='int8' — symmetric per-vector int8 quantization — map-only narrow
+    pass (the 4× embedding-storage compression step of a training
+    pipeline). Both engines widen float32→double exactly and max|x| is
+    order-insensitive, so (scale, codes) are bit-identical.
+
+    side='project' (round 8) — :func:`~.ops.similarity.project_quantized`:
+    the k=8 JL width reducer in its integer-exact form — project the int8
+    CODES with integer-quantized plane weights, pure BIGINT products/sums,
+    bit-identical in any engine (the float-path twin
+    :func:`~.ops.similarity.project_embeddings` is DuckDB-parity-tested on
+    its quantized output in test_ops; its raw floats cannot be driver-hashed
+    because DuckDB 1.0 rounds FLOAT-column × DOUBLE-literal multiplies 1 ulp
+    off strict IEEE — measured). Still one narrow zero-shuffle projection;
+    ``scale`` is the int8 side's proven-green max/127 single-op float."""
+    from .ops.similarity import project_quantized, quantize_embeddings
 
     emb = _embeddings(spark, sf_dir)
-    return quantize_embeddings(emb, "embedding", "vec_id", bits=8)
+    parts: list[DataFrame] = []
+    if "int8" in sides:
+        parts.append(
+            quantize_embeddings(emb, "embedding", "vec_id", bits=8).select(
+                F.lit("int8").alias("side"), "vec_id", "scale", "q_csv"
+            )
+        )
+    if "project" in sides:
+        parts.append(
+            project_quantized(emb, "embedding", "vec_id", k=8).select(
+                F.lit("project").alias("side"), "vec_id", "scale",
+                F.col("q_proj_csv").alias("q_csv"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def _semdedup_oracle_sql(threshold: float = 0.4, n_centroids: int = 16) -> str:
@@ -2651,8 +2731,15 @@ def field_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id),
-    labels AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
-    SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_survivor FROM labels
+    labels AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+    u AS (SELECT doc_id, cluster_id,
+                 ('0x' || substr(md5('split' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS su
+          FROM labels)
+    SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_survivor,
+           CASE WHEN su < 800000 THEN 'train'
+                WHEN su < 900000 THEN 'val' ELSE 'test' END AS split
+    FROM u
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2660,15 +2747,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH pairs via iterative min-label propagation (the standard
     shuffle-bounded CC loop — each round is one join+groupBy on the edge
     list; converges in graph-diameter rounds, tiny for dup clusters).
-    Survivor = lowest doc_id per component. Oracle: recursive CTE."""
+    Survivor = lowest doc_id per component. Oracle: recursive CTE.
+
+    Round 8 adds ``split`` — :func:`~.ops.pipeline.assign_splits` keyed on
+    ``cluster_id`` (80/10/10): the leakage-safe train/val/test assignment
+    where a whole near-dup cluster lands in ONE split, so near-duplicate
+    pairs can never straddle the train/test boundary (splitting on doc_id
+    leaks duplicated content past exact dedup). Exact integer thresholds on
+    the md5 long — the oracle recomputes the identical assignment."""
     from .ops.dedup import connected_components, minhash_dedup_pairs
+    from .ops.pipeline import assign_splits
 
     docs = _documents(spark, sf_dir)
     pairs = minhash_dedup_pairs(docs, "text", "doc_id").select("id_a", "id_b")
     nodes = docs.select(F.col("doc_id"))
     labels = connected_components(nodes, pairs, id_col="doc_id")
-    return labels.select(
-        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor")
+    return assign_splits(
+        labels.select(
+            "doc_id", "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+        ),
+        "cluster_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
     )
 
 

@@ -4356,3 +4356,277 @@ def test_packing_efficiency(spark, sf_dir):
         assert 0 <= r["padding_tokens"] < block
         assert r["capacity_tokens"] == r["n_blocks"] * block
         assert r["n_blocks"] == -(-toks // block)  # ceil
+
+
+def test_assign_splits(spark, sf_dir):
+    """Leakage safety (same key ⇒ same split), approximate fractions,
+    determinism, and DuckDB parity of the integer-threshold md5 recipe."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import assign_splits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.col("doc_id") % 50).alias("cluster_id")
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_splits(docs, "cluster_id", fractions=fr)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # leakage safety: split is a pure function of the key
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_key.values())
+    # fractions approximately respected over keys (50 keys, loose bar)
+    from collections import Counter
+
+    key_splits = Counter(next(iter(s)) for s in by_key.values())
+    assert set(key_splits) <= set(fr)
+    assert key_splits["train"] > key_splits["val"]
+    assert key_splits["train"] > key_splits["test"]
+    # determinism across invocations
+    again = {(r["doc_id"], r["split"]) for r in
+             assign_splits(docs, "cluster_id", fractions=fr).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
+    # DuckDB mirror: identical thresholds on the identical md5 long
+    con = duckdb.connect()
+    dd = {
+        r[0]: r[1]
+        for r in con.execute(
+            """
+        WITH k AS (SELECT DISTINCT doc_id % 50 AS cluster_id
+                   FROM read_parquet(?)),
+        u AS (SELECT cluster_id,
+               ('0x' || substr(md5('split' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000 AS u
+              FROM k)
+        SELECT cluster_id,
+               CASE WHEN u < 800000 THEN 'train'
+                    WHEN u < 900000 THEN 'val' ELSE 'test' END
+        FROM u
+        """,
+            [f"{sf_dir}/documents.parquet"],
+        ).fetchall()
+    }
+    con.close()
+    assert dd == {k: next(iter(s)) for k, s in by_key.items()}
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(docs, "cluster_id", fractions={"a": 0.5, "b": 0.1})
+    with _pytest.raises(ValueError, match="at least two"):
+        assign_splits(docs, "cluster_id", fractions={"all": 1.0})
+
+
+def test_filter_badwords(spark):
+    """Regex mode (phrases, word boundaries), token mode (exact unigram, no
+    substring trips), NULL contract, flag/keep variants, and DuckDB parity
+    of the shared pattern."""
+    import duckdb
+
+    from debezium_connector_vitess_spark.ops.text import (
+        badword_pattern,
+        filter_badwords,
+    )
+
+    rows = [
+        (1, "a perfectly CLEAN sentence"),
+        (2, "this mentions badword once"),
+        (3, "classified documents about classes"),   # substring trap for 'ass'
+        (4, "the exact bad phrase appears here"),
+        (5, None),
+        (6, "BADWORD shouting"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    words = ["badword", "ass", "bad phrase"]
+    clean = {r["doc_id"] for r in filter_badwords(df, "text", words).collect()}
+    assert clean == {1, 3, 5}
+    flagged = {r["doc_id"] for r in
+               filter_badwords(df, "text", words, keep="flagged").collect()}
+    assert flagged == {2, 4, 6}
+    # token mode: unigram-only, same boundary safety
+    tok_clean = {r["doc_id"] for r in
+                 filter_badwords(df, "text", ["badword", "ass"], mode="token").collect()}
+    assert tok_clean == {1, 3, 4, 5}
+    ann = filter_badwords(df, "text", words, flag_col="has_badword")
+    assert {(r["doc_id"], r["has_badword"]) for r in ann.collect()} == {
+        (1, False), (2, True), (3, False), (4, True), (5, False), (6, True)
+    }
+    # DuckDB parity: same pattern over lower(text)
+    pat = badword_pattern(words)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    dd = {r[0] for r in con.execute(
+        "SELECT doc_id FROM t WHERE NOT coalesce(regexp_matches(lower(text), ?), FALSE)",
+        [pat]).fetchall()}
+    con.close()
+    assert dd == clean
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unigram-only"):
+        filter_badwords(df, "text", ["bad phrase"], mode="token")
+    with _pytest.raises(ValueError, match="empty badword list"):
+        filter_badwords(df, "text", [])
+
+
+def test_project_embeddings(spark, sf_dir):
+    """Output width, determinism, JL norm preservation in aggregate, the
+    dim guard, and DuckDB parity through the int8-quantized composition."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.similarity import (
+        _dlit,
+        _hyperplanes,
+        project_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    k = 8
+    proj = project_embeddings(emb, k=k)
+    first = proj.select("projected").first()["projected"]
+    assert len(first) == k
+    assert proj.count() == emb.count()
+    # determinism: same seed → identical vectors
+    a = {r["vec_id"]: tuple(r["projected"]) for r in proj.collect()}
+    b = {r["vec_id"]: tuple(r["projected"]) for r in project_embeddings(emb, k=k).collect()}
+    assert a == b
+    # JL in aggregate: mean squared-norm ratio within 30% of 1
+    ratio = (
+        project_embeddings(emb, k=k)
+        .join(emb, "vec_id")
+        .select(
+            (F.aggregate(F.col("projected"), F.lit(0.0), lambda s, x: s + x * x)
+             / F.aggregate(F.col("embedding"), F.lit(0.0),
+                           lambda s, x: s + x.cast("double") * x.cast("double"))
+             ).alias("r")
+        )
+        .agg(F.avg("r")).collect()[0][0]
+    )
+    assert 0.7 < ratio < 1.3
+    # DuckDB parity of the quantized composition (the registry's shape)
+    q = {r["vec_id"]: r["q_csv"] for r in
+         quantize_embeddings(proj, "projected", "vec_id").collect()}
+    planes = _hyperplanes(dim, k, seed="vitess-cdc-rp")
+    import math
+
+    scale = math.sqrt(dim / float(k))
+    comps = ", ".join(
+        "list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), ["
+        + ", ".join(_dlit(v)[:-1] for v in p) + f"]) * {scale!r}"
+        for p in planes
+    )
+    con = duckdb.connect()
+    dd = {r[0]: r[1] for r in con.execute(f"""
+        WITH p AS (SELECT vec_id, [{comps}] AS v
+                   FROM read_parquet('{sf_dir}/embeddings.parquet')),
+        s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM p)
+        SELECT vec_id,
+               CASE WHEN sc = 0 THEN array_to_string(list_transform(v, x -> 0), ',')
+                    ELSE array_to_string(list_transform(v, x -> CAST(round(x / sc) AS INT)), ',')
+               END
+        FROM s
+    """).fetchall()}
+    con.close()
+    assert dd == q
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim="):
+        project_embeddings(emb, k=k, dim=dim + 1)
+
+
+def test_reweight_mixture(spark):
+    """Underperforming domains gain weight, weights stay a distribution,
+    the reference-loss column subtracts, and smoothing floors every domain."""
+    rows = [
+        ("a", 2.0, 1.0),   # excess 1.0 — underperforms
+        ("a", 2.2, 1.2),
+        ("b", 1.0, 1.0),   # excess 0
+        ("b", 1.1, 1.1),
+        ("c", 0.5, 1.0),   # negative excess — clipped to 0
+    ]
+    df = spark.createDataFrame(rows, "domain string, loss double, ref double")
+    from debezium_connector_vitess_spark.ops.pipeline import reweight_mixture
+
+    out = {r["domain"]: r for r in reweight_mixture(
+        df, domain_col="domain", loss_col="loss", ref_loss_col="ref", rounds=5
+    ).collect()}
+    assert set(out) == {"a", "b", "c"}
+    ws = {d: out[d]["weight"] for d in out}
+    assert abs(sum(ws.values()) - 1.0) < 1e-9
+    assert ws["a"] > ws["b"]
+    # clipped: zero and negative excess end at the same weight
+    assert abs(ws["b"] - ws["c"]) < 1e-12
+    assert all(w > 0 for w in ws.values())
+    assert out["a"]["n_docs"] == 2 and out["c"]["n_docs"] == 1
+    assert abs(out["a"]["mean_excess_loss"] - 1.0) < 1e-9
+    # raw-loss mode (no reference column)
+    raw = {r["domain"]: r["weight"] for r in reweight_mixture(
+        df, domain_col="domain", loss_col="loss", rounds=3
+    ).collect()}
+    assert raw["a"] > raw["b"] > raw["c"]
+    # determinism
+    again = {r["domain"]: r["weight"] for r in reweight_mixture(
+        df, domain_col="domain", loss_col="loss", ref_loss_col="ref", rounds=5
+    ).collect()}
+    assert again == ws
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rounds"):
+        reweight_mixture(df, domain_col="domain", loss_col="loss", rounds=0)
+    with _pytest.raises(ValueError, match="positive mass"):
+        reweight_mixture(df, domain_col="domain", loss_col="loss",
+                         init={"zz": 1.0})
+
+
+def test_project_quantized(spark, sf_dir):
+    """Integer-exact projection: BIGINT csv output, determinism, and
+    closeness to the float projection within int8 quantization error."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.similarity import (
+        project_embeddings,
+        project_quantized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    k = 8
+    out = project_quantized(emb, k=k)
+    rows = {r["vec_id"]: (r["scale"], r["q_proj_csv"]) for r in out.collect()}
+    assert len(rows) == emb.count()
+    assert all(len(v[1].split(",")) == k for v in rows.values())
+    # determinism
+    again = {r["vec_id"]: (r["scale"], r["q_proj_csv"])
+             for r in project_quantized(emb, k=k).collect()}
+    assert again == rows
+    # recoverability: scale × sqrt(dim/k)/2^20 × ints tracks the float
+    # projection within the int8 quantization error bound
+    fl = {r["vec_id"]: r["projected"]
+          for r in project_embeddings(emb, k=k).collect()}
+    jl = math.sqrt(dim / float(k)) / (1 << 20)
+    checked = 0
+    for vid, (scale, csv) in rows.items():
+        ints = [int(s) for s in csv.split(",")]
+        approx = [v * scale * jl for v in ints]
+        exact = fl[vid]
+        # per-component error ≤ dim × (scale/2) × max|w| × sqrt(dim/k); use
+        # the loose norm-scaled bound
+        bound = max(1e-12, scale * dim)
+        for a, e in zip(approx, exact):
+            assert abs(a - e) <= bound, (vid, a, e, bound)
+        checked += 1
+    assert checked > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overflow"):
+        project_quantized(emb, k=k, bits=32, weight_scale_bits=40)
+    with _pytest.raises(ValueError, match="dim="):
+        project_quantized(emb, k=k, dim=dim + 3)
