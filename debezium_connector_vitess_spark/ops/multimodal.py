@@ -1025,3 +1025,360 @@ def image_channel_stats(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(op, schema=IMAGE_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample tables: frame index + frame sampling (round 8)
+# ---------------------------------------------------------------------------
+
+FRAME_INDEX_SCHEMA = (
+    "doc_id long, frame_idx int, pts_ms long, byte_offset long, n_bytes int, "
+    "is_sync boolean"
+)
+
+VIDEO_FRAME_SCHEMA = "doc_id long, frame_idx int, pts_ms long, frame bytes".replace(
+    "bytes", "binary"
+)
+
+
+def _make_mp4_samples(doc_id: int, n_text_bytes: int) -> bytes:
+    """Deterministic REAL MP4 with a full sample table: the `_make_mp4`
+    skeleton plus mdia(mdhd + minf(stbl(stts/stss/stsc/stsz/stco))) inside
+    the video trak — the index structure every real demuxer seeks with.
+    Genuine ISO 14496-12 semantics the parser must honor: the MEDIA
+    timescale (mdhd, 12800 here) differs from the movie timescale; stts is
+    run-length encoded with TWO runs (frame duration doubles mid-stream);
+    stsz carries per-sample sizes; all samples live in one chunk whose stco
+    offset is the absolute file position of the first sample byte (so moov
+    is built twice: once to learn its own length, once with the real
+    offset); stss marks every 5th sample as a sync frame."""
+    import struct
+
+    n_frames = 8 + doc_id % 17
+    media_ts = 12800
+    half = n_frames // 2
+    runs = [(half, 512), (n_frames - half, 1024)] if half else [(n_frames, 512)]
+    sizes = [16 + ((doc_id + i * 7) % 48) for i in range(n_frames)]
+    syncs = list(range(1, n_frames + 1, 5))  # 1-based sample numbers
+    dur_units_media = sum(n * d for n, d in runs)
+    movie_ts = 500
+    dur_units_movie = dur_units_media * movie_ts // media_ts
+    width, height = 64 + doc_id % 64, 64 + (doc_id // 3) % 64
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(
+            ">B3s6I", 0, b"\x00\x00\x00", 0, 0, movie_ts, dur_units_movie,
+            0x00010000, 0x01000000,
+        )
+        + struct.pack(">2I", 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
+        + struct.pack(">I", 2),
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">B3s5I", 0, b"\x00\x00\x07", 0, 0, 1, 0, dur_units_movie)
+        + struct.pack(">2I", 0, 0)
+        + struct.pack(">2H", 0, 0)
+        + struct.pack(">2H", 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">2I", width << 16, height << 16),
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">B3s4I2H", 0, b"\x00\x00\x00", 0, 0, media_ts,
+                    dur_units_media, 0x55C4, 0),
+    )
+    stts = _box(
+        b"stts",
+        struct.pack(">B3sI", 0, b"\x00\x00\x00", len(runs))
+        + b"".join(struct.pack(">2I", n, d) for n, d in runs),
+    )
+    stss = _box(
+        b"stss",
+        struct.pack(">B3sI", 0, b"\x00\x00\x00", len(syncs))
+        + b"".join(struct.pack(">I", s) for s in syncs),
+    )
+    stsc = _box(
+        b"stsc",
+        struct.pack(">B3sI", 0, b"\x00\x00\x00", 1)
+        + struct.pack(">3I", 1, n_frames, 1),
+    )
+    stsz = _box(
+        b"stsz",
+        struct.pack(">B3s2I", 0, b"\x00\x00\x00", 0, n_frames)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+
+    def build_moov(chunk_offset: int) -> bytes:
+        stco = _box(
+            b"stco",
+            struct.pack(">B3sI", 0, b"\x00\x00\x00", 1)
+            + struct.pack(">I", chunk_offset),
+        )
+        stbl = _box(b"stbl", stts + stss + stsc + stsz + stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    moov_len = len(build_moov(0))
+    mdat_body_off = len(ftyp) + moov_len + 8  # +8: mdat box header
+    moov = build_moov(mdat_body_off)
+    assert len(moov) == moov_len
+    frames = b"".join(
+        bytes([(doc_id + i + j) % 256 for j in range(s)])
+        for i, s in enumerate(sizes)
+    )
+    return ftyp + moov + _box(b"mdat", frames)
+
+
+def attach_mp4_sample_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc deterministic sample-table-bearing MP4 blobs
+    (:func:`_make_mp4_samples`)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        _make_mp4_samples(int(did), len(t.encode("utf-8")))
+                        for did, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                    "mime": "video/mp4",
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(op, schema=AVI_PAYLOAD_SCHEMA)
+
+
+def _mp4_walk(payload: bytes, pos: int, end: int):
+    """Box iterator shared by the sample-table parser — same framing rules
+    as :func:`decode_mp4_meta` (size-0 to-EOF, size-1 largesize, tiling
+    validation)."""
+    import struct
+
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated box header")
+        size = struct.unpack(">I", payload[pos : pos + 4])[0]
+        fourcc = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 0:
+            size = end - pos
+        elif size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = struct.unpack(">Q", payload[pos + 8 : pos + 16])[0]
+            body = pos + 16
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"box {fourcc!r} size {size} overruns payload")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _find_box(payload: bytes, pos: int, end: int, path: tuple[bytes, ...]):
+    """Descend a fourcc path; returns (body, end) of the first match or
+    None."""
+    for fourcc, body, bend in _mp4_walk(payload, pos, end):
+        if fourcc == path[0]:
+            if len(path) == 1:
+                return body, bend
+            return _find_box(payload, body, bend, path[1:])
+    return None
+
+
+def decode_mp4_frame_table(payload: bytes) -> list[tuple[int, int, int, int, bool]]:
+    """REAL sample-table demux: locate the first trak carrying an stbl,
+    decode stts (run-length sample durations → per-sample decode time, at
+    the MEDIA timescale from mdhd), stsz (per-sample or constant sizes),
+    stsc+stco (sample→chunk→absolute byte offset — samples are laid out
+    back-to-back within a chunk), and stss (sync samples; absent table =
+    every sample is sync, per ISO 14496-12 §8.6.2). Returns
+    [(frame_idx, pts_ms, byte_offset, n_bytes, is_sync)] — exactly what a
+    seek-and-decode frame sampler needs, computed without any media
+    decoding."""
+    import struct
+
+    if not is_mp4(payload):
+        raise ValueError("not an ISO BMFF payload (no ftyp)")
+    moov = _find_box(payload, 0, len(payload), (b"moov",))
+    if moov is None:
+        raise ValueError("ISO BMFF payload missing moov")
+    for fourcc, tb, te in _mp4_walk(payload, moov[0], moov[1]):
+        if fourcc != b"trak":
+            continue
+        stbl = _find_box(payload, tb, te, (b"mdia", b"minf", b"stbl"))
+        if stbl is None:
+            continue
+        mdhd = _find_box(payload, tb, te, (b"mdia", b"mdhd"))
+        if mdhd is None:
+            raise ValueError("trak with stbl but no mdhd")
+        version = payload[mdhd[0]]
+        if version == 1:
+            media_ts = struct.unpack(">I", payload[mdhd[0] + 20 : mdhd[0] + 24])[0]
+        else:
+            media_ts = struct.unpack(">I", payload[mdhd[0] + 12 : mdhd[0] + 16])[0]
+        if media_ts == 0:
+            raise ValueError("mdhd timescale is 0")
+        tables: dict[bytes, tuple[int, int]] = {}
+        for bf, bb, be in _mp4_walk(payload, stbl[0], stbl[1]):
+            tables[bf] = (bb, be)
+        for req in (b"stts", b"stsz", b"stsc", b"stco"):
+            if req not in tables:
+                raise ValueError(f"stbl missing {req!r}")
+
+        def full_box(name: bytes) -> int:
+            return tables[name][0] + 4  # skip version+flags
+
+        # stts: per-sample durations
+        p = full_box(b"stts")
+        n_runs = struct.unpack(">I", payload[p : p + 4])[0]
+        durations: list[int] = []
+        q = p + 4
+        for _ in range(n_runs):
+            cnt, delta = struct.unpack(">2I", payload[q : q + 8])
+            durations.extend([delta] * cnt)
+            q += 8
+        # stsz: sizes (constant or per-sample)
+        p = full_box(b"stsz")
+        const_size, n_samples = struct.unpack(">2I", payload[p : p + 8])
+        if n_samples != len(durations):
+            raise ValueError(
+                f"stsz sample count {n_samples} != stts total {len(durations)}"
+            )
+        if const_size:
+            sizes = [const_size] * n_samples
+        else:
+            sizes = list(
+                struct.unpack(f">{n_samples}I", payload[p + 8 : p + 8 + 4 * n_samples])
+            )
+        # stsc: runs of (first_chunk, samples_per_chunk); stco: chunk offsets
+        p = full_box(b"stsc")
+        n_sc = struct.unpack(">I", payload[p : p + 4])[0]
+        sc = [
+            struct.unpack(">3I", payload[p + 4 + 12 * i : p + 16 + 12 * i])
+            for i in range(n_sc)
+        ]
+        p = full_box(b"stco")
+        n_chunks = struct.unpack(">I", payload[p : p + 4])[0]
+        chunk_offs = list(
+            struct.unpack(f">{n_chunks}I", payload[p + 4 : p + 4 + 4 * n_chunks])
+        )
+        # expand sample→chunk: stsc entry i applies from first_chunk_i to
+        # first_chunk_{i+1}-1 (1-based), last entry to the last chunk
+        per_chunk: list[int] = []
+        for i, (first, spc, _desc) in enumerate(sc):
+            last = sc[i + 1][0] - 1 if i + 1 < len(sc) else n_chunks
+            per_chunk.extend([spc] * (last - first + 1))
+        if sum(per_chunk) != n_samples:
+            raise ValueError("stsc/stco chunking does not cover all samples")
+        # stss: sync samples (1-based); absent = all sync
+        if b"stss" in tables:
+            p = full_box(b"stss")
+            n_sync = struct.unpack(">I", payload[p : p + 4])[0]
+            sync = set(struct.unpack(f">{n_sync}I", payload[p + 4 : p + 4 + 4 * n_sync]))
+        else:
+            sync = None
+        out: list[tuple[int, int, int, int, bool]] = []
+        idx = 0
+        dts = 0
+        for chunk_i, spc in enumerate(per_chunk):
+            off = chunk_offs[chunk_i]
+            for _ in range(spc):
+                out.append(
+                    (
+                        idx,
+                        dts * 1000 // media_ts,
+                        off,
+                        sizes[idx],
+                        True if sync is None else (idx + 1) in sync,
+                    )
+                )
+                off += sizes[idx]
+                dts += durations[idx]
+                idx += 1
+        return out
+    raise ValueError("no trak carries a sample table")
+
+
+def mp4_frame_index(
+    binary_df: DataFrame, *, every: int = 1, errors: str = "fail"
+) -> DataFrame:
+    """Frame index over sample-table MP4 payloads: one row per (sampled)
+    frame with its presentation time and exact byte extent — the
+    seek-table a distributed frame extractor partitions work by, computed
+    WITHOUT decoding any media. ``every`` keeps frames with
+    ``frame_idx % every == 0`` (uniform temporal subsampling);
+    ``errors='skip'`` drops undecodable payloads (the multimodal error
+    vocabulary).
+
+    Scale: Arrow-batched mapInPandas over (id, payload); output rows are
+    five scalars per frame — the payload bytes never fan out (compare
+    :func:`sample_video_frames`, which slices the frames out)."""
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+    if errors not in ("fail", "skip"):
+        raise ValueError(f"errors must be fail|skip, got {errors!r}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    table = decode_mp4_frame_table(bytes(payload))
+                except (ValueError, IndexError, _struct.error):
+                    if errors == "fail":
+                        raise
+                    continue
+                rows.extend(
+                    (int(did), i, pts, off, nb, sync)
+                    for i, pts, off, nb, sync in table
+                    if i % every == 0
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "pts_ms", "byte_offset", "n_bytes",
+                    "is_sync",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        op, schema=FRAME_INDEX_SCHEMA
+    )
+
+
+def sample_video_frames(
+    binary_df: DataFrame, *, every: int = 5, sync_only: bool = False
+) -> DataFrame:
+    """Slice sampled frame payloads out of sample-table MP4s: the decode
+    input a downstream image model consumes (the actual pixel decode is the
+    consumer's codec — this engine hands over exact frame byte ranges, the
+    same boundary as the reference's opaque-payload convention).
+    ``sync_only=True`` keeps only sync (key) frames — the frames a seeking
+    decoder can start from."""
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for i, pts, off, nb, sync in decode_mp4_frame_table(buf):
+                    if i % every or (sync_only and not sync):
+                        continue
+                    rows.append((int(did), i, pts, buf[off : off + nb]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "pts_ms", "frame"]
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        op, schema=VIDEO_FRAME_SCHEMA
+    )

@@ -1154,6 +1154,7 @@ def corpus_profile(
     domain_col: str = "source",
     include_compression: bool = False,
     byte_sums: bool = False,
+    approx_distinct: bool = False,
 ):
     """Per-domain corpus health snapshot — the first query run against a new
     100 TB corpus before any curation decision: document/token/char volume,
@@ -1178,7 +1179,18 @@ def corpus_profile(
     ``byte_sums`` (with ``include_compression``) additionally keeps the two
     exact BIGINT sums as ``comp_bytes`` / ``raw_bytes`` — the exact numbers
     a release datasheet or a cross-engine comparison wants (the ratio is a
-    derived float; the sums are canonical)."""
+    derived float; the sums are canonical).
+
+    ``approx_distinct`` (round 8) swaps the exact ``count_distinct`` for
+    ``approx_count_distinct`` (HyperLogLog++, ~2% default rsd): at 100 TB
+    the exact distinct is the snapshot's ONLY aggregate whose map-side
+    partial state grows with the data (a per-partition hash set of every
+    distinct 16-byte fingerprint — every other aggregate folds to constant
+    bytes); the HLL sketch folds to ~KBs per partition no matter the
+    corpus, the same trade the streaming twin
+    (:func:`corpus_profile_stream`) already makes for state-boundedness.
+    ``dup_ratio`` then inherits the estimate's error — fine for the health
+    snapshot it feeds, not for a release datasheet."""
     if byte_sums and not include_compression:
         raise ValueError(
             "byte_sums=True requires include_compression=True (the sums are "
@@ -1204,8 +1216,14 @@ def corpus_profile(
         F.round(F.avg("quality_score"), 4).alias("mean_quality"),
         # count_distinct ignores NULLs: a NULL-text doc must group with the
         # empty-content fingerprint, not silently shrink the denominator
-        F.count_distinct(
-            F.coalesce(F.col("fingerprint"), F.md5(F.lit("")))
+        (
+            F.approx_count_distinct(
+                F.coalesce(F.col("fingerprint"), F.md5(F.lit("")))
+            )
+            if approx_distinct
+            else F.count_distinct(
+                F.coalesce(F.col("fingerprint"), F.md5(F.lit("")))
+            )
         ).alias("distinct_content"),
         F.sum(F.when(F.col("__pii"), 1).otherwise(0)).alias("n_docs_with_pii"),
         *(

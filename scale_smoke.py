@@ -343,6 +343,25 @@ def main() -> None:
             num_shards=max(8, CPUS),
         )
 
+    # r8: badword gate (zero-shuffle scan predicate — must track the scan),
+    # integer-exact JL projection (map-only), and the MP4 frame-index seam
+    # (Arrow-batched demux; output scalars, payloads never fan out)
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        attach_mp4_sample_payload,
+        mp4_frame_index,
+    )
+    from debezium_connector_vitess_spark.ops.similarity import project_quantized
+    from debezium_connector_vitess_spark.ops.text import filter_badwords
+
+    def badword_op(d):
+        return filter_badwords(d, "text", ["dup", "batch batch"], keep="flagged")
+
+    def project_op(e):
+        return project_quantized(e, k=8)
+
+    def frame_index_op(d):
+        return mp4_frame_index(attach_mp4_sample_payload(d), every=5)
+
     results: dict[str, dict] = {}
     all_ops = (
         [(name, fn, docs1, docs10) for name, fn in OPS.items()]
@@ -353,6 +372,9 @@ def main() -> None:
         + [("semantic_dedup", semdedup_op, emb1, emb10)]
         + [("semantic_dedup_gemm", semdedup_gemm_op, emb1, emb10)]
         + [("zorder_write", zorder_op, docs1, docs10)]
+        + [("badword_gate", badword_op, docs1, docs10)]
+        + [("project_quantized", project_op, emb1, emb10)]
+        + [("mp4_frame_index", frame_index_op, docs1, docs10)]
     )
     PAIR_OPS.add("semantic_dedup")
     PAIR_OPS.add("semantic_dedup_gemm")

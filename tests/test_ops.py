@@ -4630,3 +4630,105 @@ def test_project_quantized(spark, sf_dir):
         project_quantized(emb, k=k, bits=32, weight_scale_bits=40)
     with _pytest.raises(ValueError, match="dim="):
         project_quantized(emb, k=k, dim=dim + 3)
+
+
+def test_mp4_frame_table_ground_truth():
+    """Sample-table demux vs independent recomputation from the builder's
+    formulas: per-frame pts at the MEDIA timescale (two-run stts), exact
+    back-to-back byte extents starting at the mdat body, every-5th sync."""
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        _make_mp4_samples,
+        decode_mp4_frame_table,
+        decode_mp4_meta,
+    )
+
+    for doc_id, nb in [(0, 10), (7, 1234), (16, 99), (33, 5000)]:
+        payload = _make_mp4_samples(doc_id, nb)
+        table = decode_mp4_frame_table(payload)
+        n_frames = 8 + doc_id % 17
+        assert len(table) == n_frames
+        sizes = [16 + ((doc_id + i * 7) % 48) for i in range(n_frames)]
+        half = n_frames // 2
+        # byte extents: back-to-back from the mdat body, which is 8 bytes
+        # past where the sum of ftyp+moov ends == first frame's offset
+        mdat_off = payload.index(b"mdat", 100) + 4
+        dts = 0
+        off = mdat_off
+        for i, (idx, pts, o, s, sync) in enumerate(table):
+            assert idx == i and s == sizes[i] and o == off
+            assert pts == dts * 1000 // 12800
+            assert sync == (i % 5 == 0)
+            off += s
+            dts += 512 if i < half else 1024
+        # frames tile the mdat body exactly
+        assert off == len(payload)
+        # interop: the metadata decoder reads the same container
+        dur_ms, w, h, n_tracks = decode_mp4_meta(payload)
+        assert n_tracks == 1 and w == 64 + doc_id % 64
+
+
+def test_mp4_frame_index_spark(spark, sf_dir):
+    """Distributed frame index: counts reconcile per doc, every-n
+    subsampling, errors='skip' drops corrupt payloads, and
+    sample_video_frames slices the exact frame bytes."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        attach_mp4_sample_payload,
+        mp4_frame_index,
+        sample_video_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(40)
+    vids = attach_mp4_sample_payload(docs)
+    idx = mp4_frame_index(vids)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               idx.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    for did, n in per_doc.items():
+        assert n == 8 + did % 17
+    every3 = mp4_frame_index(vids, every=3)
+    assert every3.count() == sum(-(-n // 3) for n in per_doc.values())
+    # corrupt payload: fail raises, skip drops
+    corrupt = vids.limit(1).select(
+        "doc_id", F.expr("substring(payload, 1, 40)").alias("payload"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        mp4_frame_index(corrupt).collect()
+    assert mp4_frame_index(corrupt, errors="skip").count() == 0
+    # frame slicing: bytes match the payload extent; sync_only subset
+    one = vids.filter(F.col("doc_id") == list(per_doc)[0])
+    payload = bytes(one.first()["payload"])
+    frames = sample_video_frames(one, every=1)
+    index = {r["frame_idx"]: (r["byte_offset"], r["n_bytes"])
+             for r in mp4_frame_index(one).collect()}
+    for r in frames.collect():
+        off, nb = index[r["frame_idx"]]
+        assert bytes(r["frame"]) == payload[off:off + nb]
+    n_sync = sum(1 for r in mp4_frame_index(one).collect() if r["is_sync"])
+    assert sample_video_frames(one, every=1, sync_only=True).count() == n_sync
+
+
+def test_corpus_profile_approx_distinct(spark, sf_dir):
+    """HLL mode: distinct_content within the sketch's tolerance of exact,
+    all other columns identical, and the plan swaps the grows-with-data
+    distinct for the constant-state sketch."""
+    from debezium_connector_vitess_spark.ops.text import corpus_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {r["source"]: r.asDict() for r in corpus_profile(docs).collect()}
+    approx = {r["source"]: r.asDict()
+              for r in corpus_profile(docs, approx_distinct=True).collect()}
+    assert set(exact) == set(approx)
+    for s in exact:
+        e, a = exact[s], approx[s]
+        assert abs(a["distinct_content"] - e["distinct_content"]) \
+            <= max(3, 0.1 * e["distinct_content"])
+        for col in ("n_docs", "n_empty", "n_tokens", "n_chars",
+                    "mean_quality", "n_docs_with_pii"):
+            assert a[col] == e[col], col
+    plan = corpus_profile(docs, approx_distinct=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "approx_count_distinct" in plan
