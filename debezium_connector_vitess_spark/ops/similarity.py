@@ -687,6 +687,185 @@ def ivf_topk(
     )
 
 
+ANN_INDEX_FORMAT_VERSION = 1
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    quantizer: str = "sample",
+    kmeans_iters: int = 2,
+) -> dict:
+    """Materialize an IVF index ON DISK — the build-once/probe-many path
+    that :func:`ivf_topk` (which re-derives everything per call) is not:
+
+    - ``<path>/lists/`` — the corpus assigned to its max-cosine centroid
+      and written ``partitionBy(centroid_id)``: each inverted list is its
+      own partition directory, so a probe's ``centroid_id IN (...)`` filter
+      becomes STATIC PARTITION PRUNING — at 100 TB a probe opens
+      n_probe/n_centroids of the files and the rest never leave object
+      storage.
+    - ``<path>/centroids/`` — the (centroid_id, cent_vec) quantizer table.
+    - ``<path>/manifest.json`` — format version, dim, metric, quantizer,
+      actual list count, row count; written ATOMICALLY (temp + rename, the
+      ``save_merges`` convention) LAST, so a crashed build never leaves a
+      loadable-looking torn index.
+
+    Returns the manifest dict."""
+    import json
+    import os
+    import tempfile
+
+    corpus = _drop_zero_vectors(corpus, vec_col)
+    dim = _observed_dim(corpus, vec_col)
+    if dim is None:
+        raise ValueError("cannot build an ANN index from an empty corpus")
+    if quantizer == "kmeans":
+        cent_df = kmeans_centroid_frame(
+            corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
+            iters=kmeans_iters, dim=dim,
+        )
+    elif quantizer == "sample":
+        cent_df = sampled_centroid_frame(
+            corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+        )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    cents = _collect_centroids(cent_df)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        list(cents), "centroid_id long, cent_vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    assigned = assign_centroids(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            norm_expr(F.col(vec_col)).alias("vnorm"),
+        ),
+        cents, vec_col="vec", out_col="centroid_id",
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(path, "lists")
+    )
+    n_rows = spark.read.parquet(os.path.join(path, "lists")).count()
+    manifest = {
+        "format_version": ANN_INDEX_FORMAT_VERSION,
+        "dim": dim,
+        "metric": "cosine",
+        "quantizer": quantizer,
+        "n_centroids": len(cents),
+        "n_rows": n_rows,
+    }
+    mpath = os.path.join(path, "manifest.json")
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, mpath)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return manifest
+
+
+def load_ann_index(spark, path: str) -> tuple[dict, list]:
+    """Load + validate an index written by :func:`build_ann_index`:
+    manifest shape/version checked loudly (a torn or foreign directory must
+    not probe as an empty index), centroid table re-collected. Returns
+    (manifest, centroids)."""
+    import json
+    import os
+
+    mpath = os.path.join(path, "manifest.json")
+    if not os.path.exists(mpath):
+        raise ValueError(f"not an ANN index (no manifest.json): {path!r}")
+    with open(mpath, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    if (
+        not isinstance(manifest, dict)
+        or manifest.get("format_version") != ANN_INDEX_FORMAT_VERSION
+        or not isinstance(manifest.get("dim"), int)
+        or manifest.get("metric") != "cosine"
+    ):
+        raise ValueError(f"unsupported ANN index manifest: {manifest!r}")
+    cents = _collect_centroids(
+        spark.read.parquet(os.path.join(path, "centroids"))
+    )
+    if len(cents) != manifest["n_centroids"]:
+        raise ValueError(
+            f"index corrupt: manifest says {manifest['n_centroids']} centroids, "
+            f"found {len(cents)}"
+        )
+    return manifest, cents
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: assign each query to its ``n_probe``
+    nearest centroids, then score ONLY those inverted lists. The probed
+    buckets are collected first (≤ n_centroids values — bounded by the
+    quantizer, never by query volume) and pushed as a literal
+    ``centroid_id IN (...)`` filter, so the scan plans static partition
+    pruning over the partitionBy layout — the unprobed lists are never
+    read. Output schema matches :func:`ivf_topk`."""
+    import os
+
+    manifest, cents = load_ann_index(spark, path)
+    queries = _drop_zero_vectors(queries, vec_col)
+    _assert_dim(queries, vec_col, manifest["dim"], "ivf_topk_indexed")
+    q_assigned = assign_centroids(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm_expr(F.col(vec_col)).alias("qnorm"),
+        ),
+        cents, vec_col="qvec", out_col="bucket", n=n_probe, norm_col="qnorm",
+    )
+    buckets = sorted(
+        r["bucket"] for r in q_assigned.select("bucket").distinct().collect()
+    )
+    lists = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .filter(F.col("centroid_id").isin(buckets))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("vec").alias("cvec"),
+            F.col("vnorm").alias("cnorm"),
+            F.col("centroid_id").alias("bucket"),
+        )
+    )
+    scored = lists.join(F.broadcast(q_assigned), on="bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_from_norms(
+            F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", *, bits: int = 8
 ) -> DataFrame:

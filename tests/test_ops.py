@@ -4732,3 +4732,50 @@ def test_corpus_profile_approx_distinct(spark, sf_dir):
     plan = corpus_profile(docs, approx_distinct=True)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "approx_count_distinct" in plan
+
+
+def test_ann_index_build_probe(spark, sf_dir, tmp_path):
+    """Persisted IVF index: probe output equals the in-memory ivf_topk with
+    the same quantizer, the probe scan plans static partition pruning over
+    the partitionBy(centroid_id) layout, and a torn/foreign directory loads
+    loudly."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.similarity import (
+        build_ann_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        load_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ann_index")
+    manifest = build_ann_index(emb, path, n_centroids=8)
+    assert manifest["n_centroids"] == 8 and manifest["n_rows"] > 0
+    got = ivf_topk_indexed(spark, path, queries, k=5, n_probe=2)
+    want = ivf_topk(emb, queries, k=5, n_probe=2, n_centroids=8,
+                    quantizer="sample")
+    g = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    w = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
+    assert g == w and g
+    # the probe scan must carry a partition filter on centroid_id
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    # round-trip load validates
+    m2, cents = load_ann_index(spark, path)
+    assert m2 == manifest and len(cents) == 8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no manifest"):
+        load_ann_index(spark, str(tmp_path / "nope"))
+    (tmp_path / "torn").mkdir()
+    (tmp_path / "torn" / "manifest.json").write_text('{"format_version": 99}')
+    with _pytest.raises(ValueError, match="unsupported"):
+        load_ann_index(spark, str(tmp_path / "torn"))
+    # dim guard on the query side
+    bad_q = queries.select("vec_id",
+                           F.expr("slice(embedding, 1, 8)").alias("embedding"))
+    with _pytest.raises(ValueError, match="dim="):
+        ivf_topk_indexed(spark, path, bad_q)
