@@ -1678,3 +1678,126 @@ def reweight_mixture(
         [(d, stats[d][0], stats[d][1], w[d]) for d in domains],
         f"{domain_col} string, n_docs long, mean_excess_loss double, weight double",
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    stream_col: str | None = None,
+    block_tokens: int = 2048,
+    token_count_col: str | None = None,
+    n_buckets: int = 1,
+    oversize: str = "raise",
+) -> DataFrame:
+    """No-split bin packing (best-fit decreasing): each document is placed
+    WHOLE into a block and the block tail is padding — the finetuning/SFT
+    packing contract, where an example must never straddle a training
+    sequence (compare :func:`pack_sequences`, the pretraining
+    concat-and-chop that cuts documents at block boundaries). Returns each
+    document's placement: (id, stream, n_tokens, bin_id, offset_in_bin,
+    is_oversize).
+
+    Within each (stream, bucket) group, documents are sorted by
+    (n_tokens desc, id) and placed by BEST-FIT into the fullest bin that
+    still fits (a bisect over sorted residual capacities — O(n log n) per
+    group); first-fit-decreasing's 11/9·OPT+1 bin bound applies, and the
+    placement is a pure function of the group's (id, n_tokens) multiset —
+    deterministic under any partitioning. Docs longer than ``block_tokens``
+    follow ``oversize``: 'raise' (default — loud, the truncation decision
+    belongs to the caller) or 'own_bin' (flagged singleton bins the
+    consumer truncates).
+
+    Scale: bins never span buckets, so the algorithm runs as an
+    ``applyInPandas`` over (stream, bucket) hash groups — one shuffle of
+    (id, n_tokens) scalars, no token payloads. The approximation cost of
+    bucketing is ≤ one partially-filled bin per bucket per stream; pick
+    ``n_buckets`` ≈ group-rows / 100k to bound worker memory. Bin ids are
+    unique per stream: ``bucket * 2^40 + local_index``."""
+    import bisect
+
+    from pyspark.sql.types import StructField, StructType
+
+    if block_tokens < 1:
+        raise ValueError("block_tokens must be >= 1")
+    if oversize not in ("raise", "own_bin"):
+        raise ValueError(f"oversize must be raise|own_bin, got {oversize!r}")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    n_tok = _n_tokens_expr(text_col, token_count_col)
+    stream = (
+        F.col(stream_col) if stream_col is not None else F.lit("").alias("__stream")
+    )
+    scol = stream_col if stream_col is not None else "__stream"
+    base = df.select(
+        F.col(id_col),
+        stream.alias(scol) if stream_col is None else F.col(stream_col),
+        n_tok.alias("n_tokens"),
+        (_md5_long_expr(F.col(id_col), "packbins") % n_buckets).alias("__bucket"),
+    )
+    in_schema = {f.name: f for f in base.schema.fields}
+    out_schema = StructType(
+        [
+            in_schema[id_col],
+            in_schema[scol],
+            StructField("n_tokens", in_schema["n_tokens"].dataType),
+        ]
+    ).add("bin_id", "long").add("offset_in_bin", "long").add("is_oversize", "boolean")
+
+    def place(key, pdf):
+        import pandas as pd
+
+        bucket = int(key[1])
+        rows = sorted(
+            zip(pdf[id_col], pdf["n_tokens"]),
+            key=lambda r: (-int(r[1]), r[0]),
+        )
+        # parallel lists sorted by residual capacity (bisect keys)
+        residuals: list[int] = []
+        bin_of_residual: list[int] = []
+        fills: dict[int, int] = {}
+        next_bin = 0
+        out = []
+        for rid, nt in rows:
+            nt = int(nt)
+            if nt > block_tokens:
+                if oversize == "raise":
+                    raise ValueError(
+                        f"document {rid!r} has {nt} tokens > block_tokens="
+                        f"{block_tokens}; pass oversize='own_bin' or chunk first"
+                    )
+                b = next_bin
+                next_bin += 1
+                out.append((rid, nt, b, 0, True))
+                continue
+            # best fit: smallest residual >= nt
+            i = bisect.bisect_left(residuals, nt)
+            if i == len(residuals):
+                b = next_bin
+                next_bin += 1
+                fills[b] = 0
+                r = block_tokens
+            else:
+                r = residuals.pop(i)
+                b = bin_of_residual.pop(i)
+            out.append((rid, nt, b, fills[b] if b in fills else 0, False))
+            if b in fills:
+                fills[b] += nt
+            r -= nt
+            j = bisect.bisect_left(residuals, r)
+            residuals.insert(j, r)
+            bin_of_residual.insert(j, b)
+        stream_val = key[0]
+        return pd.DataFrame(
+            {
+                id_col: [o[0] for o in out],
+                scol: [stream_val] * len(out),
+                "n_tokens": [o[1] for o in out],
+                "bin_id": [bucket * (1 << 40) + o[2] for o in out],
+                "offset_in_bin": [o[3] for o in out],
+                "is_oversize": [o[4] for o in out],
+            }
+        )
+
+    return base.groupBy(scol, "__bucket").applyInPandas(place, schema=out_schema)

@@ -806,6 +806,60 @@ def load_ann_index(spark, path: str) -> tuple[dict, list]:
     return manifest, cents
 
 
+def append_to_ann_index(
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental index growth — the ingest path of a standing ANN index:
+    assign ONLY the new batch to the EXISTING centroids (the quantizer is
+    frozen at build time, the standard IVF contract — recall degrades
+    gracefully as the distribution drifts, and a rebuild is the explicit
+    re-quantization event) and append each assignment to its inverted-list
+    partition. The manifest's row count is refreshed atomically LAST, so a
+    crashed append leaves a loadable index whose manifest undercounts —
+    probes stay correct (they scan partitions, not the manifest).
+
+    Scale: one narrow assignment pass over the batch + a partitioned
+    append touching only the partitions the batch lands in; the standing
+    corpus is never read or rewritten."""
+    import json
+    import os
+    import tempfile
+
+    spark = new_vectors.sparkSession
+    manifest, cents = load_ann_index(spark, path)
+    new_vectors = _drop_zero_vectors(new_vectors, vec_col)
+    _assert_dim(new_vectors, vec_col, manifest["dim"], "append_to_ann_index")
+    assigned = assign_centroids(
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            norm_expr(F.col(vec_col)).alias("vnorm"),
+        ),
+        cents, vec_col="vec", out_col="centroid_id",
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        os.path.join(path, "lists")
+    )
+    manifest = dict(manifest)
+    manifest["n_rows"] = spark.read.parquet(os.path.join(path, "lists")).count()
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(path, "manifest.json"))
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return manifest
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

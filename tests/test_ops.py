@@ -4779,3 +4779,106 @@ def test_ann_index_build_probe(spark, sf_dir, tmp_path):
                            F.expr("slice(embedding, 1, 8)").alias("embedding"))
     with _pytest.raises(ValueError, match="dim="):
         ivf_topk_indexed(spark, path, bad_q)
+
+
+def test_pack_bins(spark, sf_dir):
+    """No-split packing invariants: bins never exceed capacity, per-bin
+    offsets tile exactly, placement is partitioning-invariant, bin count
+    respects the FFD bound (+ bucketing slack), and oversize docs follow
+    the declared policy."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import pack_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    block = 128
+    out = pack_bins(docs, "text", "doc_id", stream_col="source",
+                    block_tokens=block).collect()
+    assert len(out) == docs.count()
+    fills = defaultdict(list)
+    for r in out:
+        assert not r["is_oversize"]
+        fills[(r["source"], r["bin_id"])].append(
+            (r["offset_in_bin"], r["n_tokens"]))
+    total_tokens = 0
+    for _key, docs_in_bin in fills.items():
+        docs_in_bin.sort()
+        pos = 0
+        for off, nt in docs_in_bin:
+            assert off == pos  # offsets tile, no overlap, no gap
+            pos += nt
+        assert pos <= block
+        total_tokens += pos
+    # FFD bound per (stream, bucket=1 group): bins <= 11/9 * OPT + 1
+    per_stream_bins = defaultdict(set)
+    per_stream_tokens = defaultdict(int)
+    for r in out:
+        per_stream_bins[r["source"]].add(r["bin_id"])
+        per_stream_tokens[r["source"]] += r["n_tokens"]
+    for s, bins in per_stream_bins.items():
+        opt_lb = -(-per_stream_tokens[s] // block)
+        assert len(bins) <= (11 * opt_lb) // 9 + 1
+    # partitioning invariance
+    again = {(r["doc_id"], r["bin_id"], r["offset_in_bin"]) for r in pack_bins(
+        docs.repartition(7), "text", "doc_id", stream_col="source",
+        block_tokens=block).collect()}
+    assert again == {(r["doc_id"], r["bin_id"], r["offset_in_bin"]) for r in out}
+    # bucketed run: same capacity invariant, bounded extra bins
+    b4 = pack_bins(docs, "text", "doc_id", stream_col="source",
+                   block_tokens=block, n_buckets=4)
+    fills4 = b4.groupBy("source", "bin_id").agg(
+        F.sum("n_tokens").alias("fill")).collect()
+    assert all(r["fill"] <= block for r in fills4)
+    n_bins_4 = len({(r["source"], r["bin_id"]) for r in fills4})
+    assert n_bins_4 <= sum(len(b) for b in per_stream_bins.values()) \
+        + 4 * len(per_stream_bins)
+    # oversize: tiny capacity raises by default, own_bin flags singletons
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="block_tokens"):
+        pack_bins(docs, "text", "doc_id", stream_col="source",
+                  block_tokens=5).collect()
+    ob = pack_bins(docs, "text", "doc_id", stream_col="source",
+                   block_tokens=5, oversize="own_bin")
+    over = ob.filter(F.col("is_oversize"))
+    assert over.count() > 0
+    # bin ids are unique PER STREAM (bucket*2^40+local) — group with source
+    singleton = ob.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n"), F.max(F.col("is_oversize").cast("int")).alias("o"))
+    assert singleton.filter((F.col("o") == 1) & (F.col("n") > 1)).count() == 0
+
+
+def test_ann_index_append(spark, sf_dir, tmp_path):
+    """Incremental growth: appended vectors land in the existing inverted
+    lists (frozen quantizer), probes see them, the manifest row count
+    refreshes, and a dim-mismatched batch is rejected."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ann_grow")
+    m0 = build_ann_index(emb, path, n_centroids=8)
+    # append exact twins under shifted ids: each query's rank-1 neighbor
+    # must become its twin (cosine 1.0 lands in the same bucket by
+    # construction — identical vectors assign to identical centroids)
+    twins = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    m1 = append_to_ann_index(twins, path)
+    assert m1["n_rows"] == 2 * m0["n_rows"]
+    got = ivf_topk_indexed(spark, path,
+                           emb.filter(F.col("vec_id") < 10), k=1, n_probe=1)
+    for r in got.collect():
+        assert r["neighbor_id"] == r["query_id"] + 1_000_000
+    import pytest as _pytest
+
+    bad = emb.select("vec_id", F.expr("slice(embedding, 1, 4)").alias("embedding"))
+    with _pytest.raises(ValueError, match="dim="):
+        append_to_ann_index(bad, path)
