@@ -452,3 +452,69 @@ def test_stream_enriched_by_materialized_cdc_state(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert asof == got
+
+
+def test_sft_dataset_prep_end_to_end(spark, sf_dir):
+    """The round-8 gates composed the way an SFT dataset is actually built:
+    badword gate (cheapest, first) → Gopher repetition gate → near-dup
+    clustering → leakage-safe cluster-keyed split → train slice →
+    no-split bin packing. Contracts at every seam: gates only shrink, no
+    near-dup pair straddles splits, every surviving doc is placed exactly
+    once, no bin over capacity."""
+    from collections import defaultdict
+
+    from debezium_connector_vitess_spark.ops.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+    )
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        assign_splits,
+        pack_bins,
+    )
+    from debezium_connector_vitess_spark.ops.text import (
+        filter_badwords,
+        filter_by_repetition,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_raw = docs.count()
+
+    # 1-2. scan-stage gates, composable because both are plain filters
+    gated = filter_by_repetition(
+        filter_badwords(docs, "text", ["dup", "batch batch"]), "text"
+    )
+    n_gated = gated.count()
+    assert 0 < n_gated < n_raw
+
+    # 3-4. cluster near-dups among survivors, split on the CLUSTER id
+    pairs = minhash_dedup_pairs(gated, "text", "doc_id").select("id_a", "id_b")
+    labels = connected_components(gated.select("doc_id"), pairs, id_col="doc_id")
+    split = assign_splits(
+        labels, "cluster_id",
+        fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    by_cluster = defaultdict(set)
+    for r in split.collect():
+        by_cluster[r["cluster_id"]].add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # every near-dup pair shares a split by construction
+    p = pairs.join(split.select(F.col("doc_id").alias("id_a"),
+                                F.col("split").alias("sa")), "id_a") \
+             .join(split.select(F.col("doc_id").alias("id_b"),
+                                F.col("split").alias("sb")), "id_b")
+    assert p.filter(F.col("sa") != F.col("sb")).count() == 0
+
+    # 5. pack the train slice whole-document
+    train = gated.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    n_train = train.count()
+    placed = pack_bins(train, "text", "doc_id", stream_col="source",
+                       block_tokens=256)
+    rows = placed.collect()
+    assert len(rows) == n_train  # every survivor placed exactly once
+    fill = defaultdict(int)
+    for r in rows:
+        assert not r["is_oversize"]
+        fill[(r["source"], r["bin_id"])] += r["n_tokens"]
+    assert all(v <= 256 for v in fill.values())
