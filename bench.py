@@ -55,6 +55,7 @@ HEADLINE = [
     # (r7: + side='asof')
     "url_ops",  # r7: URL canonicalization + suffix-semantics blocklist
     "corpus_datasheet",  # r7: release summary, flattened integral metrics
+    "embedding_quantize",  # r8: + side='project' (integer-exact JL reducer)
 ]
 
 # Stable cross-round comparison set: queries whose COMPOSITION is unchanged
