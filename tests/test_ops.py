@@ -4882,3 +4882,41 @@ def test_ann_index_append(spark, sf_dir, tmp_path):
     bad = emb.select("vec_id", F.expr("slice(embedding, 1, 4)").alias("embedding"))
     with _pytest.raises(ValueError, match="dim="):
         append_to_ann_index(bad, path)
+
+
+def test_gates_and_splits_stream_stateless(spark, sf_dir, tmp_path):
+    """The round-8 scan-stage ops are stateless projections/filters: the
+    identical badwords→splits chain runs on a readStream frame (no
+    watermark, no state store) and assigns every doc the same split as
+    batch — the property that lets the ingest path gate and route documents
+    per micro-batch with no reprocessing."""
+    import os
+    import shutil
+
+    from debezium_connector_vitess_spark.ops.pipeline import assign_splits
+    from debezium_connector_vitess_spark.ops.text import filter_badwords
+
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    shutil.copy(src_file, src / "part-0.parquet")
+    batch_df = spark.read.parquet(src_file)
+
+    def chain(df):
+        gated = filter_badwords(df, "text", ["dup", "batch batch"])
+        return assign_splits(
+            gated, "doc_id", fractions={"train": 0.9, "test": 0.1}
+        ).select("doc_id", "split")
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(src))
+    q = (
+        chain(stream).writeStream.format("memory")
+        .queryName("gate_stream_t")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_g"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = dict(spark.sql("SELECT doc_id, split FROM gate_stream_t").collect())
+    want = {r["doc_id"]: r["split"] for r in chain(batch_df).collect()}
+    assert got == want and got

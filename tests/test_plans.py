@@ -440,3 +440,63 @@ def test_semantic_dedup_shape(spark, sf_dir):
     plan = _formatted(semantic_dedup(emb, threshold=0.4, materialize=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_badword_gate_fuses_into_scan(spark, sf_dir):
+    """The badword filter is a scan-stage predicate: no Exchange, no Python
+    evaluation — the cheapest gate, which is why it runs first in the
+    curation order. Both modes."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.text import filter_badwords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for mode in ("regex", "token"):
+        plan = _formatted(filter_badwords(docs, "text", ["dup"], mode=mode))
+        assert "Exchange" not in plan, mode
+        for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+            assert py not in plan, mode
+
+
+def test_assign_splits_is_map_only(spark, sf_dir):
+    """Split assignment is a pure narrow projection — no shuffle, no
+    assignment table to join: the property that makes it free at 100 TB."""
+    from debezium_connector_vitess_spark.ops.pipeline import assign_splits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _formatted(assign_splits(
+        docs, "doc_id", fractions={"train": 0.9, "test": 0.1}))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_mp4_frame_index_is_one_seam_no_shuffle(spark, sf_dir):
+    """The frame-index demux is exactly two chained Arrow seams (payload
+    synthesis + demux) with no Exchange between them — payloads never
+    cross the wire."""
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        attach_mp4_sample_payload,
+        mp4_frame_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = mp4_frame_index(attach_mp4_sample_payload(docs))
+    plan = _formatted(df)
+    assert "Exchange" not in plan
+    # executedPlan lists each node once (formatted mode mentions them twice)
+    assert df._jdf.queryExecution().executedPlan().toString().count("MapInPandas") == 2
+
+
+def test_pack_bins_shuffles_scalars_only(spark, sf_dir):
+    """pack_bins' single exchange carries (id, stream, n_tokens, bucket)
+    scalars — the token payloads are counted map-side and never shuffle."""
+    from debezium_connector_vitess_spark.ops.pipeline import pack_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = pack_bins(docs, "text", "doc_id", stream_col="source",
+                   block_tokens=256)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    exch = plan[plan.index("Exchange"):]
+    assert "text" not in exch.split("\n")[0]
+    assert "FlatMapGroupsInPandas" in plan
