@@ -663,24 +663,11 @@ def decode_mp4_meta(payload: bytes) -> tuple[int, int, int, int]:
     if not is_mp4(payload):
         raise ValueError("not an ISO BMFF payload (no ftyp)")
 
+    # ONE box-framing iterator for the whole MP4 family (size-0 to-EOF,
+    # size-1 largesize, tiling validation) — _mp4_walk, shared with the
+    # sample-table demux so the safety-critical framing rules cannot drift
     def boxes(buf: bytes, pos: int, end: int):
-        while pos < end:
-            if pos + 8 > end:
-                raise ValueError("truncated box header")
-            size = struct.unpack(">I", buf[pos : pos + 4])[0]
-            fourcc = buf[pos + 4 : pos + 8]
-            body = pos + 8
-            if size == 0:  # ISO 14496-12 §4.2: box extends to end of file
-                size = end - pos
-            elif size == 1:  # 64-bit largesize follows the fourcc (huge mdat)
-                if pos + 16 > end:
-                    raise ValueError("truncated largesize box header")
-                size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
-                body = pos + 16
-            if size < body - pos or pos + size > end:
-                raise ValueError(f"box {fourcc!r} size {size} overruns payload")
-            yield fourcc, body, pos + size
-            pos += size
+        return _mp4_walk(buf, pos, end)
 
     duration_ms = width = height = None
     n_tracks = 0
@@ -1041,17 +1028,33 @@ VIDEO_FRAME_SCHEMA = "doc_id long, frame_idx int, pts_ms long, frame bytes".repl
 )
 
 
-def _make_mp4_samples(doc_id: int, n_text_bytes: int) -> bytes:
-    """Deterministic REAL MP4 with a full sample table: the `_make_mp4`
-    skeleton plus mdia(mdhd + minf(stbl(stts/stss/stsc/stsz/stco))) inside
-    the video trak — the index structure every real demuxer seeks with.
-    Genuine ISO 14496-12 semantics the parser must honor: the MEDIA
-    timescale (mdhd, 12800 here) differs from the movie timescale; stts is
-    run-length encoded with TWO runs (frame duration doubles mid-stream);
-    stsz carries per-sample sizes; all samples live in one chunk whose stco
-    offset is the absolute file position of the first sample byte (so moov
-    is built twice: once to learn its own length, once with the real
-    offset); stss marks every 5th sample as a sync frame."""
+def _hdlr_box(handler: bytes) -> bytes:
+    import struct
+
+    return _box(
+        b"hdlr",
+        struct.pack(">B3sI", 0, b"\x00\x00\x00", 0)
+        + handler
+        + struct.pack(">3I", 0, 0, 0)
+        + b"h\x00",
+    )
+
+
+def _make_mp4_samples(doc_id: int, *, audio_first: bool = False) -> bytes:
+    """Deterministic REAL MP4 with full sample tables: the `_make_mp4`
+    skeleton plus mdia(mdhd + hdlr + minf(stbl(stts/stss/stsc/stsz/stco)))
+    per trak — the index structure every real demuxer seeks with. Genuine
+    ISO 14496-12 semantics the parser must honor: hdlr declares the handler
+    type ('vide'/'soun' — the demux must select by handler, not trak
+    order); the MEDIA timescale (12800 video, 48000 audio) differs from the
+    movie timescale; video stts is run-length encoded with TWO runs (frame
+    duration doubles mid-stream); stsz carries per-sample sizes; each
+    track's samples live in one chunk whose stco offset is the absolute
+    file position of its first sample byte (so moov is built twice: once to
+    learn its own length, once with the real offsets); stss marks every 5th
+    video sample as a sync frame. ``audio_first=True`` muxes the AAC-style
+    audio trak BEFORE the video trak (the common real-world order that
+    breaks first-trak-wins demuxers)."""
     import struct
 
     n_frames = 8 + doc_id % 17
@@ -1064,6 +1067,7 @@ def _make_mp4_samples(doc_id: int, n_text_bytes: int) -> bytes:
     movie_ts = 500
     dur_units_movie = dur_units_media * movie_ts // media_ts
     width, height = 64 + doc_id % 64, 64 + (doc_id // 3) % 64
+    a_n, a_size, a_ts = 4, 8, 48000  # audio: 4 fixed-size packets
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
     mvhd = _box(
@@ -1075,71 +1079,76 @@ def _make_mp4_samples(doc_id: int, n_text_bytes: int) -> bytes:
         + struct.pack(">2I", 0, 0)
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
-        + struct.pack(">I", 2),
-    )
-    tkhd = _box(
-        b"tkhd",
-        struct.pack(">B3s5I", 0, b"\x00\x00\x07", 0, 0, 1, 0, dur_units_movie)
-        + struct.pack(">2I", 0, 0)
-        + struct.pack(">2H", 0, 0)
-        + struct.pack(">2H", 0, 0)
-        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-        + struct.pack(">2I", width << 16, height << 16),
-    )
-    mdhd = _box(
-        b"mdhd",
-        struct.pack(">B3s4I2H", 0, b"\x00\x00\x00", 0, 0, media_ts,
-                    dur_units_media, 0x55C4, 0),
-    )
-    stts = _box(
-        b"stts",
-        struct.pack(">B3sI", 0, b"\x00\x00\x00", len(runs))
-        + b"".join(struct.pack(">2I", n, d) for n, d in runs),
-    )
-    stss = _box(
-        b"stss",
-        struct.pack(">B3sI", 0, b"\x00\x00\x00", len(syncs))
-        + b"".join(struct.pack(">I", s) for s in syncs),
-    )
-    stsc = _box(
-        b"stsc",
-        struct.pack(">B3sI", 0, b"\x00\x00\x00", 1)
-        + struct.pack(">3I", 1, n_frames, 1),
-    )
-    stsz = _box(
-        b"stsz",
-        struct.pack(">B3s2I", 0, b"\x00\x00\x00", 0, n_frames)
-        + b"".join(struct.pack(">I", s) for s in sizes),
+        + struct.pack(">I", 3),
     )
 
-    def build_moov(chunk_offset: int) -> bytes:
-        stco = _box(
-            b"stco",
-            struct.pack(">B3sI", 0, b"\x00\x00\x00", 1)
-            + struct.pack(">I", chunk_offset),
+    def tkhd(track_id: int, w: int, h: int) -> bytes:
+        return _box(
+            b"tkhd",
+            struct.pack(">B3s5I", 0, b"\x00\x00\x07", 0, 0, track_id, 0,
+                        dur_units_movie)
+            + struct.pack(">2I", 0, 0)
+            + struct.pack(">2H", 0, 0)
+            + struct.pack(">2H", 0, 0)
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">2I", w << 16, h << 16),
         )
-        stbl = _box(b"stbl", stts + stss + stsc + stsz + stco)
-        minf = _box(b"minf", stbl)
-        mdia = _box(b"mdia", mdhd + minf)
-        trak = _box(b"trak", tkhd + mdia)
-        return _box(b"moov", mvhd + trak)
 
-    moov_len = len(build_moov(0))
-    mdat_body_off = len(ftyp) + moov_len + 8  # +8: mdat box header
-    moov = build_moov(mdat_body_off)
+    def full(fourcc: bytes, body: bytes) -> bytes:
+        return _box(fourcc, struct.pack(">B3s", 0, b"\x00\x00\x00") + body)
+
+    v_stts = full(b"stts", struct.pack(">I", len(runs))
+                  + b"".join(struct.pack(">2I", n, d) for n, d in runs))
+    v_stss = full(b"stss", struct.pack(">I", len(syncs))
+                  + b"".join(struct.pack(">I", s) for s in syncs))
+    v_stsc = full(b"stsc", struct.pack(">I", 1) + struct.pack(">3I", 1, n_frames, 1))
+    v_stsz = full(b"stsz", struct.pack(">2I", 0, n_frames)
+                  + b"".join(struct.pack(">I", s) for s in sizes))
+    a_stts = full(b"stts", struct.pack(">I", 1) + struct.pack(">2I", a_n, 1024))
+    a_stsc = full(b"stsc", struct.pack(">I", 1) + struct.pack(">3I", 1, a_n, 1))
+    a_stsz = full(b"stsz", struct.pack(">2I", a_size, a_n))
+    v_mdhd = full(b"mdhd", struct.pack(">4I2H", 0, 0, media_ts,
+                                       dur_units_media, 0x55C4, 0))
+    a_mdhd = full(b"mdhd", struct.pack(">4I2H", 0, 0, a_ts, a_n * 1024,
+                                       0x55C4, 0))
+
+    def trak(tid, w, h, hdlr, mdhd, tables, chunk_off) -> bytes:
+        stco = full(b"stco", struct.pack(">2I", 1, chunk_off))
+        stbl = _box(b"stbl", tables + stco)
+        mdia = _box(b"mdia", mdhd + _hdlr_box(hdlr) + _box(b"minf", stbl))
+        return _box(b"trak", tkhd(tid, w, h) + mdia)
+
+    def build_moov(v_off: int, a_off: int) -> bytes:
+        v = trak(1, width, height, b"vide", v_mdhd,
+                 v_stts + v_stss + v_stsc + v_stsz, v_off)
+        a = trak(2, 0, 0, b"soun", a_mdhd, a_stts + a_stsc + a_stsz, a_off)
+        return _box(b"moov", mvhd + (a + v if audio_first else v + a))
+
+    moov_len = len(build_moov(0, 0))
+    mdat_body = len(ftyp) + moov_len + 8  # +8: mdat box header
+    # audio packets first in mdat, then video frames (independent of trak
+    # order in moov — offsets are absolute, the demux must not assume)
+    a_off = mdat_body
+    v_off = mdat_body + a_n * a_size
+    moov = build_moov(v_off, a_off)
     assert len(moov) == moov_len
+    audio = bytes([(doc_id * 3 + j) % 256 for j in range(a_n * a_size)])
     frames = b"".join(
         bytes([(doc_id + i + j) % 256 for j in range(s)])
         for i, s in enumerate(sizes)
     )
-    return ftyp + moov + _box(b"mdat", frames)
+    return ftyp + moov + _box(b"mdat", audio + frames)
 
 
 def attach_mp4_sample_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc deterministic sample-table-bearing MP4 blobs
-    (:func:`_make_mp4_samples`)."""
+    (:func:`_make_mp4_samples` — derived from the id alone; every 3rd doc
+    muxes the audio trak first, the real-world order that breaks
+    first-trak-wins demuxers). ``text_col`` is accepted for signature
+    parity with the other attach fixtures but unused (and therefore
+    NULL-safe)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1147,14 +1156,14 @@ def attach_mp4_sample_payload(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "payload": [
-                        _make_mp4_samples(int(did), len(t.encode("utf-8")))
-                        for did, t in zip(pdf[id_col], pdf[text_col])
+                        _make_mp4_samples(int(did), audio_first=did % 3 == 0)
+                        for did in pdf[id_col]
                     ],
                     "mime": "video/mp4",
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(op, schema=AVI_PAYLOAD_SCHEMA)
+    return df.select(id_col).mapInPandas(op, schema=AVI_PAYLOAD_SCHEMA)
 
 
 def _mp4_walk(payload: bytes, pos: int, end: int):
@@ -1194,15 +1203,18 @@ def _find_box(payload: bytes, pos: int, end: int, path: tuple[bytes, ...]):
 
 
 def decode_mp4_frame_table(payload: bytes) -> list[tuple[int, int, int, int, bool]]:
-    """REAL sample-table demux: locate the first trak carrying an stbl,
-    decode stts (run-length sample durations → per-sample decode time, at
-    the MEDIA timescale from mdhd), stsz (per-sample or constant sizes),
-    stsc+stco (sample→chunk→absolute byte offset — samples are laid out
+    """REAL sample-table demux: select the VIDEO trak by its hdlr handler
+    type ('vide' — trak ORDER is not a selector; real muxers commonly put
+    the audio trak first), then decode stts (run-length sample durations →
+    per-sample decode time, at the MEDIA timescale from mdhd), stsz
+    (per-sample or constant sizes), stsc+stco/co64 (sample→chunk→absolute
+    byte offset, 32- or 64-bit chunk offsets — samples are laid out
     back-to-back within a chunk), and stss (sync samples; absent table =
-    every sample is sync, per ISO 14496-12 §8.6.2). Returns
-    [(frame_idx, pts_ms, byte_offset, n_bytes, is_sync)] — exactly what a
-    seek-and-decode frame sampler needs, computed without any media
-    decoding."""
+    every sample is sync, per ISO 14496-12 §8.6.2). Payloads with no hdlr
+    boxes at all (minimal fixtures) fall back to the first trak carrying an
+    stbl. Returns [(frame_idx, pts_ms, byte_offset, n_bytes, is_sync)] —
+    exactly what a seek-and-decode frame sampler needs, computed without
+    any media decoding."""
     import struct
 
     if not is_mp4(payload):
@@ -1210,12 +1222,28 @@ def decode_mp4_frame_table(payload: bytes) -> list[tuple[int, int, int, int, boo
     moov = _find_box(payload, 0, len(payload), (b"moov",))
     if moov is None:
         raise ValueError("ISO BMFF payload missing moov")
+    candidates: list[tuple[bytes | None, int, int]] = []
     for fourcc, tb, te in _mp4_walk(payload, moov[0], moov[1]):
         if fourcc != b"trak":
             continue
-        stbl = _find_box(payload, tb, te, (b"mdia", b"minf", b"stbl"))
-        if stbl is None:
+        if _find_box(payload, tb, te, (b"mdia", b"minf", b"stbl")) is None:
             continue
+        hdlr = _find_box(payload, tb, te, (b"mdia", b"hdlr"))
+        handler = payload[hdlr[0] + 8 : hdlr[0] + 12] if hdlr else None
+        candidates.append((handler, tb, te))
+    if not candidates:
+        raise ValueError("no trak carries a sample table")
+    video = [c for c in candidates if c[0] == b"vide"]
+    if video:
+        chosen = video[0]
+    elif all(c[0] is None for c in candidates):
+        chosen = candidates[0]  # hdlr-less minimal fixture: first stbl trak
+    else:
+        raise ValueError(
+            f"no video trak: handlers {[c[0] for c in candidates]!r}"
+        )
+    for _handler, tb, te in [chosen]:
+        stbl = _find_box(payload, tb, te, (b"mdia", b"minf", b"stbl"))
         mdhd = _find_box(payload, tb, te, (b"mdia", b"mdhd"))
         if mdhd is None:
             raise ValueError("trak with stbl but no mdhd")
@@ -1229,9 +1257,11 @@ def decode_mp4_frame_table(payload: bytes) -> list[tuple[int, int, int, int, boo
         tables: dict[bytes, tuple[int, int]] = {}
         for bf, bb, be in _mp4_walk(payload, stbl[0], stbl[1]):
             tables[bf] = (bb, be)
-        for req in (b"stts", b"stsz", b"stsc", b"stco"):
+        for req in (b"stts", b"stsz", b"stsc"):
             if req not in tables:
                 raise ValueError(f"stbl missing {req!r}")
+        if b"stco" not in tables and b"co64" not in tables:
+            raise ValueError("stbl missing chunk offsets (stco/co64)")
 
         def full_box(name: bytes) -> int:
             return tables[name][0] + 4  # skip version+flags
@@ -1265,10 +1295,16 @@ def decode_mp4_frame_table(payload: bytes) -> list[tuple[int, int, int, int, boo
             struct.unpack(">3I", payload[p + 4 + 12 * i : p + 16 + 12 * i])
             for i in range(n_sc)
         ]
-        p = full_box(b"stco")
+        off_box, off_fmt, off_w = (
+            (b"stco", "I", 4) if b"stco" in tables else (b"co64", "Q", 8)
+        )
+        p = full_box(off_box)
         n_chunks = struct.unpack(">I", payload[p : p + 4])[0]
         chunk_offs = list(
-            struct.unpack(f">{n_chunks}I", payload[p + 4 : p + 4 + 4 * n_chunks])
+            struct.unpack(
+                f">{n_chunks}{off_fmt}",
+                payload[p + 4 : p + 4 + off_w * n_chunks],
+            )
         )
         # expand sample→chunk: stsc entry i applies from first_chunk_i to
         # first_chunk_{i+1}-1 (1-based), last entry to the last chunk
@@ -1304,7 +1340,7 @@ def decode_mp4_frame_table(payload: bytes) -> list[tuple[int, int, int, int, boo
                 dts += durations[idx]
                 idx += 1
         return out
-    raise ValueError("no trak carries a sample table")
+    raise AssertionError("unreachable: chosen trak always present")
 
 
 def mp4_frame_index(

@@ -311,6 +311,7 @@ def assign_splits(
     salt: str = "split",
     out_col: str = "split",
     resolution: int = 1_000_000,
+    null_split: str | None = None,
 ) -> DataFrame:
     """Deterministic leakage-safe train/val/test assignment: the split is a
     pure function of ``key_col``, so every row sharing a key lands in the
@@ -331,6 +332,12 @@ def assign_splits(
     split-assignment table to join. Re-running on a grown corpus keeps
     every previously-assigned key in its split (hash stability), the
     property that keeps a frozen test set frozen across dataset versions.
+
+    NULL keys ERROR at evaluation time by default (md5(NULL) is NULL, and
+    silently falling through to the last split name would concentrate every
+    unlabeled doc — e.g. the unmatched side of an upstream left join — in
+    one split, the exact contamination this op exists to prevent). Pass
+    ``null_split='train'`` (or any declared name) to route them explicitly.
     """
     names = list(fractions)
     if len(names) < 2:
@@ -338,6 +345,8 @@ def assign_splits(
     vals = [fractions[n] for n in names]
     if min(vals) < 0 or abs(sum(vals) - 1.0) > 1e-9:
         raise ValueError(f"fractions must be non-negative and sum to 1: {fractions}")
+    if null_split is not None and null_split not in names:
+        raise ValueError(f"null_split {null_split!r} is not a declared split")
     u = _md5_long_expr(F.col(key_col), salt) % F.lit(resolution)
     expr = None
     acc = 0.0
@@ -345,7 +354,21 @@ def assign_splits(
         acc += fractions[n]
         bound = F.lit(int(round(acc * resolution)))
         expr = F.when(u < bound, F.lit(n)) if expr is None else expr.when(u < bound, F.lit(n))
-    return df.withColumn(out_col, expr.otherwise(F.lit(names[-1])))
+    expr = expr.otherwise(F.lit(names[-1]))
+    null_case = (
+        F.lit(null_split)
+        if null_split is not None
+        else F.raise_error(
+            F.concat(
+                F.lit(f"assign_splits: NULL {key_col} (doc would silently "
+                      f"land in {names[-1]!r}); fix the upstream join or "
+                      f"pass null_split=")
+            )
+        ).cast("string")
+    )
+    return df.withColumn(
+        out_col, F.when(F.col(key_col).isNull(), null_case).otherwise(expr)
+    )
 
 
 def _unit_uniform_expr(key: Column, salt: str) -> Column:
@@ -1656,6 +1679,17 @@ def reweight_mixture(
     )
     if not agg:
         raise ValueError("empty frame: no domains to reweight")
+    if any(r[domain_col] is None for r in agg):
+        raise ValueError(
+            f"NULL {domain_col} values present — a null domain would "
+            f"silently absorb mixture weight; filter or relabel upstream"
+        )
+    no_loss = [r[domain_col] for r in agg if r["mean_excess_loss"] is None]
+    if no_loss:
+        raise ValueError(
+            f"domains with no non-NULL {loss_col}: {sorted(no_loss)!r} — "
+            f"their excess loss is undefined; drop them or fill the losses"
+        )
     domains = sorted(r[domain_col] for r in agg)
     stats = {r[domain_col]: (int(r["n_docs"]), float(r["mean_excess_loss"])) for r in agg}
     if init is None:
@@ -1726,13 +1760,12 @@ def pack_bins(
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     n_tok = _n_tokens_expr(text_col, token_count_col)
-    stream = (
-        F.col(stream_col) if stream_col is not None else F.lit("").alias("__stream")
-    )
-    scol = stream_col if stream_col is not None else "__stream"
+    # single-stream mode exposes a clean "stream" column, not an internal
+    # dunder name the caller would have to know about to drop
+    scol = stream_col if stream_col is not None else "stream"
     base = df.select(
         F.col(id_col),
-        stream.alias(scol) if stream_col is None else F.col(stream_col),
+        (F.col(stream_col) if stream_col is not None else F.lit("")).alias(scol),
         n_tok.alias("n_tokens"),
         (_md5_long_expr(F.col(id_col), "packbins") % n_buckets).alias("__bucket"),
     )
@@ -1781,9 +1814,8 @@ def pack_bins(
             else:
                 r = residuals.pop(i)
                 b = bin_of_residual.pop(i)
-            out.append((rid, nt, b, fills[b] if b in fills else 0, False))
-            if b in fills:
-                fills[b] += nt
+            out.append((rid, nt, b, fills[b], False))
+            fills[b] += nt
             r -= nt
             j = bisect.bisect_left(residuals, r)
             residuals.insert(j, r)

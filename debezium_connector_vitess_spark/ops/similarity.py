@@ -724,6 +724,13 @@ def build_ann_index(
     dim = _observed_dim(corpus, vec_col)
     if dim is None:
         raise ValueError("cannot build an ANN index from an empty corpus")
+    # REBUILD over an existing index: invalidate FIRST — a stale manifest
+    # surviving a crash mid-rebuild would validate against half-overwritten
+    # centroids/lists and probe silently wrong (the atomic rename only
+    # protects a fresh build)
+    stale = os.path.join(path, "manifest.json")
+    if os.path.exists(stale):
+        os.unlink(stale)
     if quantizer == "kmeans":
         cent_df = kmeans_centroid_frame(
             corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
@@ -740,13 +747,14 @@ def build_ann_index(
     spark.createDataFrame(
         list(cents), "centroid_id long, cent_vec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
     assigned = assign_centroids(
         corpus.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("vec"),
             norm_expr(F.col(vec_col)).alias("vnorm"),
         ),
-        cents, vec_col="vec", out_col="centroid_id",
+        cents, vec_col="vec", out_col="centroid_id", norm_col="vnorm",
     )
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         os.path.join(path, "lists")
@@ -759,6 +767,7 @@ def build_ann_index(
         "quantizer": quantizer,
         "n_centroids": len(cents),
         "n_rows": n_rows,
+        "vec_type": vec_type,
     }
     mpath = os.path.join(path, "manifest.json")
     fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
@@ -833,19 +842,29 @@ def append_to_ann_index(
     manifest, cents = load_ann_index(spark, path)
     new_vectors = _drop_zero_vectors(new_vectors, vec_col)
     _assert_dim(new_vectors, vec_col, manifest["dim"], "append_to_ann_index")
+    # cast to the stored element type: an array<double> batch appended to
+    # array<float> lists leaves two incompatible parquet schemas and later
+    # probes fail (or misread) long after the append "succeeded"
+    vec = F.col(vec_col)
+    if "vec_type" in manifest:
+        vec = vec.cast(manifest["vec_type"])
     assigned = assign_centroids(
         new_vectors.select(
             F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("vec"),
+            vec.alias("vec"),
             norm_expr(F.col(vec_col)).alias("vnorm"),
         ),
-        cents, vec_col="vec", out_col="centroid_id",
+        cents, vec_col="vec", out_col="centroid_id", norm_col="vnorm",
     )
+    n_new = assigned.count()
     assigned.write.mode("append").partitionBy("centroid_id").parquet(
         os.path.join(path, "lists")
     )
     manifest = dict(manifest)
-    manifest["n_rows"] = spark.read.parquet(os.path.join(path, "lists")).count()
+    # incremental: old count + this batch — the standing lists are never
+    # re-enumerated (the docstring's contract; a full recount would make
+    # append cost grow with index size instead of batch size)
+    manifest["n_rows"] = manifest["n_rows"] + n_new
     fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
     try:
         with os.fdopen(fd, "w", encoding="utf-8") as fh:

@@ -4642,29 +4642,31 @@ def test_mp4_frame_table_ground_truth():
         decode_mp4_meta,
     )
 
-    for doc_id, nb in [(0, 10), (7, 1234), (16, 99), (33, 5000)]:
-        payload = _make_mp4_samples(doc_id, nb)
-        table = decode_mp4_frame_table(payload)
-        n_frames = 8 + doc_id % 17
-        assert len(table) == n_frames
-        sizes = [16 + ((doc_id + i * 7) % 48) for i in range(n_frames)]
-        half = n_frames // 2
-        # byte extents: back-to-back from the mdat body, which is 8 bytes
-        # past where the sum of ftyp+moov ends == first frame's offset
-        mdat_off = payload.index(b"mdat", 100) + 4
-        dts = 0
-        off = mdat_off
-        for i, (idx, pts, o, s, sync) in enumerate(table):
-            assert idx == i and s == sizes[i] and o == off
-            assert pts == dts * 1000 // 12800
-            assert sync == (i % 5 == 0)
-            off += s
-            dts += 512 if i < half else 1024
-        # frames tile the mdat body exactly
-        assert off == len(payload)
-        # interop: the metadata decoder reads the same container
-        dur_ms, w, h, n_tracks = decode_mp4_meta(payload)
-        assert n_tracks == 1 and w == 64 + doc_id % 64
+    for doc_id in (0, 7, 16, 33):
+        for audio_first in (False, True):
+            payload = _make_mp4_samples(doc_id, audio_first=audio_first)
+            table = decode_mp4_frame_table(payload)
+            n_frames = 8 + doc_id % 17
+            assert len(table) == n_frames
+            sizes = [16 + ((doc_id + i * 7) % 48) for i in range(n_frames)]
+            half = n_frames // 2
+            # video frames sit AFTER the 4×8 audio bytes at the mdat body
+            # start — and the demux must pick the VIDEO trak by hdlr even
+            # when the audio trak is muxed first
+            mdat_off = payload.index(b"mdat", 100) + 4
+            dts = 0
+            off = mdat_off + 32
+            for i, (idx, pts, o, s, sync) in enumerate(table):
+                assert idx == i and s == sizes[i] and o == off
+                assert pts == dts * 1000 // 12800
+                assert sync == (i % 5 == 0)
+                off += s
+                dts += 512 if i < half else 1024
+            # audio + frames tile the mdat body exactly
+            assert off == len(payload)
+            # interop: the metadata decoder reads the same container
+            dur_ms, w, h, n_tracks = decode_mp4_meta(payload)
+            assert n_tracks == 2 and w == 64 + doc_id % 64
 
 
 def test_mp4_frame_index_spark(spark, sf_dir):
@@ -4920,3 +4922,69 @@ def test_gates_and_splits_stream_stateless(spark, sf_dir, tmp_path):
     got = dict(spark.sql("SELECT doc_id, split FROM gate_stream_t").collect())
     want = {r["doc_id"]: r["split"] for r in chain(batch_df).collect()}
     assert got == want and got
+
+
+def test_assign_splits_null_keys(spark):
+    """NULL keys error loudly at evaluation (silent fall-through would
+    concentrate unlabeled docs in one split); null_split routes them
+    explicitly and must name a declared split."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "doc_id long, k string")
+    from debezium_connector_vitess_spark.ops.pipeline import assign_splits
+
+    fr = {"train": 0.9, "test": 0.1}
+    with _pytest.raises(Exception, match="NULL k"):
+        assign_splits(df, "k", fractions=fr).collect()
+    routed = {r["doc_id"]: r["split"] for r in
+              assign_splits(df, "k", fractions=fr, null_split="train").collect()}
+    assert routed[2] == "train" and routed[1] in fr
+    with _pytest.raises(ValueError, match="not a declared split"):
+        assign_splits(df, "k", fractions=fr, null_split="nope")
+
+
+def test_reweight_mixture_null_guards(spark):
+    """NULL domains and all-NULL loss domains are rejected loudly."""
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.ops.pipeline import reweight_mixture
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0)], "domain string, loss double")
+    with _pytest.raises(ValueError, match="NULL domain"):
+        reweight_mixture(df, domain_col="domain", loss_col="loss")
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("b", None)], "domain string, loss double")
+    with _pytest.raises(ValueError, match="no non-NULL"):
+        reweight_mixture(df2, domain_col="domain", loss_col="loss")
+
+
+def test_ann_index_append_casts_vec_type(spark, sf_dir, tmp_path):
+    """A double-typed batch appended to a float-built index is cast to the
+    stored element type (recorded in the manifest), so the lists stay
+    one-schema and later probes read cleanly."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ann_cast")
+    m = build_ann_index(emb, path, n_centroids=8)
+    assert m["vec_type"].startswith("array<")
+    dbl = emb.select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.0)")
+        .alias("embedding"),
+    )
+    append_to_ann_index(dbl, path)
+    lists = spark.read.parquet(f"{path}/lists")
+    assert lists.schema["vec"].dataType.simpleString() == m["vec_type"]
+    # probes still work over the combined lists
+    assert ivf_topk_indexed(
+        spark, path, emb.filter(F.col("vec_id") < 5), k=3, n_probe=2
+    ).count() > 0
