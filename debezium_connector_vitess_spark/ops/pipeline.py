@@ -1714,6 +1714,50 @@ def reweight_mixture(
     )
 
 
+def _bfd_place(rows, block_tokens: int, oversize: str):
+    """The pure best-fit-decreasing core of :func:`pack_bins`: place
+    (id, n_tokens) rows into bins of ``block_tokens`` capacity. Sorted by
+    (n_tokens desc, id) then best-fit via bisect over sorted residuals —
+    a pure function of the input MULTISET (input order is irrelevant).
+    Returns [(id, n_tokens, local_bin, offset_in_bin, is_oversize)].
+    Property-tested in tests/test_property.py."""
+    import bisect
+
+    rows = sorted(((r[0], int(r[1])) for r in rows), key=lambda r: (-r[1], r[0]))
+    residuals: list[int] = []
+    bin_of_residual: list[int] = []
+    fills: dict[int, int] = {}
+    next_bin = 0
+    out = []
+    for rid, nt in rows:
+        if nt > block_tokens:
+            if oversize == "raise":
+                raise ValueError(
+                    f"document {rid!r} has {nt} tokens > block_tokens="
+                    f"{block_tokens}; pass oversize='own_bin' or chunk first"
+                )
+            b = next_bin
+            next_bin += 1
+            out.append((rid, nt, b, 0, True))
+            continue
+        i = bisect.bisect_left(residuals, nt)
+        if i == len(residuals):
+            b = next_bin
+            next_bin += 1
+            fills[b] = 0
+            r = block_tokens
+        else:
+            r = residuals.pop(i)
+            b = bin_of_residual.pop(i)
+        out.append((rid, nt, b, fills[b], False))
+        fills[b] += nt
+        r -= nt
+        j = bisect.bisect_left(residuals, r)
+        residuals.insert(j, r)
+        bin_of_residual.insert(j, b)
+    return out
+
+
 def pack_bins(
     df: DataFrame,
     text_col: str,
@@ -1749,8 +1793,6 @@ def pack_bins(
     bucketing is ≤ one partially-filled bin per bucket per stream; pick
     ``n_buckets`` ≈ group-rows / 100k to bound worker memory. Bin ids are
     unique per stream: ``bucket * 2^40 + local_index``."""
-    import bisect
-
     from pyspark.sql.types import StructField, StructType
 
     if block_tokens < 1:
@@ -1782,44 +1824,7 @@ def pack_bins(
         import pandas as pd
 
         bucket = int(key[1])
-        rows = sorted(
-            zip(pdf[id_col], pdf["n_tokens"]),
-            key=lambda r: (-int(r[1]), r[0]),
-        )
-        # parallel lists sorted by residual capacity (bisect keys)
-        residuals: list[int] = []
-        bin_of_residual: list[int] = []
-        fills: dict[int, int] = {}
-        next_bin = 0
-        out = []
-        for rid, nt in rows:
-            nt = int(nt)
-            if nt > block_tokens:
-                if oversize == "raise":
-                    raise ValueError(
-                        f"document {rid!r} has {nt} tokens > block_tokens="
-                        f"{block_tokens}; pass oversize='own_bin' or chunk first"
-                    )
-                b = next_bin
-                next_bin += 1
-                out.append((rid, nt, b, 0, True))
-                continue
-            # best fit: smallest residual >= nt
-            i = bisect.bisect_left(residuals, nt)
-            if i == len(residuals):
-                b = next_bin
-                next_bin += 1
-                fills[b] = 0
-                r = block_tokens
-            else:
-                r = residuals.pop(i)
-                b = bin_of_residual.pop(i)
-            out.append((rid, nt, b, fills[b], False))
-            fills[b] += nt
-            r -= nt
-            j = bisect.bisect_left(residuals, r)
-            residuals.insert(j, r)
-            bin_of_residual.insert(j, b)
+        out = _bfd_place(zip(pdf[id_col], pdf["n_tokens"]), block_tokens, oversize)
         stream_val = key[0]
         return pd.DataFrame(
             {

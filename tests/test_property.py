@@ -553,3 +553,65 @@ def test_repetition_signals_invariants(spark, texts):
         if r["nd"] == 0:
             assert r["dc"] == 0
         assert r["nd2"] >= r["nd"] and r["dc2"] >= r["dc"] and r["tb2"] >= r["tb"]
+
+
+# ------------------------------------------------------------ pack_bins core
+
+from debezium_connector_vitess_spark.ops.pipeline import _bfd_place  # noqa: E402
+
+_bin_rows = st.lists(
+    st.tuples(st.integers(0, 10**6), st.integers(0, 300)),
+    min_size=0, max_size=120, unique_by=lambda r: r[0],
+)
+
+
+@given(_bin_rows, st.integers(1, 256))
+def test_bfd_place_capacity_and_tiling(rows, cap):
+    out = _bfd_place(rows, cap, "own_bin")
+    assert len(out) == len(rows)
+    by_bin = {}
+    for rid, nt, b, off, over in out:
+        by_bin.setdefault(b, []).append((off, nt, over))
+    for b, ds in by_bin.items():
+        ds.sort()
+        overs = [d for d in ds if d[2]]
+        if overs:
+            # oversize bins are singletons at offset 0
+            assert len(ds) == 1 and ds[0][0] == 0
+            continue
+        pos = 0
+        for off, nt, _ in ds:
+            assert off == pos
+            pos += nt
+        assert pos <= cap
+
+
+@given(_bin_rows, st.integers(1, 256), st.randoms())
+def test_bfd_place_is_input_order_invariant(rows, cap, rnd):
+    a = _bfd_place(rows, cap, "own_bin")
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    assert sorted(a) == sorted(_bfd_place(shuffled, cap, "own_bin"))
+
+
+@given(_bin_rows, st.integers(1, 256))
+def test_bfd_place_at_most_one_half_empty_bin(rows, cap):
+    """Sound packing-quality invariant (the 11/9·OPT bound needs the
+    unknown OPT): in any best-fit placement at most ONE bin is ≤ half
+    full — a second one's first item would have fit in the first (a new
+    bin is only opened when no existing bin has the residual)."""
+    fit = [(i, n) for i, n in rows if n <= cap]
+    out = _bfd_place(fit, cap, "raise")
+    fills = {}
+    for _rid, nt, b, _off, _over in out:
+        fills[b] = fills.get(b, 0) + nt
+    half_empty = sum(1 for v in fills.values() if 2 * v <= cap)
+    assert half_empty <= 1
+
+
+@given(st.integers(1, 100), st.integers(1, 100))
+def test_bfd_place_oversize_raises(cap, extra):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="block_tokens"):
+        _bfd_place([(1, cap + extra)], cap, "raise")
