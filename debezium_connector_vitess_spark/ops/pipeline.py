@@ -575,6 +575,100 @@ def bigram_logprobs(
     return observed.unionAll(ctx_defaults).unionAll(global_default)
 
 
+def kn_bigram_logprobs(
+    df: DataFrame, text_col: str, *, discount: float = 0.75, beta: float = 0.5
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the standard
+    strongest n-gram smoothing) in the same self-contained sentinel-table
+    shape as :func:`bigram_logprobs`, so :func:`doc_perplexity_interpolated`
+    scores it unchanged (``lam=1.0`` = pure KN; lower lam adds JM-style
+    unigram shrinkage on top):
+
+        p_KN(w|v) = max(c(v,w) − d, 0)/c(v) + λ(v)·p̃cont(w)
+        λ(v) = d · N1+(v·)/c(v)        (the discounted mass, redistributed)
+        p̃cont(w) = (N1+(·w) + β) / (T + β·|V|)
+
+    where N1+(v·)/N1+(·w) are distinct-continuation counts and T the
+    bigram-type total — the insight that "Francisco" is frequent but only
+    ever follows "San", so its UNIGRAM frequency overstates how much an
+    unseen context should trust it. β adds the uniform floor the textbook
+    formulation lacks (p_cont of a word never seen as a continuation is 0,
+    and ln 0 poisons scoring), the same role alpha plays in
+    :func:`bigram_logprobs`. Sentinel-format caveat, documented not hidden:
+    an unseen (v,w) pair falls to the per-context sentinel λ(v)·p̃cont_floor
+    — the 3-level table cannot carry per-word continuation rows, so a
+    known-but-unseen-in-context word scores the floor, a conservative
+    underestimate.
+
+    Scale shape: identical to :func:`bigram_logprobs` — one explode with
+    map-side partial agg; every derived table (context totals,
+    continuation counts) is aggregated-frame-sized; the scalars (T, |V|)
+    are one-row broadcast crossJoins."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    if beta <= 0.0:
+        raise ValueError(f"beta must be > 0, got {beta}")
+    staged = df.select(tokens_expr(F.lower(F.col(text_col))).alias("__toks"))
+    bi = (
+        staged.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__toks"), 1, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                    F.slice(F.col("__toks"), 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("token")),
+                )
+            ).alias("g")
+        )
+        .select("g.prev", "g.token")
+        .groupBy("prev", "token")
+        .agg(F.count("*").alias("bcnt"))
+    )
+    from ..cache import eager_localcheckpoint
+
+    # the bigram-type frame feeds FOUR aggregations (context totals,
+    # fan-out, continuation counts, type total) — materialize once
+    bi, _release = eager_localcheckpoint(bi)
+    ctx = bi.groupBy("prev").agg(
+        F.sum("bcnt").alias("ccnt"), F.count("*").alias("n1p_fwd")
+    )
+    cont = bi.groupBy("token").agg(F.count("*").alias("n1p_bwd"))
+    vsize = (
+        staged.select(F.explode("__toks").alias("t"))
+        .agg(F.count_distinct("t").alias("__v"))
+    )
+    scalars = bi.agg(F.count("*").alias("__t")).crossJoin(F.broadcast(vsize))
+    d, b = float(discount), float(beta)
+    pcont = (F.col("n1p_bwd") + F.lit(b)) / (
+        F.col("__t") + F.lit(b) * F.col("__v")
+    )
+    lam = F.lit(d) * F.col("n1p_fwd") / F.col("ccnt")
+    observed = (
+        bi.join(ctx, on="prev")
+        .join(cont, on="token")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "prev",
+            "token",
+            F.log(
+                F.greatest(F.col("bcnt") - F.lit(d), F.lit(0.0)) / F.col("ccnt")
+                + lam * pcont
+            ).alias("logp"),
+        )
+    )
+    pcont_floor = F.lit(b) / (F.col("__t") + F.lit(b) * F.col("__v"))
+    ctx_defaults = ctx.crossJoin(F.broadcast(scalars)).select(
+        "prev",
+        F.lit(None).cast("string").alias("token"),
+        F.log(lam * pcont_floor).alias("logp"),
+    )
+    global_default = scalars.select(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(None).cast("string").alias("token"),
+        F.log(pcont_floor).alias("logp"),
+    )
+    return observed.unionAll(ctx_defaults).unionAll(global_default)
+
+
 def doc_perplexity(
     df: DataFrame,
     text_col: str,

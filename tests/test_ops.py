@@ -4988,3 +4988,83 @@ def test_ann_index_append_casts_vec_type(spark, sf_dir, tmp_path):
     assert ivf_topk_indexed(
         spark, path, emb.filter(F.col("vec_id") < 5), k=3, n_probe=2
     ).count() > 0
+
+
+def test_kn_bigram_logprobs(spark, sf_dir):
+    """Kneser-Ney table: DuckDB recomputation parity on every observed
+    bigram and both sentinel levels, plus the scoring contract — the
+    existing interpolated scorer consumes it unchanged and still
+    discriminates word order."""
+    import math
+
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        doc_perplexity_interpolated,
+        kn_bigram_logprobs,
+        unigram_logprobs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d, b = 0.75, 0.5
+    lm = kn_bigram_logprobs(docs, "text", discount=d, beta=b)
+    rows = lm.collect()
+    got_obs = {(r["prev"], r["token"]): r["logp"] for r in rows
+               if r["token"] is not None}
+    got_ctx = {r["prev"]: r["logp"] for r in rows
+               if r["token"] is None and r["prev"] is not None}
+    got_glob = [r["logp"] for r in rows if r["prev"] is None]
+    assert len(got_glob) == 1
+
+    con = duckdb.connect()
+    dd = con.execute(f"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') lt
+      FROM read_parquet('{sf_dir}/documents.parquet')),
+    bi AS (
+      SELECT u.prev, u.token, count(*) bcnt FROM (
+        SELECT lt[i] AS prev, lt[i+1] AS token
+        FROM toks, LATERAL (SELECT unnest(range(1, len(lt))) AS i)) u
+      GROUP BY 1, 2),
+    ctx AS (SELECT prev, sum(bcnt) ccnt, count(*) n1p_fwd FROM bi GROUP BY 1),
+    cont AS (SELECT token, count(*) n1p_bwd FROM bi GROUP BY 1),
+    s AS (SELECT (SELECT count(*) FROM bi) t,
+                 (SELECT count(DISTINCT u.t) FROM toks,
+                    LATERAL (SELECT unnest(lt) AS t) u) v)
+    SELECT bi.prev, bi.token,
+           ln(greatest(bcnt - {d}, 0.0) / ccnt
+              + ({d} * n1p_fwd / ccnt) * ((n1p_bwd + {b}) / (t + {b} * v))) logp,
+           ln(({d} * n1p_fwd / ccnt) * ({b} / (t + {b} * v))) ctx_logp
+    FROM bi JOIN ctx USING (prev) JOIN cont USING (token), s
+    """).fetchall()
+    con.close()
+    assert len(dd) == len(got_obs)
+    for prev, token, logp, ctx_logp in dd:
+        assert math.isclose(got_obs[(prev, token)], logp, rel_tol=1e-9)
+        assert math.isclose(got_ctx[prev], ctx_logp, rel_tol=1e-9)
+    # every probability is a genuine probability (logp < 0) and the
+    # context sentinel is never above its observed rows
+    assert all(v < 0 for v in got_obs.values())
+    for (prev, _t), v in got_obs.items():
+        assert got_ctx[prev] <= v + 1e-12
+    # scoring: lam=1.0 = pure KN through the existing scorer; scrambled
+    # word order must score worse than the original corpus
+    uni = unigram_logprobs(docs, "text")
+    pp = doc_perplexity_interpolated(docs, "text", "doc_id", uni, lm, lam=1.0)
+    base = pp.agg(F.avg("perplexity")).collect()[0][0]
+    shuffled = docs.select(
+        "doc_id",
+        F.array_join(F.shuffle(F.split(F.col("text"), r"\s+")), " ").alias("text"),
+    )
+    scrambled = doc_perplexity_interpolated(
+        shuffled, "text", "doc_id", uni, lm, lam=1.0
+    ).agg(F.avg("perplexity")).collect()[0][0]
+    assert scrambled > base
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="discount"):
+        kn_bigram_logprobs(docs, "text", discount=1.5)
+    with _pytest.raises(ValueError, match="beta"):
+        kn_bigram_logprobs(docs, "text", beta=0.0)
