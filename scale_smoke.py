@@ -356,6 +356,23 @@ def main() -> None:
     def badword_op(d):
         return filter_badwords(d, "text", ["dup", "batch batch"], keep="flagged")
 
+    # r8 late: no-split BFD packing (per-group sort + bisect placement must
+    # track the shuffle, not blow up in the Arrow worker) and the KN bigram
+    # LM build (four aggregations over the once-materialized type frame)
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        kn_bigram_logprobs,
+        pack_bins,
+    )
+
+    def pack_bins_op(d):
+        return pack_bins(
+            d, "text", "doc_id", stream_col="source", block_tokens=512,
+            n_buckets=4,
+        )
+
+    def kn_lm_op(d):
+        return kn_bigram_logprobs(d, "text")
+
     def project_op(e):
         return project_quantized(e, k=8)
 
@@ -375,6 +392,8 @@ def main() -> None:
         + [("badword_gate", badword_op, docs1, docs10)]
         + [("project_quantized", project_op, emb1, emb10)]
         + [("mp4_frame_index", frame_index_op, docs1, docs10)]
+        + [("pack_bins", pack_bins_op, docs1, docs10)]
+        + [("kn_bigram_lm", kn_lm_op, docs1, docs10)]
     )
     PAIR_OPS.add("semantic_dedup")
     PAIR_OPS.add("semantic_dedup_gemm")
