@@ -690,6 +690,21 @@ def ivf_topk(
 ANN_INDEX_FORMAT_VERSION = 1
 
 
+def _require_local_index_path(path: str, op: str) -> None:
+    """The index manifest is written/validated with driver-local os.path /
+    os.replace while the lists/centroids go through Spark writers — a URI
+    path (s3://, hdfs://) would split the index across two filesystems:
+    mkstemp fails AFTER the expensive list write, and os.path.exists
+    misreports staleness. Refuse loudly and early instead of implicitly
+    supporting local paths only."""
+    if "://" in str(path):
+        raise ValueError(
+            f"{op} supports local filesystem paths only (the manifest is "
+            f"written with atomic local renames); got URI {path!r} — build "
+            "to a local staging dir and upload the directory as a unit"
+        )
+
+
 def build_ann_index(
     corpus: DataFrame,
     path: str,
@@ -718,8 +733,10 @@ def build_ann_index(
     Returns the manifest dict."""
     import json
     import os
+    import shutil
     import tempfile
 
+    _require_local_index_path(path, "build_ann_index")
     corpus = _drop_zero_vectors(corpus, vec_col)
     dim = _observed_dim(corpus, vec_col)
     if dim is None:
@@ -731,6 +748,15 @@ def build_ann_index(
     stale = os.path.join(path, "manifest.json")
     if os.path.exists(stale):
         os.unlink(stale)
+    # then wipe the data dirs OURSELVES: mode('overwrite') under a session
+    # with spark.sql.sources.partitionOverwriteMode=dynamic replaces only
+    # the partitions PRESENT in the new build — a rebuild with fewer or
+    # different centroids would leave stale inverted-list partitions that
+    # probes read against the fresh manifest (silently wrong neighbors)
+    for sub in ("lists", "centroids"):
+        d = os.path.join(path, sub)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     if quantizer == "kmeans":
         cent_df = kmeans_centroid_frame(
             corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
@@ -792,6 +818,7 @@ def load_ann_index(spark, path: str) -> tuple[dict, list]:
     import json
     import os
 
+    _require_local_index_path(path, "load_ann_index")
     mpath = os.path.join(path, "manifest.json")
     if not os.path.exists(mpath):
         raise ValueError(f"not an ANN index (no manifest.json): {path!r}")
@@ -852,7 +879,10 @@ def append_to_ann_index(
         new_vectors.select(
             F.col(id_col).alias("vec_id"),
             vec.alias("vec"),
-            norm_expr(F.col(vec_col)).alias("vnorm"),
+            # norm over the CAST column: a double batch appended to
+            # array<float> lists must store the norm of the vector AS
+            # STORED, or appended-row cosines drift from rebuilt-index ones
+            norm_expr(vec).alias("vnorm"),
         ),
         cents, vec_col="vec", out_col="centroid_id", norm_col="vnorm",
     )
@@ -888,6 +918,7 @@ def ivf_topk_indexed(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_threshold: int = 100_000,
 ) -> DataFrame:
     """Probe a persisted IVF index: assign each query to its ``n_probe``
     nearest centroids, then score ONLY those inverted lists. The probed
@@ -895,7 +926,16 @@ def ivf_topk_indexed(
     quantizer, never by query volume) and pushed as a literal
     ``centroid_id IN (...)`` filter, so the scan plans static partition
     pruning over the partitionBy layout — the unprobed lists are never
-    read. Output schema matches :func:`ivf_topk`."""
+    read. Output schema matches :func:`ivf_topk`.
+
+    The op's contract is probe-MANY small batches, so the assigned query
+    frame normally broadcasts into the list join. A caller probing with a
+    corpus-sized frame must not OOM the driver on the broadcast:
+    ``broadcast_threshold`` bounds the assigned rows (queries × n_probe)
+    the hint applies to — above it the join falls back to a plain
+    bucket-keyed equi-join (one shuffle of the query frame; the pruned
+    list scan is unchanged). The bucket stats collect below is the
+    measurement — same single job either way."""
     import os
 
     manifest, cents = load_ann_index(spark, path)
@@ -909,9 +949,11 @@ def ivf_topk_indexed(
         ),
         cents, vec_col="qvec", out_col="bucket", n=n_probe, norm_col="qnorm",
     )
-    buckets = sorted(
-        r["bucket"] for r in q_assigned.select("bucket").distinct().collect()
-    )
+    # one job yields BOTH the probed-bucket list (≤ n_centroids groups) and
+    # the assigned-row total that decides the broadcast
+    bucket_stats = q_assigned.groupBy("bucket").count().collect()
+    buckets = sorted(r["bucket"] for r in bucket_stats)
+    n_assigned = sum(r["count"] for r in bucket_stats)
     lists = (
         spark.read.parquet(os.path.join(path, "lists"))
         .filter(F.col("centroid_id").isin(buckets))
@@ -922,7 +964,10 @@ def ivf_topk_indexed(
             F.col("centroid_id").alias("bucket"),
         )
     )
-    scored = lists.join(F.broadcast(q_assigned), on="bucket").filter(
+    q_side = (
+        F.broadcast(q_assigned) if n_assigned <= broadcast_threshold else q_assigned
+    )
+    scored = lists.join(q_side, on="bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     ).select(
         "query_id",

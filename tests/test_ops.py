@@ -4990,6 +4990,129 @@ def test_ann_index_append_casts_vec_type(spark, sf_dir, tmp_path):
     ).count() > 0
 
 
+def test_ann_index_rebuild_wipes_stale_lists(spark, sf_dir, tmp_path):
+    """Rebuild over an existing index must not leave stale inverted-list
+    partitions even under partitionOverwriteMode=dynamic (where
+    mode('overwrite') replaces only the partitions present in the new
+    build): an 8-centroid index rebuilt with 2 centroids keeps exactly the
+    2 new lists and probes equal the fresh in-memory answer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.similarity import (
+        build_ann_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ann_rebuild")
+    build_ann_index(emb, path, n_centroids=8)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        m2 = build_ann_index(emb, path, n_centroids=2)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert m2["n_centroids"] == 2
+    part_dirs = [
+        d for d in os.listdir(os.path.join(path, "lists"))
+        if d.startswith("centroid_id=")
+    ]
+    assert len(part_dirs) <= 2, f"stale partitions survived: {part_dirs}"
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in
+           ivf_topk_indexed(spark, path, queries, k=3, n_probe=1).collect()}
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in
+            ivf_topk(emb, queries, k=3, n_probe=1, n_centroids=2,
+                     quantizer="sample").collect()}
+    assert got == want and got
+
+
+def test_ann_index_local_path_only(spark, sf_dir, tmp_path):
+    """URI paths are rejected EARLY (before any expensive write): the
+    manifest goes through driver-local os.path/os.replace, so an s3://
+    index would tear between two filesystems."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+        load_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(10)
+    for op, call in (
+        ("build", lambda: build_ann_index(emb, "s3://bucket/idx")),
+        ("load", lambda: load_ann_index(spark, "hdfs://nn/idx")),
+        ("append", lambda: append_to_ann_index(emb, "s3a://bucket/idx")),
+    ):
+        with _pytest.raises(ValueError, match="local filesystem"):
+            call()
+
+
+def test_ann_index_append_norm_matches_stored_vec(spark, sf_dir, tmp_path):
+    """A double batch appended to a float index stores vnorm computed from
+    the CAST (stored) vector, so appended-row cosines agree with what a
+    rebuild over the same stored floats would score."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ann_norm")
+    build_ann_index(emb, path, n_centroids=4)
+    dbl = emb.select(
+        (F.col("vec_id") + 7_000_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    ).limit(50)
+    append_to_ann_index(dbl, path)
+    rows = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("vec_id") >= 7_000_000)
+        .select("vec", "vnorm")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        # recompute from the STORED (float-cast) vector: must match exactly
+        # up to double reduction noise — not the double-input norm
+        want = math.sqrt(sum(float(x) * float(x) for x in r["vec"]))
+        assert math.isclose(r["vnorm"], want, rel_tol=1e-12)
+
+
+def test_ann_index_probe_large_query_frame(spark, sf_dir, tmp_path):
+    """Above broadcast_threshold the probe falls back to a plain equi-join
+    (no driver-side broadcast of a corpus-sized query frame) and returns
+    the identical top-k."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.similarity import (
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ann_bigq")
+    build_ann_index(emb, path, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    small = ivf_topk_indexed(spark, path, queries, k=3, n_probe=2)
+    big = ivf_topk_indexed(
+        spark, path, queries, k=3, n_probe=2, broadcast_threshold=0
+    )
+    # the fallback plan must not carry the broadcast hint
+    assert "ResolvedHint" not in big._jdf.queryExecution().analyzed().toString()
+    key = lambda rows: {(r["query_id"], r["rank"]): r["neighbor_id"] for r in rows}
+    assert key(big.collect()) == key(small.collect()) != {}
+
+
 def test_kn_bigram_logprobs(spark, sf_dir):
     """Kneser-Ney table: DuckDB recomputation parity on every observed
     bigram and both sentinel levels, plus the scoring contract — the
