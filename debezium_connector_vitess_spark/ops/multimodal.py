@@ -1209,12 +1209,21 @@ def decode_mp4_frame_table(payload: bytes) -> list[tuple[int, int, int, int, boo
     per-sample decode time, at the MEDIA timescale from mdhd), stsz
     (per-sample or constant sizes), stsc+stco/co64 (sample→chunk→absolute
     byte offset, 32- or 64-bit chunk offsets — samples are laid out
-    back-to-back within a chunk), and stss (sync samples; absent table =
-    every sample is sync, per ISO 14496-12 §8.6.2). Payloads with no hdlr
-    boxes at all (minimal fixtures) fall back to the first trak carrying an
-    stbl. Returns [(frame_idx, pts_ms, byte_offset, n_bytes, is_sync)] —
-    exactly what a seek-and-decode frame sampler needs, computed without
-    any media decoding."""
+    back-to-back within a chunk), stss (sync samples; absent table =
+    every sample is sync, per ISO 14496-12 §8.6.2), and ctts (composition
+    offsets: pts = dts + offset, v0 unsigned / v1 signed per §8.6.1.3 —
+    absent table means no B-frame reordering and pts == dts). Payloads
+    with no hdlr boxes at all (minimal fixtures) fall back to the first
+    trak carrying an stbl. Returns [(frame_idx, pts_ms, byte_offset,
+    n_bytes, is_sync)] — exactly what a seek-and-decode frame sampler
+    needs, computed without any media decoding.
+
+    Hostile-input containment: every table's entry count is bounded by its
+    box's byte extent BEFORE expansion, and run-length sample totals are
+    bounded by the payload length (a sample occupies >= 1 byte of mdat, so
+    a larger total is corrupt by construction) — a crafted count of
+    0xFFFFFFFF raises ValueError instead of allocating multi-GB lists in
+    the Arrow worker, so ``errors='skip'`` can actually contain it."""
     import struct
 
     if not is_mp4(payload):
@@ -1266,31 +1275,54 @@ def decode_mp4_frame_table(payload: bytes) -> list[tuple[int, int, int, int, boo
         def full_box(name: bytes) -> int:
             return tables[name][0] + 4  # skip version+flags
 
+        def check_extent(name: bytes, cursor: int, n: int, width: int) -> None:
+            # bound a declared entry count by its box's remaining bytes
+            # BEFORE any expansion: raw uint32 counts from a corrupt payload
+            # must raise (containable), never size an allocation
+            avail = tables[name][1] - cursor
+            if n * width > avail:
+                raise ValueError(
+                    f"{name!r} declares {n} entries ({n * width} bytes) but "
+                    f"its box holds only {avail}"
+                )
+
+        # a real sample occupies at least one byte of mdat: a run-length
+        # total beyond the payload length is corrupt, not merely large
+        max_samples = len(payload)
         # stts: per-sample durations
         p = full_box(b"stts")
         n_runs = struct.unpack(">I", payload[p : p + 4])[0]
-        durations: list[int] = []
         q = p + 4
+        check_extent(b"stts", q, n_runs, 8)
+        durations: list[int] = []
         for _ in range(n_runs):
             cnt, delta = struct.unpack(">2I", payload[q : q + 8])
+            if len(durations) + cnt > max_samples:
+                raise ValueError(
+                    f"stts sample total exceeds payload size {max_samples}"
+                )
             durations.extend([delta] * cnt)
             q += 8
         # stsz: sizes (constant or per-sample)
         p = full_box(b"stsz")
         const_size, n_samples = struct.unpack(">2I", payload[p : p + 8])
         if n_samples != len(durations):
+            # also the bound for the const-size expansion below: stts total
+            # is already capped at max_samples
             raise ValueError(
                 f"stsz sample count {n_samples} != stts total {len(durations)}"
             )
         if const_size:
             sizes = [const_size] * n_samples
         else:
+            check_extent(b"stsz", p + 8, n_samples, 4)
             sizes = list(
                 struct.unpack(f">{n_samples}I", payload[p + 8 : p + 8 + 4 * n_samples])
             )
         # stsc: runs of (first_chunk, samples_per_chunk); stco: chunk offsets
         p = full_box(b"stsc")
         n_sc = struct.unpack(">I", payload[p : p + 4])[0]
+        check_extent(b"stsc", p + 4, n_sc, 12)
         sc = [
             struct.unpack(">3I", payload[p + 4 + 12 * i : p + 16 + 12 * i])
             for i in range(n_sc)
@@ -1300,6 +1332,7 @@ def decode_mp4_frame_table(payload: bytes) -> list[tuple[int, int, int, int, boo
         )
         p = full_box(off_box)
         n_chunks = struct.unpack(">I", payload[p : p + 4])[0]
+        check_extent(off_box, p + 4, n_chunks, off_w)
         chunk_offs = list(
             struct.unpack(
                 f">{n_chunks}{off_fmt}",
@@ -1318,19 +1351,43 @@ def decode_mp4_frame_table(payload: bytes) -> list[tuple[int, int, int, int, boo
         if b"stss" in tables:
             p = full_box(b"stss")
             n_sync = struct.unpack(">I", payload[p : p + 4])[0]
+            check_extent(b"stss", p + 4, n_sync, 4)
             sync = set(struct.unpack(f">{n_sync}I", payload[p + 4 : p + 4 + 4 * n_sync]))
         else:
             sync = None
+        # ctts: per-sample composition offsets (pts = dts + offset); v0
+        # carries unsigned offsets, v1 signed (ISO 14496-12 §8.6.1.3);
+        # absent = no B-frame reordering, pts == dts
+        comp: list[int] | None = None
+        if b"ctts" in tables:
+            ver = payload[tables[b"ctts"][0]]
+            p = full_box(b"ctts")
+            n_ct = struct.unpack(">I", payload[p : p + 4])[0]
+            q = p + 4
+            check_extent(b"ctts", q, n_ct, 8)
+            fmt = ">Ii" if ver == 1 else ">II"
+            comp = []
+            for _ in range(n_ct):
+                cnt, coff = struct.unpack(fmt, payload[q : q + 8])
+                if len(comp) + cnt > n_samples:
+                    raise ValueError("ctts covers more samples than stsz declares")
+                comp.extend([coff] * cnt)
+                q += 8
+            if len(comp) != n_samples:
+                raise ValueError(
+                    f"ctts covers {len(comp)} samples, stsz declares {n_samples}"
+                )
         out: list[tuple[int, int, int, int, bool]] = []
         idx = 0
         dts = 0
         for chunk_i, spc in enumerate(per_chunk):
             off = chunk_offs[chunk_i]
             for _ in range(spc):
+                cts = dts if comp is None else dts + comp[idx]
                 out.append(
                     (
                         idx,
-                        dts * 1000 // media_ts,
+                        cts * 1000 // media_ts,
                         off,
                         sizes[idx],
                         True if sync is None else (idx + 1) in sync,

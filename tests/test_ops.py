@@ -4669,6 +4669,105 @@ def test_mp4_frame_table_ground_truth():
             assert n_tracks == 2 and w == 64 + doc_id % 64
 
 
+def test_mp4_frame_table_hostile_counts():
+    """Corrupt/hostile sample-table entry counts (0xFFFFFFFF etc.) must
+    raise ValueError BEFORE any expansion — the containable error class
+    errors='skip' catches — never size a multi-GB allocation from a raw
+    uint32 field."""
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        _make_mp4_samples,
+        decode_mp4_frame_table,
+    )
+
+    payload = _make_mp4_samples(7)  # video trak first: .index finds ITS stbl
+
+    def patched(fourcc: bytes, field_off: int, value: int) -> bytes:
+        import struct
+
+        i = payload.index(fourcc) + field_off
+        return payload[:i] + struct.pack(">I", value) + payload[i + 4 :]
+
+    # stts n_runs beyond the box extent
+    with _pytest.raises(ValueError, match="entries"):
+        decode_mp4_frame_table(patched(b"stts", 8, 0xFFFFFFFF))
+    # a single in-extent run claiming 2^31 samples: payload-size bound
+    with _pytest.raises(ValueError, match="sample total exceeds"):
+        decode_mp4_frame_table(patched(b"stts", 12, 0x7FFFFFFF))
+    # stsz per-sample count inflated: stts cross-check rejects it
+    with _pytest.raises(ValueError, match="stsz sample count"):
+        decode_mp4_frame_table(patched(b"stsz", 12, 0x00FFFFFF))
+    # stco chunk count beyond its box
+    with _pytest.raises(ValueError, match="entries"):
+        decode_mp4_frame_table(patched(b"stco", 8, 0xFFFFFFFF))
+    # stss sync count beyond its box
+    with _pytest.raises(ValueError, match="entries"):
+        decode_mp4_frame_table(patched(b"stss", 8, 0xFFFFFFFF))
+
+
+def test_mp4_frame_table_ctts_composition_offsets():
+    """ctts present: pts = dts + composition offset (v1 signed — B-frame
+    reordering makes pts non-monotone in decode order); a ctts that covers
+    the wrong sample count raises."""
+    import struct
+
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        _box,
+        _hdlr_box,
+        decode_mp4_frame_table,
+    )
+
+    def full(fourcc: bytes, body: bytes, version: int = 0) -> bytes:
+        return _box(fourcc, struct.pack(">B3s", version, b"\x00\x00\x00") + body)
+
+    n, media_ts, dur = 6, 1000, 100
+    sizes = [10 + i for i in range(n)]
+    # IBBP-style reorder: signed v1 offsets, one negative
+    comp = [0, 300, 100, 200, -100, 0]
+
+    def build(ctts_counts) -> bytes:
+        stts = full(b"stts", struct.pack(">I", 1) + struct.pack(">2I", n, dur))
+        stsz = full(b"stsz", struct.pack(">2I", 0, n)
+                    + b"".join(struct.pack(">I", s) for s in sizes))
+        stsc = full(b"stsc", struct.pack(">I", 1) + struct.pack(">3I", 1, n, 1))
+        ctts = full(
+            b"ctts",
+            struct.pack(">I", len(ctts_counts))
+            + b"".join(struct.pack(">Ii", c, o) for c, o in ctts_counts),
+            version=1,
+        )
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+
+        def assemble(chunk_off: int) -> bytes:
+            stco = full(b"stco", struct.pack(">2I", 1, chunk_off))
+            stbl = _box(b"stbl", stts + ctts + stsz + stsc + stco)
+            mdhd = full(b"mdhd",
+                        struct.pack(">4I2H", 0, 0, media_ts, n * dur, 0x55C4, 0))
+            mdia = _box(b"mdia", mdhd + _hdlr_box(b"vide") + _box(b"minf", stbl))
+            moov = _box(b"moov", _box(b"trak", mdia))
+            return ftyp + moov + _box(b"mdat", bytes(sum(sizes)))
+
+        probe = assemble(0)
+        return assemble(probe.index(b"mdat") + 4)
+
+    table = decode_mp4_frame_table(build([(1, o) for o in comp]))
+    assert len(table) == n
+    for i, (idx, pts, _off, s, sync) in enumerate(table):
+        assert idx == i and s == sizes[i] and sync
+        assert pts == (i * dur + comp[i]) * 1000 // media_ts
+    # pts is genuinely reordered relative to decode order
+    assert [r[1] for r in table] != sorted(r[1] for r in table)
+    # ctts covering fewer samples than stsz declares is corrupt
+    with _pytest.raises(ValueError, match="ctts covers"):
+        decode_mp4_frame_table(build([(n - 1, 0)]))
+    # and one claiming more raises before expansion
+    with _pytest.raises(ValueError, match="ctts covers"):
+        decode_mp4_frame_table(build([(n + 5, 0)]))
+
+
 def test_mp4_frame_index_spark(spark, sf_dir):
     """Distributed frame index: counts reconcile per doc, every-n
     subsampling, errors='skip' drops corrupt payloads, and
