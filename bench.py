@@ -78,10 +78,14 @@ HEADLINE = [
 # dedup_clusters STAYS in r8 despite gaining the split column: the addition
 # is one md5+CASE per OUTPUT row (500 rows at sf0.1) on top of the CC loop —
 # sub-millisecond, not a composition change in any measurable sense.
+# ann_topk left in r9: it gained side='indexed' (a persisted index BUILD —
+# a partitioned parquet write — plus the disk probe), so its total is no
+# longer the three in-memory strategies' cost; per-leg numbers live in
+# BENCH_DETAILS.side_attempts. value_core is 9 queries from r9 on.
 CORE = [
     "cdc_extract_new_state", "cdc_materialize", "tx_metadata",
     "pricing_summary", "revenue_by_nation",
-    "dedup_minhash_lsh", "dedup_clusters", "ann_topk",
+    "dedup_minhash_lsh", "dedup_clusters",
     "multimodal_metadata", "decontaminate_eval",
 ]
 

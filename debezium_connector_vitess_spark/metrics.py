@@ -243,11 +243,11 @@ def change_rates(
     )
 
 
-def _apply_post_agg_exclude(df, exclude):
+def _apply_post_agg_exclude(df, exclude, count_col: str = "n_events"):
     """Drop excluded groups AFTER a streaming aggregation, with the pushdown
-    barrier both streaming entry points depend on.
+    barrier every streaming entry point depends on.
 
-    The ``(n_events < 0)`` disjunct is never true (count(*) >= 1 in every
+    The ``(count_col < 0)`` disjunct is never true (count(*) >= 1 in every
     group): it exists solely as a PUSHDOWN BARRIER. A key-only predicate is
     pushed by Catalyst through the Aggregate, then below the
     EventTimeWatermark node, all the way into the file scan — where it would
@@ -256,7 +256,9 @@ def _apply_post_agg_exclude(df, exclude):
     never flushed). Referencing an aggregate output keeps the filter above
     the Aggregate; it must not be a constant-foldable reference
     (isnull(count) folds to false — count is non-nullable — and the barrier
-    silently vanishes).
+    silently vanishes). ``count_col`` names the caller's count(*) output
+    (``n_events`` for the change-rate family, ``n_docs`` for the corpus
+    profile).
 
     ``exclude`` is coalesced to false first: on a NULL grouping key the raw
     three-valued logic makes ``(~NULL) | false`` NULL and Filter would drop
@@ -265,7 +267,7 @@ def _apply_post_agg_exclude(df, exclude):
     from pyspark.sql import functions as F
 
     not_excluded = ~F.coalesce(exclude, F.lit(False))
-    return df.filter(not_excluded | (F.col("n_events") < F.lit(0)))
+    return df.filter(not_excluded | (F.col(count_col) < F.lit(0)))
 
 
 def change_rates_stream(

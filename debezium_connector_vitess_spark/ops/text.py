@@ -1262,6 +1262,7 @@ def corpus_profile_stream(
     domain_col: str = "source",
     window: str = "1 hour",
     watermark_delay: str = "2 hours",
+    exclude=None,
 ):
     """Streaming twin of :func:`corpus_profile`: per-(event-time window,
     domain) ingest-health rows over a continuously arriving document stream
@@ -1289,8 +1290,14 @@ def corpus_profile_stream(
     n_tokens, n_chars, quality_points, approx_distinct_content,
     n_docs_with_pii) — all integral. Scale shape: map-side-combining
     partial aggregation into |windows × domains| state rows, the same as
-    the change-rate history table."""
-    from ..metrics import ensure_utc_event_time
+    the change-rate history table.
+
+    ``exclude`` (optional Column predicate over the OUTPUT columns) drops
+    clock-advancing sentinel groups AFTER the aggregation — same contract
+    and pushdown barrier as :func:`~..metrics.change_rates_stream` (a
+    pre-agg key filter would be pushed below the watermark node and the
+    event-time clock would never advance)."""
+    from ..metrics import _apply_post_agg_exclude, ensure_utc_event_time
 
     wm = ensure_utc_event_time(stream_df, ts_col).withWatermark(
         ts_col, watermark_delay
@@ -1312,7 +1319,7 @@ def corpus_profile_stream(
         ).alias("approx_distinct_content"),
         F.sum(F.when(F.col("__pii"), 1).otherwise(0)).alias("n_docs_with_pii"),
     )
-    return agg.select(
+    out = agg.select(
         F.unix_millis(F.col("w.start")).alias("window_start_ms"),
         F.unix_millis(F.col("w.end")).alias("window_end_ms"),
         "domain",
@@ -1324,6 +1331,9 @@ def corpus_profile_stream(
         "approx_distinct_content",
         "n_docs_with_pii",
     )
+    if exclude is not None:
+        out = _apply_post_agg_exclude(out, exclude, count_col="n_docs")
+    return out
 
 
 #: query parameters that never change page identity — the usual

@@ -41,9 +41,12 @@ SIDES: dict[str, tuple[str, ...]] = {
     "dedup_exact": ("batch", "stream", "diff"),
     "change_rate_windows": ("tumbling", "sliding", "stream", "heartbeat"),
     "cdc_materialize": ("latest", "history"),
-    "pack_sequences": ("pack", "chunk", "bpe"),
+    "pack_sequences": ("pack", "chunk", "bpe", "bins"),
     "dedup_embedding_cosine": ("lsh", "semdedup"),
     "embedding_quantize": ("int8", "project"),
+    "dedup_pairs": ("ngram", "simhash"),
+    "ann_topk": ("brute", "lsh", "ivf", "indexed"),
+    "corpus_health": ("batch", "stream"),
 }
 
 
@@ -1744,21 +1747,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(docs, "text", "doc_id", threshold_num=4, threshold_den=5)
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=_ORACLE_JACCARD_PAIRS + " WHERE inter_size * 2 >= union_size",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT 3-gram Jaccard pairs at j ≥ 0.5 via prefix filtering
-    (AllPairs): rare-first prefix equi-join + length filter + exact verify —
-    identical output to the brute-force oracle with no cartesian product
-    (see ops.dedup.ngram_jaccard_pairs for the guarantee)."""
-    from .ops.dedup import ngram_jaccard_pairs
-
-    docs = _documents(spark, sf_dir)
-    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold_num=1, threshold_den=2)
-
-
 def _simhash_oracle_sql(bits: int = 32, max_hamming: int = 3) -> str:
     toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     hashes = f"list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
@@ -1777,18 +1765,69 @@ def _simhash_oracle_sql(bits: int = 32, max_hamming: int = 3) -> str:
     """
 
 
-@register("dedup_simhash", oracle=_simhash_oracle_sql(bits=60))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3 over 60-bit signatures — the
-    scale default: 15-bit segment keys ⇒ 32,768 buckets per segment, so
-    candidate volume grows ~n²/32768 instead of the old 32-bit default's
-    n²/256). Candidates via pigeonhole segment buckets (exhaustive within
-    the radius), verified by exact hamming — so the LSH output equals the
-    brute-force oracle."""
-    from .ops.dedup import simhash_near_dup_pairs
+@register(
+    "dedup_pairs",
+    oracle=f"""
+    SELECT 'ngram' AS side, id_a, id_b,
+           inter_size::BIGINT AS inter_size, union_size::BIGINT AS union_size,
+           CAST(NULL AS BIGINT) AS hamming
+    FROM ({_ORACLE_JACCARD_PAIRS} WHERE inter_size * 2 >= union_size)
+    UNION ALL
+    SELECT 'simhash' AS side, id_a, id_b,
+           CAST(NULL AS BIGINT) AS inter_size, CAST(NULL AS BIGINT) AS union_size,
+           hamming::BIGINT AS hamming
+    FROM ({_simhash_oracle_sql(bits=60)})
+    """,
+)
+def dedup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    sides: tuple[str, ...] = ("ngram", "simhash"),
+) -> DataFrame:
+    """The two small near-dup-pair shapes, one row (r9 merge of the
+    ex-``dedup_ngram_jaccard`` / ``dedup_simhash`` rows — both green since
+    round 3/4; the freed slot drives the mp4 frame index):
+
+    side='ngram' — EXACT 3-gram Jaccard pairs at j ≥ 0.5 via prefix
+    filtering (AllPairs): rare-first prefix equi-join + length filter +
+    exact verify — identical output to the brute-force oracle with no
+    cartesian product (see ops.dedup.ngram_jaccard_pairs).
+
+    side='simhash' — SimHash near-dup pairs (hamming ≤ 3 over 60-bit
+    signatures — the scale default: 15-bit segment keys ⇒ 32,768 buckets
+    per segment, so candidate volume grows ~n²/32768). Candidates via
+    pigeonhole segment buckets (exhaustive within the radius), verified by
+    exact hamming — so the LSH output equals the brute-force oracle."""
+    from .ops.dedup import ngram_jaccard_pairs, simhash_near_dup_pairs
 
     docs = _documents(spark, sf_dir)
-    return simhash_near_dup_pairs(docs, "text", "doc_id", bits=60, max_hamming=3)
+    nul = F.lit(None).cast("long")
+    parts: list[DataFrame] = []
+    if "ngram" in sides:
+        parts.append(
+            ngram_jaccard_pairs(
+                docs, "text", "doc_id", threshold_num=1, threshold_den=2
+            ).select(
+                F.lit("ngram").alias("side"), "id_a", "id_b",
+                F.col("inter_size").cast("long").alias("inter_size"),
+                F.col("union_size").cast("long").alias("union_size"),
+                nul.alias("hamming"),
+            )
+        )
+    if "simhash" in sides:
+        parts.append(
+            simhash_near_dup_pairs(
+                docs, "text", "doc_id", bits=60, max_hamming=3
+            ).select(
+                F.lit("simhash").alias("side"), "id_a", "id_b",
+                nul.alias("inter_size"), nul.alias("union_size"),
+                F.col("hamming").cast("long").alias("hamming"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 _ORACLE_COS = (
@@ -2112,16 +2151,23 @@ def _lsh_oracle_sql() -> str:
 
 
 def _ann_topk_oracle_sql() -> str:
+    # the 'indexed' side is the SAME quantizer/assignment/ranking computed
+    # through the persisted build→probe path, so it shares the ivf mirror
     return (
         f"SELECT 'brute' AS method, * FROM ({_ORACLE_BRUTE_TOPK})\n"
         f"UNION ALL SELECT 'lsh' AS method, * FROM ({_lsh_oracle_sql()})\n"
-        f"UNION ALL SELECT 'ivf' AS method, * FROM ({_ivf_oracle_sql()})"
+        f"UNION ALL SELECT 'ivf' AS method, * FROM ({_ivf_oracle_sql()})\n"
+        f"UNION ALL SELECT 'indexed' AS method, * FROM ({_ivf_oracle_sql()})"
     )
 
 
 @register("ann_topk", oracle=_ann_topk_oracle_sql())
-def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 for 20 query vectors through all three strategies, one
+def ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    sides: tuple[str, ...] = ("brute", "lsh", "ivf", "indexed"),
+) -> DataFrame:
+    """ANN top-5 for 20 query vectors through all four strategies, one
     driver-checked result:
 
     - ``brute``: exact cosine — broadcast query set against the partitioned
@@ -2132,20 +2178,56 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``ivf``: IVF cells from the md5-seeded deterministic sample quantizer
       (no low-id bias, oracle-replicable); the Lloyd-refined ``kmeans``
       quantizer is the quality path, recall-tested in pytest.
+    - ``indexed`` (r9 promotion — VERDICT r8 item #2): the PRODUCTION
+      build-once/probe-many path — ``build_ann_index`` materializes the
+      inverted lists ``partitionBy(centroid_id)`` on disk, then
+      ``ivf_topk_indexed`` probes them through static partition pruning
+      (plan-pinned in tests/test_ops.py). Same deterministic quantizer, so
+      the probe must return the in-memory ``ivf`` side's exact rows and
+      the one DuckDB mirror grades both.
 
-    All three share the (query_id, rank, neighbor_id) shape; each strategy
+    All four share the (query_id, rank, neighbor_id) shape; each strategy
     remains an independent operator in ops/similarity.py."""
     from .ops.similarity import brute_force_topk, ivf_topk, lsh_topk
 
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     cols = ["query_id", "rank", "neighbor_id"]
-    brute = brute_force_topk(emb, queries, k=5).select(*cols, F.lit("brute").alias("method"))
-    lsh = lsh_topk(emb, queries, k=5, num_planes=4).select(*cols, F.lit("lsh").alias("method"))
-    ivf = ivf_topk(
-        emb, queries, k=5, n_centroids=16, n_probe=4, quantizer="sample"
-    ).select(*cols, F.lit("ivf").alias("method"))
-    return brute.unionAll(lsh).unionAll(ivf)
+    parts: list[DataFrame] = []
+    if "brute" in sides:
+        parts.append(
+            brute_force_topk(emb, queries, k=5).select(
+                *cols, F.lit("brute").alias("method")
+            )
+        )
+    if "lsh" in sides:
+        parts.append(
+            lsh_topk(emb, queries, k=5, num_planes=4).select(
+                *cols, F.lit("lsh").alias("method")
+            )
+        )
+    if "ivf" in sides:
+        parts.append(
+            ivf_topk(
+                emb, queries, k=5, n_centroids=16, n_probe=4, quantizer="sample"
+            ).select(*cols, F.lit("ivf").alias("method"))
+        )
+    if "indexed" in sides:
+        import tempfile as _tempfile
+
+        from .ops.similarity import build_ann_index, ivf_topk_indexed
+
+        path = _tempfile.mkdtemp(prefix="ann_index_row_")
+        build_ann_index(emb, path, n_centroids=16, quantizer="sample")
+        parts.append(
+            ivf_topk_indexed(spark, path, queries, k=5, n_probe=4).select(
+                *cols, F.lit("indexed").alias("method")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 @register(
@@ -3015,6 +3097,71 @@ def _bpe_count_constants() -> str:
     return ", ".join(f"({d}, '{fp}', {c}, {corp})" for d, fp, c, corp in rows)
 
 
+#: side='bins' geometry: small blocks so best-fit packing is non-trivial at
+#: every SF, 4 hash buckets so the bucketed applyInPandas path is what the
+#: driver grades, own_bin so long docs flag instead of raising
+_BINS_BLOCK_TOKENS = 256
+_BINS_N_BUCKETS = 4
+
+
+def _pack_bins_constants() -> str:
+    """Expected (doc_id, fp, corpus_bytes, n_tokens, bin_id, offset_in_bin)
+    placements for the ``pack_sequences`` side='bins' oracle, recomputed at
+    import time with pyarrow + the SHARED pure placement core
+    (``ops.pipeline._bfd_place`` — property-tested independently, the same
+    sharing relationship the BPE constants have to ``_encode_word``). The
+    bucketing md5 and the ASCII whitespace token count are rebuilt here
+    from their documented recipes, NOT read from Spark. Keyed by
+    (doc_id, md5(text), corpus_bytes) for the same reason as
+    ``_bpe_count_constants``: placement is a function of the whole
+    (stream, bucket) group's multiset, so the same (id, text) legitimately
+    carries a different placement per corpus."""
+    import hashlib
+    import os
+    import re
+
+    from .ops.pipeline import _bfd_place
+
+    rows = []
+    for sfd in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = f"{sfd}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["doc_id", "source", "text"])
+        ids = t.column("doc_id").to_pylist()
+        sources = t.column("source").to_pylist()
+        texts = t.column("text").to_pylist()
+        corp = sum(len((txt or "").encode("utf-8")) for txt in texts)
+        groups: dict = {}
+        meta: dict = {}
+        for did, src, txt in zip(ids, sources, texts):
+            n_tok = len(re.findall(r"\S+", txt or "", re.ASCII))
+            bucket = (
+                int(
+                    hashlib.md5(f"packbins{did}".encode("utf-8")).hexdigest()[:15],
+                    16,
+                )
+                % _BINS_N_BUCKETS
+            )
+            groups.setdefault((src, bucket), []).append((did, n_tok))
+            meta[did] = hashlib.md5((txt or "").encode("utf-8")).hexdigest()
+        for (src, bucket), members in groups.items():
+            for rid, nt, local_bin, off, _over in _bfd_place(
+                members, _BINS_BLOCK_TOKENS, "own_bin"
+            ):
+                rows.append(
+                    (rid, meta[rid], corp, nt, bucket * (1 << 40) + local_bin, off)
+                )
+    rows = sorted(set(rows))
+    if not rows:  # no testdata present: emit a never-matching placeholder
+        rows = [(-1, "__no_testdata__", -1, 0, 0, 0)]
+    return ", ".join(
+        f"({d}, '{fp}', {corp}, {nt}, {b}, {o})" for d, fp, corp, nt, b, o in rows
+    )
+
+
 @register(
     "pack_sequences",
     oracle=f"""
@@ -3063,15 +3210,30 @@ def _bpe_count_constants() -> str:
              CAST(start_offset % 2048 AS BIGINT) AS offset_in_block,
              CAST(NULL AS BIGINT) AS chunk_idx,
              CAST(NULL AS VARCHAR) AS chunk_md5
-      FROM bpe_placed)
+      FROM bpe_placed),
+    bins_c(cdoc_id, cfp, ccorp, cn_tokens, cbin, coff) AS (VALUES {{BINS_PLACES}}),
+    bins_side AS (
+      SELECT 'bins' AS side, d.doc_id, d.source,
+             CAST(c.cn_tokens AS BIGINT) AS n_tokens,
+             CAST(NULL AS BIGINT) AS start_offset,
+             CAST(c.cbin AS BIGINT) AS block_id,
+             CAST(c.coff AS BIGINT) AS offset_in_block,
+             CAST(NULL AS BIGINT) AS chunk_idx,
+             CAST(NULL AS VARCHAR) AS chunk_md5
+      FROM documents d JOIN bins_c c
+        ON d.doc_id = c.cdoc_id AND md5(coalesce(d.text, '')) = c.cfp
+       AND c.ccorp = (SELECT sum(octet_length(encode(coalesce(text, ''))))
+                      FROM documents))
     SELECT * FROM pack UNION ALL SELECT * FROM chunks
     UNION ALL SELECT * FROM bpe_side
-    """.replace("{BPE_COUNTS}", _bpe_count_constants()),
+    UNION ALL SELECT * FROM bins_side
+    """.replace("{BPE_COUNTS}", _bpe_count_constants())
+    .replace("{BINS_PLACES}", _pack_bins_constants()),
 )
 def pack_sequences(
     spark: SparkSession,
     sf_dir: str,
-    sides: tuple[str, ...] = ("pack", "chunk", "bpe"),
+    sides: tuple[str, ...] = ("pack", "chunk", "bpe", "bins"),
 ) -> DataFrame:
     """The sequence-prep family, both grains, one row:
 
@@ -3100,7 +3262,17 @@ def pack_sequences(
     ``token_count_col`` path — train→persist→apply→budget end to end under
     the driver's hasher. The oracle recomputes every count from the parquet
     at import time (see ``_bpe_count_constants``), so a drifted sample, a
-    torn artifact, or a lossy encode all go red."""
+    torn artifact, or a lossy encode all go red.
+
+    side='bins' (r9 promotion — VERDICT r8 item #3) — the SFT packing
+    contract: :func:`~.ops.pipeline.pack_bins` places each document WHOLE
+    via best-fit-decreasing into 256-token bins over 4 (stream, md5-bucket)
+    groups with oversize='own_bin'. Placement is a pure function of each
+    group's (id, n_tokens) multiset, so the oracle recomputes it exactly at
+    import with the SHARED property-tested core (``_pack_bins_constants``
+    → ``_bfd_place``); bin_id maps onto block_id, offset_in_bin onto
+    offset_in_block (start_offset is NULL — no-split packing has no global
+    stream offset)."""
     from .ops.pipeline import chunk_documents as _chunk
     from .ops.pipeline import pack_sequences as _pack
 
@@ -3168,6 +3340,23 @@ def pack_sequences(
                 F.lit(None).cast("string").alias("chunk_md5"),
             )
         )
+    if "bins" in sides:
+        from .ops.pipeline import pack_bins as _pack_bins
+
+        parts.append(
+            _pack_bins(
+                docs, "text", "doc_id", stream_col="source",
+                block_tokens=_BINS_BLOCK_TOKENS, n_buckets=_BINS_N_BUCKETS,
+                oversize="own_bin",
+            ).select(
+                F.lit("bins").alias("side"), "doc_id", "source", "n_tokens",
+                nul_l.alias("start_offset"),
+                F.col("bin_id").alias("block_id"),
+                F.col("offset_in_bin").alias("offset_in_block"),
+                nul_l.alias("chunk_idx"),
+                F.lit(None).cast("string").alias("chunk_md5"),
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -3197,6 +3386,74 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     return chunk_audio(attach_wav_payload(docs), chunk_samples=64)
+
+
+def _mp4_frame_constants(max_doc_id: int = 80, every: int = 2) -> str:
+    """Expected (doc_id, frame_idx, pts_ms, byte_offset, n_bytes, is_sync)
+    rows for the ``multimodal_frame_index`` oracle, recomputed at import
+    time from the FIXTURE GENERATION FORMULAS (``_make_mp4_samples``'s
+    documented geometry: n_frames = 8 + doc_id%17, two-run stts 512/1024
+    at media timescale 12800, sizes 16+((doc_id+i*7)%48), every-5th sync
+    sample, the 4×8 audio packet bytes leading the mdat) — the same
+    replicate-the-generator pattern ``multimodal_metadata``'s SQL oracle
+    uses. The one generator call only LOCATES the mdat body via box
+    arithmetic; the parser under test is never consulted. Frame tables
+    are a pure function of doc_id, so one constant set serves every SF
+    dir; the oracle joins against documents to keep only present ids."""
+    from .ops.multimodal import _make_mp4_samples
+
+    rows = []
+    for did in range(max_doc_id):
+        payload = _make_mp4_samples(did, audio_first=did % 3 == 0)
+        mdat_body = payload.index(b"mdat", 100) + 4
+        n_frames = 8 + did % 17
+        half = n_frames // 2
+        off = mdat_body + 32  # audio packets (4 × 8 bytes) lead the mdat
+        dts = 0
+        for i in range(n_frames):
+            size = 16 + ((did + i * 7) % 48)
+            if i % every == 0:
+                rows.append(
+                    (did, i, dts * 1000 // 12800, off, size, i % 5 == 0)
+                )
+            off += size
+            dts += 512 if i < half else 1024
+    return ", ".join(
+        f"({d}, {i}, {p}, {o}, {n}, {str(s).upper()})"
+        for d, i, p, o, n, s in rows
+    )
+
+
+@register(
+    "multimodal_frame_index",
+    oracle=f"""
+    WITH expected(doc_id, frame_idx, pts_ms, byte_offset, n_bytes, is_sync)
+      AS (VALUES {_mp4_frame_constants()})
+    SELECT e.doc_id::BIGINT AS doc_id, e.frame_idx::INT AS frame_idx,
+           e.pts_ms::BIGINT AS pts_ms, e.byte_offset::BIGINT AS byte_offset,
+           e.n_bytes::INT AS n_bytes, e.is_sync
+    FROM expected e JOIN documents d ON d.doc_id = e.doc_id
+    """,
+)
+def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 sample-table demux under the driver gate (r9 promotion — VERDICT
+    r8 item #6; slot freed by the dedup_pairs merge): real
+    stts/stsz/stsc/stco/stss parsing over full-sample-table MP4 payloads
+    (audio trak muxed FIRST on doc_id%3==0, so handler-type selection is on
+    the scored path), every-2nd-frame temporal subsampling, exact per-frame
+    integer rows (pts at the media timescale, absolute byte extents, sync
+    flags). The oracle carries the expected table recomputed at import from
+    the generation formulas (see ``_mp4_frame_constants``), so a demux that
+    misreads any table — or a sampler that slices wrong — goes red.
+
+    Scale shape: one Arrow-batched mapInPandas seam over (id, payload);
+    output rows are five scalars per frame — payload bytes never fan out.
+    Bounded to doc_id < 80 (the oracle's constant window); the operator
+    itself is unbounded."""
+    from .ops.multimodal import attach_mp4_sample_payload, mp4_frame_index
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 80)
+    return mp4_frame_index(attach_mp4_sample_payload(docs), every=2)
 
 
 # ---------------------------------------------------------------------------
@@ -3295,10 +3552,38 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(round(-avg(ln(p)) * 10000) AS BIGINT) AS interp_neg_logp_q4,
              CAST(round(exp(-avg(ln(p))) * 100) AS BIGINT) AS interp_perplexity_q2
-      FROM i_scored GROUP BY doc_id)
+      FROM i_scored GROUP BY doc_id),
+    kctx AS (SELECT prev, sum(bcnt) AS ccnt, count(*) AS n1p_fwd
+             FROM big GROUP BY prev),
+    kcont AS (SELECT token, count(*) AS n1p_bwd FROM big GROUP BY token),
+    ks AS (SELECT (SELECT count(*) FROM big) AS t, tot.v FROM tot),
+    kobs AS (
+      SELECT prev, token,
+             ln(greatest(bcnt - 0.75, 0.0) / ccnt
+                + (0.75 * n1p_fwd / ccnt) * ((n1p_bwd + 0.5) / (t + 0.5 * v)))
+               AS lp_k
+      FROM big JOIN kctx USING (prev) JOIN kcont USING (token), ks),
+    kctxd AS (
+      SELECT prev, ln((0.75 * n1p_fwd / ccnt) * (0.5 / (t + 0.5 * v))) AS ck
+      FROM kctx, ks),
+    kg AS (SELECT ln(0.5 / (t + 0.5 * v)) AS gk FROM ks),
+    k_scored AS (
+      SELECT f.doc_id,
+        CASE WHEN f.prev IS NULL THEN exp(coalesce(ulm.lp_u, fl.oov))
+             ELSE exp(coalesce(kobs.lp_k, kctxd.ck, kg.gk)) END AS p
+      FROM flat f
+      LEFT JOIN ulm USING (token)
+      LEFT JOIN kobs ON kobs.prev = f.prev AND kobs.token = f.token
+      LEFT JOIN kctxd ON kctxd.prev = f.prev, fl, kg),
+    k_agg AS (
+      SELECT doc_id,
+             CAST(round(-avg(ln(p)) * 10000) AS BIGINT) AS kn_neg_logp_q4,
+             CAST(round(exp(-avg(ln(p))) * 100) AS BIGINT) AS kn_perplexity_q2
+      FROM k_scored GROUP BY doc_id)
     SELECT u.doc_id, u.n_tokens, u.avg_neg_logp_q4, u.perplexity_q2,
-           i.interp_neg_logp_q4, i.interp_perplexity_q2
-    FROM u_agg u JOIN i_agg i USING (doc_id)
+           i.interp_neg_logp_q4, i.interp_perplexity_q2,
+           k.kn_neg_logp_q4, k.kn_perplexity_q2
+    FROM u_agg u JOIN i_agg i USING (doc_id) JOIN k_agg k USING (doc_id)
     """,
 )
 def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3315,6 +3600,13 @@ def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       Only the (prev, token) bigram join shuffles the exploded corpus; every
       vocabulary-sized frame broadcasts (ops/pipeline.py
       doc_perplexity_interpolated).
+    - KNESER-NEY (r9 promotion — VERDICT r8 item #4): the same scorer at
+      lam=1.0 over :func:`~.ops.pipeline.kn_bigram_logprobs` (d=0.75,
+      β=0.5) — absolute discounting with continuation-count backoff, the
+      strongest n-gram gate. The oracle recomputes the full KN table
+      (context totals, distinct-continuation counts, type total, both
+      sentinel levels) from the same corpus SQL, the recomputation already
+      unit-pinned in test_kn_bigram_logprobs.
 
     Hashed-column convention (r7): the per-doc averages are cross-row
     float sums — the exact shape of the r5/r6 phantom hash-reds — so the
@@ -3326,6 +3618,7 @@ def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigram_logprobs,
         doc_perplexity,
         doc_perplexity_interpolated,
+        kn_bigram_logprobs,
         unigram_logprobs,
     )
 
@@ -3349,7 +3642,17 @@ def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("perplexity") * 100, 0).cast("long")
             .alias("interp_perplexity_q2"),
     )
-    return uni.join(interp, "doc_id")
+    kn = kn_bigram_logprobs(docs, "text", discount=0.75, beta=0.5)
+    kn_score = doc_perplexity_interpolated(
+        docs, "text", "doc_id", lm, kn, lam=1.0, alpha=0.5
+    ).select(
+        "doc_id",
+        F.round(F.col("avg_neg_logp") * 10000, 0).cast("long")
+            .alias("kn_neg_logp_q4"),
+        F.round(F.col("perplexity") * 100, 0).cast("long")
+            .alias("kn_perplexity_q2"),
+    )
+    return uni.join(interp, "doc_id").join(kn_score, "doc_id")
 
 
 @register(
@@ -3942,6 +4245,8 @@ def _compression_constants() -> str:
 
 
 def _corpus_health_oracle_sql() -> str:
+    from .sources.fixtures import PROFILE_STREAM_T0_MS as _T0
+
     return f"""
     WITH m AS (
       SELECT source, doc_id, text,
@@ -3982,55 +4287,180 @@ def _corpus_health_oracle_sql() -> str:
              round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 4) AS dup_ratio,
              sum(octet_length(encode(text))) AS raw_bytes
       FROM s GROUP BY source),
-    cz(source, raw_bytes, comp_bytes) AS (VALUES {_compression_constants()})
-    SELECT p.source, p.n_docs,
-           p.n_empty::BIGINT AS n_empty, p.n_tokens::BIGINT AS n_tokens,
-           p.n_chars::BIGINT AS n_chars,
-           CAST(round(p.mean_quality * 10000) AS BIGINT) AS mean_quality_q4,
-           p.distinct_content, p.n_docs_with_pii::BIGINT AS n_docs_with_pii,
-           CAST(round(p.dup_ratio * 10000) AS BIGINT) AS dup_ratio_q4,
-           cz.comp_bytes::BIGINT AS comp_bytes, p.raw_bytes::BIGINT AS raw_bytes
-    FROM prof p JOIN cz ON p.source = cz.source AND p.raw_bytes = cz.raw_bytes
+    cz(source, raw_bytes, comp_bytes) AS (VALUES {_compression_constants()}),
+    batch_side AS (
+      SELECT 'batch' AS side, p.source,
+             CAST(NULL AS BIGINT) AS window_start_ms,
+             CAST(NULL AS BIGINT) AS window_end_ms,
+             p.n_docs,
+             p.n_empty::BIGINT AS n_empty, p.n_tokens::BIGINT AS n_tokens,
+             p.n_chars::BIGINT AS n_chars,
+             CAST(round(p.mean_quality * 10000) AS BIGINT) AS mean_quality_q4,
+             CAST(NULL AS BIGINT) AS quality_points,
+             p.distinct_content, p.n_docs_with_pii::BIGINT AS n_docs_with_pii,
+             CAST(round(p.dup_ratio * 10000) AS BIGINT) AS dup_ratio_q4,
+             cz.comp_bytes::BIGINT AS comp_bytes,
+             p.raw_bytes::BIGINT AS raw_bytes
+      FROM prof p JOIN cz ON p.source = cz.source AND p.raw_bytes = cz.raw_bytes),
+    stream_side AS (
+      SELECT 'stream' AS side, source,
+             wstart::BIGINT AS window_start_ms,
+             (wstart + 3600000)::BIGINT AS window_end_ms,
+             count(*) AS n_docs,
+             sum(CASE WHEN coalesce(length(text), 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+             sum(n_tokens)::BIGINT AS n_tokens,
+             sum(coalesce(length(text), 0))::BIGINT AS n_chars,
+             CAST(NULL AS BIGINT) AS mean_quality_q4,
+             sum(CAST(quality * 4 AS BIGINT))::BIGINT AS quality_points,
+             CAST(NULL AS BIGINT) AS distinct_content,
+             sum(CASE WHEN has_pii THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_pii,
+             CAST(NULL AS BIGINT) AS dup_ratio_q4,
+             CAST(NULL AS BIGINT) AS comp_bytes,
+             CAST(NULL AS BIGINT) AS raw_bytes
+      FROM (SELECT s.*,
+              ({_T0} + doc_id * 60000) // 3600000 * 3600000 AS wstart
+            FROM s)
+      GROUP BY source, wstart)
+    SELECT * FROM batch_side UNION ALL SELECT * FROM stream_side
     """
 
 
 @register("corpus_health", oracle=_corpus_health_oracle_sql())
-def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain corpus health snapshot with the zlib compressibility
-    signal — the round-6 driver promotion of corpus_profile +
-    with_compression_ratio (r5 VERDICT item #5). One scan (the Arrow zlib
-    seam chained under the staged metrics projection) and ONE
-    groupBy(source): document/token/char volume, mean quality, exact-dup
-    ratio on the content fingerprint, empty and PII-bearing doc counts, and
-    the two exact compression byte sums. The oracle mirrors everything in
-    DuckDB SQL except the DEFLATE totals, which it takes from an import-time
+def corpus_health(
+    spark: SparkSession,
+    sf_dir: str,
+    sides: tuple[str, ...] = ("batch", "stream"),
+) -> DataFrame:
+    """Per-domain corpus health, batch snapshot + in-flight stream, one row:
+
+    side='batch' — corpus_profile with the zlib compressibility signal
+    (the round-6 driver promotion of corpus_profile +
+    with_compression_ratio). One scan (the Arrow zlib seam chained under
+    the staged metrics projection) and ONE groupBy(source):
+    document/token/char volume, mean quality, exact-dup ratio on the
+    content fingerprint, empty and PII-bearing doc counts, and the two
+    exact compression byte sums. The oracle mirrors everything in DuckDB
+    SQL except the DEFLATE totals, which it takes from an import-time
     pyarrow+zlib pass over the same parquet (see _compression_constants).
+
+    side='stream' (r9 promotion — VERDICT r8 item #8) —
+    :func:`~.ops.text.corpus_profile_stream`: the SAME metrics projection
+    as a watermarked per-(hour window, domain) APPEND aggregation over a
+    time-ordered file replay (synthetic in-order event time ts = T0 +
+    doc_id minutes; clock-advancing '__advance__' sentinels excluded
+    post-agg behind the shared pushdown barrier). Every window row is
+    emitted exactly once; the oracle recomputes the window assignment
+    arithmetically. ``approx_distinct_content`` (HLL) is collected but NOT
+    driver-hashed — a sketch has no cross-engine oracle; its bounds stay
+    unit-tested.
 
     Hashed-column convention (round 7): NO doubles in the driver-hashed
     output. mean_quality / dup_ratio ship integer-quantized
     (``CAST(ROUND(x*10^4) AS BIGINT)`` in both engines — both are
     reduction-order-exact here: quality is a sum of 0.25 multiples, dup
-    ratio one float op on two integers, and the margin convention holds),
-    and compression_ratio is replaced by its two exact BIGINT sums
-    ``comp_bytes`` / ``raw_bytes`` (the round-6 red row hashed the ratio as
-    the registry's only full-precision double; the sums carry strictly more
-    information and hash identically under any float formatting)."""
+    ratio one float op on two integers); the stream side's
+    ``quality_points`` = sum(quality×4) is an exact BIGINT by
+    construction; compression ships as its two exact BIGINT sums
+    ``comp_bytes`` / ``raw_bytes``."""
     from .ops.text import corpus_profile
 
-    docs = _documents(spark, sf_dir)
-    prof = corpus_profile(
-        docs, "text", "doc_id", domain_col="source",
-        include_compression=True, byte_sums=True,
-    )
-    return prof.select(
-        "source", "n_docs", "n_empty", "n_tokens", "n_chars",
-        F.round(F.col("mean_quality") * 10000, 0).cast("long")
-            .alias("mean_quality_q4"),
-        "distinct_content", "n_docs_with_pii",
-        F.round(F.col("dup_ratio") * 10000, 0).cast("long")
-            .alias("dup_ratio_q4"),
-        "comp_bytes", "raw_bytes",
-    )
+    cols = [
+        "side", "source", "window_start_ms", "window_end_ms", "n_docs",
+        "n_empty", "n_tokens", "n_chars", "mean_quality_q4",
+        "quality_points", "distinct_content", "n_docs_with_pii",
+        "dup_ratio_q4", "comp_bytes", "raw_bytes",
+    ]
+    nul_l = F.lit(None).cast("long")
+    parts: list[DataFrame] = []
+    if "batch" in sides:
+        docs = _documents(spark, sf_dir)
+        prof = corpus_profile(
+            docs, "text", "doc_id", domain_col="source",
+            include_compression=True, byte_sums=True,
+        )
+        parts.append(
+            prof.select(
+                F.lit("batch").alias("side"), "source",
+                nul_l.alias("window_start_ms"), nul_l.alias("window_end_ms"),
+                "n_docs", "n_empty", "n_tokens", "n_chars",
+                F.round(F.col("mean_quality") * 10000, 0).cast("long")
+                    .alias("mean_quality_q4"),
+                nul_l.alias("quality_points"),
+                "distinct_content", "n_docs_with_pii",
+                F.round(F.col("dup_ratio") * 10000, 0).cast("long")
+                    .alias("dup_ratio_q4"),
+                "comp_bytes", "raw_bytes",
+            ).select(cols)
+        )
+    if "stream" in sides:
+        import tempfile as _tempfile
+
+        from .ops.text import corpus_profile_stream
+        from .sources.fixtures import (
+            cached_fixture_dir,
+            write_profile_stream_fixture,
+        )
+
+        fixture = cached_fixture_dir(
+            "profile_stream", sf_dir, write_profile_stream_fixture
+        )
+        ckpt = _tempfile.mkdtemp(prefix="profile_stream_ckpt_")
+        raw = (
+            spark.readStream.schema(
+                "doc_id bigint, source string, text string, ts_ms bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(fixture)
+            .select(F.timestamp_millis("ts_ms").alias("ts"), "source", "text")
+        )
+        profile = corpus_profile_stream(
+            raw, "text", ts_col="ts", domain_col="source",
+            window="1 hour", watermark_delay="2 hours",
+            exclude=F.col("domain") == "__advance__",
+        )
+        collected: list = []
+
+        def capture(df, _batch_id) -> None:
+            collected.extend(df.collect())  # closed windows: |windows|·|domains|
+
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")  # state ≈ volume
+        try:
+            q = (
+                profile.writeStream.foreachBatch(capture)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        stream = spark.createDataFrame(
+            collected,
+            "window_start_ms bigint, window_end_ms bigint, domain string,"
+            " n_docs bigint, n_empty bigint, n_tokens bigint, n_chars bigint,"
+            " quality_points bigint, approx_distinct_content bigint,"
+            " n_docs_with_pii bigint",
+        )
+        parts.append(
+            stream.select(
+                F.lit("stream").alias("side"),
+                F.col("domain").alias("source"),
+                "window_start_ms", "window_end_ms", "n_docs", "n_empty",
+                "n_tokens", "n_chars",
+                nul_l.alias("mean_quality_q4"),
+                "quality_points",
+                nul_l.alias("distinct_content"),
+                "n_docs_with_pii",
+                nul_l.alias("dup_ratio_q4"),
+                nul_l.alias("comp_bytes"), nul_l.alias("raw_bytes"),
+            ).select(cols)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 #: synthetic-URL model for the url_ops row — hosts exercise case, trailing

@@ -476,6 +476,71 @@ def write_dedup_stream_fixture(sf_dir: str, out_dir: str, *, copy_files: int = 2
     return counts
 
 
+#: epoch ms of 2024-01-01T00:00:00Z — hour-aligned, so the synthetic
+#: document event times land on Spark's epoch-aligned window boundaries
+PROFILE_STREAM_T0_MS = 1704067200000
+
+
+def write_profile_stream_fixture(
+    sf_dir: str, out_dir: str, *, n_files: int = 3, sentinel_hours: int = 8
+) -> dict[str, int]:
+    """Time-ordered micro-batch replay for the streaming leg of the
+    ``corpus_health`` registry row: the documents table with a synthetic
+    in-order event time (``ts_ms = T0 + doc_id minutes`` — the arrival
+    clock of a continuous crawl feed), split into ``n_files`` contiguous
+    event-time ranges, followed by TWO clock-advancing sentinel files on
+    the reserved source '__advance__' (same two-file flush protocol as
+    ``write_rate_stream_fixture``: the first advances the watermark, the
+    second's batch emits the final windows). Sentinel rows are excluded
+    post-aggregation and never enter state."""
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    base_select = f"""
+      SELECT doc_id, source, text,
+             {PROFILE_STREAM_T0_MS} + doc_id * 60000 AS ts_ms,
+             ntile({n_files}) OVER (ORDER BY doc_id) AS part
+      FROM '{sf_dir}/documents.parquet'
+    """
+    counts: dict[str, int] = {}
+    for i in range(n_files):
+        fi = os.path.join(out_dir, f"batch_{i:03d}.parquet")
+        con.execute(
+            f"""
+            COPY (
+              SELECT doc_id, source, text, ts_ms FROM ({base_select})
+              WHERE part = {i + 1} ORDER BY ts_ms
+            ) TO '{fi}' (FORMAT PARQUET)
+            """
+        )
+        counts[os.path.basename(fi)] = con.execute(
+            f"SELECT count(*) FROM '{fi}'"
+        ).fetchone()[0]
+    for k in range(2):
+        fs = os.path.join(out_dir, f"batch_{n_files + k:03d}_sentinel.parquet")
+        con.execute(
+            f"""
+            COPY (
+              SELECT CAST(-1 AS BIGINT) AS doc_id, '__advance__' AS source,
+                     '' AS text,
+                     {PROFILE_STREAM_T0_MS} + max(doc_id) * 60000
+                       + {sentinel_hours + k} * 3600000 AS ts_ms
+              FROM '{sf_dir}/documents.parquet'
+            ) TO '{fs}' (FORMAT PARQUET)
+            """
+        )
+        counts[os.path.basename(fs)] = 1
+    con.close()
+    # backdated mtimes: a future-stamped file is invisible to the stream's
+    # availableNow snapshot (see write_rate_stream_fixture)
+    base = os.path.getmtime(fs)
+    names = sorted(counts)
+    for j, name in enumerate(names):
+        p = os.path.join(out_dir, name)
+        t = base - 10 * (len(names) - 1 - j)
+        os.utime(p, (t, t))
+    return counts
+
+
 def write_rate_stream_fixture(
     sf_dir: str, out_dir: str, *, n_files: int = 3, sentinel_hours: int = 8
 ) -> dict[str, int]:

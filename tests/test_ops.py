@@ -3965,6 +3965,7 @@ def test_perplexity_quantization_margins(spark):
         bigram_logprobs,
         doc_perplexity,
         doc_perplexity_interpolated,
+        kn_bigram_logprobs,
         unigram_logprobs,
     )
 
@@ -3980,7 +3981,13 @@ def test_perplexity_quantization_margins(spark):
         ).select(
             F.col("avg_neg_logp").alias("l4"), F.col("perplexity").alias("p2")
         )
-        for r in uni.unionAll(interp).collect():
+        kn = kn_bigram_logprobs(docs, "text", discount=0.75, beta=0.5)
+        kn_scored = doc_perplexity_interpolated(
+            docs, "text", "doc_id", lm, kn, lam=1.0, alpha=0.5
+        ).select(
+            F.col("avg_neg_logp").alias("l4"), F.col("perplexity").alias("p2")
+        )
+        for r in uni.unionAll(interp).unionAll(kn_scored).collect():
             for v, scale in ((r["l4"], 10000), (r["p2"], 100)):
                 scaled = v * scale
                 dist = abs((scaled - int(scaled // 1)) - 0.5)

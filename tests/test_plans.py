@@ -209,7 +209,7 @@ def test_winnow_pairs_join_is_capped_equi_join(spark, sf_dir):
 def test_simhash_segment_join_is_equi_join(spark, sf_dir):
     """SimHash candidates join on (segment, 15-bit key) — an equi-join over
     32,768 buckets per segment at the 60-bit default, never a cartesian."""
-    plan = _formatted(QUERIES["dedup_simhash"](spark, sf_dir))
+    plan = _formatted(QUERIES["dedup_pairs"](spark, sf_dir, sides=("simhash",)))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -232,7 +232,7 @@ def test_ngram_jaccard_shuffles_carry_longs_not_strings(spark, sf_dir):
     exchanges — shingle text never shuffles."""
     import re
 
-    plan = _formatted(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    plan = _formatted(QUERIES["dedup_pairs"](spark, sf_dir, sides=("ngram",)))
     assert re.search(r"shingle#\d+L", plan), "hashed shingle key missing"
     assert not re.search(r"shingle#\d+(?!L)\b", plan), "string shingle leaked"
     assert "CartesianProduct" not in plan
@@ -283,7 +283,7 @@ def test_corpus_health_is_one_scan_one_groupby(spark, sf_dir):
     profile metric)."""
     import re
 
-    plan = _formatted(QUERIES["corpus_health"](spark, sf_dir))
+    plan = _formatted(QUERIES["corpus_health"](spark, sf_dir, sides=("batch",)))
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
     assert plan.count("MapInPandas") <= 2  # one seam node (+ details echo)
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
