@@ -782,9 +782,16 @@ def build_ann_index(
         ),
         cents, vec_col="vec", out_col="centroid_id", norm_col="vnorm",
     )
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        os.path.join(path, "lists")
-    )
+    # co-locate each inverted list before the partitioned write: without
+    # this every upstream task writes a sliver of every centroid directory
+    # (tasks × n_centroids small files); one hash exchange on centroid_id
+    # lands each list as a few whole files — the layout probes actually
+    # scan. (A pathologically hot centroid can be split further with a
+    # (centroid_id, salt) composite; the quantizer's job is to keep lists
+    # balanced, so the plain key is the right default.)
+    assigned.repartition(F.col("centroid_id")).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(os.path.join(path, "lists"))
     n_rows = spark.read.parquet(os.path.join(path, "lists")).count()
     manifest = {
         "format_version": ANN_INDEX_FORMAT_VERSION,

@@ -376,6 +376,29 @@ def main() -> None:
     def project_op(e):
         return project_quantized(e, k=8)
 
+    # r9: persisted IVF build→probe — the build is one shuffle-free
+    # assignment pass + a centroid-co-located partitioned write; the probe
+    # reads n_probe inverted lists through static partition pruning.
+    # n_centroids scales with the corpus (constant expected list size, the
+    # quantizer knob's contract) and the query batch scales with it too
+    # (20 per id-copy), so both the build write and the probe join must
+    # track the data, never the index size.
+    from debezium_connector_vitess_spark.ops.similarity import (
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    def ivf_index_op(e):
+        import tempfile as _tf
+
+        n = e.count()
+        path = _tf.mkdtemp(prefix="smoke_ivf_")
+        build_ann_index(e, path, n_centroids=max(16, n // 125))
+        return ivf_topk_indexed(
+            spark, path, e.filter(F.col("vec_id") % 1_000_000 < 20),
+            k=5, n_probe=4,
+        )
+
     def frame_index_op(d):
         return mp4_frame_index(attach_mp4_sample_payload(d), every=5)
 
@@ -394,6 +417,7 @@ def main() -> None:
         + [("mp4_frame_index", frame_index_op, docs1, docs10)]
         + [("pack_bins", pack_bins_op, docs1, docs10)]
         + [("kn_bigram_lm", kn_lm_op, docs1, docs10)]
+        + [("ivf_index_build_probe", ivf_index_op, emb1, emb10)]
     )
     PAIR_OPS.add("semantic_dedup")
     PAIR_OPS.add("semantic_dedup_gemm")
