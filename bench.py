@@ -36,9 +36,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_pairs",  # r9: merged ngram-jaccard + simhash near-dup pairs
     "dedup_embedding_cosine",  # r8: + side='semdedup' (SemDeDup pruning)
-    "ann_topk",
+    "ann_topk",  # r9: + side='indexed' (persisted build-once/probe-many)
     "multimodal_metadata",  # r5: merged image+wav+video incl. resize/sampling
+    "multimodal_frame_index",  # r9: MP4 sample-table demux frame rows
     "decontaminate_eval",
     "sample_stratified",
     "pack_sequences",

@@ -1,0 +1,153 @@
+"""Pure-stdlib JPEG/JFIF marker-stream parser: real header decode without PIL.
+
+JPEG metadata (dimensions, component count, sample precision, JFIF pixel
+density, baseline-vs-progressive) lives entirely in the length-prefixed
+marker segments BEFORE the entropy-coded scan — exactly the bytes a
+metadata extractor reads, no Huffman/DCT decode required (the same
+no-media-decode boundary as the MP4 sample-table demux in this package:
+the pixel decode belongs to the consumer's codec).
+
+``encode_jpeg_shell`` generates deterministic test fixtures: a
+structurally-REAL JFIF marker stream (SOI, APP0/JFIF, DQT, SOF0 or SOF2,
+DHT, SOS, an entropy payload with correct 0xFF00 byte stuffing, EOI) whose
+entropy bytes are deterministic filler, NOT a decodable scan — honest for
+this module's scope because the parser under test never decodes entropy,
+only walks markers. Every segment length is written correctly, so a parser
+that miscounts any length tears the walk and fails loudly.
+
+Hostile-input containment (the multimodal convention): segment lengths are
+16-bit by format (cannot size a large allocation) and every read is
+bounds-checked against the payload, so truncation and corruption raise
+ValueError — the containable class ``errors='skip'`` callers can drop.
+"""
+
+from __future__ import annotations
+
+import struct
+
+#: markers that carry frame headers (SOFn); C4/C8/CC are DHT/JPG/DAC, not SOFs
+_SOF_MARKERS = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+#: SOFs whose scan order is progressive (spectral-selection / successive
+#: approximation): SOF2 (huffman) and SOF10/SOF14 (arithmetic/differential)
+_PROGRESSIVE_SOFS = frozenset([0xC2, 0xC6, 0xCA, 0xCE])
+#: standalone markers with NO length field
+_STANDALONE = frozenset([0x01] + list(range(0xD0, 0xD8)))  # TEM, RST0-7
+
+
+def is_jpeg(payload: bytes) -> bool:
+    return len(payload) >= 3 and payload[:3] == b"\xff\xd8\xff"
+
+
+def parse_jpeg_meta(payload: bytes) -> tuple[int, int, int, int, bool, int, int]:
+    """Walk the marker stream up to SOS and return
+    ``(width, height, n_components, precision, progressive, density_x,
+    density_y)``. Density comes from the APP0 JFIF segment (0 when absent);
+    dimensions/precision/components from the first SOFn. Raises ValueError
+    on truncation, a missing SOF, or any segment overrunning the payload."""
+    if not is_jpeg(payload):
+        raise ValueError("not a JPEG (missing SOI marker)")
+    n = len(payload)
+    pos = 2
+    dens_x = dens_y = 0
+    sof: tuple[int, int, int, int, bool] | None = None
+    while pos < n:
+        # skip fill bytes: the standard allows any number of 0xFF padding
+        # bytes before a marker
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}, found 0x{payload[pos]:02x}")
+        while pos < n and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            raise ValueError("truncated marker stream")
+        marker = payload[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if marker in _STANDALONE:
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated segment length")
+        seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if seg_len < 2 or pos + seg_len > n:
+            raise ValueError(
+                f"segment 0x{marker:02x} declares {seg_len} bytes, "
+                f"payload holds {n - pos}"
+            )
+        body = payload[pos + 2 : pos + seg_len]
+        if marker == 0xE0 and body[:5] == b"JFIF\x00":
+            if len(body) < 12:
+                raise ValueError("JFIF APP0 body truncated")
+            dens_x, dens_y = struct.unpack(">2H", body[8:12])
+        elif marker in _SOF_MARKERS:
+            if len(body) < 6:
+                raise ValueError("SOF body truncated")
+            precision, height, width, n_comp = struct.unpack(">BHHB", body[:6])
+            if len(body) < 6 + 3 * n_comp:
+                raise ValueError("SOF component table truncated")
+            sof = (width, height, n_comp, precision, marker in _PROGRESSIVE_SOFS)
+        elif marker == 0xDA:  # SOS: entropy data follows — metadata is done
+            if sof is None:
+                raise ValueError("SOS before any SOF frame header")
+            break
+        pos += seg_len
+    if sof is None:
+        raise ValueError("no SOF frame header in marker stream")
+    w, h, n_comp, precision, progressive = sof
+    return w, h, n_comp, precision, progressive, dens_x, dens_y
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_shell(
+    width: int,
+    height: int,
+    *,
+    components: int = 3,
+    density: tuple[int, int] = (72, 72),
+    progressive: bool = False,
+    entropy_bytes: int = 64,
+    seed: int = 0,
+) -> bytes:
+    """Deterministic structurally-real JFIF fixture (see module docstring):
+    every marker segment is well-formed with a correct length; the
+    entropy payload after SOS is deterministic filler with proper 0xFF00
+    stuffing (a raw 0xFF inside scan data would read as a marker)."""
+    if not 1 <= components <= 4:
+        raise ValueError(f"components must be 1-4, got {components}")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("JPEG dimensions are 16-bit")
+    app0 = (
+        b"JFIF\x00" + bytes([1, 1])  # version 1.01
+        + bytes([1])  # density unit: dots/inch
+        + struct.pack(">2H", *density)
+        + bytes([0, 0])  # no thumbnail
+    )
+    dqt = bytes([0]) + bytes((3 + i * 2) % 255 + 1 for i in range(64))
+    sof_body = struct.pack(">BHHB", 8, height, width, components) + b"".join(
+        struct.pack(">BBB", cid + 1, 0x11, 0) for cid in range(components)
+    )
+    # minimal-valid DHT: one DC table with a single 2-bit code
+    dht = bytes([0]) + bytes([0, 1] + [0] * 14) + bytes([0])
+    sos = bytes([components]) + b"".join(
+        struct.pack(">BB", cid + 1, 0) for cid in range(components)
+    ) + bytes([0, 63, 0])
+    entropy = bytearray()
+    for i in range(entropy_bytes):
+        b = (seed * 31 + i * 7) % 256
+        entropy.append(b)
+        if b == 0xFF:
+            entropy.append(0x00)  # byte stuffing
+    return (
+        b"\xff\xd8"  # SOI
+        + _seg(0xE0, app0)
+        + _seg(0xDB, dqt)
+        + _seg(0xC2 if progressive else 0xC0, sof_body)
+        + _seg(0xC4, dht)
+        + _seg(0xDA, sos)
+        + bytes(entropy)
+        + b"\xff\xd9"  # EOI
+    )

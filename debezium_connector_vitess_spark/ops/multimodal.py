@@ -84,6 +84,82 @@ def attach_png_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return df.select(id_col, text_col).mapInPandas(op, schema=PNG_PAYLOAD_SCHEMA)
 
 
+JPEG_META_SCHEMA = (
+    "doc_id long, width int, height int, n_components int, precision int, "
+    "progressive boolean, density_x int, density_y int"
+)
+
+
+def attach_jpeg_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic structurally-real JFIF payloads (see
+    :func:`~.jpeg.encode_jpeg_shell`): dimensions from the text length
+    (width = 8 + n%32, height = 8 + (n//3)%32), JFIF density / progressive
+    SOF / component count from the doc id — so the extractor's parse is
+    checkable against the generation formulas, the PNG-fixture convention."""
+    from .jpeg import encode_jpeg_shell
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                n = len((text or "").encode("utf-8"))
+                payloads.append(
+                    encode_jpeg_shell(
+                        8 + n % 32,
+                        8 + (n // 3) % 32,
+                        components=1 if did % 7 == 0 else 3,
+                        density=(72 + (did % 4) * 24, 72 + (did % 3) * 36),
+                        progressive=did % 5 == 0,
+                        seed=did,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(op, schema=PNG_PAYLOAD_SCHEMA)
+
+
+def extract_jpeg_metadata(binary_df: DataFrame, *, errors: str = "fail") -> DataFrame:
+    """Full JPEG header extraction over Arrow batches: dimensions, component
+    count, sample precision, progressive flag, JFIF pixel density — the
+    metadata a corpus curator filters/buckets images by without any pixel
+    decode. ``errors='skip'`` drops undecodable payloads (the multimodal
+    error vocabulary); 'fail' raises."""
+    from .jpeg import parse_jpeg_meta
+
+    if errors not in ("fail", "skip"):
+        raise ValueError(f"errors must be fail|skip, got {errors!r}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, nc, prec, prog, dx, dy = parse_jpeg_meta(bytes(payload))
+                except (ValueError, IndexError, _struct.error):
+                    if errors == "fail":
+                        raise
+                    continue
+                rows.append((int(did), w, h, nc, prec, prog, dx, dy))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_components", "precision",
+                    "progressive", "density_x", "density_y",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        op, schema=JPEG_META_SCHEMA
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for payloads that are not real images (the
     driver's synthetic tables carry text bytes): dimensions derived from byte
@@ -96,41 +172,16 @@ def is_jpeg(payload: bytes) -> bool:
     return len(payload) >= 4 and payload[:2] == b"\xff\xd8"
 
 
-# SOF0..SOF15 carry frame dimensions, EXCEPT DHT (C4), JPG (C8), DAC (CC)
-_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
-
-
 def parse_jpeg_dims(payload: bytes) -> tuple[int, int, int]:
-    """JPEG dimensions from the SOF frame header (stdlib only): walk the
-    marker segments after SOI until a SOFn marker (baseline SOF0, progressive
-    SOF2, …), whose payload is precision(1) height(2) width(2) components(1)
-    — the same bytes PIL reads. Raises ValueError on a stream with no frame
-    header (truncated/malformed)."""
-    if not is_jpeg(payload):
-        raise ValueError("not a JPEG payload (missing SOI)")
-    pos = 2
-    n = len(payload)
-    while pos + 4 <= n:
-        if payload[pos] != 0xFF:
-            raise ValueError(f"JPEG marker expected at {pos}")
-        marker = payload[pos + 1]
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
-            pos += 2  # standalone markers carry no length
-            continue
-        if marker == 0xD9:  # EOI before any SOF
-            break
-        (seg_len,) = _struct.unpack(">H", payload[pos + 2 : pos + 4])
-        if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
-            if pos + 4 + 6 > n:
-                raise ValueError("truncated JPEG SOF segment")
-            _prec, height, width, components = _struct.unpack(
-                ">BHHB", payload[pos + 4 : pos + 10]
-            )
-            return width, height, components
-        if marker == 0xDA:  # SOS: entropy-coded data follows, no SOF seen
-            break
-        pos += 2 + seg_len
-    raise ValueError("JPEG stream has no SOF frame header")
+    """JPEG dimensions from the SOF frame header (stdlib only) — the
+    dims-shaped view over the one marker walker (``ops/jpeg.py``
+    ``parse_jpeg_meta``, which also surfaces precision / JFIF density /
+    the progressive flag and bounds-checks every segment). Raises
+    ValueError on a stream with no frame header (truncated/malformed)."""
+    from .jpeg import parse_jpeg_meta
+
+    width, height, components, _prec, _prog, _dx, _dy = parse_jpeg_meta(payload)
+    return width, height, components
 
 
 def is_gif(payload: bytes) -> bool:

@@ -1023,6 +1023,73 @@ def test_jpeg_gif_bmp_dims_stdlib(spark):
     assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (320, 200, 3)
 
 
+def test_jpeg_meta_shell_roundtrip(spark, sf_dir):
+    """Full JPEG header extraction: the structurally-real JFIF shell
+    fixture round-trips every field (dims, components, precision,
+    progressive SOF, JFIF density), hostile/truncated streams raise the
+    containable error class, and the Spark extractor reproduces the
+    generation formulas over real docs."""
+    import struct
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.jpeg import (
+        encode_jpeg_shell,
+        parse_jpeg_meta,
+    )
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        attach_jpeg_payload,
+        decode_image_dims,
+        extract_jpeg_metadata,
+    )
+
+    p = encode_jpeg_shell(641, 479, components=3, density=(96, 120),
+                          progressive=False, seed=11)
+    assert parse_jpeg_meta(p) == (641, 479, 3, 8, False, 96, 120)
+    # the dims view and the generic image decoder agree
+    assert decode_image_dims(p) == (641, 479, 3)
+    pg = encode_jpeg_shell(31, 17, components=1, progressive=True)
+    assert parse_jpeg_meta(pg)[:5] == (31, 17, 1, 8, True)
+    # hostile/corrupt streams raise ValueError (containable), never misparse:
+    with _pytest.raises(ValueError, match="SOI"):
+        parse_jpeg_meta(b"plain text")
+    with _pytest.raises(ValueError):
+        parse_jpeg_meta(p[:20])  # truncated mid-segment
+    # a segment length pointing past the payload
+    i = p.index(b"\xff\xdb")  # DQT
+    bad = p[: i + 2] + struct.pack(">H", 60000) + p[i + 4 :]
+    with _pytest.raises(ValueError, match="declares"):
+        parse_jpeg_meta(bad)
+    # SOS with no prior SOF
+    no_sof = b"\xff\xd8" + p[p.index(b"\xff\xda"):]
+    with _pytest.raises(ValueError, match="SOF"):
+        parse_jpeg_meta(no_sof)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(40)
+    got = {r["doc_id"]: r for r in
+           extract_jpeg_metadata(attach_jpeg_payload(docs)).collect()}
+    for r in docs.collect():
+        did, n = r["doc_id"], len((r["text"] or "").encode("utf-8"))
+        g = got[did]
+        assert (g["width"], g["height"]) == (8 + n % 32, 8 + (n // 3) % 32)
+        assert g["n_components"] == (1 if did % 7 == 0 else 3)
+        assert g["progressive"] == (did % 5 == 0)
+        assert (g["density_x"], g["density_y"]) == (
+            72 + (did % 4) * 24, 72 + (did % 3) * 36)
+        assert g["precision"] == 8
+    # errors vocabulary: corrupt payload raises under 'fail', drops via 'skip'
+    corrupt = attach_jpeg_payload(docs.limit(1)).select(
+        "doc_id", F.expr("substring(payload, 1, 10)").alias("payload"))
+    with _pytest.raises(Exception):
+        extract_jpeg_metadata(corrupt).collect()
+    assert extract_jpeg_metadata(corrupt, errors="skip").count() == 0
+    with _pytest.raises(ValueError, match="errors"):
+        extract_jpeg_metadata(corrupt, errors="nope")
+
+
 def test_chunk_audio_headerless_raw_pcm_model(spark):
     """Non-RIFF payloads chunk as raw PCM at bytes_per_sample — the
     headerless fallback the registry's WAV-backed query must NOT hit."""
