@@ -164,6 +164,15 @@ def main() -> None:
             "parquet_scans": plan.count("Scan parquet"),
         }
 
+    def _stabilized(runs: list[float]) -> bool:
+        """The adaptive loop's convergence criterion — ONE definition shared
+        by the stop rule and the contended flag, so they cannot drift: the
+        two best runs agree within 25% (+0.15 s floor). The best run is
+        post-warmup by construction (the warmup/codegen attempt is never
+        the minimum of a converged set)."""
+        best2 = sorted(runs)[:2]
+        return best2[1] <= best2[0] * 1.25 + 0.15
+
     def _timed_runs(build, min_attempts: int, max_attempts: int,
                     stats_key: str | None = None) -> list[float]:
         """Adaptive best-of-N: stop once the two best post-warmup runs agree
@@ -186,8 +195,7 @@ def main() -> None:
                 if stats_key is not None and stats_key not in plan_stats:
                     plan_stats[stats_key] = _plan_stats(df)
             if len(runs) >= min_attempts:
-                best2 = sorted(runs)[:2]
-                if best2[1] <= best2[0] * 1.25 + 0.15 or len(runs) >= max_attempts:
+                if _stabilized(runs) or len(runs) >= max_attempts:
                     break
         return runs
 
@@ -218,17 +226,15 @@ def main() -> None:
     load_after = os.getloadavg()
 
     # measurement hygiene: flag queries whose attempts NEVER STABILIZED —
-    # the adaptive loop exits either when the two best post-warmup runs
-    # agree within 25% (+0.15 s floor; the reported min is then trustworthy
-    # regardless of stray stalled attempts, which stay visible in the
-    # details artifact) or at the attempt cap, and only the latter means
-    # the min may still be stall-inflated. (The old any-attempt->3x rule
-    # flagged a whole artifact contended for ONE exogenous VM stall in an
-    # otherwise converged query — r9 fix.)
+    # the adaptive loop exits either on _stabilized() (the reported min is
+    # then trustworthy regardless of stray stalled attempts, which stay
+    # visible in the details artifact) or at the attempt cap, and only the
+    # latter means the min may still be stall-inflated. (The old
+    # any-attempt->3x rule flagged a whole artifact contended for ONE
+    # exogenous VM stall in an otherwise converged query — r9 fix.)
     cpus = os.cpu_count() or CPUS
     noise_queries = sorted(
-        n for n, r in attempts.items()
-        if sorted(r)[1] > sorted(r)[0] * 1.25 + 0.15
+        n for n, r in attempts.items() if not _stabilized(r)
     )
     contended = bool(noise_queries)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -169,7 +169,11 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 
 
 def is_jpeg(payload: bytes) -> bool:
-    return len(payload) >= 4 and payload[:2] == b"\xff\xd8"
+    # one sniffer: delegate to the module that owns the marker walker, so
+    # the dispatch predicate and the parser's own gate can never drift
+    from .jpeg import is_jpeg as _is
+
+    return _is(payload)
 
 
 def parse_jpeg_dims(payload: bytes) -> tuple[int, int, int]:

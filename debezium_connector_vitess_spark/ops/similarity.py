@@ -737,6 +737,10 @@ def build_ann_index(
     import tempfile
 
     _require_local_index_path(path, "build_ann_index")
+    # validate EVERY argument before the destructive invalidation below: a
+    # typo'd quantizer must not brick a standing index without rebuilding it
+    if quantizer not in ("kmeans", "sample"):
+        raise ValueError(f"unknown quantizer {quantizer!r}")
     corpus = _drop_zero_vectors(corpus, vec_col)
     dim = _observed_dim(corpus, vec_col)
     if dim is None:
@@ -762,12 +766,10 @@ def build_ann_index(
             corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
             iters=kmeans_iters, dim=dim,
         )
-    elif quantizer == "sample":
+    else:  # 'sample' — validated above, before the destructive wipe
         cent_df = sampled_centroid_frame(
             corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
         )
-    else:
-        raise ValueError(f"unknown quantizer {quantizer!r}")
     cents = _collect_centroids(cent_df)
     spark = corpus.sparkSession
     spark.createDataFrame(

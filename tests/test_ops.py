@@ -5201,6 +5201,15 @@ def test_ann_index_rebuild_wipes_stale_lists(spark, sf_dir, tmp_path):
             ivf_topk(emb, queries, k=3, n_probe=1, n_centroids=2,
                      quantizer="sample").collect()}
     assert got == want and got
+    # a rebuild with a BAD argument must fail BEFORE the destructive wipe:
+    # the standing index stays loadable and probes unchanged
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown quantizer"):
+        build_ann_index(emb, path, n_centroids=4, quantizer="kmeanz")
+    still = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in
+             ivf_topk_indexed(spark, path, queries, k=3, n_probe=1).collect()}
+    assert still == want
 
 
 def test_ann_index_local_path_only(spark, sf_dir, tmp_path):
