@@ -158,6 +158,38 @@ def test_exclude_filter_is_not_pushed_below_watermark(spark):
     assert "__advance__" in plan  # the filter exists, above the aggregate
 
 
+def test_profile_stream_exclude_not_pushed_below_watermark(spark):
+    """corpus_profile_stream's exclude goes through the SAME post-agg
+    barrier (count_col='n_docs'): the sentinel-domain predicate must not
+    reach the scan's PushedFilters, or the clock-advancing rows die before
+    the watermark operator."""
+    from debezium_connector_vitess_spark.ops.text import corpus_profile_stream
+
+    fixture = tempfile.mkdtemp(prefix="profile_plan_")
+    spark.createDataFrame(
+        [(1, "web", "hello world", T0)],
+        "doc_id bigint, source string, text string, ts_ms bigint",
+    ).write.parquet(os.path.join(fixture, "batch_000.parquet"))
+    raw = (
+        spark.readStream.schema(
+            "doc_id bigint, source string, text string, ts_ms bigint"
+        )
+        .parquet(fixture)
+        .select(F.timestamp_millis("ts_ms").alias("ts"), "source", "text")
+    )
+    prof = corpus_profile_stream(
+        raw, "text", ts_col="ts", domain_col="source",
+        exclude=F.col("domain") == "__advance__",
+    )
+    plan = prof._jdf.queryExecution().explainString(
+        prof.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    for line in plan.splitlines():
+        if "PushedFilters" in line:
+            assert "__advance__" not in line, f"exclude pushed into scan: {line}"
+    assert "__advance__" in plan  # the filter exists, above the aggregate
+
+
 def test_batch_sliding_windows_cover_each_event_twice(spark):
     rows = [
         (T0 + 5 * 60000, "tbl0", "-40", "c"),
