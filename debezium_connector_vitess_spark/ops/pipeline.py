@@ -473,7 +473,50 @@ def resample_by_weight(
     )
 
 
-def unigram_logprobs(df: DataFrame, text_col: str, *, alpha: float = 0.5) -> DataFrame:
+def _bigram_pairs(staged: DataFrame) -> DataFrame:
+    """(prev, token) adjacent-pair frame from a staged ``__toks`` column —
+    the one bigram-explode expression every LM builder shares."""
+    return staged.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__toks"), 1, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                F.slice(F.col("__toks"), 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("token")),
+            )
+        ).alias("g")
+    ).select("g.prev", "g.token")
+
+
+def ngram_count_frames(df: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]:
+    """Shared n-gram count frames for the LM family: ``(uni, bi)`` with
+    uni = (token, cnt) and bi = (prev, token, bcnt), both MATERIALIZED once
+    (localCheckpoint; blocks reclaimed by the caller's
+    ``cache.checkpoint_scope``). Pass them to :func:`unigram_logprobs` /
+    :func:`bigram_logprobs` / :func:`kn_bigram_logprobs` via ``counts=`` to
+    tokenize and aggregate the corpus ONCE when building several models of
+    the same corpus — the doc_perplexity registry row builds three, which
+    without sharing costs five corpus-sized explodes instead of two. The
+    derived LM values are bit-identical to the standalone builders (same
+    count frames, same float expressions)."""
+    from ..cache import eager_localcheckpoint
+
+    staged = df.select(tokens_expr(F.lower(F.col(text_col))).alias("__toks"))
+    uni = (
+        staged.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bi = _bigram_pairs(staged).groupBy("prev", "token").agg(
+        F.count("*").alias("bcnt")
+    )
+    uni, _r1 = eager_localcheckpoint(uni)
+    bi, _r2 = eager_localcheckpoint(bi)
+    return uni, bi
+
+
+def unigram_logprobs(
+    df: DataFrame, text_col: str, *, alpha: float = 0.5, counts: DataFrame | None = None
+) -> DataFrame:
     """Corpus unigram language model: (token, logp) with add-``alpha``
     smoothing over the observed vocabulary.
 
@@ -486,12 +529,21 @@ def unigram_logprobs(df: DataFrame, text_col: str, *, alpha: float = 0.5) -> Dat
     single task. The vocab is materialized once (``localCheckpoint``): it
     feeds both the totals aggregate and the final projection — without the
     barrier each consumer would re-run the corpus explode. Blocks are
-    reclaimed by the caller's ``cache.checkpoint_scope``."""
+    reclaimed by the caller's ``cache.checkpoint_scope``.
+
+    ``counts`` (optional): a pre-materialized (token, cnt) frame from
+    :func:`ngram_count_frames` — skips this builder's own explode when
+    several LMs share one corpus."""
     from ..cache import eager_localcheckpoint
 
-    toks = df.select(F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("token"))
-    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    vocab, _release = eager_localcheckpoint(vocab)
+    if counts is not None:
+        vocab = counts
+    else:
+        toks = df.select(
+            F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("token")
+        )
+        vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+        vocab, _release = eager_localcheckpoint(vocab)
     totals = vocab.agg(
         F.sum("cnt").alias("__n"), F.count("*").alias("__v")
     )
@@ -505,7 +557,11 @@ def unigram_logprobs(df: DataFrame, text_col: str, *, alpha: float = 0.5) -> Dat
 
 
 def bigram_logprobs(
-    df: DataFrame, text_col: str, *, alpha: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    *,
+    alpha: float = 0.5,
+    counts: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Conditional bigram LM: (prev, token, logp) with add-``alpha``
     smoothing over the observed unigram vocabulary V:
@@ -525,27 +581,23 @@ def bigram_logprobs(
     comes from a one-row distributed aggregate broadcast — no
     single-partition window anywhere. The bigram table is generally too
     large to broadcast; the scorer joins it on the (prev, token) key — one
-    corpus-bigram shuffle, the honest cost of a conditional model."""
-    staged = df.select(tokens_expr(F.lower(F.col(text_col))).alias("__toks"))
-    uni = (
-        staged.select(F.explode("__toks").alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("cnt"))
-    )
-    bi = (
-        staged.select(
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("__toks"), 1, F.greatest(F.size("__toks") - 1, F.lit(0))),
-                    F.slice(F.col("__toks"), 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
-                    lambda a, b: F.struct(a.alias("prev"), b.alias("token")),
-                )
-            ).alias("g")
+    corpus-bigram shuffle, the honest cost of a conditional model.
+
+    ``counts`` (optional): the (uni, bi) pair from
+    :func:`ngram_count_frames` — skips this builder's own two explodes
+    when several LMs share one corpus."""
+    if counts is not None:
+        uni, bi = counts
+    else:
+        staged = df.select(tokens_expr(F.lower(F.col(text_col))).alias("__toks"))
+        uni = (
+            staged.select(F.explode("__toks").alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
         )
-        .select("g.prev", "g.token")
-        .groupBy("prev", "token")
-        .agg(F.count("*").alias("bcnt"))
-    )
+        bi = _bigram_pairs(staged).groupBy("prev", "token").agg(
+            F.count("*").alias("bcnt")
+        )
     vsize = uni.agg(F.count("*").alias("__v"))
     ctx = uni.select(F.col("token").alias("prev"), F.col("cnt").alias("ccnt"))
     observed = (
@@ -576,7 +628,12 @@ def bigram_logprobs(
 
 
 def kn_bigram_logprobs(
-    df: DataFrame, text_col: str, *, discount: float = 0.75, beta: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    *,
+    discount: float = 0.75,
+    beta: float = 0.5,
+    counts: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the standard
     strongest n-gram smoothing) in the same self-contained sentinel-table
@@ -608,34 +665,29 @@ def kn_bigram_logprobs(
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     if beta <= 0.0:
         raise ValueError(f"beta must be > 0, got {beta}")
-    staged = df.select(tokens_expr(F.lower(F.col(text_col))).alias("__toks"))
-    bi = (
-        staged.select(
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("__toks"), 1, F.greatest(F.size("__toks") - 1, F.lit(0))),
-                    F.slice(F.col("__toks"), 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
-                    lambda a, b: F.struct(a.alias("prev"), b.alias("token")),
-                )
-            ).alias("g")
+    if counts is not None:
+        # shared frames (ngram_count_frames): bi is already materialized;
+        # |V| = the uni frame's row count, identical to the distinct below
+        uni, bi = counts
+        vsize = uni.agg(F.count("*").alias("__v"))
+    else:
+        staged = df.select(tokens_expr(F.lower(F.col(text_col))).alias("__toks"))
+        bi = _bigram_pairs(staged).groupBy("prev", "token").agg(
+            F.count("*").alias("bcnt")
         )
-        .select("g.prev", "g.token")
-        .groupBy("prev", "token")
-        .agg(F.count("*").alias("bcnt"))
-    )
-    from ..cache import eager_localcheckpoint
+        from ..cache import eager_localcheckpoint
 
-    # the bigram-type frame feeds FOUR aggregations (context totals,
-    # fan-out, continuation counts, type total) — materialize once
-    bi, _release = eager_localcheckpoint(bi)
+        # the bigram-type frame feeds FOUR aggregations (context totals,
+        # fan-out, continuation counts, type total) — materialize once
+        bi, _release = eager_localcheckpoint(bi)
+        vsize = (
+            staged.select(F.explode("__toks").alias("t"))
+            .agg(F.count_distinct("t").alias("__v"))
+        )
     ctx = bi.groupBy("prev").agg(
         F.sum("bcnt").alias("ccnt"), F.count("*").alias("n1p_fwd")
     )
     cont = bi.groupBy("token").agg(F.count("*").alias("n1p_bwd"))
-    vsize = (
-        staged.select(F.explode("__toks").alias("t"))
-        .agg(F.count_distinct("t").alias("__v"))
-    )
     scalars = bi.agg(F.count("*").alias("__t")).crossJoin(F.broadcast(vsize))
     d, b = float(discount), float(beta)
     pcont = (F.col("n1p_bwd") + F.lit(b)) / (

@@ -3637,11 +3637,16 @@ def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_perplexity,
         doc_perplexity_interpolated,
         kn_bigram_logprobs,
+        ngram_count_frames,
         unigram_logprobs,
     )
 
     docs = _documents(spark, sf_dir)
-    lm = unigram_logprobs(docs, "text", alpha=0.5)
+    # three LMs over one corpus: tokenize + aggregate ONCE (two explodes
+    # total instead of five — at 100 TB the corpus explode IS the cost)
+    uni_counts, bi_counts = ngram_count_frames(docs, "text")
+    counts = (uni_counts, bi_counts)
+    lm = unigram_logprobs(docs, "text", alpha=0.5, counts=uni_counts)
     uni = doc_perplexity(docs, "text", "doc_id", lm).select(
         "doc_id",
         "n_tokens",
@@ -3650,7 +3655,7 @@ def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("perplexity") * 100, 0).cast("long")
             .alias("perplexity_q2"),
     )
-    bi = bigram_logprobs(docs, "text", alpha=0.5)
+    bi = bigram_logprobs(docs, "text", alpha=0.5, counts=counts)
     interp = doc_perplexity_interpolated(
         docs, "text", "doc_id", lm, bi, lam=0.7, alpha=0.5
     ).select(
@@ -3660,7 +3665,7 @@ def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("perplexity") * 100, 0).cast("long")
             .alias("interp_perplexity_q2"),
     )
-    kn = kn_bigram_logprobs(docs, "text", discount=0.75, beta=0.5)
+    kn = kn_bigram_logprobs(docs, "text", discount=0.75, beta=0.5, counts=counts)
     kn_score = doc_perplexity_interpolated(
         docs, "text", "doc_id", lm, kn, lam=1.0, alpha=0.5
     ).select(

@@ -5295,6 +5295,38 @@ def test_ann_index_probe_large_query_frame(spark, sf_dir, tmp_path):
     assert key(big.collect()) == key(small.collect()) != {}
 
 
+def test_shared_ngram_counts_match_standalone_builders(spark, sf_dir):
+    """ngram_count_frames feeds all three LM builders: each counts= output
+    must equal its standalone twin EXACTLY (same count frames, same float
+    expressions — bit-identical logp values), so the registry's
+    tokenize-once path cannot drift from the library contract."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        bigram_logprobs,
+        kn_bigram_logprobs,
+        ngram_count_frames,
+        unigram_logprobs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    counts = ngram_count_frames(docs, "text")
+
+    def as_map(lm):
+        return {(r["prev"] if "prev" in r.__fields__ else None, r["token"]):
+                r["logp"] for r in lm.collect()}
+
+    assert as_map(unigram_logprobs(docs, "text", counts=counts[0])) == as_map(
+        unigram_logprobs(docs, "text")
+    )
+    assert as_map(bigram_logprobs(docs, "text", counts=counts)) == as_map(
+        bigram_logprobs(docs, "text")
+    )
+    assert as_map(
+        kn_bigram_logprobs(docs, "text", counts=counts)
+    ) == as_map(kn_bigram_logprobs(docs, "text"))
+
+
 def test_kn_bigram_logprobs(spark, sf_dir):
     """Kneser-Ney table: DuckDB recomputation parity on every observed
     bigram and both sentinel levels, plus the scoring contract — the
