@@ -885,6 +885,64 @@ def doc_perplexity_interpolated(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    ppl_col: str,
+    *,
+    domain_col: str | None = None,
+    bounds: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    out_col: str = "ppl_bucket",
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): bucket documents
+    by perplexity percentile — per ``domain_col`` when given (each domain
+    gets its own thresholds, the paper's per-language convention), else
+    globally. ``head`` = lowest perplexity (most in-domain). Rows with a
+    NULL perplexity (e.g. empty documents the scorer dropped) get a NULL
+    bucket — routing them silently into ``tail`` would mislabel absent
+    evidence as low quality.
+
+    Returns the input plus ``out_col``. Thresholds come from ONE
+    percentile aggregation over (|domains| or 1) groups, broadcast back —
+    the corpus never shuffles; labeling is a map-side CASE.
+
+    ``exact=False`` (default — the 100 TB path) uses
+    ``approx_percentile``: its sketch state is bounded per group, where the
+    exact percentile's aggregation state holds every value of the group (a
+    datasheet-grade choice, fine for bounded corpora — and the mode the
+    DuckDB ``quantile_cont`` parity test runs, since the sketch is
+    engine-specific). CCNet's selection only needs tercile-grade
+    thresholds, so the sketch is the right default."""
+    if len(labels) != len(bounds) + 1:
+        raise ValueError(
+            f"{len(bounds)} bounds need {len(bounds) + 1} labels, got {len(labels)}"
+        )
+    if list(bounds) != sorted(bounds) or not all(0.0 < b < 1.0 for b in bounds):
+        raise ValueError(f"bounds must be strictly increasing in (0, 1): {bounds}")
+    ppl = F.col(ppl_col).cast("double")
+    pcts = F.array(*[F.lit(float(b)) for b in bounds])
+    agg_fn = (
+        F.percentile(ppl, pcts)
+        if exact
+        else F.percentile_approx(ppl, pcts, F.lit(accuracy))
+    )
+    if domain_col is not None:
+        thresholds = df.groupBy(domain_col).agg(agg_fn.alias("__ts"))
+        labeled = df.join(F.broadcast(thresholds), on=domain_col, how="left")
+    else:
+        thresholds = df.agg(agg_fn.alias("__ts"))
+        labeled = df.crossJoin(F.broadcast(thresholds))
+    bucket = F.when(ppl.isNull(), F.lit(None).cast("string"))
+    for i in range(len(bounds)):
+        bucket = bucket.when(
+            ppl <= F.element_at(F.col("__ts"), i + 1), F.lit(labels[i])
+        )
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return labeled.withColumn(out_col, bucket).drop("__ts")
+
+
 def corpus_diff(
     old_df: DataFrame,
     new_df: DataFrame,

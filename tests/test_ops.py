@@ -5295,6 +5295,80 @@ def test_ann_index_probe_large_query_frame(spark, sf_dir, tmp_path):
     assert key(big.collect()) == key(small.collect()) != {}
 
 
+def test_perplexity_buckets_ccnet(spark, sf_dir):
+    """CCNet head/middle/tail: exact-mode labels equal an independent
+    numpy-quantile recomputation per domain (same (n-1)p linear
+    interpolation as Spark's percentile — the corpus_datasheet precedent),
+    no fixture value ties a threshold, NULL perplexity gets a NULL bucket
+    (never mislabeled tail), the sketch mode agrees on ~all labels, and
+    bad geometry is rejected loudly."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        doc_perplexity,
+        perplexity_buckets,
+        unigram_logprobs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = unigram_logprobs(docs, "text", alpha=0.5)
+    scored = doc_perplexity(docs, "text", "doc_id", lm).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    got = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(
+        scored, "perplexity", domain_col="source", exact=True
+    ).collect()}
+    rows = scored.select("doc_id", "source", "perplexity").collect()
+    by_dom: dict = {}
+    for r in rows:
+        by_dom.setdefault(r["source"], []).append((r["doc_id"], r["perplexity"]))
+    for dom, members in by_dom.items():
+        vals = np.array([p for _d, p in members])
+        t1, t2 = np.quantile(vals, [1 / 3, 2 / 3], method="linear")
+        # fixture margin: a value may EQUAL a threshold exactly (integer
+        # quantile index returns the element itself, bit-identical in both
+        # engines, so `<=` is deterministic) — but a NEAR-tie against an
+        # interpolated threshold would be engine-float-sensitive
+        for t in (t1, t2):
+            d = np.abs(vals - t)
+            d = d[d > 0]
+            assert d.size == 0 or d.min() > 1e-9
+        for did, p in members:
+            want = "head" if p <= t1 else ("middle" if p <= t2 else "tail")
+            assert got[did] == want, (did, dom, p, t1, t2)
+    # global + sketch mode: bucket fractions near thirds, labels mostly agree
+    g_exact = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(
+        scored, "perplexity", exact=True
+    ).collect()}
+    g_approx = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(
+        scored, "perplexity"
+    ).collect()}
+    n = len(g_exact)
+    for lab in ("head", "middle", "tail"):
+        assert abs(sum(1 for v in g_exact.values() if v == lab) / n - 1 / 3) < 0.05
+    agree = sum(1 for k in g_exact if g_exact[k] == g_approx[k]) / n
+    assert agree > 0.95
+    # NULL perplexity -> NULL bucket
+    with_null = scored.unionByName(
+        spark.createDataFrame(
+            [(999999, 0, None, None, "src0")],
+            "doc_id bigint, n_tokens bigint, avg_neg_logp double,"
+            " perplexity double, source string",
+        )
+    )
+    nb = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(
+        with_null, "perplexity", domain_col="source", exact=True
+    ).collect()}
+    assert nb[999999] is None
+    with _pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(scored, "perplexity", labels=("a", "b"))
+    with _pytest.raises(ValueError, match="bounds"):
+        perplexity_buckets(scored, "perplexity", bounds=(0.9, 0.1),
+                           labels=("a", "b", "c"))
+
+
 def test_shared_ngram_counts_match_standalone_builders(spark, sf_dir):
     """ngram_count_frames feeds all three LM builders: each counts= output
     must equal its standalone twin EXACTLY (same count frames, same float
@@ -5325,6 +5399,64 @@ def test_shared_ngram_counts_match_standalone_builders(spark, sf_dir):
     assert as_map(
         kn_bigram_logprobs(docs, "text", counts=counts)
     ) == as_map(kn_bigram_logprobs(docs, "text"))
+
+
+def test_ann_index_streaming_ingest(spark, sf_dir, tmp_path):
+    """Continuous-ingest shape for the standing ANN index: a file stream of
+    embedding micro-batches appended via foreachBatch(append_to_ann_index)
+    must yield an index identical — list contents, manifest row count,
+    probe answers — to bootstrap-build + one bulk append (appends against
+    the frozen quantizer commute), so arrival batching never changes the
+    index."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+        ivf_topk_indexed,
+        load_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    boot = emb.filter(F.col("vec_id") % 3 == 0)
+    path_s = str(tmp_path / "stream_idx")
+    path_b = str(tmp_path / "bulk_idx")
+    build_ann_index(boot, path_s, n_centroids=8)
+    build_ann_index(boot, path_b, n_centroids=8)
+    append_to_ann_index(emb.filter(F.col("vec_id") % 3 != 0), path_b)
+
+    src = tmp_path / "emb_src"
+    for k in (1, 2):  # two part files -> two availableNow micro-batches
+        emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(
+            lambda df, _bid: append_to_ann_index(df, path_s) and None
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_ann"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    ms, _ = load_ann_index(spark, path_s)
+    mb, _ = load_ann_index(spark, path_b)
+    assert ms["n_rows"] == mb["n_rows"] == emb.count()
+    lists = lambda p: sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(f"{p}/lists").collect()
+    )
+    assert lists(path_s) == lists(path_b)
+    queries = emb.filter(F.col("vec_id") < 10)
+    key = lambda p: {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk_indexed(spark, p, queries, k=3, n_probe=2).collect()
+    }
+    assert key(path_s) == key(path_b) != {}
 
 
 def test_kn_bigram_logprobs(spark, sf_dir):

@@ -615,3 +615,84 @@ def test_bfd_place_oversize_raises(cap, extra):
 
     with _pytest.raises(ValueError, match="block_tokens"):
         _bfd_place([(1, cap + extra)], cap, "raise")
+
+
+# ------------------------------------------------ media-parser containment
+# The multimodal error contract: a parser fed arbitrary or mutated bytes
+# either decodes or raises the CONTAINABLE classes (ValueError / IndexError /
+# struct.error — what errors='skip' catches) — never another exception type,
+# and never an input-controlled allocation (the r9 bounds checks).
+
+def _media_errors():
+    import struct
+
+    return (ValueError, IndexError, struct.error)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=512))
+def test_jpeg_parser_contains_arbitrary_bytes(payload):
+    from debezium_connector_vitess_spark.ops.jpeg import parse_jpeg_meta
+
+    try:
+        out = parse_jpeg_meta(payload)
+    except _media_errors():
+        return
+    assert len(out) == 7
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(0, 40),
+    st.integers(0, 2000),
+    st.binary(min_size=1, max_size=8),
+)
+def test_jpeg_parser_contains_mutated_fixtures(doc_id, pos, junk):
+    """Adversarial case: REAL fixture bytes with a random splice — the
+    shape a corrupted object-store read produces."""
+    from debezium_connector_vitess_spark.ops.jpeg import (
+        encode_jpeg_shell,
+        parse_jpeg_meta,
+    )
+
+    base = encode_jpeg_shell(64 + doc_id, 48 + doc_id, seed=doc_id)
+    pos %= len(base)
+    mutated = base[:pos] + junk + base[pos + len(junk):]
+    try:
+        parse_jpeg_meta(mutated)
+    except _media_errors():
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=512))
+def test_mp4_frame_table_contains_arbitrary_bytes(payload):
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        decode_mp4_frame_table,
+    )
+
+    try:
+        decode_mp4_frame_table(payload)
+    except _media_errors():
+        return
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(0, 20),
+    st.integers(0, 4000),
+    st.binary(min_size=1, max_size=8),
+)
+def test_mp4_frame_table_contains_mutated_fixtures(doc_id, pos, junk):
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        _make_mp4_samples,
+        decode_mp4_frame_table,
+    )
+
+    base = _make_mp4_samples(doc_id, audio_first=doc_id % 3 == 0)
+    pos %= len(base)
+    mutated = base[:pos] + junk + base[pos + len(junk):]
+    try:
+        decode_mp4_frame_table(mutated)
+    except _media_errors():
+        pass
