@@ -3597,11 +3597,25 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(round(-avg(ln(p)) * 10000) AS BIGINT) AS kn_neg_logp_q4,
              CAST(round(exp(-avg(ln(p))) * 100) AS BIGINT) AS kn_perplexity_q2
-      FROM k_scored GROUP BY doc_id)
-    SELECT u.doc_id, u.n_tokens, u.avg_neg_logp_q4, u.perplexity_q2,
-           i.interp_neg_logp_q4, i.interp_perplexity_q2,
-           k.kn_neg_logp_q4, k.kn_perplexity_q2
-    FROM u_agg u JOIN i_agg i USING (doc_id) JOIN k_agg k USING (doc_id)
+      FROM k_scored GROUP BY doc_id),
+    joined AS (
+      SELECT u.doc_id, d.source, u.n_tokens, u.avg_neg_logp_q4,
+             u.perplexity_q2, i.interp_neg_logp_q4, i.interp_perplexity_q2,
+             k.kn_neg_logp_q4, k.kn_perplexity_q2
+      FROM u_agg u JOIN i_agg i USING (doc_id) JOIN k_agg k USING (doc_id)
+      JOIN documents d USING (doc_id)),
+    th AS (
+      SELECT source,
+             quantile_cont(CAST(interp_perplexity_q2 AS DOUBLE), 1.0/3) AS t1,
+             quantile_cont(CAST(interp_perplexity_q2 AS DOUBLE), 2.0/3) AS t2
+      FROM joined GROUP BY source)
+    SELECT j.doc_id, j.source, j.n_tokens, j.avg_neg_logp_q4,
+           j.perplexity_q2, j.interp_neg_logp_q4, j.interp_perplexity_q2,
+           j.kn_neg_logp_q4, j.kn_perplexity_q2,
+           CASE WHEN CAST(j.interp_perplexity_q2 AS DOUBLE) <= th.t1 THEN 'head'
+                WHEN CAST(j.interp_perplexity_q2 AS DOUBLE) <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM joined j JOIN th USING (source)
     """,
 )
 def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3625,6 +3639,13 @@ def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       (context totals, distinct-continuation counts, type total, both
       sentinel levels) from the same corpus SQL, the recomputation already
       unit-pinned in test_kn_bigram_logprobs.
+    - CCNET BUCKETS (late r9): :func:`~.ops.pipeline.perplexity_buckets`
+      in exact mode labels each doc head/middle/tail by its PER-SOURCE
+      interpolated-perplexity tercile — DuckDB quantile_cont and Spark
+      percentile compute the identical (n-1)p interpolation (the
+      corpus_datasheet precedent), and the bucketed column is quantized
+      BIGINT input, so the CASE comparisons are engine-exact. The sketch
+      (approx_percentile) mode is the 100 TB default, unit-tested.
 
     Hashed-column convention (r7): the per-doc averages are cross-row
     float sums — the exact shape of the r5/r6 phantom hash-reds — so the
@@ -3675,7 +3696,20 @@ def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("perplexity") * 100, 0).cast("long")
             .alias("kn_perplexity_q2"),
     )
-    return uni.join(interp, "doc_id").join(kn_score, "doc_id")
+    from .ops.pipeline import perplexity_buckets
+
+    joined = (
+        uni.join(interp, "doc_id")
+        .join(kn_score, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    return perplexity_buckets(
+        joined, "interp_perplexity_q2", domain_col="source", exact=True
+    ).select(
+        "doc_id", "source", "n_tokens", "avg_neg_logp_q4", "perplexity_q2",
+        "interp_neg_logp_q4", "interp_perplexity_q2",
+        "kn_neg_logp_q4", "kn_perplexity_q2", "ppl_bucket",
+    )
 
 
 @register(
