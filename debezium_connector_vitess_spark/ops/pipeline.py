@@ -919,7 +919,10 @@ def perplexity_buckets(
         raise ValueError(
             f"{len(bounds)} bounds need {len(bounds) + 1} labels, got {len(labels)}"
         )
-    if list(bounds) != sorted(bounds) or not all(0.0 < b < 1.0 for b in bounds):
+    strictly_increasing = all(b2 > b1 for b1, b2 in zip(bounds, bounds[1:]))
+    if not strictly_increasing or not all(0.0 < b < 1.0 for b in bounds):
+        # duplicates would shadow a label into unreachability — reject, don't
+        # silently return a degenerate bucketing
         raise ValueError(f"bounds must be strictly increasing in (0, 1): {bounds}")
     ppl = F.col(ppl_col).cast("double")
     pcts = F.array(*[F.lit(float(b)) for b in bounds])
@@ -929,12 +932,24 @@ def perplexity_buckets(
         else F.percentile_approx(ppl, pcts, F.lit(accuracy))
     )
     if domain_col is not None:
-        thresholds = df.groupBy(domain_col).agg(agg_fn.alias("__ts"))
-        labeled = df.join(F.broadcast(thresholds), on=domain_col, how="left")
+        # null-safe join key: a NULL domain is its own group (it gets its
+        # own thresholds from the groupBy) — a plain equality join would
+        # never match it and the fall-through would mislabel it 'tail'
+        thresholds = df.groupBy(domain_col).agg(agg_fn.alias("__ts")) \
+            .withColumnRenamed(domain_col, "__dom")
+        labeled = df.join(
+            F.broadcast(thresholds),
+            on=F.col(domain_col).eqNullSafe(F.col("__dom")),
+            how="left",
+        ).drop("__dom")
     else:
         thresholds = df.agg(agg_fn.alias("__ts"))
         labeled = df.crossJoin(F.broadcast(thresholds))
-    bucket = F.when(ppl.isNull(), F.lit(None).cast("string"))
+    # missing thresholds (a group whose every perplexity is NULL) must yield
+    # NULL buckets, not the otherwise() label
+    bucket = F.when(
+        ppl.isNull() | F.col("__ts").isNull(), F.lit(None).cast("string")
+    )
     for i in range(len(bounds)):
         bucket = bucket.when(
             ppl <= F.element_at(F.col("__ts"), i + 1), F.lit(labels[i])

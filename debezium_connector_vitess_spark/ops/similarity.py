@@ -738,9 +738,19 @@ def build_ann_index(
 
     _require_local_index_path(path, "build_ann_index")
     # validate EVERY argument before the destructive invalidation below: a
-    # typo'd quantizer must not brick a standing index without rebuilding it
+    # typo'd quantizer/column or bad knob must not brick a standing index
+    # without rebuilding it
     if quantizer not in ("kmeans", "sample"):
         raise ValueError(f"unknown quantizer {quantizer!r}")
+    for c in (id_col, vec_col):
+        if c not in corpus.columns:
+            raise ValueError(
+                f"column {c!r} not in corpus (has {corpus.columns})"
+            )
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
+    if quantizer == "kmeans" and kmeans_iters < 1:
+        raise ValueError(f"kmeans_iters must be >= 1, got {kmeans_iters}")
     corpus = _drop_zero_vectors(corpus, vec_col)
     dim = _observed_dim(corpus, vec_col)
     if dim is None:

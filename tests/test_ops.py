@@ -5207,6 +5207,12 @@ def test_ann_index_rebuild_wipes_stale_lists(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown quantizer"):
         build_ann_index(emb, path, n_centroids=4, quantizer="kmeanz")
+    with _pytest.raises(ValueError, match="not in corpus"):
+        build_ann_index(emb, path, id_col="vecid")  # typo'd column
+    with _pytest.raises(ValueError, match="n_centroids"):
+        build_ann_index(emb, path, n_centroids=0)
+    with _pytest.raises(ValueError, match="kmeans_iters"):
+        build_ann_index(emb, path, quantizer="kmeans", kmeans_iters=0)
     still = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in
              ivf_topk_indexed(spark, path, queries, k=3, n_probe=1).collect()}
     assert still == want
@@ -5362,10 +5368,27 @@ def test_perplexity_buckets_ccnet(spark, sf_dir):
         with_null, "perplexity", domain_col="source", exact=True
     ).collect()}
     assert nb[999999] is None
+    # NULL DOMAIN rows form their own group (null-safe join) — a doc with
+    # the corpus-lowest perplexity and source=NULL must not land in 'tail'
+    with_null_dom = scored.unionByName(
+        spark.createDataFrame(
+            [(888801, 5, 0.1, 1.01, None), (888802, 5, 9.9, 19000.0, None)],
+            "doc_id bigint, n_tokens bigint, avg_neg_logp double,"
+            " perplexity double, source string",
+        )
+    )
+    nd = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(
+        with_null_dom, "perplexity", domain_col="source", exact=True
+    ).collect()}
+    assert nd[888801] == "head" and nd[888802] == "tail"
     with _pytest.raises(ValueError, match="labels"):
         perplexity_buckets(scored, "perplexity", labels=("a", "b"))
     with _pytest.raises(ValueError, match="bounds"):
         perplexity_buckets(scored, "perplexity", bounds=(0.9, 0.1),
+                           labels=("a", "b", "c"))
+    # duplicate bounds would make a label unreachable — rejected loudly
+    with _pytest.raises(ValueError, match="bounds"):
+        perplexity_buckets(scored, "perplexity", bounds=(0.5, 0.5),
                            labels=("a", "b", "c"))
 
 
