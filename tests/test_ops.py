@@ -1090,6 +1090,133 @@ def test_jpeg_meta_shell_roundtrip(spark, sf_dir):
         extract_jpeg_metadata(corrupt, errors="nope")
 
 
+def test_warc_roundtrip_and_containment(spark):
+    """WARC reader over structurally-real fixtures: plain and
+    per-record-gzip layouts parse to identical records, HTTP response
+    bodies split (incl. chunked transfer decoding), and every corruption
+    class raises the containable ValueError."""
+    import zlib
+
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.ops.warc import (
+        http_response_parts,
+        make_warc,
+        parse_warc_records,
+        split_gzip_members,
+    )
+
+    pages = [
+        ("https://a.example/x", "<html><body><p>alpha beta</p></body></html>"),
+        ("https://b.example/y", "<html><body><p>gamma delta epsilon</p></body></html>"),
+    ]
+    plain = make_warc(7, pages, chunked_every=2)  # page 0 chunked
+    recs = parse_warc_records(plain)
+    assert len(recs) == 1 + 2 * len(pages)
+    assert recs[0][0]["warc-type"] == "warcinfo"
+    responses = [(h, c) for h, c in recs if h["warc-type"] == "response"]
+    for (h, content), (url, html) in zip(responses, pages):
+        assert h["warc-target-uri"] == url
+        status, hh, body = http_response_parts(content)
+        assert status == 200 and hh["content-type"] == "text/html"
+        assert body == html.encode("utf-8")  # chunked page dechunks exactly
+    # gzip layout: one member per record, identical parse
+    gz = make_warc(7, pages, gzip_records=True, chunked_every=2)
+    members = split_gzip_members(gz)
+    assert len(members) == len(recs)
+    assert [parse_warc_records(m)[0][0]["warc-type"] for m in members] == [
+        h["warc-type"] for h, _ in recs
+    ]
+    # containment: every corruption class raises ValueError
+    with _pytest.raises(ValueError, match="version line"):
+        parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
+    i = plain.index(b"Content-Length:")
+    inflated = plain[:i] + b"Content-Length: 99999999\r\n" + plain[plain.index(b"\r\n", i) + 2:]
+    with _pytest.raises(ValueError, match="overruns"):
+        parse_warc_records(inflated)
+    with _pytest.raises(ValueError, match="separator|terminator|truncated|overruns"):
+        parse_warc_records(plain[:-3])
+    with _pytest.raises(ValueError, match="truncated gzip"):
+        split_gzip_members(gz[:-5])
+    # zip bomb: a tiny member expanding past the cap raises, never allocates
+    bomb = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    bomb_bytes = bomb.compress(b"\x00" * 4_000_000) + bomb.flush()
+    with _pytest.raises(ValueError, match="max_member_bytes"):
+        split_gzip_members(bomb_bytes, max_member_bytes=1_000_000)
+    # chunked overrun
+    with _pytest.raises(ValueError, match="overruns body"):
+        http_response_parts(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nshort"
+        )
+
+
+def test_warc_records_spark(spark, sf_dir):
+    """Distributed WARC ingest: per-doc fixtures explode into response rows
+    whose bodies feed the HTML cleaning chain; errors='skip' drops corrupt
+    payloads; record_types widens to requests."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.text import html_to_text_expr
+    from debezium_connector_vitess_spark.ops.warc import make_warc, warc_records
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(30)
+
+    def attach(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            payloads = [
+                make_warc(
+                    int(did),
+                    [(f"https://ex/{did}", f"<html><body><p>{(t or '')[:60]}</p></body></html>"),
+                     (f"https://ex/{did}/2", "<html><body><p>second page</p></body></html>")],
+                    gzip_records=did % 2 == 0,
+                    chunked_every=3 if did % 3 == 0 else 0,
+                )
+                for did, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    warcs = docs.mapInPandas(attach, schema="doc_id long, payload binary")
+    rows = warc_records(warcs).collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(per_doc) == set(originals)
+    for did, rs in per_doc.items():
+        assert len(rs) == 2 and all(r["http_status"] == 200 for r in rs)
+        assert rs[0]["target_uri"] == f"https://ex/{did}"
+    # the decoded body feeds the cleaning chain: extract text, check content
+    texts = {
+        r["doc_id"]: r["clean"]
+        for r in warc_records(warcs)
+        .filter(F.col("target_uri").endswith("/2"))
+        .select(
+            "doc_id",
+            html_to_text_expr(F.decode(F.col("body"), "UTF-8")).alias("clean"),
+        )
+        .collect()
+    }
+    assert all("second page" in t for t in texts.values()) and texts
+    # request records surface when asked
+    both = warc_records(warcs, record_types=("request", "response"))
+    assert both.count() == 4 * len(originals)
+    # errors vocabulary
+    corrupt = warcs.limit(1).select(
+        "doc_id", F.expr("substring(payload, 1, 25)").alias("payload"))
+    with _pytest.raises(Exception):
+        warc_records(corrupt).collect()
+    assert warc_records(corrupt, errors="skip").count() == 0
+    with _pytest.raises(ValueError, match="errors"):
+        warc_records(corrupt, errors="nope")
+
+
 def test_chunk_audio_headerless_raw_pcm_model(spark):
     """Non-RIFF payloads chunk as raw PCM at bytes_per_sample — the
     headerless fallback the registry's WAV-backed query must NOT hit."""

@@ -696,3 +696,46 @@ def test_mp4_frame_table_contains_mutated_fixtures(doc_id, pos, junk):
         decode_mp4_frame_table(mutated)
     except _media_errors():
         pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=512))
+def test_warc_parser_contains_arbitrary_bytes(payload):
+    from debezium_connector_vitess_spark.ops.warc import parse_warc_records
+
+    try:
+        parse_warc_records(payload)
+    except _media_errors():
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(0, 20),
+    st.integers(0, 1200),
+    st.binary(min_size=1, max_size=8),
+    st.booleans(),
+)
+def test_warc_parser_contains_mutated_fixtures(doc_id, pos, junk, gz):
+    from debezium_connector_vitess_spark.ops.warc import (
+        make_warc,
+        parse_warc_records,
+        split_gzip_members,
+    )
+
+    base = make_warc(
+        doc_id,
+        [(f"https://ex/{doc_id}", "<html><body><p>hi</p></body></html>")],
+        gzip_records=gz,
+        chunked_every=2,
+    )
+    pos %= len(base)
+    mutated = base[:pos] + junk + base[pos + len(junk):]
+    try:
+        if gz:
+            for m in split_gzip_members(mutated):
+                parse_warc_records(m)
+        else:
+            parse_warc_records(mutated)
+    except _media_errors():
+        pass
