@@ -47,6 +47,7 @@ SIDES: dict[str, tuple[str, ...]] = {
     "dedup_pairs": ("ngram", "simhash"),
     "ann_topk": ("brute", "lsh", "ivf", "indexed"),
     "corpus_health": ("batch", "stream"),
+    "url_ops": ("canon", "blocklist", "warc"),
 }
 
 
@@ -4589,9 +4590,20 @@ _URL_BLOCKED = ("example.com", "ads.net")
     SELECT 'blocklist' AS side, doc_id, CAST(NULL AS VARCHAR) AS url,
            CAST(NULL AS VARCHAR) AS canon, host AS domain
     FROM kept_docs
+    UNION ALL
+    SELECT 'warc' AS side, doc_id,
+           'https://ex/' || CAST(doc_id AS VARCHAR) AS url,
+           md5('<html><body><p>' || coalesce(text, '')
+               || '</p></body></html>') AS canon,
+           CAST(NULL AS VARCHAR) AS domain
+    FROM documents
     """,
 )
-def url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def url_ops(
+    spark: SparkSession,
+    sf_dir: str,
+    sides: tuple[str, ...] = ("canon", "blocklist", "warc"),
+) -> DataFrame:
     """Web-corpus URL hygiene as a driver row (round-7 promotion of the two
     r6 unit-parity ops — VERDICT r6 item #2; slot freed by the
     filter_column_ops merge):
@@ -4610,46 +4622,97 @@ def url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both ops are pure Catalyst / broadcastable-semi-join shapes; the oracle
     re-derives canonicalization and suffix matching independently in DuckDB
-    SQL (no shared code)."""
+    SQL (no shared code).
+
+    side='warc' (late r9) — the WARC/Common Crawl ingest seam under the
+    driver hash: per-doc structurally-real WARC fixtures (every 2nd doc in
+    the .warc.gz per-record-gzip layout, every 3rd with a chunked HTTP
+    body), exploded by :func:`~.ops.warc.warc_records`. The row emits the
+    response's target URI and the md5 of the DECODED BODY BYTES, so the
+    record grammar, gzip member chaining, chunked-transfer decoding, and
+    header extraction must all reproduce the generated page exactly — the
+    oracle recomputes the html from the generation formula."""
     from .ops.text import canonical_url_expr, filter_blocked_domains
 
     docs = _documents(spark, sf_dir)
-    hosts = F.array(*[F.lit(h) for h in _URL_HOSTS])
-    host = F.element_at(hosts, (F.col("doc_id") % 7 + 1).cast("int"))
-    did = F.col("doc_id").cast("string")
-    v = F.col("doc_id") % 6
-    url = (
-        F.when(v == 0, F.concat(
-            F.lit("HTTP://"), host, F.lit(":80/p/"), did,
-            F.lit("?utm_source=x&id="), (F.col("doc_id") % 10).cast("string"),
-            F.lit("#frag"),
-        ))
-        .when(v == 1, F.concat(F.lit("https://"), host, F.lit(":443")))
-        .when(v == 2, F.concat(
-            F.lit("https://"), host, F.lit("/Page/"), did,
-            F.lit("?fbclid=abc&b=2&a=1"),
-        ))
-        .when(v == 3, F.concat(F.lit("https://"), host, F.lit("/x?a=1&a=0&gclid=z")))
-        .when(v == 4, F.concat(F.lit("not a url "), did))
-        .otherwise(F.concat(
-            F.lit("https://"), host, F.lit("/tree?ref=main&utm_medium=email")
-        ))
-    )
-    base = docs.select("doc_id", host.alias("domain"), url.alias("url"))
     null_s = F.lit(None).cast("string")
-    canon = base.select(
-        F.lit("canon").alias("side"), "doc_id", "url",
-        canonical_url_expr(F.col("url")).alias("canon"),
-        null_s.alias("domain"),
-    )
-    blocked = spark.createDataFrame([(b,) for b in _URL_BLOCKED], "d string")
-    kept = filter_blocked_domains(
-        base.select("doc_id", "domain"), "domain", blocked
-    ).select(
-        F.lit("blocklist").alias("side"), "doc_id",
-        null_s.alias("url"), null_s.alias("canon"), "domain",
-    )
-    return canon.unionByName(kept)
+    parts: list[DataFrame] = []
+    if "canon" in sides or "blocklist" in sides:
+        hosts = F.array(*[F.lit(h) for h in _URL_HOSTS])
+        host = F.element_at(hosts, (F.col("doc_id") % 7 + 1).cast("int"))
+        did = F.col("doc_id").cast("string")
+        v = F.col("doc_id") % 6
+        url = (
+            F.when(v == 0, F.concat(
+                F.lit("HTTP://"), host, F.lit(":80/p/"), did,
+                F.lit("?utm_source=x&id="), (F.col("doc_id") % 10).cast("string"),
+                F.lit("#frag"),
+            ))
+            .when(v == 1, F.concat(F.lit("https://"), host, F.lit(":443")))
+            .when(v == 2, F.concat(
+                F.lit("https://"), host, F.lit("/Page/"), did,
+                F.lit("?fbclid=abc&b=2&a=1"),
+            ))
+            .when(v == 3, F.concat(F.lit("https://"), host, F.lit("/x?a=1&a=0&gclid=z")))
+            .when(v == 4, F.concat(F.lit("not a url "), did))
+            .otherwise(F.concat(
+                F.lit("https://"), host, F.lit("/tree?ref=main&utm_medium=email")
+            ))
+        )
+        base = docs.select("doc_id", host.alias("domain"), url.alias("url"))
+    if "canon" in sides:
+        parts.append(base.select(
+            F.lit("canon").alias("side"), "doc_id", "url",
+            canonical_url_expr(F.col("url")).alias("canon"),
+            null_s.alias("domain"),
+        ))
+    if "blocklist" in sides:
+        blocked = spark.createDataFrame([(b,) for b in _URL_BLOCKED], "d string")
+        parts.append(filter_blocked_domains(
+            base.select("doc_id", "domain"), "domain", blocked
+        ).select(
+            F.lit("blocklist").alias("side"), "doc_id",
+            null_s.alias("url"), null_s.alias("canon"), "domain",
+        ))
+    if "warc" in sides:
+        from .ops.warc import make_warc, warc_records
+
+        def attach(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                payloads = [
+                    make_warc(
+                        int(did),
+                        [(
+                            f"https://ex/{int(did)}",
+                            "<html><body><p>"
+                            + (t if t is not None else "")
+                            + "</p></body></html>",
+                        )],
+                        gzip_records=did % 2 == 0,
+                        chunked_every=1 if did % 3 == 0 else 0,
+                    )
+                    for did, t in zip(pdf["doc_id"], pdf["text"])
+                ]
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].astype("int64"),
+                     "payload": payloads}
+                )
+
+        warcs = docs.select("doc_id", "text").mapInPandas(
+            attach, schema="doc_id long, payload binary"
+        )
+        parts.append(warc_records(warcs).select(
+            F.lit("warc").alias("side"), "doc_id",
+            F.col("target_uri").alias("url"),
+            F.md5(F.col("body")).alias("canon"),
+            null_s.alias("domain"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @register(
