@@ -98,6 +98,75 @@ def parse_jpeg_meta(payload: bytes) -> tuple[int, int, int, int, bool, int, int]
     return w, h, n_comp, precision, progressive, dens_x, dens_y
 
 
+def parse_exif_orientation(payload: bytes) -> int | None:
+    """EXIF orientation (tag 0x0112) from the APP1 segment's TIFF block —
+    the rotation a training pipeline must normalize before resize (values
+    1-8 per TIFF 6.0; a mirrored/rotated capture whose pixels are fed
+    as-stored silently trains on rotated images). Returns None when no
+    EXIF APP1 / no orientation tag is present; raises ValueError on a
+    corrupt TIFF block (bounds-checked IFD walk — entry counts and every
+    offset are validated against the segment extent before reading)."""
+    import struct
+
+    if not is_jpeg(payload):
+        raise ValueError("not a JPEG (missing SOI marker)")
+    n = len(payload)
+    pos = 2
+    while pos < n:
+        while pos < n and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            break
+        marker = payload[pos]
+        pos += 1
+        if marker == 0xD9 or marker == 0xDA:  # EOI / entropy data: no EXIF
+            break
+        if marker in _STANDALONE:
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated segment length")
+        seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if seg_len < 2 or pos + seg_len > n:
+            raise ValueError(f"segment 0x{marker:02x} overruns payload")
+        body = payload[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker != 0xE1 or body[:6] != b"Exif\x00\x00":
+            continue
+        tiff = body[6:]
+        if len(tiff) < 8:
+            raise ValueError("EXIF TIFF header truncated")
+        if tiff[:2] == b"II":
+            endian = "<"
+        elif tiff[:2] == b"MM":
+            endian = ">"
+        else:
+            raise ValueError(f"EXIF byte-order mark {tiff[:2]!r}")
+        magic, ifd_off = struct.unpack(endian + "HI", tiff[2:8])
+        if magic != 42:
+            raise ValueError(f"EXIF TIFF magic {magic} != 42")
+        if ifd_off + 2 > len(tiff):
+            raise ValueError("EXIF IFD offset overruns segment")
+        (n_entries,) = struct.unpack(endian + "H", tiff[ifd_off : ifd_off + 2])
+        if ifd_off + 2 + 12 * n_entries > len(tiff):
+            raise ValueError(
+                f"EXIF IFD declares {n_entries} entries beyond the segment"
+            )
+        for i in range(n_entries):
+            e = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack(endian + "HHI", tiff[e : e + 8])
+            if tag == 0x0112:
+                if typ != 3 or cnt != 1:  # SHORT, one value
+                    raise ValueError(
+                        f"orientation tag has type {typ} count {cnt}"
+                    )
+                (val,) = struct.unpack(endian + "H", tiff[e + 8 : e + 10])
+                if not 1 <= val <= 8:
+                    raise ValueError(f"orientation {val} outside 1-8")
+                return val
+        return None  # EXIF present, orientation absent
+    return None
+
+
 def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
@@ -111,21 +180,39 @@ def encode_jpeg_shell(
     progressive: bool = False,
     entropy_bytes: int = 64,
     seed: int = 0,
+    orientation: int | None = None,
+    exif_little_endian: bool = True,
 ) -> bytes:
     """Deterministic structurally-real JFIF fixture (see module docstring):
     every marker segment is well-formed with a correct length; the
     entropy payload after SOS is deterministic filler with proper 0xFF00
-    stuffing (a raw 0xFF inside scan data would read as a marker)."""
+    stuffing (a raw 0xFF inside scan data would read as a marker).
+    ``orientation`` adds a genuine EXIF APP1 segment (TIFF header + one
+    IFD0 entry, tag 0x0112) in either byte order."""
     if not 1 <= components <= 4:
         raise ValueError(f"components must be 1-4, got {components}")
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("JPEG dimensions are 16-bit")
+    if orientation is not None and not 1 <= orientation <= 8:
+        raise ValueError(f"orientation must be 1-8, got {orientation}")
     app0 = (
         b"JFIF\x00" + bytes([1, 1])  # version 1.01
         + bytes([1])  # density unit: dots/inch
         + struct.pack(">2H", *density)
         + bytes([0, 0])  # no thumbnail
     )
+    app1 = b""
+    if orientation is not None:
+        e = "<" if exif_little_endian else ">"
+        bom = b"II" if exif_little_endian else b"MM"
+        tiff = (
+            bom + struct.pack(e + "HI", 42, 8)  # magic + IFD0 at offset 8
+            + struct.pack(e + "H", 1)  # one entry
+            + struct.pack(e + "HHI", 0x0112, 3, 1)  # orientation, SHORT, x1
+            + struct.pack(e + "H", orientation) + b"\x00\x00"  # value + pad
+            + struct.pack(e + "I", 0)  # no next IFD
+        )
+        app1 = _seg(0xE1, b"Exif\x00\x00" + tiff)
     dqt = bytes([0]) + bytes((3 + i * 2) % 255 + 1 for i in range(64))
     sof_body = struct.pack(">BHHB", 8, height, width, components) + b"".join(
         struct.pack(">BBB", cid + 1, 0x11, 0) for cid in range(components)
@@ -144,6 +231,7 @@ def encode_jpeg_shell(
     return (
         b"\xff\xd8"  # SOI
         + _seg(0xE0, app0)
+        + app1
         + _seg(0xDB, dqt)
         + _seg(0xC2 if progressive else 0xC0, sof_body)
         + _seg(0xC4, dht)

@@ -86,7 +86,7 @@ def attach_png_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 JPEG_META_SCHEMA = (
     "doc_id long, width int, height int, n_components int, precision int, "
-    "progressive boolean, density_x int, density_y int"
+    "progressive boolean, density_x int, density_y int, orientation int"
 )
 
 
@@ -112,6 +112,10 @@ def attach_jpeg_payload(df: DataFrame, text_col: str = "text", id_col: str = "do
                         density=(72 + (did % 4) * 24, 72 + (did % 3) * 36),
                         progressive=did % 5 == 0,
                         seed=did,
+                        # even docs carry a genuine EXIF APP1 orientation
+                        # (alternating byte order); odd docs have none
+                        orientation=1 + did % 8 if did % 2 == 0 else None,
+                        exif_little_endian=did % 4 == 0,
                     )
                 )
             yield pd.DataFrame(
@@ -127,11 +131,13 @@ def attach_jpeg_payload(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 def extract_jpeg_metadata(binary_df: DataFrame, *, errors: str = "fail") -> DataFrame:
     """Full JPEG header extraction over Arrow batches: dimensions, component
-    count, sample precision, progressive flag, JFIF pixel density — the
-    metadata a corpus curator filters/buckets images by without any pixel
-    decode. ``errors='skip'`` drops undecodable payloads (the multimodal
-    error vocabulary); 'fail' raises."""
-    from .jpeg import parse_jpeg_meta
+    count, sample precision, progressive flag, JFIF pixel density, and the
+    EXIF orientation (NULL when absent — the rotation a pipeline must
+    normalize before resize) — the metadata a corpus curator
+    filters/buckets images by without any pixel decode. ``errors='skip'``
+    drops undecodable payloads (the multimodal error vocabulary); 'fail'
+    raises."""
+    from .jpeg import parse_exif_orientation, parse_jpeg_meta
 
     if errors not in ("fail", "skip"):
         raise ValueError(f"errors must be fail|skip, got {errors!r}")
@@ -141,17 +147,19 @@ def extract_jpeg_metadata(binary_df: DataFrame, *, errors: str = "fail") -> Data
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    w, h, nc, prec, prog, dx, dy = parse_jpeg_meta(bytes(payload))
+                    raw = bytes(payload)
+                    w, h, nc, prec, prog, dx, dy = parse_jpeg_meta(raw)
+                    orient = parse_exif_orientation(raw)
                 except (ValueError, IndexError, _struct.error):
                     if errors == "fail":
                         raise
                     continue
-                rows.append((int(did), w, h, nc, prec, prog, dx, dy))
+                rows.append((int(did), w, h, nc, prec, prog, dx, dy, orient))
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "width", "height", "n_components", "precision",
-                    "progressive", "density_x", "density_y",
+                    "progressive", "density_x", "density_y", "orientation",
                 ],
             )
 

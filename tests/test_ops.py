@@ -1080,6 +1080,7 @@ def test_jpeg_meta_shell_roundtrip(spark, sf_dir):
         assert (g["density_x"], g["density_y"]) == (
             72 + (did % 4) * 24, 72 + (did % 3) * 36)
         assert g["precision"] == 8
+        assert g["orientation"] == (1 + did % 8 if did % 2 == 0 else None)
     # errors vocabulary: corrupt payload raises under 'fail', drops via 'skip'
     corrupt = attach_jpeg_payload(docs.limit(1)).select(
         "doc_id", F.expr("substring(payload, 1, 10)").alias("payload"))
@@ -1215,6 +1216,47 @@ def test_warc_records_spark(spark, sf_dir):
     assert warc_records(corrupt, errors="skip").count() == 0
     with _pytest.raises(ValueError, match="errors"):
         warc_records(corrupt, errors="nope")
+
+
+def test_exif_orientation_parse():
+    """EXIF orientation from a genuine APP1/TIFF block, both byte orders;
+    absent APP1 / absent tag -> None; corrupt TIFF blocks raise the
+    containable classes; the APP1 segment never disturbs the metadata
+    walker (dims/density still parse)."""
+    import struct
+
+    import pytest as _pytest
+
+    from debezium_connector_vitess_spark.ops.jpeg import (
+        encode_jpeg_shell,
+        parse_exif_orientation,
+        parse_jpeg_meta,
+    )
+
+    for orient in range(1, 9):
+        for le in (True, False):
+            p = encode_jpeg_shell(64, 48, orientation=orient,
+                                  exif_little_endian=le, seed=orient)
+            assert parse_exif_orientation(p) == orient, (orient, le)
+            # the APP1 block coexists with the rest of the metadata
+            assert parse_jpeg_meta(p)[:2] == (64, 48)
+    assert parse_exif_orientation(encode_jpeg_shell(64, 48)) is None
+    with _pytest.raises(ValueError, match="SOI"):
+        parse_exif_orientation(b"not a jpeg")
+    # corrupt TIFF: bad byte-order mark, bad magic, IFD overrun, bad value
+    base = encode_jpeg_shell(64, 48, orientation=6)
+    i = base.index(b"Exif\x00\x00") + 6
+    with _pytest.raises(ValueError, match="byte-order"):
+        parse_exif_orientation(base[:i] + b"XX" + base[i + 2:])
+    with _pytest.raises(ValueError, match="magic"):
+        parse_exif_orientation(
+            base[:i + 2] + struct.pack("<H", 41) + base[i + 4:])
+    with _pytest.raises(ValueError, match="entries beyond"):
+        parse_exif_orientation(
+            base[:i + 8] + struct.pack("<H", 60000) + base[i + 10:])
+    with _pytest.raises(ValueError, match="outside 1-8"):
+        parse_exif_orientation(
+            base[:i + 18] + struct.pack("<H", 99) + base[i + 20:])
 
 
 def test_chunk_audio_headerless_raw_pcm_model(spark):
