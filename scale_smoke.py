@@ -402,6 +402,36 @@ def main() -> None:
     def frame_index_op(d):
         return mp4_frame_index(attach_mp4_sample_payload(d), every=5)
 
+    # r9: WARC ingest seam — fixture generation + record grammar + gzip
+    # member chaining + HTTP envelope split across one Arrow seam pair;
+    # output rows scale with pages, payload bytes never join or shuffle
+    from debezium_connector_vitess_spark.ops.warc import make_warc, warc_records
+
+    def warc_op(d):
+        def attach(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                payloads = [
+                    make_warc(
+                        int(did),
+                        [(f"https://ex/{int(did)}",
+                          "<p>" + (t or "")[:200] + "</p>")],
+                        gzip_records=did % 2 == 0,
+                    )
+                    for did, t in zip(pdf["doc_id"], pdf["text"])
+                ]
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].astype("int64"),
+                     "payload": payloads}
+                )
+
+        return warc_records(
+            d.select("doc_id", "text").mapInPandas(
+                attach, schema="doc_id long, payload binary"
+            )
+        )
+
     results: dict[str, dict] = {}
     all_ops = (
         [(name, fn, docs1, docs10) for name, fn in OPS.items()]
@@ -418,6 +448,7 @@ def main() -> None:
         + [("pack_bins", pack_bins_op, docs1, docs10)]
         + [("kn_bigram_lm", kn_lm_op, docs1, docs10)]
         + [("ivf_index_build_probe", ivf_index_op, emb1, emb10)]
+        + [("warc_ingest", warc_op, docs1, docs10)]
     )
     PAIR_OPS.add("semantic_dedup")
     PAIR_OPS.add("semantic_dedup_gemm")
