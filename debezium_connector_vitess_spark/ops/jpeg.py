@@ -40,31 +40,32 @@ def is_jpeg(payload: bytes) -> bool:
     return len(payload) >= 3 and payload[:3] == b"\xff\xd8\xff"
 
 
-def parse_jpeg_meta(payload: bytes) -> tuple[int, int, int, int, bool, int, int]:
-    """Walk the marker stream up to SOS and return
-    ``(width, height, n_components, precision, progressive, density_x,
-    density_y)``. Density comes from the APP0 JFIF segment (0 when absent);
-    dimensions/precision/components from the first SOFn. Raises ValueError
-    on truncation, a missing SOF, or any segment overrunning the payload."""
+def _iter_segments(payload: bytes):
+    """Validated marker-segment generator: yields (marker, body) for every
+    length-bearing segment up to and INCLUDING SOS (entropy data excluded),
+    skipping standalone markers; stops at EOI. Every framing rule — the
+    SOI gate, fill-byte handling, the non-marker-byte guard, segment
+    extents — lives HERE, the one walker every JPEG parser in this module
+    shares (so the metadata and EXIF paths cannot diverge in what they
+    accept as a well-formed stream)."""
     if not is_jpeg(payload):
         raise ValueError("not a JPEG (missing SOI marker)")
     n = len(payload)
     pos = 2
-    dens_x = dens_y = 0
-    sof: tuple[int, int, int, int, bool] | None = None
     while pos < n:
-        # skip fill bytes: the standard allows any number of 0xFF padding
-        # bytes before a marker
         if payload[pos] != 0xFF:
-            raise ValueError(f"expected marker at byte {pos}, found 0x{payload[pos]:02x}")
+            raise ValueError(
+                f"expected marker at byte {pos}, found 0x{payload[pos]:02x}"
+            )
+        # the standard allows any number of 0xFF fill bytes before a marker
         while pos < n and payload[pos] == 0xFF:
             pos += 1
         if pos >= n:
             raise ValueError("truncated marker stream")
         marker = payload[pos]
         pos += 1
-        if marker == 0xD9:  # EOI before any SOF
-            break
+        if marker == 0xD9:  # EOI
+            return
         if marker in _STANDALONE:
             continue
         if pos + 2 > n:
@@ -75,11 +76,38 @@ def parse_jpeg_meta(payload: bytes) -> tuple[int, int, int, int, bool, int, int]
                 f"segment 0x{marker:02x} declares {seg_len} bytes, "
                 f"payload holds {n - pos}"
             )
-        body = payload[pos + 2 : pos + seg_len]
+        yield marker, payload[pos + 2 : pos + seg_len]
+        if marker == 0xDA:  # SOS: entropy data follows — headers are done
+            return
+        pos += seg_len
+
+
+def parse_jpeg_meta(payload: bytes) -> tuple[int, int, int, int, bool, int, int]:
+    """Walk the marker stream up to SOS and return
+    ``(width, height, n_components, precision, progressive, density_x,
+    density_y)``. Density comes from the APP0 JFIF segment (0 when absent);
+    dimensions/precision/components from the first SOFn. Raises ValueError
+    on truncation, a missing SOF, or any segment overrunning the payload."""
+    meta, _exif = _parse_headers(payload)
+    return meta
+
+
+def _parse_headers(
+    payload: bytes,
+) -> tuple[tuple[int, int, int, int, bool, int, int], bytes | None]:
+    """ONE walk collecting the frame metadata AND the first EXIF APP1 TIFF
+    block (None when absent) — the hot-path entry the Arrow extractor uses
+    so headers are scanned once, not once per fact."""
+    dens_x = dens_y = 0
+    sof: tuple[int, int, int, int, bool] | None = None
+    exif: bytes | None = None
+    for marker, body in _iter_segments(payload):
         if marker == 0xE0 and body[:5] == b"JFIF\x00":
             if len(body) < 12:
                 raise ValueError("JFIF APP0 body truncated")
             dens_x, dens_y = struct.unpack(">2H", body[8:12])
+        elif marker == 0xE1 and body[:6] == b"Exif\x00\x00" and exif is None:
+            exif = body[6:]
         elif marker in _SOF_MARKERS:
             if len(body) < 6:
                 raise ValueError("SOF body truncated")
@@ -87,15 +115,73 @@ def parse_jpeg_meta(payload: bytes) -> tuple[int, int, int, int, bool, int, int]
             if len(body) < 6 + 3 * n_comp:
                 raise ValueError("SOF component table truncated")
             sof = (width, height, n_comp, precision, marker in _PROGRESSIVE_SOFS)
-        elif marker == 0xDA:  # SOS: entropy data follows — metadata is done
+        elif marker == 0xDA:
             if sof is None:
                 raise ValueError("SOS before any SOF frame header")
             break
-        pos += seg_len
     if sof is None:
         raise ValueError("no SOF frame header in marker stream")
     w, h, n_comp, precision, progressive = sof
-    return w, h, n_comp, precision, progressive, dens_x, dens_y
+    return (w, h, n_comp, precision, progressive, dens_x, dens_y), exif
+
+
+def parse_jpeg_meta_exif(
+    payload: bytes, *, exif_errors: str = "null"
+) -> tuple[int, int, int, int, bool, int, int, int | None]:
+    """The extractor entry: one header walk returning the
+    :func:`parse_jpeg_meta` tuple plus the EXIF orientation (None when
+    absent). ``exif_errors='null'`` (default) degrades a CORRUPT EXIF
+    block to orientation=None — the dims/density that parsed fine must
+    not be discarded because an optional field is broken (real encoders
+    ship nonstandard EXIF constantly); 'fail' keeps the strict contract
+    of :func:`parse_exif_orientation`."""
+    if exif_errors not in ("null", "fail"):
+        raise ValueError(f"exif_errors must be null|fail, got {exif_errors!r}")
+    meta, exif = _parse_headers(payload)
+    orientation: int | None = None
+    if exif is not None:
+        try:
+            orientation = _tiff_orientation(exif)
+        except ValueError:
+            if exif_errors == "fail":
+                raise
+    return (*meta, orientation)
+
+
+def _tiff_orientation(tiff: bytes) -> int | None:
+    """Orientation tag (0x0112) from a TIFF block (the APP1 body after
+    'Exif\\x00\\x00'): byte-order mark, magic, IFD0 entry count, and every
+    read bounds-checked against the block. Returns None when the tag is
+    absent; raises ValueError on corruption."""
+    if len(tiff) < 8:
+        raise ValueError("EXIF TIFF header truncated")
+    if tiff[:2] == b"II":
+        endian = "<"
+    elif tiff[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError(f"EXIF byte-order mark {tiff[:2]!r}")
+    magic, ifd_off = struct.unpack(endian + "HI", tiff[2:8])
+    if magic != 42:
+        raise ValueError(f"EXIF TIFF magic {magic} != 42")
+    if ifd_off + 2 > len(tiff):
+        raise ValueError("EXIF IFD offset overruns segment")
+    (n_entries,) = struct.unpack(endian + "H", tiff[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n_entries > len(tiff):
+        raise ValueError(
+            f"EXIF IFD declares {n_entries} entries beyond the segment"
+        )
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(endian + "HHI", tiff[e : e + 8])
+        if tag == 0x0112:
+            if typ != 3 or cnt != 1:  # SHORT, one value
+                raise ValueError(f"orientation tag has type {typ} count {cnt}")
+            (val,) = struct.unpack(endian + "H", tiff[e + 8 : e + 10])
+            if not 1 <= val <= 8:
+                raise ValueError(f"orientation {val} outside 1-8")
+            return val
+    return None  # EXIF present, orientation absent
 
 
 def parse_exif_orientation(payload: bytes) -> int | None:
@@ -104,66 +190,15 @@ def parse_exif_orientation(payload: bytes) -> int | None:
     1-8 per TIFF 6.0; a mirrored/rotated capture whose pixels are fed
     as-stored silently trains on rotated images). Returns None when no
     EXIF APP1 / no orientation tag is present; raises ValueError on a
-    corrupt TIFF block (bounds-checked IFD walk — entry counts and every
-    offset are validated against the segment extent before reading)."""
-    import struct
-
-    if not is_jpeg(payload):
-        raise ValueError("not a JPEG (missing SOI marker)")
-    n = len(payload)
-    pos = 2
-    while pos < n:
-        while pos < n and payload[pos] == 0xFF:
-            pos += 1
-        if pos >= n:
+    corrupt stream or TIFF block — the walk shares :func:`_iter_segments`'
+    framing rules, so this parser rejects exactly what
+    :func:`parse_jpeg_meta` rejects (the lenient per-field degrade lives
+    in :func:`parse_jpeg_meta_exif`)."""
+    for marker, body in _iter_segments(payload):
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            return _tiff_orientation(body[6:])
+        if marker == 0xDA:
             break
-        marker = payload[pos]
-        pos += 1
-        if marker == 0xD9 or marker == 0xDA:  # EOI / entropy data: no EXIF
-            break
-        if marker in _STANDALONE:
-            continue
-        if pos + 2 > n:
-            raise ValueError("truncated segment length")
-        seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
-        if seg_len < 2 or pos + seg_len > n:
-            raise ValueError(f"segment 0x{marker:02x} overruns payload")
-        body = payload[pos + 2 : pos + seg_len]
-        pos += seg_len
-        if marker != 0xE1 or body[:6] != b"Exif\x00\x00":
-            continue
-        tiff = body[6:]
-        if len(tiff) < 8:
-            raise ValueError("EXIF TIFF header truncated")
-        if tiff[:2] == b"II":
-            endian = "<"
-        elif tiff[:2] == b"MM":
-            endian = ">"
-        else:
-            raise ValueError(f"EXIF byte-order mark {tiff[:2]!r}")
-        magic, ifd_off = struct.unpack(endian + "HI", tiff[2:8])
-        if magic != 42:
-            raise ValueError(f"EXIF TIFF magic {magic} != 42")
-        if ifd_off + 2 > len(tiff):
-            raise ValueError("EXIF IFD offset overruns segment")
-        (n_entries,) = struct.unpack(endian + "H", tiff[ifd_off : ifd_off + 2])
-        if ifd_off + 2 + 12 * n_entries > len(tiff):
-            raise ValueError(
-                f"EXIF IFD declares {n_entries} entries beyond the segment"
-            )
-        for i in range(n_entries):
-            e = ifd_off + 2 + 12 * i
-            tag, typ, cnt = struct.unpack(endian + "HHI", tiff[e : e + 8])
-            if tag == 0x0112:
-                if typ != 3 or cnt != 1:  # SHORT, one value
-                    raise ValueError(
-                        f"orientation tag has type {typ} count {cnt}"
-                    )
-                (val,) = struct.unpack(endian + "H", tiff[e + 8 : e + 10])
-                if not 1 <= val <= 8:
-                    raise ValueError(f"orientation {val} outside 1-8")
-                return val
-        return None  # EXIF present, orientation absent
     return None
 
 

@@ -132,12 +132,14 @@ def attach_jpeg_payload(df: DataFrame, text_col: str = "text", id_col: str = "do
 def extract_jpeg_metadata(binary_df: DataFrame, *, errors: str = "fail") -> DataFrame:
     """Full JPEG header extraction over Arrow batches: dimensions, component
     count, sample precision, progressive flag, JFIF pixel density, and the
-    EXIF orientation (NULL when absent — the rotation a pipeline must
-    normalize before resize) — the metadata a corpus curator
-    filters/buckets images by without any pixel decode. ``errors='skip'``
-    drops undecodable payloads (the multimodal error vocabulary); 'fail'
-    raises."""
-    from .jpeg import parse_exif_orientation, parse_jpeg_meta
+    EXIF orientation (NULL when absent OR when the optional EXIF block is
+    corrupt — real encoders ship nonstandard EXIF constantly, and a broken
+    optional field must not discard the dims/density that parsed fine) —
+    the metadata a corpus curator filters/buckets images by without any
+    pixel decode. One header walk per payload (``parse_jpeg_meta_exif``).
+    ``errors='skip'`` drops payloads whose REQUIRED headers are
+    undecodable (the multimodal error vocabulary); 'fail' raises."""
+    from .jpeg import parse_jpeg_meta_exif
 
     if errors not in ("fail", "skip"):
         raise ValueError(f"errors must be fail|skip, got {errors!r}")
@@ -147,9 +149,9 @@ def extract_jpeg_metadata(binary_df: DataFrame, *, errors: str = "fail") -> Data
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    raw = bytes(payload)
-                    w, h, nc, prec, prog, dx, dy = parse_jpeg_meta(raw)
-                    orient = parse_exif_orientation(raw)
+                    w, h, nc, prec, prog, dx, dy, orient = parse_jpeg_meta_exif(
+                        bytes(payload)
+                    )
                 except (ValueError, IndexError, _struct.error):
                     if errors == "fail":
                         raise

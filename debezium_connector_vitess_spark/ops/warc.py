@@ -23,7 +23,6 @@ environment.
 
 from __future__ import annotations
 
-import struct as _struct  # noqa: F401  (parity with sibling modules' error tuple)
 import zlib
 from collections.abc import Iterator
 
@@ -38,27 +37,37 @@ def is_gzip(payload: bytes) -> bool:
     return len(payload) >= 2 and payload[:2] == b"\x1f\x8b"
 
 
-def split_gzip_members(payload: bytes, *, max_member_bytes: int = 1 << 30) -> list[bytes]:
-    """Decompress a concatenation of gzip members (the .warc.gz layout) into
-    one bytes object per member. ``max_member_bytes`` caps each member's
-    DECOMPRESSED size — a crafted bomb raises instead of allocating."""
-    out: list[bytes] = []
+def iter_gzip_members(
+    payload: bytes, *, max_member_bytes: int = 1 << 30
+) -> Iterator[bytes]:
+    """Decompress a concatenation of gzip members (the .warc.gz layout),
+    yielding one bytes object per member AS DECODED — so a caller can keep
+    the valid prefix when a later member is torn. ``max_member_bytes``
+    caps each member's DECOMPRESSED size — a crafted bomb raises instead
+    of allocating (asking for cap+1 makes a member of exactly the cap
+    legal)."""
     rest = payload
     while rest:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            chunk = d.decompress(rest, max_member_bytes)
+            chunk = d.decompress(rest, max_member_bytes + 1)
         except zlib.error as e:
-            raise ValueError(f"corrupt gzip member at offset {len(payload) - len(rest)}: {e}")
+            raise ValueError(
+                f"corrupt gzip member at offset {len(payload) - len(rest)}: {e}"
+            )
+        if len(chunk) > max_member_bytes:
+            raise ValueError(
+                f"gzip member exceeds max_member_bytes={max_member_bytes}"
+            )
         if not d.eof:
-            if d.unconsumed_tail:
-                raise ValueError(
-                    f"gzip member exceeds max_member_bytes={max_member_bytes}"
-                )
             raise ValueError("truncated gzip member")
-        out.append(chunk)
+        yield chunk
         rest = d.unused_data
-    return out
+
+
+def split_gzip_members(payload: bytes, *, max_member_bytes: int = 1 << 30) -> list[bytes]:
+    """Eager list form of :func:`iter_gzip_members`."""
+    return list(iter_gzip_members(payload, max_member_bytes=max_member_bytes))
 
 
 def _parse_header_block(buf: bytes, pos: int) -> tuple[str, dict[str, str], int]:
@@ -73,22 +82,35 @@ def _parse_header_block(buf: bytes, pos: int) -> tuple[str, dict[str, str], int]
     lines = buf[pos:end].split(b"\r\n")
     first = lines[0].decode("utf-8", errors="replace")
     headers: dict[str, str] = {}
+    last_key: str | None = None
     for raw in lines[1:]:
+        if raw[:1] in (b" ", b"\t"):
+            # obs-fold continuation (RFC 7230 §3.2.4 — still present in
+            # older web captures): append to the previous header's value
+            if last_key is None:
+                raise ValueError(f"header continuation with no header {raw[:80]!r}")
+            headers[last_key] += " " + raw.decode("utf-8", errors="replace").strip()
+            continue
         name, sep, value = raw.partition(b":")
         if not sep:
             raise ValueError(f"malformed header line {raw[:80]!r}")
-        headers[name.decode("utf-8", errors="replace").strip().lower()] = (
-            value.decode("utf-8", errors="replace").strip()
-        )
+        last_key = name.decode("utf-8", errors="replace").strip().lower()
+        headers[last_key] = value.decode("utf-8", errors="replace").strip()
     return first, headers, end + 4
 
 
 def parse_warc_records(payload: bytes) -> list[tuple[dict[str, str], bytes]]:
-    """Parse plain (non-gzip) WARC bytes into [(headers, content)] — headers
-    lower-cased, content exactly ``Content-Length`` bytes. Validates the
-    WARC/1.x version line, bounds every Content-Length against the
-    remaining payload, and requires the CRLFCRLF record separator."""
-    records: list[tuple[dict[str, str], bytes]] = []
+    """Eager list form of :func:`iter_warc_records`."""
+    return list(iter_warc_records(payload))
+
+
+def iter_warc_records(payload: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Parse plain (non-gzip) WARC bytes into (headers, content) pairs —
+    headers lower-cased, content exactly ``Content-Length`` bytes,
+    YIELDED as decoded so a caller can keep the valid prefix when a later
+    record is torn. Validates the WARC/1.x version line, bounds every
+    Content-Length against the remaining payload, and requires the
+    CRLFCRLF record separator."""
     pos, n = 0, len(payload)
     while pos < n:
         first, headers, body = _parse_header_block(payload, pos)
@@ -106,21 +128,26 @@ def parse_warc_records(payload: bytes) -> list[tuple[dict[str, str], bytes]]:
             raise ValueError(
                 f"Content-Length {clen} overruns payload ({n - body} bytes left)"
             )
-        records.append((headers, payload[body : body + clen]))
-        pos = body + clen
-        if payload[pos : pos + 4] != b"\r\n\r\n":
-            raise ValueError(f"missing record separator at offset {pos}")
-        pos += 4
-    return records
+        end = body + clen
+        if payload[end : end + 4] != b"\r\n\r\n":
+            raise ValueError(f"missing record separator at offset {end}")
+        yield headers, payload[body:end]
+        pos = end + 4
 
 
 def _dechunk(body: bytes) -> bytes:
-    """Minimal HTTP/1.1 chunked-transfer decoding (hex size lines), bounds-
-    checked — captures sometimes store the raw chunked stream."""
+    """Minimal HTTP/1.1 chunked-transfer decoding (hex size lines, chunk
+    extensions after ';' ignored), bounds-checked — captures sometimes
+    store the raw chunked stream. Every frame byte is validated: a missing
+    trailing CRLF raises rather than silently yielding a body from a
+    structurally broken stream."""
     out = bytearray()
     pos, n = 0, len(body)
     while True:
-        eol = body.find(b"\r\n", pos, pos + 18)
+        # size line: hex digits + optional ';extension' — cap the search so
+        # garbage can't force an O(n) scan per bogus line, but keep room
+        # for legal extensions (the 1 KiB bound is far above real captures)
+        eol = body.find(b"\r\n", pos, min(n, pos + 1024))
         if eol < 0:
             raise ValueError("chunked body: missing size line")
         size_str = body[pos:eol].split(b";", 1)[0]
@@ -133,8 +160,10 @@ def _dechunk(body: bytes) -> bytes:
             return bytes(out)
         if pos + size + 2 > n:
             raise ValueError(f"chunk of {size} bytes overruns body")
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("chunked body: chunk data not CRLF-terminated")
         out += body[pos : pos + size]
-        pos += size + 2  # trailing CRLF
+        pos += size + 2
 
 
 def http_response_parts(content: bytes) -> tuple[int, dict[str, str], bytes]:
@@ -172,57 +201,78 @@ def warc_records(
     payload) into one row per record of the requested ``record_types``,
     with the HTTP envelope split off response records: (doc_id, record_idx,
     warc_type, target_uri, warc_date, http_status, content_type, body).
-    ``errors='skip'`` drops undecodable payloads (the multimodal error
-    vocabulary).
+
+    Error containment (``errors='skip'``): framing is sequential, so a
+    torn record truncates what is REACHABLE after it — skip keeps every
+    record decoded BEFORE the failure. In the per-record-gzip layout a
+    member whose WARC CONTENT is corrupt loses only its own records —
+    member boundaries come from the gzip framing, so later members still
+    decode (the containment that layout provides); a torn gzip STREAM
+    ends the member chain (the next boundary is unknowable), and a
+    plain-WARC payload keeps its decodable prefix only. ``errors='fail'``
+    raises on the first failure either way.
 
     Scale: Arrow-batched mapInPandas over (id, payload) — the ingest seam
     of a Common Crawl pipeline; downstream is ``html_to_text_expr`` over
-    the decoded body and the cleaning ladder (see PIPELINES.md §1).
-    Per-record-gzip members decompress independently, so a pathological
-    member is contained to its record's ValueError."""
+    the decoded body and the cleaning ladder (see PIPELINES.md §1)."""
     if errors not in ("fail", "skip"):
         raise ValueError(f"errors must be fail|skip, got {errors!r}")
     wanted = tuple(t.lower() for t in record_types)
 
-    def decode_one(payload: bytes) -> list[tuple]:
+    def shape(i: int, h: dict, content: bytes) -> tuple | None:
+        wtype = h.get("warc-type", "").lower()
+        if wtype not in wanted:
+            return None
+        status, ctype, body = None, None, content
+        if wtype == "response":
+            status, hh, body = http_response_parts(content)
+            ctype = hh.get("content-type")
+        return (
+            i, wtype, h.get("warc-target-uri"), h.get("warc-date"),
+            status, ctype, body,
+        )
+
+    def decode_prefix(payload: bytes) -> tuple[list[tuple], Exception | None]:
+        rows: list[tuple] = []
+        first_err: Exception | None = None
+        idx = 0
         if is_gzip(payload):
-            records = []
-            for member in split_gzip_members(payload):
-                records.extend(parse_warc_records(member))
+            members = iter_gzip_members(payload)
+            while True:
+                try:
+                    member = next(members)
+                except StopIteration:
+                    break
+                except (ValueError, IndexError) as e:
+                    # the member CHAIN is torn: nothing after is framable
+                    first_err = first_err or e
+                    break
+                try:
+                    for h, content in iter_warc_records(member):
+                        r = shape(idx, h, content)
+                        idx += 1
+                        if r is not None:
+                            rows.append(r)
+                except (ValueError, IndexError) as e:
+                    first_err = first_err or e  # next member still decodes
         else:
-            records = parse_warc_records(payload)
-        rows = []
-        for i, (h, content) in enumerate(records):
-            wtype = h.get("warc-type", "").lower()
-            if wtype not in wanted:
-                continue
-            status, ctype, body = None, None, content
-            if wtype == "response":
-                status, hh, body = http_response_parts(content)
-                ctype = hh.get("content-type")
-            rows.append(
-                (
-                    i,
-                    wtype,
-                    h.get("warc-target-uri"),
-                    h.get("warc-date"),
-                    status,
-                    ctype,
-                    body,
-                )
-            )
-        return rows
+            try:
+                for h, content in iter_warc_records(payload):
+                    r = shape(idx, h, content)
+                    idx += 1
+                    if r is not None:
+                        rows.append(r)
+            except (ValueError, IndexError) as e:
+                first_err = e
+        return rows, first_err
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                try:
-                    decoded = decode_one(bytes(payload))
-                except (ValueError, IndexError):
-                    if errors == "fail":
-                        raise
-                    continue
+                decoded, err = decode_prefix(bytes(payload))
+                if err is not None and errors == "fail":
+                    raise err
                 rows.extend((int(did), *r) for r in decoded)
             yield pd.DataFrame(
                 rows,
@@ -234,6 +284,56 @@ def warc_records(
 
     return binary_df.select(id_col, payload_col).mapInPandas(
         op, schema=WARC_RECORD_SCHEMA
+    )
+
+
+def attach_warc_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_chars: int | None = None,
+    second_page: bool = False,
+) -> DataFrame:
+    """Deterministic per-doc WARC fixture payloads (the PNG/MP4 attach
+    convention, shared by the registry row / scale smoke / tests so their
+    generation formulas cannot drift): one response page whose html wraps
+    the doc text (``'<html><body><p>' + text + '</p></body></html>'``,
+    optionally truncated to ``max_chars``), every 2nd doc in the
+    per-record-gzip layout, every 3rd with a chunked HTTP body;
+    ``second_page=True`` adds a constant second request/response pair at
+    ``<url>/2``."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                text = t if t is not None else ""
+                if max_chars is not None:
+                    text = text[:max_chars]
+                pages = [(
+                    f"https://ex/{did}",
+                    "<html><body><p>" + text + "</p></body></html>",
+                )]
+                if second_page:
+                    pages.append((
+                        f"https://ex/{did}/2",
+                        "<html><body><p>second page</p></body></html>",
+                    ))
+                payloads.append(
+                    make_warc(
+                        did, pages,
+                        gzip_records=did % 2 == 0,
+                        chunked_every=1 if did % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        op, schema="doc_id long, payload binary"
     )
 
 

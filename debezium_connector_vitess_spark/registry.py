@@ -4675,34 +4675,9 @@ def url_ops(
             null_s.alias("url"), null_s.alias("canon"), "domain",
         ))
     if "warc" in sides:
-        from .ops.warc import make_warc, warc_records
+        from .ops.warc import attach_warc_payload, warc_records
 
-        def attach(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                payloads = [
-                    make_warc(
-                        int(did),
-                        [(
-                            f"https://ex/{int(did)}",
-                            "<html><body><p>"
-                            + (t if t is not None else "")
-                            + "</p></body></html>",
-                        )],
-                        gzip_records=did % 2 == 0,
-                        chunked_every=1 if did % 3 == 0 else 0,
-                    )
-                    for did, t in zip(pdf["doc_id"], pdf["text"])
-                ]
-                yield pd.DataFrame(
-                    {"doc_id": pdf["doc_id"].astype("int64"),
-                     "payload": payloads}
-                )
-
-        warcs = docs.select("doc_id", "text").mapInPandas(
-            attach, schema="doc_id long, payload binary"
-        )
+        warcs = attach_warc_payload(docs)
         parts.append(warc_records(warcs).select(
             F.lit("warc").alias("side"), "doc_id",
             F.col("target_uri").alias("url"),

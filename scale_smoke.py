@@ -405,32 +405,13 @@ def main() -> None:
     # r9: WARC ingest seam — fixture generation + record grammar + gzip
     # member chaining + HTTP envelope split across one Arrow seam pair;
     # output rows scale with pages, payload bytes never join or shuffle
-    from debezium_connector_vitess_spark.ops.warc import make_warc, warc_records
+    from debezium_connector_vitess_spark.ops.warc import (
+        attach_warc_payload,
+        warc_records,
+    )
 
     def warc_op(d):
-        def attach(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                payloads = [
-                    make_warc(
-                        int(did),
-                        [(f"https://ex/{int(did)}",
-                          "<p>" + (t or "")[:200] + "</p>")],
-                        gzip_records=did % 2 == 0,
-                    )
-                    for did, t in zip(pdf["doc_id"], pdf["text"])
-                ]
-                yield pd.DataFrame(
-                    {"doc_id": pdf["doc_id"].astype("int64"),
-                     "payload": payloads}
-                )
-
-        return warc_records(
-            d.select("doc_id", "text").mapInPandas(
-                attach, schema="doc_id long, payload binary"
-            )
-        )
+        return warc_records(attach_warc_payload(d, max_chars=200))
 
     results: dict[str, dict] = {}
     all_ops = (

@@ -1159,31 +1159,15 @@ def test_warc_records_spark(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from debezium_connector_vitess_spark.ops.text import html_to_text_expr
-    from debezium_connector_vitess_spark.ops.warc import make_warc, warc_records
+    from debezium_connector_vitess_spark.ops.warc import (
+        attach_warc_payload,
+        warc_records,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     ).limit(30)
-
-    def attach(pdf_iter):
-        import pandas as pd
-
-        for pdf in pdf_iter:
-            payloads = [
-                make_warc(
-                    int(did),
-                    [(f"https://ex/{did}", f"<html><body><p>{(t or '')[:60]}</p></body></html>"),
-                     (f"https://ex/{did}/2", "<html><body><p>second page</p></body></html>")],
-                    gzip_records=did % 2 == 0,
-                    chunked_every=3 if did % 3 == 0 else 0,
-                )
-                for did, t in zip(pdf["doc_id"], pdf["text"])
-            ]
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
-            )
-
-    warcs = docs.mapInPandas(attach, schema="doc_id long, payload binary")
+    warcs = attach_warc_payload(docs, max_chars=60, second_page=True)
     rows = warc_records(warcs).collect()
     per_doc: dict = {}
     for r in rows:
@@ -1216,6 +1200,29 @@ def test_warc_records_spark(spark, sf_dir):
     assert warc_records(corrupt, errors="skip").count() == 0
     with _pytest.raises(ValueError, match="errors"):
         warc_records(corrupt, errors="nope")
+    # per-member containment: corrupt ONE member's WARC content inside a
+    # .warc.gz payload — skip keeps the records of every OTHER member
+    import zlib
+
+    from debezium_connector_vitess_spark.ops.warc import (
+        make_warc,
+        split_gzip_members,
+    )
+
+    gz = make_warc(2, [("https://ex/2", "<p>a</p>"),
+                       ("https://ex/2/2", "<p>b</p>")], gzip_records=True)
+    members = split_gzip_members(gz)  # info, req0, resp0, req1, resp1
+    members[2] = members[2][:-6]  # tear resp0's WARC framing
+    rebuilt = b""
+    for m in members:
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        rebuilt += co.compress(m) + co.flush()
+    one = spark.createDataFrame([(2, bytearray(rebuilt))],
+                                "doc_id long, payload binary")
+    kept = warc_records(one, errors="skip").collect()
+    assert [r["target_uri"] for r in kept] == ["https://ex/2/2"]
+    with _pytest.raises(Exception):
+        warc_records(one, errors="fail").collect()
 
 
 def test_exif_orientation_parse():
