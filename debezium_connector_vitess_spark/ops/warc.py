@@ -140,7 +140,11 @@ def _dechunk(body: bytes) -> bytes:
     extensions after ';' ignored), bounds-checked — captures sometimes
     store the raw chunked stream. Every frame byte is validated: a missing
     trailing CRLF raises rather than silently yielding a body from a
-    structurally broken stream."""
+    structurally broken stream. After the last (0-size) chunk, trailer
+    header lines (RFC 7230 §4.1.2) are parsed and DISCARDED up to the
+    terminating empty line — a capture with trailers still frames
+    correctly, and a body that ends mid-trailer raises like any other
+    truncation."""
     out = bytearray()
     pos, n = 0, len(body)
     while True:
@@ -157,7 +161,14 @@ def _dechunk(body: bytes) -> bytes:
             raise ValueError(f"chunked body: bad size line {size_str[:20]!r}")
         pos = eol + 2
         if size == 0:
-            return bytes(out)
+            # trailer-part: zero or more header lines, then the final CRLF
+            while True:
+                eol = body.find(b"\r\n", pos)
+                if eol < 0:
+                    raise ValueError("chunked body: missing trailer terminator")
+                if eol == pos:  # empty line ends the trailer-part
+                    return bytes(out)
+                pos = eol + 2
         if pos + size + 2 > n:
             raise ValueError(f"chunk of {size} bytes overruns body")
         if body[pos + size : pos + size + 2] != b"\r\n":
@@ -201,6 +212,13 @@ def warc_records(
     payload) into one row per record of the requested ``record_types``,
     with the HTTP envelope split off response records: (doc_id, record_idx,
     warc_type, target_uri, warc_date, http_status, content_type, body).
+
+    ``record_idx`` is the record's position within the WHOLE payload —
+    every record counts, including warcinfo/request records the
+    ``record_types`` filter drops — so emitted values are SPARSE after
+    filtering (e.g. responses in the standard info/req/resp layout carry
+    idx 2, 4, 6, …). It is a stable within-payload coordinate for joining
+    back to the capture, not a dense output ordinal.
 
     Error containment (``errors='skip'``): framing is sequential, so a
     torn record truncates what is REACHABLE after it — skip keeps every

@@ -1149,6 +1149,17 @@ def test_warc_roundtrip_and_containment(spark):
         http_response_parts(
             b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nshort"
         )
+    # trailer-bearing chunked body (RFC 7230 §4.1.2): trailer header lines
+    # after the 0-size chunk are parsed and discarded; a body ending
+    # mid-trailer raises the containable ValueError
+    head = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+    trailered = head + b"5\r\nhello\r\n0\r\nX-Checksum: abc\r\nX-Len: 5\r\n\r\n"
+    status, _hh, body = http_response_parts(trailered)
+    assert status == 200 and body == b"hello"
+    with _pytest.raises(ValueError, match="trailer terminator"):
+        http_response_parts(head + b"5\r\nhello\r\n0\r\nX-Checksum: abc\r\n")
+    with _pytest.raises(ValueError, match="trailer terminator"):
+        http_response_parts(head + b"5\r\nhello\r\n0\r\n")
 
 
 def test_warc_records_spark(spark, sf_dir):
