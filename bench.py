@@ -84,11 +84,17 @@ HEADLINE = [
 # a partitioned parquet write — plus the disk probe), so its total is no
 # longer the three in-memory strategies' cost; per-leg numbers live in
 # BENCH_DETAILS.side_attempts. value_core is 9 queries from r9 on.
+# multimodal_metadata left in r10: it gained side='jpeg' (a second attach +
+# extract seam over the corpus), so its total is no longer the combined
+# PNG/WAV/AVI extractor's cost; per-leg numbers live in side_attempts.
+# dedup_minhash_lsh also left in r10: it gained side='stream' (checkpointed
+# streaming replay with fixed availableNow startup). value_core is 7
+# queries from r10 on — cross-round comparisons should be canary-normalized
+# per-query (see the canary block below) rather than lean on the total.
 CORE = [
     "cdc_extract_new_state", "cdc_materialize", "tx_metadata",
-    "pricing_summary", "revenue_by_nation",
-    "dedup_minhash_lsh", "dedup_clusters",
-    "multimodal_metadata", "decontaminate_eval",
+    "pricing_summary", "revenue_by_nation", "dedup_clusters",
+    "decontaminate_eval",
 ]
 
 

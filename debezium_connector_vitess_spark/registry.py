@@ -48,6 +48,7 @@ SIDES: dict[str, tuple[str, ...]] = {
     "ann_topk": ("brute", "lsh", "ivf", "indexed"),
     "corpus_health": ("batch", "stream"),
     "url_ops": ("canon", "blocklist", "warc"),
+    "multimodal_metadata": ("core", "jpeg"),
 }
 
 
@@ -2257,7 +2258,7 @@ def ann_topk(
              (8 + octet_length(encode(text)) % 24)::INT AS width,
              (8 + (octet_length(encode(text)) // 2) % 24)::INT AS height
       FROM documents)
-    SELECT d.doc_id,
+    SELECT 'core' AS side, d.doc_id,
            img.width, img.height, 3 AS channels,
            224 AS target_w, 224 AS target_h,
            least(224.0 / img.width, 224.0 / img.height) AS scale,
@@ -2273,11 +2274,46 @@ def ann_topk(
            (10 + (d.doc_id % 3) * 5)::INT AS fps,
            ((4 + octet_length(encode(d.text)) % 28) * 1000
             // (10 + (d.doc_id % 3) * 5))::BIGINT AS video_ms,
-           ((4 + octet_length(encode(d.text)) % 28) + 4) // 5 AS sampled_frames
+           ((4 + octet_length(encode(d.text)) % 28) + 4) // 5 AS sampled_frames,
+           CAST(NULL AS INTEGER) AS "precision",
+           CAST(NULL AS BOOLEAN) AS progressive,
+           CAST(NULL AS INTEGER) AS density_x,
+           CAST(NULL AS INTEGER) AS density_y,
+           CAST(NULL AS INTEGER) AS orientation
     FROM documents d JOIN img USING (doc_id)
+    UNION ALL
+    SELECT 'jpeg' AS side, d.doc_id,
+           (8 + octet_length(encode(d.text)) % 32)::INT AS width,
+           (8 + (octet_length(encode(d.text)) // 3) % 32)::INT AS height,
+           (CASE WHEN d.doc_id % 7 = 0 THEN 1 ELSE 3 END)::INT AS channels,
+           CAST(NULL AS INTEGER) AS target_w,
+           CAST(NULL AS INTEGER) AS target_h,
+           CAST(NULL AS DOUBLE) AS scale,
+           CAST(NULL AS BIGINT) AS n_samples,
+           CAST(NULL AS INTEGER) AS framerate,
+           CAST(NULL AS INTEGER) AS audio_channels,
+           CAST(NULL AS INTEGER) AS sampwidth,
+           CAST(NULL AS BIGINT) AS audio_ms,
+           CAST(NULL AS INTEGER) AS n_frames,
+           CAST(NULL AS INTEGER) AS frame_w,
+           CAST(NULL AS INTEGER) AS frame_h,
+           CAST(NULL AS INTEGER) AS fps,
+           CAST(NULL AS BIGINT) AS video_ms,
+           CAST(NULL AS BIGINT) AS sampled_frames,
+           8 AS "precision",
+           d.doc_id % 5 = 0 AS progressive,
+           (72 + (d.doc_id % 4) * 24)::INT AS density_x,
+           (72 + (d.doc_id % 3) * 36)::INT AS density_y,
+           CASE WHEN d.doc_id % 2 = 0 THEN (1 + d.doc_id % 8)::INT
+                ELSE CAST(NULL AS INTEGER) END AS orientation
+    FROM documents d
     """,
 )
-def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_metadata(
+    spark: SparkSession,
+    sf_dir: str,
+    sides: tuple[str, ...] = ("core", "jpeg"),
+) -> DataFrame:
     """REAL image + audio + video container decode end to end, one per-doc
     frame (the round-5 consolidation of the former multimodal_image/_wav/
     _video_metadata entries — same fixtures, same oracles, one driver row):
@@ -2303,14 +2339,62 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan and zero joins, versus three scans plus five doc_id joins for the
     per-modality composition. The per-modality attach_*/extract_* ops stay
     as the single-column library surfaces and share every decode helper
-    with the combined pass, so this row covers them all."""
+    with the combined pass, so this row covers them all.
+
+    side='jpeg' (round 10 — VERDICT r9 item #2): the JPEG/JFIF+EXIF header
+    walker (``ops/jpeg.py``) under the driver hash. Structurally-real JFIF
+    fixtures per doc (``encode_jpeg_shell``: dims from the text length,
+    component count / progressive SOF / JFIF density from the doc id, even
+    docs carrying a genuine EXIF APP1 orientation in alternating byte
+    order); ``extract_jpeg_metadata`` walks the actual marker stream and
+    the TIFF IFD over Arrow batches. The oracle replicates the generation
+    formulas, so a walker that misreads any segment — dims, precision,
+    density, the progressive SOF class, or the EXIF orientation in either
+    byte order — goes red. Same one-scan zero-join shape as the core side
+    (one attach seam + one extract seam)."""
     from .ops.multimodal import (
+        attach_jpeg_payload,
         attach_multimodal_payloads,
+        extract_jpeg_metadata,
         extract_multimodal_metadata,
     )
 
     docs = _documents(spark, sf_dir)
-    return extract_multimodal_metadata(attach_multimodal_payloads(docs))
+    ni = F.lit(None).cast("int")
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    nb = F.lit(None).cast("boolean")
+    parts: list[DataFrame] = []
+    if "core" in sides:
+        core = extract_multimodal_metadata(attach_multimodal_payloads(docs))
+        parts.append(core.select(
+            F.lit("core").alias("side"), "doc_id", "width", "height",
+            "channels", "target_w", "target_h", "scale", "n_samples",
+            "framerate", "audio_channels", "sampwidth", "audio_ms",
+            "n_frames", "frame_w", "frame_h", "fps", "video_ms",
+            "sampled_frames",
+            ni.alias("precision"), nb.alias("progressive"),
+            ni.alias("density_x"), ni.alias("density_y"),
+            ni.alias("orientation"),
+        ))
+    if "jpeg" in sides:
+        jm = extract_jpeg_metadata(attach_jpeg_payload(docs))
+        parts.append(jm.select(
+            F.lit("jpeg").alias("side"), "doc_id", "width", "height",
+            F.col("n_components").alias("channels"),
+            ni.alias("target_w"), ni.alias("target_h"), nd.alias("scale"),
+            nl.alias("n_samples"), ni.alias("framerate"),
+            ni.alias("audio_channels"), ni.alias("sampwidth"),
+            nl.alias("audio_ms"), ni.alias("n_frames"), ni.alias("frame_w"),
+            ni.alias("frame_h"), ni.alias("fps"), nl.alias("video_ms"),
+            nl.alias("sampled_frames"),
+            "precision", "progressive", "density_x", "density_y",
+            "orientation",
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 # ---------------------------------------------------------------------------

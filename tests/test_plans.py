@@ -179,18 +179,27 @@ def test_curation_pipeline_reads_materialized_base_once(spark, sf_dir):
 
 
 def test_multimodal_metadata_is_one_scan_no_joins(spark, sf_dir):
-    """The combined extractor is one payload seam + one decode seam over a
-    single scan — zero joins (the per-modality composition costs three
-    scans plus five doc_id joins)."""
+    """Each side of the combined extractor is one payload seam + one decode
+    seam over a single scan — zero joins (the per-modality composition
+    costs three scans plus five doc_id joins); the full two-side row is a
+    plain union (two scans, still zero joins)."""
     import re
 
-    plan = _formatted(QUERIES["multimodal_metadata"](spark, sf_dir))
-    # distinct scan NODES (formatted mode lists each node in the tree and
-    # again in the details section)
-    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    for side in ("core", "jpeg"):
+        plan = _formatted(
+            QUERIES["multimodal_metadata"](spark, sf_dir, sides=(side,))
+        )
+        # distinct scan NODES (formatted mode lists each node in the tree
+        # and again in the details section)
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1, side
+        for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                     "CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert join not in plan, (side, join)
+    full = _formatted(QUERIES["multimodal_metadata"](spark, sf_dir))
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", full))) == 2
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
-        assert join not in plan, join
+        assert join not in full, join
 
 
 def test_winnow_pairs_join_is_capped_equi_join(spark, sf_dir):
