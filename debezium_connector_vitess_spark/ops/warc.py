@@ -24,7 +24,7 @@ environment.
 from __future__ import annotations
 
 import zlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -312,6 +312,7 @@ def attach_warc_payload(
     *,
     max_chars: int | None = None,
     second_page: bool = False,
+    page_html_fn: "Callable[[int, str], str] | None" = None,
 ) -> DataFrame:
     """Deterministic per-doc WARC fixture payloads (the PNG/MP4 attach
     convention, shared by the registry row / scale smoke / tests so their
@@ -320,7 +321,9 @@ def attach_warc_payload(
     optionally truncated to ``max_chars``), every 2nd doc in the
     per-record-gzip layout, every 3rd with a chunked HTTP body;
     ``second_page=True`` adds a constant second request/response pair at
-    ``<url>/2``."""
+    ``<url>/2``. ``page_html_fn`` overrides the page formula with a caller
+    ``(doc_id, text) -> html`` (the curation row wraps the text in its own
+    richer page shape whose oracle mirror lives beside its SQL)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -330,10 +333,12 @@ def attach_warc_payload(
                 text = t if t is not None else ""
                 if max_chars is not None:
                     text = text[:max_chars]
-                pages = [(
-                    f"https://ex/{did}",
-                    "<html><body><p>" + text + "</p></body></html>",
-                )]
+                page = (
+                    page_html_fn(did, text)
+                    if page_html_fn is not None
+                    else "<html><body><p>" + text + "</p></body></html>"
+                )
+                pages = [(f"https://ex/{did}", page)]
                 if second_page:
                     pages.append((
                         f"https://ex/{did}/2",

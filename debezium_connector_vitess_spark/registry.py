@@ -4149,6 +4149,24 @@ def shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATION_BANNER = "subscribe to our newsletter for daily updates and offers"
 
+
+def _curation_page_html(doc_id: int, text: str) -> str:
+    """The curation row's crawl-page generation formula (Python side —
+    mirrored verbatim by the ``html`` CTE in ``_curation_oracle_sql``; keep
+    both in lockstep). Round 10 moves the page INSIDE a structurally-real
+    WARC capture (``attach_warc_payload(page_html_fn=...)``), so the driver
+    hash covers bytes → records → html → clean text, not just the regex
+    ladder."""
+    return (
+        "<html><head><script>var t=1;</script>"
+        "<style>.x{color:red}</style></head><body>"
+        f"<h1>Doc {doc_id}</h1>"
+        f"<p>{text}</p>"
+        f"<p>{_CURATION_BANNER}</p>"
+        + (f"<p>{text}</p>" if doc_id % 7 == 0 else "")
+        + "<!-- tracking --></body></html>"
+    )
+
 # DuckDB mirror of ops.text.html_to_text_expr (same regex chain; RE2 and
 # Java regex agree on every construct used — inline flags, lazy quantifiers,
 # classes). Applied to the column named `h`.
@@ -4294,23 +4312,26 @@ def _curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_token_budget,
     )
     from .ops.text import drop_duplicate_paragraphs, html_to_text_expr
+    from .ops.warc import attach_warc_payload, warc_records
 
     docs = _documents(spark, sf_dir)
-    html = F.concat(
-        F.lit(
-            '<html><head><script>var t=1;</script>'
-            '<style>.x{color:red}</style></head><body>'
-        ),
-        F.lit("<h1>Doc "), F.col("doc_id").cast("string"), F.lit("</h1>"),
-        F.lit("<p>"), F.col("text"), F.lit("</p>"),
-        F.lit(f"<p>{_CURATION_BANNER}</p>"),
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")),
-        ).otherwise(F.lit("")),
-        F.lit("<!-- tracking --></body></html>"),
+    # Stage 0 (round 10 — VERDICT r9 item #3): the Common Crawl ingest seam.
+    # Each doc's crawl page (_curation_page_html) is wrapped in a
+    # structurally-real WARC capture (every 2nd doc per-record-gzip, every
+    # 3rd with a chunked HTTP body), exploded by warc_records, and the
+    # DECODED response body is what the regex extraction ladder consumes —
+    # so the row's hash covers record grammar + gzip member chaining +
+    # chunked-transfer decode + HTTP envelope split END TO END with the
+    # cleaning ladder, not each stage in isolation. The oracle is unchanged:
+    # it rebuilds the page from the generation formula, so any byte the WARC
+    # path drops or mangles diverges the extracted text.
+    warcs = attach_warc_payload(docs, page_html_fn=_curation_page_html)
+    pages = warc_records(warcs).select(
+        "doc_id", F.col("body").cast("string").alias("html")
     )
-    extracted = docs.select("doc_id", html_to_text_expr(html).alias("text"))
+    extracted = pages.select(
+        "doc_id", html_to_text_expr(F.col("html")).alias("text")
+    )
     cleaned = drop_duplicate_paragraphs(extracted, "text", "doc_id", min_chars=20)
     base = cleaned.join(docs.select("doc_id", "source", "lang"), "doc_id")
     # materialize the cleaned corpus ONCE: five downstream stages (quality,
@@ -4369,8 +4390,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry item). Synthetic crawl pages are built deterministically from
     the documents table (script/style/comment noise, heading, the body
     paragraph, a shared boilerplate banner paragraph, and for every 7th doc
-    a duplicated body paragraph), then:
+    a duplicated body paragraph), wrapped in structurally-real WARC
+    captures (round 10), then:
 
+    0. WARC ingest — record grammar, per-record-gzip member chaining,
+       chunked-transfer decode, HTTP envelope split (``warc_records``);
+       the regex ladder consumes the DECODED response body, so the hash
+       covers bytes → clean text, the actual Common Crawl pipeline shape
+       (PIPELINES.md §1), not each stage in isolation;
     1. HTML → text extraction (codegen'd regex chain, map-only);
     2. corpus-level paragraph dedup — the banner survives only in the
        lowest doc, the 7th-doc duplicate body collapses intra-doc;
