@@ -50,6 +50,7 @@ SIDES: dict[str, tuple[str, ...]] = {
     "url_ops": ("canon", "blocklist", "warc"),
     "multimodal_metadata": ("core", "jpeg"),
     "multimodal_frame_index": ("index", "frames"),
+    "dedup_minhash_lsh": ("batch", "stream"),
 }
 
 
@@ -1737,17 +1738,130 @@ _ORACLE_JACCARD_PAIRS = f"""
 
 @register(
     "dedup_minhash_lsh",
-    oracle=_ORACLE_JACCARD_PAIRS + " WHERE inter_size * 5 >= union_size * 4",
+    oracle=f"""
+    SELECT 'batch' AS side, id_a, id_b,
+           inter_size::BIGINT AS inter_size, union_size::BIGINT AS union_size
+    FROM ({_ORACLE_JACCARD_PAIRS} WHERE inter_size * 5 >= union_size * 4)
+    UNION ALL
+    SELECT 'stream' AS side, CAST(NULL AS BIGINT) AS id_a,
+           (doc_id + 100000)::BIGINT AS id_b,
+           CAST(NULL AS BIGINT) AS inter_size, CAST(NULL AS BIGINT) AS union_size
+    FROM (SELECT doc_id, {_ORACLE_SHINGLES} AS shingles FROM documents) t
+    WHERE doc_id % 2 = 0 AND len(shingles) > 0
+    """,
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs at jaccard ≥ 0.8: banded signatures bucket
-    candidates (bounded join), exact shingle-Jaccard verifies. The oracle is
-    the brute-force ground truth — matching it demonstrates full recall at
-    this threshold."""
-    from .ops.dedup import minhash_dedup_pairs
+def dedup_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    sides: tuple[str, ...] = ("batch", "stream"),
+) -> DataFrame:
+    """MinHash+LSH near-dup detection, BOTH execution shapes in one row:
 
-    docs = _documents(spark, sf_dir)
-    return minhash_dedup_pairs(docs, "text", "doc_id", threshold_num=4, threshold_den=5)
+    side='batch' — near-dup pairs at jaccard ≥ 0.8: banded signatures
+    bucket candidates (bounded join), exact shingle-Jaccard verifies. The
+    oracle is the brute-force ground truth — matching it demonstrates full
+    recall at this threshold.
+
+    side='stream' (round 10 — VERDICT r9 item #5, the last major streaming
+    twin under the hard signal) — :func:`~.ops.dedup.minhash_dedup_stream`
+    over the bootstrap-then-ingest replay shape ``dedup_exact``
+    side='stream' established: micro-batch 0 seeds the LSH-bucket state
+    with the full original corpus; later micro-batches replay exact copies
+    of the even-id originals (ids +100000, split across files so
+    suppression provably crosses batch boundaries) plus genuinely-new
+    negative-control docs (ids 200000+). Candidates stream out per
+    colliding band with first-arrival attribution; the CANDIDATE sliver is
+    then batch-verified with exact shingle Jaccard at the SAME ≥0.8
+    threshold — the operator's documented composition (LSH precision is
+    bucket precision; exactness comes from verifying the flagged sliver,
+    which is candidate-count-sized, not corpus-sized). The row emits the
+    verified late-arrival DROP LIST: exactly the copies (every one must be
+    flagged — a copy shares ALL its original's buckets — and must verify),
+    never a fresh doc (they collide at most by chance and can never pass
+    verification). id_a/inter/union are NULL on this side: WHICH ≥0.8
+    partner a band's first arrival is depends on band geometry, so the
+    cross-engine contract is the verified membership set.
+
+    Scale: stream state is one long per non-empty bucket (bands × |docs|),
+    RocksDB-spillable; the verify join carries only the flagged sliver."""
+    import tempfile as _tempfile
+
+    from .ops.dedup import jaccard_pairs, minhash_dedup_pairs, minhash_dedup_stream
+    from .sources.fixtures import cached_fixture_dir, write_minhash_stream_fixture
+
+    nul = F.lit(None).cast("long")
+    parts: list[DataFrame] = []
+    if "batch" in sides:
+        docs = _documents(spark, sf_dir)
+        parts.append(
+            minhash_dedup_pairs(
+                docs, "text", "doc_id", threshold_num=4, threshold_den=5
+            ).select(
+                F.lit("batch").alias("side"),
+                F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"),
+                F.col("inter_size").cast("long").alias("inter_size"),
+                F.col("union_size").cast("long").alias("union_size"),
+            )
+        )
+    if "stream" in sides:
+        fixture = cached_fixture_dir(
+            "minhash_stream", sf_dir, write_minhash_stream_fixture
+        )
+        ckpt = _tempfile.mkdtemp(prefix="minhash_stream_ckpt_")
+        raw = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(fixture)
+        )
+        cands = minhash_dedup_stream(
+            raw, "text", "doc_id", num_perm=32, bands=8
+        ).select("id", "dup_of")
+        collected: list = []
+
+        def capture(df, _batch_id) -> None:
+            # candidates only: bounded by bands × |late arrivals| (+ the
+            # batch-0 intra-bucket dups), never corpus-sized
+            collected.extend(df.collect())
+
+        # state partitions are baked into the checkpoint at first start —
+        # size them to the stream's volume (the dedup_exact convention)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                cands.writeStream.foreachBatch(capture)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        pairs = spark.createDataFrame(
+            [(r["dup_of"], r["id"]) for r in collected],
+            "id_a bigint, id_b bigint",
+        ).distinct()
+        corpus = spark.read.parquet(fixture)
+        verified = jaccard_pairs(corpus, "text", "doc_id", pairs).filter(
+            F.col("inter_size") * 5 >= F.col("union_size") * 4
+        )
+        dropped = (
+            verified.filter(F.col("id_b") >= 100000)
+            .select("id_b").distinct()
+        )
+        parts.append(
+            dropped.select(
+                F.lit("stream").alias("side"), nul.alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"),
+                nul.alias("inter_size"), nul.alias("union_size"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def _simhash_oracle_sql(bits: int = 32, max_hamming: int = 3) -> str:

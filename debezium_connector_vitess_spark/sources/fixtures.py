@@ -476,6 +476,72 @@ def write_dedup_stream_fixture(sf_dir: str, out_dir: str, *, copy_files: int = 2
     return counts
 
 
+def write_minhash_stream_fixture(
+    sf_dir: str, out_dir: str, *, copy_files: int = 2, n_fresh: int = 20
+) -> dict[str, int]:
+    """Ordered micro-batch corpus for the streaming MinHash-LSH dedup leg of
+    the ``dedup_minhash_lsh`` registry row — the bootstrap-then-ingest replay
+    shape ``write_dedup_stream_fixture`` established.
+
+    File 0 (oldest mtime) = ALL originals — the corpus whose LSH buckets
+    seed the stream state. Files 1..copy_files = exact duplicate copies of
+    the EVEN-id originals with shifted ids (+100000), split across files so
+    suppression provably crosses micro-batch boundaries. The last file =
+    ``n_fresh`` genuinely-new documents (ids 200000+, mutually disjoint
+    vocabularies) — the negative control: they enter the same LSH buckets
+    pipeline but have no ≥-threshold partner, so batch-side verification
+    must drop every one of them."""
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    f0 = os.path.join(out_dir, "batch_000_bootstrap.parquet")
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id
+        ) TO '{f0}' (FORMAT PARQUET)
+        """
+    )
+    counts = {
+        os.path.basename(f0): con.execute(
+            f"SELECT count(*) FROM '{f0}'"
+        ).fetchone()[0]
+    }
+    for i in range(copy_files):
+        fi = os.path.join(out_dir, f"batch_{i + 1:03d}_copies.parquet")
+        con.execute(
+            f"""
+            COPY (
+              SELECT doc_id + 100000 AS doc_id, text
+              FROM '{sf_dir}/documents.parquet'
+              WHERE doc_id % 2 = 0 AND (doc_id // 2) % {copy_files} = {i}
+              ORDER BY doc_id
+            ) TO '{fi}' (FORMAT PARQUET)
+            """
+        )
+        counts[os.path.basename(fi)] = con.execute(
+            f"SELECT count(*) FROM '{fi}'"
+        ).fetchone()[0]
+    ff = os.path.join(out_dir, f"batch_{copy_files + 1:03d}_fresh.parquet")
+    fresh_rows = ", ".join(
+        f"(200000 + {i}, 'fresh negative control ' || "
+        f"'aa{i}x bb{i}y cc{i}z dd{i}w ee{i}v ff{i}u')"
+        for i in range(n_fresh)
+    )
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES {fresh_rows}) t(doc_id, text) "
+        f"ORDER BY doc_id) TO '{ff}' (FORMAT PARQUET)"
+    )
+    counts[os.path.basename(ff)] = n_fresh
+    con.close()
+    # stagger mtimes so oldest-first discovery order == bootstrap, copies,
+    # fresh
+    base = os.path.getmtime(f0)
+    for j, name in enumerate(sorted(counts)):
+        p = os.path.join(out_dir, name)
+        os.utime(p, (base + 10 * j, base + 10 * j))
+    return counts
+
+
 #: epoch ms of 2024-01-01T00:00:00Z — hour-aligned, so the synthetic
 #: document event times land on Spark's epoch-aligned window boundaries
 PROFILE_STREAM_T0_MS = 1704067200000
