@@ -150,6 +150,24 @@ def main() -> None:
     attempts: dict[str, list[float]] = {}
     plan_stats: dict[str, dict[str, int]] = {}
 
+    # Drift canary (r10 — VERDICT r9 item #1): ONE constant scan+aggregate
+    # whose plan never changes across rounds, timed at the start AND end of
+    # the sweep. Rows untouched r7→r9 drifted a uniform +20-30% with
+    # byte-stable plan fingerprints (host-speed drift, loadavg unusable in
+    # this VM) — cross-round comparisons should divide per-query walls by
+    # the canary ratio before calling anything a regression. The canary must
+    # never change: same table, same columns, same aggregates, forever.
+    from pyspark.sql import functions as F
+
+    def _canary_df():
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        return li.select(
+            F.sum(F.col("l_quantity").cast("double")).alias("s_qty"),
+            F.sum(F.col("l_extendedprice").cast("double")).alias("s_price"),
+            F.avg(F.col("l_discount").cast("double")).alias("a_disc"),
+            F.count("*").alias("n"),
+        )
+
     def _plan_stats(df) -> dict[str, int]:
         """Physical-plan shape fingerprint recorded per query: the artifact
         shows not just how fast the plan ran but what shape it was — a
@@ -205,6 +223,10 @@ def main() -> None:
                     break
         return runs
 
+    canary_before = _timed_runs(
+        _canary_df, min_attempts=3, max_attempts=6, stats_key="__canary__"
+    )
+
     for name in HEADLINE:
         fn = QUERIES[name]
         runs = _timed_runs(
@@ -229,6 +251,8 @@ def main() -> None:
                 lambda: fn(spark, SF_DIR, sides=(s,)),
                 min_attempts=2, max_attempts=4,
             )
+    canary_after = _timed_runs(_canary_df, min_attempts=3, max_attempts=6)
+    canary_sec = min(canary_before + canary_after)
     load_after = os.getloadavg()
 
     # measurement hygiene: flag queries whose attempts NEVER STABILIZED —
@@ -255,6 +279,11 @@ def main() -> None:
         "side_attempts": side_attempts,
         "plan_stats": plan_stats,
         "noise_queries": noise_queries,
+        "canary": {
+            "sec": canary_sec,
+            "runs_before": canary_before,
+            "runs_after": canary_after,
+        },
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
         "cpus": cpus,
@@ -276,6 +305,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "contended": contended,
+                "canary_sec": round(canary_sec, 3),
             }
         )
     )

@@ -1825,9 +1825,19 @@ def dedup_minhash_lsh(
             collected.extend(df.collect())
 
         # state partitions are baked into the checkpoint at first start —
-        # size them to the stream's volume (the dedup_exact convention)
+        # size them to the stream's volume (the dedup_exact convention), but
+        # UNLIKE dedup_exact (JVM-side dropDuplicates, 4 is plenty) this
+        # operator runs a Python function per state GROUP and batch 0 opens
+        # bands × |docs| groups (40k at sf0.1): the per-group Python call
+        # overhead is the wall, so it needs real parallelism — capped at 16
+        # (2.5-3× faster than 4 on 32 cores; 32 pays more per-batch
+        # state-commit overhead than it buys) but never above the session's
+        # cores (extra instances on a small session are pure commit cost; a
+        # production deployment sizes this to buckets-per-trigger the same
+        # way)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        n_state_parts = max(4, min(16, spark.sparkContext.defaultParallelism))
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_state_parts))
         try:
             q = (
                 cands.writeStream.foreachBatch(capture)
@@ -1844,7 +1854,17 @@ def dedup_minhash_lsh(
             "id_a bigint, id_b bigint",
         ).distinct()
         corpus = spark.read.parquet(fixture)
-        verified = jaccard_pairs(corpus, "text", "doc_id", pairs).filter(
+        # verify reads only the FLAGGED sliver: semi-filter the corpus to
+        # ids appearing in candidate pairs before shingling (the candidate
+        # set is bounded; tokenizing the full corpus for a sliver-sized
+        # verify is 2× wall for nothing)
+        flagged_ids = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .union(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        sliver = corpus.join(F.broadcast(flagged_ids), "doc_id")
+        verified = jaccard_pairs(sliver, "text", "doc_id", pairs).filter(
             F.col("inter_size") * 5 >= F.col("union_size") * 4
         )
         dropped = (

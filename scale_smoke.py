@@ -413,6 +413,21 @@ def main() -> None:
     def warc_op(d):
         return warc_records(attach_warc_payload(d, max_chars=200))
 
+    # r10: JPEG header walk + frame-slice sampling — both output-bounded
+    # Arrow seams (rows scale with docs / sampled frames; payloads never
+    # shuffle past their seam)
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        attach_jpeg_payload,
+        extract_jpeg_metadata,
+        sample_video_frames,
+    )
+
+    def jpeg_op(d):
+        return extract_jpeg_metadata(attach_jpeg_payload(d))
+
+    def frame_slices_op(d):
+        return sample_video_frames(attach_mp4_sample_payload(d), every=5)
+
     results: dict[str, dict] = {}
     all_ops = (
         [(name, fn, docs1, docs10) for name, fn in OPS.items()]
@@ -430,6 +445,8 @@ def main() -> None:
         + [("kn_bigram_lm", kn_lm_op, docs1, docs10)]
         + [("ivf_index_build_probe", ivf_index_op, emb1, emb10)]
         + [("warc_ingest", warc_op, docs1, docs10)]
+        + [("jpeg_metadata", jpeg_op, docs1, docs10)]
+        + [("video_frame_slices", frame_slices_op, docs1, docs10)]
     )
     PAIR_OPS.add("semantic_dedup")
     PAIR_OPS.add("semantic_dedup_gemm")
