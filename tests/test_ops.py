@@ -1236,6 +1236,35 @@ def test_warc_records_spark(spark, sf_dir):
         warc_records(one, errors="fail").collect()
 
 
+def test_attach_warc_payload_page_html_fn(spark):
+    """page_html_fn overrides the page generation formula (the curation
+    row's ingest seam); the default formula is byte-identical to the
+    pre-override behavior."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.warc import (
+        attach_warc_payload,
+        warc_records,
+    )
+
+    docs = spark.createDataFrame(
+        [(6, "alpha beta"), (7, "gamma")], "doc_id long, text string"
+    )
+    custom = warc_records(
+        attach_warc_payload(
+            docs, page_html_fn=lambda did, t: f"<html><b>{did}:{t}</b></html>"
+        )
+    ).collect()
+    assert {bytes(r["body"]).decode() for r in custom} == {
+        "<html><b>6:alpha beta</b></html>", "<html><b>7:gamma</b></html>",
+    }
+    default = warc_records(attach_warc_payload(docs)).collect()
+    assert {bytes(r["body"]).decode() for r in default} == {
+        "<html><body><p>alpha beta</p></body></html>",
+        "<html><body><p>gamma</p></body></html>",
+    }
+
+
 def test_exif_orientation_parse():
     """EXIF orientation from a genuine APP1/TIFF block, both byte orders;
     absent APP1 / absent tag -> None; corrupt TIFF blocks raise the
