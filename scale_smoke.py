@@ -80,6 +80,30 @@ def main() -> None:
         with_text_metrics,
     )
 
+    # Drift canary (r10, the bench.py convention): one constant scan+agg
+    # timed at the start and end of the sweep. This VM's host speed drifts
+    # 2-5× in windows invisible to loadavg — an op whose adaptive attempts
+    # all landed inside a slow window "stabilizes" on an inflated wall
+    # (observed: warc_ingest 10x measured 5.6 s in-sweep vs 0.9 s isolated,
+    # a phantom 9.7x ratio). Read any surprising ratio against the canary
+    # pair before believing it.
+    def _canary_runs() -> list:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            li.select(
+                F.sum(F.col("l_quantity").cast("double")).alias("s_qty"),
+                F.sum(F.col("l_extendedprice").cast("double")).alias("s_price"),
+                F.avg(F.col("l_discount").cast("double")).alias("a_disc"),
+                F.count("*").alias("n"),
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        return runs
+
+    load_before = [round(x, 2) for x in os.getloadavg()]
+    canary_before = _canary_runs()
+
     docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "source", "lang", "text"
     )
@@ -534,6 +558,7 @@ def main() -> None:
     }
     print(f"# bucketed_join: {bucketed_join}", flush=True)
 
+    canary_after = _canary_runs()
     out = {
         "metric": "scale_smoke_ratio_max",
         "value": max(r["ratio"] for r in results.values()),
@@ -542,6 +567,13 @@ def main() -> None:
         "rows_1x": n1,
         "rows_10x": n10,
         "bucketed_join": bucketed_join,
+        "canary": {
+            "sec": min(canary_before + canary_after),
+            "runs_before": canary_before,
+            "runs_after": canary_after,
+        },
+        "loadavg_before": load_before,
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "ops": results,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_SMOKE.json"), "w") as fh:
