@@ -529,16 +529,13 @@ def _bucket_first_arrival(
     convention — arrival order inside a batch is not observable)."""
     import pandas as pd
 
-    empty = pd.DataFrame(columns=[f.name for f in MINHASH_STREAM_SCHEMA.fields])
     if idle_ttl_ms is not None and state.hasTimedOut:
         # bucket idle past the TTL: drop its state; a later arrival starts a
         # fresh bucket (the bounded-state trade documented on the operator)
         state.remove()
-        yield empty
         return
     chunks = list(pdf_iter)
     if not chunks:
-        yield empty
         return
     ids = sorted({int(i) for c in chunks for i in c["id"].tolist()})
     if state.exists:
@@ -550,7 +547,11 @@ def _bucket_first_arrival(
         state.setTimeoutDuration(idle_ttl_ms)
     dups = [i for i in ids if i != first]
     if not dups:
-        yield empty
+        # yield NOTHING: most buckets emit nothing most batches, and an
+        # empty-DataFrame yield still pays pandas construction + an Arrow
+        # batch per group — at bands × |docs| groups per micro-batch that
+        # was ~20-25% of the streaming query's wall (17.5 s → 13.6 s
+        # measured at sf0.1)
         return
     yield pd.DataFrame(
         {"id": dups, "dup_of": first, "band": int(key[0])},
