@@ -227,7 +227,21 @@ def main() -> None:
         _canary_df, min_attempts=3, max_attempts=6, stats_key="__canary__"
     )
 
-    for name in HEADLINE:
+    # one canary attempt immediately before each query: this VM's stall
+    # windows last minutes and are invisible to loadavg, so a query whose
+    # adaptive attempts all land inside one "stabilizes" on an inflated
+    # wall. The per-query canary stamps the window's speed next to the
+    # measurement; queries whose canary ran slow get ONE full re-timing
+    # after the sweep (a different window with high probability) and the
+    # smaller result wins.
+    canary_at: dict[str, float] = {}
+
+    def _canary_once() -> float:
+        t0 = time.perf_counter()
+        _canary_df().write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    def _time_query(name: str) -> None:
         fn = QUERIES[name]
         runs = _timed_runs(
             lambda: fn(spark, SF_DIR), min_attempts=3, max_attempts=6,
@@ -235,6 +249,19 @@ def main() -> None:
         )
         attempts[name] = runs
         timings[name] = min(runs)
+
+    for name in HEADLINE:
+        canary_at[name] = _canary_once()
+        _time_query(name)
+
+    canary_floor = min(canary_before)
+    retried: list[str] = []
+    for name in HEADLINE:
+        if canary_at[name] > max(3 * canary_floor, canary_floor + 0.5):
+            first = timings[name]
+            _time_query(name)  # overwrites attempts/timings
+            timings[name] = min(timings[name], first)
+            retried.append(name)
 
     # r6 VERDICT item #4: rows bundling several execution legs (batch +
     # streaming + ...) get per-LEG attempts in the details artifact, so a
@@ -283,6 +310,8 @@ def main() -> None:
             "sec": canary_sec,
             "runs_before": canary_before,
             "runs_after": canary_after,
+            "at_query": canary_at,
+            "retried_queries": retried,
         },
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
