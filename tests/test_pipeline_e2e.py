@@ -228,6 +228,78 @@ def test_streaming_curation_chain_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_warc_and_jpeg_ingest_matches_batch(spark, sf_dir, tmp_path):
+    """The round-10 ingest seams are STATELESS Arrow codecs, so the same
+    call composes unchanged on a streaming DataFrame and processes each
+    micro-batch independently: file stream → attach → parse, collected per
+    micro-batch, must equal the identical batch chain over all files — one
+    pipeline definition, two execution modes (the json_fields convention).
+    Covers both the WARC record grammar and the JPEG/EXIF walker."""
+    import os
+
+    from debezium_connector_vitess_spark.ops.multimodal import (
+        attach_jpeg_payload,
+        extract_jpeg_metadata,
+    )
+    from debezium_connector_vitess_spark.ops.warc import (
+        attach_warc_payload,
+        warc_records,
+    )
+
+    src = tmp_path / "docs"
+    os.makedirs(src)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").orderBy("doc_id").limit(30)
+    )
+    rows = docs.collect()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i in range(3):
+        chunk = rows[i * 10:(i + 1) * 10]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r.doc_id for r in chunk], pa.int64()),
+                "text": pa.array([r.text for r in chunk], pa.string()),
+            }
+        )
+        p = str(src / f"f{i}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + i * 10,) * 2)
+
+    def warc_chain(df):
+        return warc_records(attach_warc_payload(df)).select(
+            "doc_id", "target_uri", F.md5(F.col("body")).alias("body_md5")
+        )
+
+    def jpeg_chain(df):
+        return extract_jpeg_metadata(attach_jpeg_payload(df))
+
+    batch = spark.read.parquet(str(src))
+    for name, chain in (("warc", warc_chain), ("jpeg", jpeg_chain)):
+        collected: list = []
+        raw = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            chain(raw)
+            .writeStream.foreachBatch(
+                lambda df, _b: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        want = sorted(tuple(r) for r in chain(batch).collect())
+        got = sorted(tuple(r) for r in collected)
+        assert got == want and len(got) == 30, name
+
+
 def test_chunk_then_pack_sequence_prep(spark, sf_dir):
     """The real sequence-prep path: chunk long documents into context
     windows, then PACK the chunk grain — every chunk placed exactly once,
