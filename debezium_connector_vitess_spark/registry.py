@@ -47,7 +47,7 @@ SIDES: dict[str, tuple[str, ...]] = {
     "dedup_pairs": ("ngram", "simhash"),
     "ann_topk": ("brute", "lsh", "ivf", "indexed"),
     "corpus_health": ("batch", "stream"),
-    "url_ops": ("canon", "blocklist", "warc"),
+    "url_ops": ("canon", "blocklist", "warc", "robots"),
     "multimodal_metadata": ("core", "jpeg"),
     "multimodal_frame_index": ("index", "frames"),
     "dedup_minhash_lsh": ("batch", "stream"),
@@ -4837,6 +4837,41 @@ _URL_HOSTS = (
 )
 _URL_BLOCKED = ("example.com", "ads.net")
 
+#: crawl agent the robots side evaluates as
+_ROBOTS_AGENT = "trainingbot"
+
+
+def _robots_txt_for_host(i: int) -> str:
+    """The robots fixture generation formula for host index ``i`` (CRLF
+    line ends, mixed field-name case, comments, an ignored Sitemap field —
+    the grammar noise a real capture carries). Outcome semantics the
+    oracle mirrors arithmetically, evaluating as ``trainingbot``:
+
+    - ODD hosts publish a TrainingBot group ({Disallow: /Page/} plus an
+      empty Allow the parser must drop), which REPLACES the ``*`` group
+      for this crawler (RFC 9309 §2.2.1) — so odd hosts block only /Page/.
+    - EVEN hosts have only the ``*`` group: /p/ disallowed with the longer
+      /p/1 allow winning for ids whose decimal starts with '1';
+      ``/tree*email$`` (wildcard + end anchor) blocks the tree URLs, and
+      ``/x$`` never fires because the /x URLs carry a query.
+    - i%3==0 adds a plain /tree prefix disallow (redundant with the
+      anchored rule on even hosts — precedence exercise, same outcome).
+    """
+    lines = [
+        "# synthetic robots fixture",
+        "User-Agent: *",
+        "Disallow: /p/",
+        "Allow: /p/1",
+        "DISALLOW: /tree*email$",
+        "Disallow: /x$",
+    ]
+    if i % 3 == 0:
+        lines.append("disallow: /tree")
+    lines += ["", f"Sitemap: https://{_URL_HOSTS[i]}/sitemap.xml"]
+    if i % 2 == 1:
+        lines += ["", "User-agent: TrainingBot", "Disallow: /Page/", "Allow:"]
+    return "\r\n".join(lines) + "\r\n"
+
 
 @register(
     "url_ops",
@@ -4904,12 +4939,22 @@ _URL_BLOCKED = ("example.com", "ads.net")
                || '</p></body></html>') AS canon,
            CAST(NULL AS VARCHAR) AS domain
     FROM documents
+    UNION ALL
+    SELECT 'robots' AS side, doc_id, url, CAST(NULL AS VARCHAR) AS canon,
+           host AS domain
+    FROM u
+    WHERE NOT (
+         (doc_id % 6 = 0 AND (doc_id % 7) % 2 = 0
+          AND substr(CAST(doc_id AS VARCHAR), 1, 1) <> '1')
+      OR (doc_id % 6 = 2 AND (doc_id % 7) % 2 = 1)
+      OR (doc_id % 6 = 5 AND (doc_id % 7) % 2 = 0)
+    )
     """,
 )
 def url_ops(
     spark: SparkSession,
     sf_dir: str,
-    sides: tuple[str, ...] = ("canon", "blocklist", "warc"),
+    sides: tuple[str, ...] = ("canon", "blocklist", "warc", "robots"),
 ) -> DataFrame:
     """Web-corpus URL hygiene as a driver row (round-7 promotion of the two
     r6 unit-parity ops — VERDICT r6 item #2; slot freed by the
@@ -4938,13 +4983,26 @@ def url_ops(
     response's target URI and the md5 of the DECODED BODY BYTES, so the
     record grammar, gzip member chaining, chunked-transfer decoding, and
     header extraction must all reproduce the generated page exactly — the
-    oracle recomputes the html from the generation formula."""
+    oracle recomputes the html from the generation formula.
+
+    side='robots' (round 10) — RFC 9309 robots.txt compliance
+    (:mod:`~.ops.robots`): per-host robots fixtures with real grammar
+    noise (CRLF, mixed field case, comments, Sitemap lines, an empty
+    Allow) are PARSED, the ``trainingbot`` group selected (replacing ``*``
+    where present), and the same six URL variants gated through the
+    wildcard/``$``-anchor matcher with longest-match-wins / allow-on-tie
+    precedence. Emits the KEPT docs (the blocklist convention), so any
+    parser, group-selection, or precedence bug diverges the row count.
+    The oracle replicates the GENERATION formula's outcomes arithmetically
+    (which variant × host parity is blocked) — fully independent of the
+    operator's regex machinery. Plan shape: rules fold to one broadcast
+    array row per host; the URL frame never shuffles."""
     from .ops.text import canonical_url_expr, filter_blocked_domains
 
     docs = _documents(spark, sf_dir)
     null_s = F.lit(None).cast("string")
     parts: list[DataFrame] = []
-    if "canon" in sides or "blocklist" in sides:
+    if "canon" in sides or "blocklist" in sides or "robots" in sides:
         hosts = F.array(*[F.lit(h) for h in _URL_HOSTS])
         host = F.element_at(hosts, (F.col("doc_id") % 7 + 1).cast("int"))
         did = F.col("doc_id").cast("string")
@@ -4991,6 +5049,22 @@ def url_ops(
             F.md5(F.col("body")).alias("canon"),
             null_s.alias("domain"),
         ))
+    if "robots" in sides:
+        from .ops.robots import filter_robots_allowed, robots_rules
+
+        robots_corpus = spark.createDataFrame(
+            [(h, _robots_txt_for_host(i)) for i, h in enumerate(_URL_HOSTS)],
+            "domain string, robots_txt string",
+        )
+        rules = robots_rules(robots_corpus, agent=_ROBOTS_AGENT)
+        parts.append(
+            filter_robots_allowed(
+                base.select("doc_id", "domain", "url"), "url", rules
+            ).select(
+                F.lit("robots").alias("side"), "doc_id", "url",
+                null_s.alias("canon"), "domain",
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

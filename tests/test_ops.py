@@ -1265,6 +1265,92 @@ def test_attach_warc_payload_page_html_fn(spark):
     }
 
 
+def test_robots_txt_gate(spark):
+    """RFC 9309 compliance gate: line grammar (comments, mixed field case,
+    CRLF, ignored fields, empty patterns), group selection (a matching
+    specific group REPLACES '*'), and match precedence (longest octet
+    pattern wins, Allow wins length ties, trailing $ anchors, * spans,
+    no rules / no host / unparseable URL pass through allowed)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.robots import (
+        filter_robots_allowed,
+        parse_robots_txt,
+        robots_rule_regex,
+        robots_rules,
+        select_agent_rules,
+    )
+
+    content = (
+        "# comment\r\n"
+        "User-Agent: *\r\n"
+        "Disallow: /p/   # inline comment\r\n"
+        "Allow: /p/1\r\n"
+        "DISALLOW: /tree*email$\r\n"
+        "Disallow: /d/x\r\n"
+        "allow: /d/*\r\n"
+        "Sitemap: https://h/sitemap.xml\r\n"
+        "\r\n"
+        "User-agent: TrainingBot\r\n"
+        "User-agent: otherbot\r\n"
+        "Disallow: /Page/\r\n"
+        "Allow:\r\n"  # empty pattern: no restriction, dropped
+        "Crawl-delay: 10\r\n"
+    )
+    rules = parse_robots_txt(content)
+    # multi-agent group fans out per token; empty Allow dropped
+    assert ("trainingbot", "disallow", "/Page/") in rules
+    assert ("otherbot", "disallow", "/Page/") in rules
+    assert not any(p == "" for _, _, p in rules)
+    # specific group REPLACES '*'
+    assert select_agent_rules(rules, "TRAININGBOT") == [("disallow", "/Page/")]
+    assert ("disallow", "/p/") in select_agent_rules(rules, "nobody")
+    # rules before any group are discarded
+    assert parse_robots_txt("Disallow: /x\nUser-agent: *\nAllow: /y") == [
+        ("*", "allow", "/y")
+    ]
+    # regex conversion: inner $ literal, trailing $ anchor, * spans
+    assert robots_rule_regex("/a$b*") == "^/a\\$b.*"
+    assert robots_rule_regex("/x$") == "^/x$"
+
+    rdf = spark.createDataFrame(
+        [("h.io", content), ("bare.io", "")], "domain string, robots_txt string"
+    )
+    urls = spark.createDataFrame(
+        [
+            (0, "https://h.io/p/2?a=1"),      # * : disallow /p/ wins
+            (1, "https://h.io/p/13"),          # * : allow /p/1 longer -> kept
+            (2, "https://h.io/tree?u=email"),  # * : anchored wildcard blocks
+            (3, "https://h.io/tree?u=mail"),   # $ anchor fails -> kept
+            (4, "https://h.io/d/x"),           # length TIE -> Allow wins
+            (5, "https://h.io:443/p/2"),       # default port strips -> blocked
+            (6, "https://h.io:8443/p/2"),      # non-default port: no rules
+            (7, "https://bare.io/p/2"),        # empty robots -> kept
+            (8, "not a url"),                  # unparseable -> kept
+            (9, "https://H.IO/Page/1"),        # case-insensitive host
+        ],
+        "id long, url string",
+    )
+    star = robots_rules(rdf, agent="randombot")
+    kept = sorted(
+        r.id for r in filter_robots_allowed(urls, "url", star).collect()
+    )
+    assert kept == [1, 3, 4, 6, 7, 8, 9]
+    bot = robots_rules(rdf, agent="trainingbot")
+    kept_bot = sorted(
+        r.id for r in filter_robots_allowed(urls, "url", bot).collect()
+    )
+    # trainingbot group replaces '*': only /Page/ is blocked
+    assert kept_bot == [0, 1, 2, 3, 4, 5, 6, 7, 8]
+    # plan: rules broadcast; the URL frame itself never shuffles
+    plan = (
+        filter_robots_allowed(urls, "url", star)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_exif_orientation_parse():
     """EXIF orientation from a genuine APP1/TIFF block, both byte orders;
     absent APP1 / absent tag -> None; corrupt TIFF blocks raise the
