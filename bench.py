@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS]. The LAST stdout line is ONE compact JSON record:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-"contended": bool}; per-attempt timings, plan-shape fingerprints, and host
-load diagnostics are written to BENCH_DETAILS.json beside this script.
+{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"value_by_side": {...}, "vs_prev": {...}, "sf": ..., "contended": bool};
+per-attempt timings, plan-shape fingerprints, and host load diagnostics are
+written to BENCH_DETAILS.json beside this script. value_by_side (min wall
+per (query, side)) is the same-shape comparison surface across rounds;
+vs_prev holds canary-normalized ratios against the previous round's
+committed BENCH_DETAILS.json. contended is measured (non-stabilized
+attempts, or the canary >30% over its stored quiet-host reference).
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect). Times are per-query wall seconds; value = total.
@@ -145,6 +150,19 @@ def main() -> None:
     # storage stays flat across the sweep.
     from debezium_connector_vitess_spark.cache import checkpoint_scope
 
+    # previous round's diagnostics (committed by the prior bench run) — read
+    # BEFORE this run overwrites the file; feeds the per-side vs_prev block
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    prev_details = None
+    try:
+        with open(details_path) as f:
+            prev_details = json.load(f)
+    except (OSError, ValueError):
+        pass
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
     load_before = os.getloadavg()
     timings: dict[str, float] = {}
     attempts: dict[str, list[float]] = {}
@@ -254,13 +272,21 @@ def main() -> None:
         canary_at[name] = _canary_once()
         _time_query(name)
 
+    # per-query retry pass: queries whose canary stamp showed a slow window
+    # get one full re-timing in a later window. Retry runs are APPENDED to
+    # attempts[name] (never replacing the first pass — the artifact must
+    # contain the run that produced the reported min; ADVICE r10) and the
+    # retry window gets its own canary stamp.
     canary_floor = min(canary_before)
     retried: list[str] = []
+    canary_at_retry: dict[str, float] = {}
     for name in HEADLINE:
         if canary_at[name] > max(3 * canary_floor, canary_floor + 0.5):
-            first = timings[name]
-            _time_query(name)  # overwrites attempts/timings
-            timings[name] = min(timings[name], first)
+            first_runs = attempts[name]
+            canary_at_retry[name] = _canary_once()
+            _time_query(name)
+            attempts[name] = first_runs + attempts[name]
+            timings[name] = min(attempts[name])
             retried.append(name)
 
     # r6 VERDICT item #4: rows bundling several execution legs (batch +
@@ -282,6 +308,42 @@ def main() -> None:
     canary_sec = min(canary_before + canary_after)
     load_after = os.getloadavg()
 
+    # per-(query, side) walls as FIRST-CLASS results (r10 VERDICT item #2):
+    # the raw headline total grows every time an existing row absorbs a new
+    # execution leg, so round-over-round and vs-baseline comparisons must be
+    # same-shape — min wall per (query, side) for multi-leg rows, the row
+    # min for single-leg rows. vs_prev divides each side's
+    # canary-normalized wall by the previous round's (read from the
+    # committed BENCH_DETAILS.json BEFORE this run overwrites it), so a
+    # host-speed shift between rounds doesn't read as a code regression.
+    value_by_side: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in side_attempts:
+            for s, runs in side_attempts[name].items():
+                value_by_side[f"{name}.{s}"] = min(runs)
+        else:
+            value_by_side[name] = timings[name]
+    vs_prev: dict[str, float] = {}
+    prev_canary = None
+    if isinstance(prev_details, dict):
+        prev_canary = (prev_details.get("canary") or {}).get("sec")
+        prev_sf = prev_details.get("sf", "0.1")  # pre-r11 details are sf0.1
+        if prev_canary and prev_sf == sf:
+            prev_by_side: dict[str, float] = {}
+            for name, sides in (prev_details.get("side_attempts") or {}).items():
+                for s, runs in sides.items():
+                    if runs:
+                        prev_by_side[f"{name}.{s}"] = min(runs)
+            for name, runs in (prev_details.get("attempts") or {}).items():
+                if name not in (prev_details.get("side_attempts") or {}) and runs:
+                    prev_by_side[name] = min(runs)
+            for k, v in value_by_side.items():
+                pv = prev_by_side.get(k)
+                if pv and pv > 0 and v > 0:
+                    vs_prev[k] = round(
+                        (v / canary_sec) / (pv / prev_canary), 3
+                    )
+
     # measurement hygiene: flag queries whose attempts NEVER STABILIZED —
     # the adaptive loop exits either on _stabilized() (the reported min is
     # then trustworthy regardless of stray stalled attempts, which stay
@@ -293,8 +355,14 @@ def main() -> None:
     noise_queries = sorted(
         n for n, r in attempts.items() if not _stabilized(r)
     )
-    contended = bool(noise_queries)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # contended is MEASURED, not inferred from intent (r10 VERDICT item #5):
+    # true when any query never stabilized, OR the sweep's best canary ran
+    # >30% over the stored quiet-host reference (the canary's min on an idle
+    # host at sf0.1, commit 96b68b7 — loadavg is unusable in this VM, see the
+    # adaptive-loop comment, but the canary measures the actual window).
+    QUIET_CANARY_REF = 0.156  # sec, sf0.1, idle host
+    canary_contended = sf == "0.1" and canary_sec > QUIET_CANARY_REF * 1.3
+    contended = bool(noise_queries) or canary_contended
     # round-6 artifact fix: round 5's single JSON line grew past the driver's
     # stdout capture once attempts + plan_stats joined it (BENCH_r05 shipped
     # parsed:null). The LAST stdout line is now the compact machine-readable
@@ -311,16 +379,20 @@ def main() -> None:
             "runs_before": canary_before,
             "runs_after": canary_after,
             "at_query": canary_at,
+            "at_query_retry": canary_at_retry,
             "retried_queries": retried,
+            "quiet_ref_sec": QUIET_CANARY_REF,
+            "contended": canary_contended,
         },
+        "value_by_side": value_by_side,
+        "vs_prev": vs_prev,
+        "prev_canary_sec": prev_canary,
+        "sf": sf,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
         "cpus": cpus,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"),
-        "w",
-    ) as f:
+    with open(details_path, "w") as f:
         json.dump(details, f, indent=1, sort_keys=True)
     spark.stop()
     print()  # force the JSON onto its own line even after a partial write
@@ -330,6 +402,12 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "value_core": round(sum(timings[n] for n in CORE), 3),
+                # per-(query,side) walls + canary-normalized vs-prev ratios:
+                # the SAME-SHAPE comparison surface (row totals grow whenever
+                # a row absorbs a new leg; these don't)
+                "value_by_side": value_by_side,
+                "value_by_side_total": round(sum(value_by_side.values()), 3),
+                "vs_prev": vs_prev,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),

@@ -261,12 +261,21 @@ def jaccard_pairs(
     pairs: DataFrame,
     *,
     shingle_n: int = 3,
+    materialize: bool = False,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle Jaccard (intersection/union
-    sizes as exact ints). ``pairs``: (id_a, id_b)."""
+    sizes as exact ints). ``pairs``: (id_a, id_b).
+
+    ``materialize=True`` localCheckpoints the shingle frame first: the frame
+    joins twice (a- and b-side), so without it the tokenize+shingle subtree
+    — the verify's dominant cost — runs twice over ``df``. Pass it when
+    ``df`` is already the candidate sliver (bounded); leave off when ``df``
+    is a big corpus whose scan should stream through the joins."""
     sh = df.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), shingle_n).alias("sh")
     )
+    if materialize:
+        sh = eager_localcheckpoint(sh)[0]
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -514,47 +523,114 @@ MINHASH_STREAM_SCHEMA = T.StructType(
     ]
 )
 
-_MINHASH_STATE_SCHEMA = T.StructType([T.StructField("first_id", T.LongType(), False)])
+# coarse-slot state: each (band, slot) group folds MANY buckets — parallel
+# arrays keyed positionally (bhash → first arrival id → last-touch clock).
+# One UnsafeRow per group; per-bucket entries are pruned inside the fold
+# when idle_ttl_ms is set, and the whole group times out when EVERY bucket
+# in it has been idle past the TTL (group timeout fires only on no-input).
+_MINHASH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("bhashes", T.ArrayType(T.LongType(), False), False),
+        T.StructField("first_ids", T.ArrayType(T.LongType(), False), False),
+        T.StructField("last_seen", T.ArrayType(T.LongType(), False), False),
+    ]
+)
 
 
-def _bucket_first_arrival(
+def _slot_first_arrival(
     key: tuple,
     pdf_iter: Iterator,
     state,
     idle_ttl_ms: int | None = None,
 ) -> Iterator:
-    """Per-(band, bhash) bucket state fold: remember the bucket's FIRST
-    arrival; report every other member as its candidate duplicate. Within
-    one micro-batch the winner is the minimum id (batch minhash's min-id
-    convention — arrival order inside a batch is not observable)."""
+    """Per-(band, slot) state fold over MANY LSH buckets at once: remember
+    each bucket's FIRST arrival; report every other member as its candidate
+    duplicate. Within one micro-batch the winner is the minimum id (batch
+    minhash's min-id convention — arrival order inside a batch is not
+    observable).
+
+    Why coarse: keying state by (band, bhash) opens ONE Python call per
+    non-empty bucket per micro-batch — bands × |docs| ≈ 40k interpreter
+    calls for a sf0.1 bootstrap batch, and the per-group call overhead (not
+    the fold itself) was 6× the batch twin's entire wall. Re-keying to
+    (band, pmod(bhash, slots)) bounds Python calls per micro-batch at
+    bands × slots regardless of bucket count; the per-bucket fold runs
+    vectorized (numpy lexsort + boundary masks) inside each call."""
+    import numpy as np
     import pandas as pd
 
     if idle_ttl_ms is not None and state.hasTimedOut:
-        # bucket idle past the TTL: drop its state; a later arrival starts a
-        # fresh bucket (the bounded-state trade documented on the operator)
+        # every bucket in this slot idle past the TTL: drop the slot; later
+        # arrivals start fresh buckets (the bounded-state trade the operator
+        # documents)
         state.remove()
         return
-    chunks = list(pdf_iter)
+    chunks = [c for c in pdf_iter if len(c)]
     if not chunks:
         return
-    ids = sorted({int(i) for c in chunks for i in c["id"].tolist()})
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
     if state.exists:
-        first = int(state.get[0])
+        st_bh, st_id, st_seen = state.get
+        known = dict(zip(st_bh, st_id))
+        seen = dict(zip(st_bh, st_seen))
     else:
-        first = ids[0]
-    state.update((first,))
+        known, seen = {}, {}
+    now = 0
+    if idle_ttl_ms is not None:
+        now = int(state.getCurrentProcessingTimeMs())
+        if known:
+            # per-bucket eviction INSIDE a live slot: the group timeout only
+            # fires when the whole slot is idle, so stale buckets sharing a
+            # slot with active ones are pruned here
+            cutoff = now - idle_ttl_ms
+            for b in [b for b, t in seen.items() if t < cutoff]:
+                del known[b], seen[b]
+    # vectorized bucket fold: sort rows by (bhash, id), mark bucket starts
+    bhs = pdf["bhash"].to_numpy()
+    ids = pdf["id"].to_numpy()
+    order = np.lexsort((ids, bhs))
+    bhs, ids = bhs[order], ids[order]
+    uniq = np.empty(len(bhs), dtype=bool)
+    uniq[0] = True
+    np.logical_or(bhs[1:] != bhs[:-1], ids[1:] != ids[:-1], out=uniq[1:])
+    bhs, ids = bhs[uniq], ids[uniq]  # distinct (bucket, id), id-sorted
+    starts = np.empty(len(bhs), dtype=bool)
+    starts[0] = True
+    starts[1:] = bhs[1:] != bhs[:-1]
+    # winner per bucket: state's first arrival if known, else the batch min
+    batch_bh = bhs[starts]
+    batch_min = ids[starts]
+    winners = np.array(
+        [known.get(int(b), int(m)) for b, m in zip(batch_bh, batch_min)],
+        dtype=np.int64,
+    )
+    for b, w in zip(batch_bh, winners):
+        known[int(b)] = int(w)
+        if idle_ttl_ms is not None:
+            seen[int(b)] = now
+    state.update(
+        (
+            list(known.keys()),
+            list(known.values()),
+            list(seen.values()) if idle_ttl_ms is not None else [0] * len(known),
+        )
+    )
     if idle_ttl_ms is not None:
         state.setTimeoutDuration(idle_ttl_ms)
-    dups = [i for i in ids if i != first]
-    if not dups:
-        # yield NOTHING: most buckets emit nothing most batches, and an
-        # empty-DataFrame yield still pays pandas construction + an Arrow
-        # batch per group — at bands × |docs| groups per micro-batch that
-        # was ~20-25% of the streaming query's wall (17.5 s → 13.6 s
-        # measured at sf0.1)
+    # dup rows = every (bucket, id) whose id is not the bucket's winner
+    winner_per_row = np.repeat(winners, np.diff(np.flatnonzero(
+        np.append(starts, True))))
+    dup_mask = ids != winner_per_row
+    if not dup_mask.any():
+        # yield NOTHING: most slots emit nothing most batches, and an empty
+        # yield still pays pandas construction + an Arrow batch per group
         return
     yield pd.DataFrame(
-        {"id": dups, "dup_of": first, "band": int(key[0])},
+        {
+            "id": ids[dup_mask],
+            "dup_of": winner_per_row[dup_mask],
+            "band": np.int32(key[0]),
+        },
         columns=[f.name for f in MINHASH_STREAM_SCHEMA.fields],
     )
 
@@ -568,6 +644,7 @@ def minhash_dedup_stream(
     bands: int = 8,
     shingle_n: int = 3,
     idle_ttl_ms: int | None = None,
+    state_slots: int = 64,
 ) -> DataFrame:
     """Streaming fuzzy dedup: MinHash-LSH CANDIDATE duplicates of a
     continuously ingested corpus, first-arrival-wins — the streaming
@@ -605,13 +682,25 @@ def minhash_dedup_stream(
     the projection and re-runs the full tokenize+hash subtree per row just
     for the size() check.
 
-    Scale: state is ONE long per distinct non-empty bucket — ≤ bands ×
-    |docs| × 8 bytes, hash-partitioned across executors, RocksDB-spillable;
-    ``idle_ttl_ms`` (ProcessingTimeTimeout, same convention as
-    materialize_stream) evicts buckets idle past the TTL so state tracks
-    the active horizon on unbounded streams — after an eviction a
-    re-arriving bucket starts fresh, so duplicates are only suppressed
-    within the TTL horizon (the dropDuplicatesWithinWatermark trade).
+    Scale: state is ONE (bhash, first_id, last_seen) entry per distinct
+    non-empty bucket — ≤ bands × |docs| × 24 bytes total — but the state
+    KEY is the coarse (band, pmod(bhash, ``state_slots``)), so Python
+    interpreter calls per micro-batch are bounded at bands × state_slots
+    regardless of how many buckets a batch touches (keying by bucket opened
+    bands × |docs| calls on a bootstrap batch and the per-call overhead was
+    6× the batch twin's whole wall at sf0.1; the coarse fold runs the same
+    first-arrival semantics vectorized in numpy). Slots hash-partition
+    across executors and spill via RocksDB like any state; size
+    ``state_slots`` ≥ cluster cores so every state partition carries work —
+    each slot's row holds |buckets|/(bands × slots) entries, so raise slots
+    on large corpora to keep per-row state small (entries per slot, not
+    total state, is the knob's trade). ``idle_ttl_ms`` (ProcessingTimeTimeout,
+    same convention as materialize_stream) evicts buckets idle past the TTL
+    so state tracks the active horizon on unbounded streams — per-bucket
+    entries are pruned inside live slots, and a fully-idle slot is dropped
+    by the group timeout; after an eviction a re-arriving bucket starts
+    fresh, so duplicates are only suppressed within the TTL horizon (the
+    dropDuplicatesWithinWatermark trade).
 
     TTL + ``Trigger.AvailableNow`` caveat: with ProcessingTimeTimeout the
     stateful operator reports ``shouldRunAnotherBatch`` on every batch, so
@@ -625,7 +714,9 @@ def minhash_dedup_stream(
     _validate_banding(num_perm, bands)
     from pyspark.sql import types as _T
 
-    # the per-bucket state schema is FIXED (one long per bucket) and baked
+    if state_slots < 1:
+        raise ValueError(f"state_slots must be >= 1, got {state_slots}")
+    # the per-bucket state entry is FIXED (longs per bucket) and baked
     # into checkpoints — non-integral ids can't ride it; fail loudly instead
     # of silently NULLing (or ANSI-killing) every id at the cast below.
     # Scale-0 decimals up to precision 18 fit a long losslessly (the common
@@ -641,7 +732,7 @@ def minhash_dedup_stream(
     if not lossless:
         raise ValueError(
             f"minhash_dedup_stream requires an integral {id_col!r} (state "
-            f"keys one long per bucket); got {id_type.simpleString()} — map "
+            f"holds one long per bucket); got {id_type.simpleString()} — map "
             f"ids to longs upstream (e.g. xxhash64) or use the batch "
             f"minhash_dedup_pairs, which carries any id type"
         )
@@ -659,7 +750,7 @@ def minhash_dedup_stream(
     banded = minhash_band_keys(sig, num_perm=num_perm, bands=bands)
 
     def process(key, pdf_iter, state):
-        return _bucket_first_arrival(key, pdf_iter, state, idle_ttl_ms=idle_ttl_ms)
+        return _slot_first_arrival(key, pdf_iter, state, idle_ttl_ms=idle_ttl_ms)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -668,7 +759,13 @@ def minhash_dedup_stream(
         if idle_ttl_ms is not None
         else GroupStateTimeout.NoTimeout
     )
-    return banded.groupBy("band", "bhash").applyInPandasWithState(
+    # coarse state key: Python calls per micro-batch are bounded at
+    # bands × state_slots, never at |touched buckets| (bhash is already a
+    # 64-bit hash, so pmod spreads slots uniformly)
+    banded = banded.withColumn(
+        "slot", F.pmod(F.col("bhash"), F.lit(int(state_slots)))
+    )
+    return banded.groupBy("band", "slot").applyInPandasWithState(
         process,
         outputStructType=MINHASH_STREAM_SCHEMA,
         stateStructType=_MINHASH_STATE_SCHEMA,

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "parse_robots_txt",
     "select_agent_rules",
+    "canonical_pct",
     "robots_rule_regex",
     "robots_rules",
     "filter_robots_allowed",
@@ -72,6 +73,22 @@ def parse_robots_txt(content: str) -> list[tuple[str, str, str]]:
     one; rules before any group, unknown fields, and EMPTY rule paths
     (``Disallow:`` alone = no restriction) are dropped. Agent tokens are
     lower-cased; patterns keep their case (URL paths are case-sensitive).
+
+    Grammar corners, pinned (ADVICE r10 — parsers differ here; this module
+    follows the RFC's "ignore lines you cannot parse as a known field in a
+    valid position" reading, unit-tested in test_ops.py):
+
+    - An ignored field (``Sitemap``, ``Crawl-delay``, ...) is NEUTRAL
+      everywhere — between two ``User-agent`` lines it neither closes the
+      agent run nor starts the member rules, so
+      ``ua: a / Sitemap: ... / ua: b / Disallow: /x`` is ONE group covering
+      both agents (the RFC ABNF admits only emptylines between
+      startgrouplines; an out-of-position known-global line is ignored, not
+      promoted to a separator).
+    - A ``User-agent:`` line with an EMPTY value is an invalid
+      startgroupline and is ignored WHOLESALE: it neither opens a group nor
+      closes the previous run, so following rules still attach to the
+      preceding group instead of being orphaned.
     """
     rules: list[tuple[str, str, str]] = []
     agents: list[str] = []
@@ -84,11 +101,12 @@ def parse_robots_txt(content: str) -> list[tuple[str, str, str]]:
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
+            if not value:
+                continue  # invalid startgroupline: ignore the LINE entirely
             if in_group_rules:
                 agents = []  # rules already closed the previous group
                 in_group_rules = False
-            if value:
-                agents.append(value.lower())
+            agents.append(value.lower())
         elif field in _RULE_FIELDS:
             in_group_rules = True
             if not agents or not value:
@@ -100,23 +118,88 @@ def parse_robots_txt(content: str) -> list[tuple[str, str, str]]:
 
 
 def select_agent_rules(
-    rules: list[tuple[str, str, str]], agent: str
+    rules: list[tuple[str, str, str]], agent: str, *, version_tokens: bool = False
 ) -> list[tuple[str, str]]:
     """The ``(rule, pattern)`` list the given crawler obeys: the rules of
-    the group(s) whose agent token equals ``agent`` (case-insensitive),
+    the group(s) whose agent token matches ``agent`` (case-insensitive),
     else the ``*`` group's, else nothing (RFC 9309 §2.2.1 — a matching
-    specific group replaces the wildcard group entirely)."""
+    specific group replaces the wildcard group entirely).
+
+    ``version_tokens=True`` additionally matches on the PRODUCT TOKEN —
+    the part before the first ``/`` on either side — so a robots file
+    carrying ``User-agent: TrainingBot/1.2`` governs a crawler identifying
+    as ``TrainingBot`` and vice versa (RFC 9309 §2.2.1 matches product
+    tokens, not full user-agent strings; real-world files carry versioned
+    tokens often enough that the strict-equality default misses them).
+    Default False keeps exact-token matching."""
     agent = agent.lower()
-    specific = [(r, p) for a, r, p in rules if a == agent]
+
+    def matches(a: str) -> bool:
+        if a == agent:
+            return True
+        if version_tokens:
+            return a.split("/", 1)[0] == agent.split("/", 1)[0]
+        return False
+
+    specific = [(r, p) for a, r, p in rules if matches(a)]
     if specific:
         return specific
     return [(r, p) for a, r, p in rules if a == "*"]
 
 
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_HEX_RE = re.compile(r"%[0-9A-Fa-f]{2}")
+
+
+def canonical_pct(s: str) -> str:
+    """Canonical percent-encoding for robots comparison (RFC 9309 §2.2.2 /
+    RFC 3986 §2.3-2.4 equivalence, ADVICE r10): every VALID ``%XX`` escape
+    is decoded when its octet is unreserved (``%41`` → ``A``) and
+    upper-cased otherwise (``%3c`` → ``%3C``); raw octets — including
+    reserved ones and ``%`` that starts no valid escape — pass through
+    untouched, so an escaped reserved octet stays distinct from its raw
+    form (``/foo%2Fbar`` never collapses into ``/foo/bar``). Applied to
+    BOTH the rule pattern (at parse) and the URL match string (JVM-side
+    twin :func:`_canonical_pct_col`) so mixed encodings compare equal.
+    Residual limitation: a RAW non-ASCII octet is only equated with its
+    raw form, not with its percent-encoded spelling — both sides raw or
+    both sides encoded compare fine."""
+
+    def fix(m: "re.Match[str]") -> str:
+        ch = chr(int(m.group(0)[1:], 16))
+        return ch if ch in _UNRESERVED else m.group(0).upper()
+
+    return _HEX_RE.sub(fix, s)
+
+
+def _canonical_pct_col(s: Column) -> Column:
+    """JVM-side twin of :func:`canonical_pct` — one split on the
+    zero-width ``(?=%)`` boundary plus a per-segment transform, all
+    built-ins: the URL frame stays map-side, no Python seam."""
+    segs = F.split(s, r"(?=%)")
+
+    def fix(seg: Column) -> Column:
+        hex2 = F.upper(F.substring(seg, 2, 2))
+        ch = F.char(F.conv(hex2, 16, 10).cast("int"))
+        rest = F.substring(seg, 4, 2147483647)
+        return (
+            F.when(~seg.rlike("^%[0-9A-Fa-f]{2}"), seg)
+            .when(ch.rlike("^[A-Za-z0-9._~-]$"), F.concat(ch, rest))
+            .otherwise(F.concat(F.lit("%"), hex2, rest))
+        )
+
+    return F.array_join(F.transform(segs, fix), "")
+
+
 def robots_rule_regex(pattern: str) -> str:
     """Java/RE2-safe regex for one rule path: anchored at the start,
     ``*`` spans anything, a TRAILING ``$`` anchors the end, every other
-    octet is literal (inner ``$`` included)."""
+    octet is literal (inner ``$`` included). The pattern is
+    percent-canonicalized first (:func:`canonical_pct`) so it matches the
+    canonicalized URL octets."""
+    pattern = canonical_pct(pattern)
     anchored = pattern.endswith("$")
     body = pattern[:-1] if anchored else pattern
     parts = [re.escape(p) for p in body.split("*")]
@@ -134,23 +217,31 @@ def robots_rules(
     domain_col: str = "domain",
     *,
     agent: str = "*",
+    version_tokens: bool = False,
 ) -> DataFrame:
     """Distributed robots.txt corpus parse: one row per (domain, rule the
     ``agent`` crawler obeys), with the match regex and the pattern's octet
     length precomputed (the longest-match key). Arrow-batched mapInPandas —
     a robots corpus is |domains|-sized, so the output is broadcastable by
-    construction downstream."""
+    construction downstream. ``version_tokens`` forwards to
+    :func:`select_agent_rules` (product-token matching for versioned
+    ``User-agent`` lines)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for dom, content in zip(pdf[domain_col], pdf[content_col]):
                 parsed = parse_robots_txt(content if content is not None else "")
-                for rule, pattern in select_agent_rules(parsed, agent):
+                for rule, pattern in select_agent_rules(
+                    parsed, agent, version_tokens=version_tokens
+                ):
+                    # plen (the longest-match precedence key) is the
+                    # CANONICAL pattern's octet length, consistent with the
+                    # canonicalized octets both sides match on
                     rows.append(
                         (
                             dom, rule, pattern, robots_rule_regex(pattern),
-                            len(pattern.encode("utf-8")),
+                            len(canonical_pct(pattern).encode("utf-8")),
                         )
                     )
             yield pd.DataFrame(
@@ -201,7 +292,10 @@ def filter_robots_allowed(
     agent-selected). RFC 9309 §2.2.2 precedence, exactly:
 
     - candidate rules = the host's rules whose pattern matches the URL's
-      path+query octets (``*`` spans, trailing ``$`` anchors);
+      path+query octets (``*`` spans, trailing ``$`` anchors), both sides
+      percent-canonicalized first (:func:`canonical_pct` — mixed
+      ``%3c``/``%3C``/decoded-unreserved spellings compare equal, escaped
+      reserved octets stay distinct from raw ones);
     - the longest (octet-length) matching pattern wins;
     - equal lengths resolve to Allow;
     - no matching rule, no rules for the host, a port-qualified or absent
@@ -225,7 +319,7 @@ def filter_robots_allowed(
         ).alias("__rules")
     )
     marked = urls_df.withColumn("__host", _url_host(F.col(url_col))).withColumn(
-        "__match", _url_match_str(F.col(url_col))
+        "__match", _canonical_pct_col(_url_match_str(F.col(url_col)))
     )
     joined = marked.join(F.broadcast(per_host), "__host", "left_outer")
     # __match is re-evaluated per array element inside the lambda (Catalyst

@@ -41,7 +41,7 @@ SIDES: dict[str, tuple[str, ...]] = {
     "dedup_exact": ("batch", "stream", "diff"),
     "change_rate_windows": ("tumbling", "sliding", "stream", "heartbeat"),
     "cdc_materialize": ("latest", "history"),
-    "pack_sequences": ("pack", "chunk", "bpe", "bins"),
+    "pack_sequences": ("pack", "chunk", "bpe", "bins", "fertility"),
     "dedup_embedding_cosine": ("lsh", "semdedup"),
     "embedding_quantize": ("int8", "project"),
     "dedup_pairs": ("ngram", "simhash"),
@@ -62,6 +62,28 @@ def register(name: str, oracle: Optional[str] = None):
         return fn
 
     return deco
+
+
+import contextlib as _contextlib
+import shutil as _shutil
+import tempfile as _tmpmod
+
+
+@_contextlib.contextmanager
+def _ephemeral_ckpt(prefix: str):
+    """Streaming-checkpoint scratch dir, removed when the query finishes.
+
+    Registry streaming legs replay a bounded fixture per call and never
+    resume the checkpoint afterward; bench.py calls a leg 3-6 times, so a
+    bare mkdtemp leaked one RocksDB/offsets state tree per attempt into
+    /tmp (ADVICE r10). A production deployment points checkpointLocation at
+    durable storage instead — this helper is harness scratch management,
+    not an operator concern."""
+    path = _tmpmod.mkdtemp(prefix=prefix)
+    try:
+        yield path
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -416,7 +438,6 @@ def cdc_materialize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (last emission per key, deletes dropped) must equal the BATCH
     ``cdc_materialize`` answer — one oracle, two execution shapes."""
     import json as _json
-    import tempfile
 
     from .decode import decode_table as _dt
     from .envelope import with_record_key
@@ -428,11 +449,6 @@ def cdc_materialize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_dir = cached_fixture_dir(
         "txmeta_replay", sf_dir, write_replay_fixture, tx_size=10, host_period=10
     )
-    ckpt = tempfile.mkdtemp(prefix="cdc_mat_stream_ckpt_")
-    wm_dir = tempfile.mkdtemp(prefix="cdc_mat_stream_wm_")
-    wm_file = os.path.join(wm_dir, "planned_watermark.json")
-    with open(wm_file, "w", encoding="utf-8") as fh:
-        _json.dump({s: 0 for s in changelog.SHARDS}, fh)
     # cap sized for 2 micro-batches regardless of scale factor (each run is
     # a full query restart at ~3-4 s fixed streaming-startup cost — one
     # batch boundary and one restart boundary prove the state contract; a
@@ -449,34 +465,42 @@ def cdc_materialize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     def capture(df, _batch_id) -> None:
         collected.extend(df.collect())  # compacted: small (≤ touched keys)
 
-    prev_wm = None
-    for _ in range(64):  # bound; actual runs = ceil(stream / cap)
-        raw = (
-            spark.readStream.format("vitess-replay")
-            .option("path", replay_dir)
-            .option("maxRecordsPerBatch", cap)
-            .option("watermarkDir", wm_dir)
-            .load()
-        )
-        parts = []
-        for t in ("tbl0", "tbl1", "tbl2"):
-            schema = changelog.change_table_schema(t)
-            parts.append(with_record_key(_dt(raw, schema), schema))
-        keyed = parts[0].unionByName(parts[1]).unionByName(parts[2])
-        q = (
-            materialize_stream(keyed)
-            .writeStream.foreachBatch(capture)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        with open(wm_file, "r", encoding="utf-8") as fh:
-            wm = fh.read()
-        if wm == prev_wm:
-            break  # watermark stopped advancing: stream drained
-        prev_wm = wm
+    # one checkpoint + watermark dir across the restart loop (the restarts
+    # ARE the state contract under test); both removed once the stream drains
+    with _ephemeral_ckpt("cdc_mat_stream_ckpt_") as ckpt, _ephemeral_ckpt(
+        "cdc_mat_stream_wm_"
+    ) as wm_dir:
+        wm_file = os.path.join(wm_dir, "planned_watermark.json")
+        with open(wm_file, "w", encoding="utf-8") as fh:
+            _json.dump({s: 0 for s in changelog.SHARDS}, fh)
+        prev_wm = None
+        for _ in range(64):  # bound; actual runs = ceil(stream / cap)
+            raw = (
+                spark.readStream.format("vitess-replay")
+                .option("path", replay_dir)
+                .option("maxRecordsPerBatch", cap)
+                .option("watermarkDir", wm_dir)
+                .load()
+            )
+            parts = []
+            for t in ("tbl0", "tbl1", "tbl2"):
+                schema = changelog.change_table_schema(t)
+                parts.append(with_record_key(_dt(raw, schema), schema))
+            keyed = parts[0].unionByName(parts[1]).unionByName(parts[2])
+            q = (
+                materialize_stream(keyed)
+                .writeStream.foreachBatch(capture)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            with open(wm_file, "r", encoding="utf-8") as fh:
+                wm = fh.read()
+            if wm == prev_wm:
+                break  # watermark stopped advancing: stream drained
+            prev_wm = wm
 
     # final snapshot = last emission per key (seq is monotone per key),
     # tombstones dropped, image parsed back to typed columns
@@ -1005,7 +1029,6 @@ def change_rate_windows(
     row-count-visible: a heartbeat bucketing or seq-parse bug diverges
     values, not just decoration.
     """
-    import tempfile as _tempfile
 
     from .cache import eager_localcheckpoint
     from .metrics import change_rates, change_rates_stream
@@ -1077,7 +1100,6 @@ def change_rate_windows(
 
     if "stream" in sides:
         fixture = cached_fixture_dir("rate_stream", sf_dir, write_rate_stream_fixture)
-        ckpt = _tempfile.mkdtemp(prefix="rate_stream_ckpt_")
         raw = (
             spark.readStream.schema("ts_ms bigint, table_name string, shard string, op string")
             .option("maxFilesPerTrigger", 1)
@@ -1095,14 +1117,15 @@ def change_rate_windows(
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")  # state sized to volume
         try:
-            q = (
-                rates.writeStream.foreachBatch(capture)
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            with _ephemeral_ckpt("rate_stream_ckpt_") as ckpt:
+                q = (
+                    rates.writeStream.foreachBatch(capture)
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         parts.append(
@@ -1620,7 +1643,6 @@ def dedup_exact(
     the documents table; the delta rows (added/removed/changed with both
     per-side fingerprints) are the row's third leg. Oracle = an independent
     DuckDB full-outer-join classification over per-column md5 fingerprints."""
-    import tempfile as _tempfile
 
     from .ops.dedup import exact_dedup, exact_dedup_stream
     from .ops.pipeline import corpus_diff
@@ -1646,7 +1668,6 @@ def dedup_exact(
         fixture = cached_fixture_dir(
             "dedup_stream", sf_dir, write_dedup_stream_fixture
         )
-        ckpt = _tempfile.mkdtemp(prefix="dedup_stream_ckpt_")
         raw = (
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", 1)
@@ -1666,14 +1687,15 @@ def dedup_exact(
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
-            q = (
-                survivors.writeStream.foreachBatch(capture)
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            with _ephemeral_ckpt("dedup_stream_ckpt_") as ckpt:
+                q = (
+                    survivors.writeStream.foreachBatch(capture)
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         stream = spark.createDataFrame(
@@ -1784,7 +1806,6 @@ def dedup_minhash_lsh(
 
     Scale: stream state is one long per non-empty bucket (bands × |docs|),
     RocksDB-spillable; the verify join carries only the flagged sliver."""
-    import tempfile as _tempfile
 
     from .ops.dedup import jaccard_pairs, minhash_dedup_pairs, minhash_dedup_stream
     from .sources.fixtures import cached_fixture_dir, write_minhash_stream_fixture
@@ -1808,14 +1829,17 @@ def dedup_minhash_lsh(
         fixture = cached_fixture_dir(
             "minhash_stream", sf_dir, write_minhash_stream_fixture
         )
-        ckpt = _tempfile.mkdtemp(prefix="minhash_stream_ckpt_")
         raw = (
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", 1)
             .parquet(fixture)
         )
+        # state_slots sized to cores: Python calls per micro-batch are
+        # bands × slots (≤ 512 here), never bands × |docs| — the coarse-key
+        # design minhash_dedup_stream documents (r10 VERDICT item #1)
+        n_slots = max(8, min(64, spark.sparkContext.defaultParallelism * 2))
         cands = minhash_dedup_stream(
-            raw, "text", "doc_id", num_perm=32, bands=8
+            raw, "text", "doc_id", num_perm=32, bands=8, state_slots=n_slots
         ).select("id", "dup_of")
         collected: list = []
 
@@ -1825,28 +1849,23 @@ def dedup_minhash_lsh(
             collected.extend(df.collect())
 
         # state partitions are baked into the checkpoint at first start —
-        # size them to the stream's volume (the dedup_exact convention), but
-        # UNLIKE dedup_exact (JVM-side dropDuplicates, 4 is plenty) this
-        # operator runs a Python function per state GROUP and batch 0 opens
-        # bands × |docs| groups (40k at sf0.1): the per-group Python call
-        # overhead is the wall, so it needs real parallelism — capped at 16
-        # (2.5-3× faster than 4 on 32 cores; 32 pays more per-batch
-        # state-commit overhead than it buys) but never above the session's
-        # cores (extra instances on a small session are pure commit cost; a
-        # production deployment sizes this to buckets-per-trigger the same
-        # way)
+        # size them to the stream's volume (the dedup_exact convention).
+        # With the coarse (band, slot) state key there are at most
+        # bands × n_slots groups per micro-batch; 8 partitions spread the
+        # vectorized group folds across cores without paying 32 state-store
+        # file commits per micro-batch
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        n_state_parts = max(4, min(16, spark.sparkContext.defaultParallelism))
-        spark.conf.set("spark.sql.shuffle.partitions", str(n_state_parts))
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
-            q = (
-                cands.writeStream.foreachBatch(capture)
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            with _ephemeral_ckpt("minhash_stream_ckpt_") as ckpt:
+                q = (
+                    cands.writeStream.foreachBatch(capture)
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         pairs = spark.createDataFrame(
@@ -1857,13 +1876,20 @@ def dedup_minhash_lsh(
         # verify reads only the FLAGGED sliver: semi-filter the corpus to
         # ids appearing in candidate pairs before shingling (the candidate
         # set is bounded; tokenizing the full corpus for a sliver-sized
-        # verify is 2× wall for nothing)
+        # verify is 2× wall for nothing). _spread before shingling — the
+        # fixture is 4 single-row-group files, so the tokenize would
+        # otherwise run on ≤4 cores. Measured at sf0.1: the string-shingle
+        # verify WITHOUT materialization beats both jaccard_pairs
+        # materialize=True and a hashed-shingle verify (the double-tokenize
+        # it saves costs less here than the eager checkpoint write; at
+        # 100 TB sliver sizes that trade flips — the materialize knob
+        # exists on jaccard_pairs for exactly that)
         flagged_ids = (
             pairs.select(F.col("id_a").alias("doc_id"))
             .union(pairs.select(F.col("id_b").alias("doc_id")))
             .distinct()
         )
-        sliver = corpus.join(F.broadcast(flagged_ids), "doc_id")
+        sliver = _spread(corpus.join(F.broadcast(flagged_ids), "doc_id"))
         verified = jaccard_pairs(sliver, "text", "doc_id", pairs).filter(
             F.col("inter_size") * 5 >= F.col("union_size") * 4
         )
@@ -3461,17 +3487,41 @@ def _pack_bins_constants() -> str:
       FROM documents d JOIN bins_c c
         ON d.doc_id = c.cdoc_id AND md5(coalesce(d.text, '')) = c.cfp
        AND c.ccorp = (SELECT sum(octet_length(encode(coalesce(text, ''))))
-                      FROM documents))
+                      FROM documents)),
+    fert_docs AS (
+      SELECT d.lang,
+             len(list_filter(string_split_regex(coalesce(d.text, ''), '\\s+'),
+                 x -> x <> '')) AS w,
+             length(coalesce(d.text, '')) AS ch,
+             c.bn AS bt
+      FROM documents d JOIN bpe_counts c
+        ON d.doc_id = c.bdoc_id AND md5(coalesce(d.text, '')) = c.fp
+       AND c.corp = (SELECT sum(octet_length(encode(coalesce(text, ''))))
+                     FROM documents)),
+    fert_side AS (
+      SELECT 'fertility' AS side, count(*)::BIGINT AS doc_id, lang AS source,
+             sum(bt)::BIGINT AS n_tokens, sum(w)::BIGINT AS start_offset,
+             sum(ch)::BIGINT AS block_id,
+             CAST(NULL AS BIGINT) AS offset_in_block,
+             CAST(NULL AS BIGINT) AS chunk_idx,
+             CAST(NULL AS VARCHAR) AS chunk_md5
+      FROM fert_docs GROUP BY lang
+      UNION ALL
+      SELECT 'fertility', count(*)::BIGINT, '__all__', sum(bt)::BIGINT,
+             sum(w)::BIGINT, sum(ch)::BIGINT, CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+      FROM fert_docs)
     SELECT * FROM pack UNION ALL SELECT * FROM chunks
     UNION ALL SELECT * FROM bpe_side
     UNION ALL SELECT * FROM bins_side
+    UNION ALL SELECT * FROM fert_side
     """.replace("{BPE_COUNTS}", _bpe_count_constants())
     .replace("{BINS_PLACES}", _pack_bins_constants()),
 )
 def pack_sequences(
     spark: SparkSession,
     sf_dir: str,
-    sides: tuple[str, ...] = ("pack", "chunk", "bpe", "bins"),
+    sides: tuple[str, ...] = ("pack", "chunk", "bpe", "bins", "fertility"),
 ) -> DataFrame:
     """The sequence-prep family, both grains, one row:
 
@@ -3510,7 +3560,19 @@ def pack_sequences(
     import with the SHARED property-tested core (``_pack_bins_constants``
     → ``_bfd_place``); bin_id maps onto block_id, offset_in_bin onto
     offset_in_block (start_offset is NULL — no-split packing has no global
-    stream offset)."""
+    stream offset).
+
+    side='fertility' (r11 — VERDICT r10 item #6) —
+    :func:`~.ops.bpe.tokenizer_fertility` over the SAME learned merge
+    table: exact integer sums (n_docs, n_words, n_chars, n_bpe_tokens)
+    per ``lang`` PLUS the global row (source='__all__'), so the hash
+    carries the grouped==global reconciliation (Σ per-lang sums must equal
+    the global sums — both computed independently by the oracle from the
+    import-time BPE count constants). Column mapping onto the row schema:
+    doc_id=n_docs, source=lang, n_tokens=n_bpe_tokens,
+    start_offset=n_words, block_id=n_chars. The ratios (fertility,
+    compression) are one division away and stay out of the hash per the
+    no-hashed-doubles convention."""
     from .ops.pipeline import chunk_documents as _chunk
     from .ops.pipeline import pack_sequences as _pack
 
@@ -3521,6 +3583,13 @@ def pack_sequences(
         n = docs.count()  # parquet metadata only; doc_ids are dense 0..n-1
         step = max(1, n // 8)
         bounds = list(range(step, n, step))
+    if "bpe" in sides or "fertility" in sides:
+        from .ops.bpe import train_bpe
+
+        merges = train_bpe(
+            docs, "text", num_merges=_BPE_NUM_MERGES,
+            sample_rows=_BPE_SAMPLE_ROWS, max_chars_per_doc=_BPE_MAX_CHARS,
+        )
     if "pack" in sides:
         parts.append(
             _pack(
@@ -3549,12 +3618,8 @@ def pack_sequences(
         import os as _os
         import tempfile as _tempfile
 
-        from .ops.bpe import bpe_encode, load_merges, save_merges, train_bpe
+        from .ops.bpe import bpe_encode, load_merges, save_merges
 
-        merges = train_bpe(
-            docs, "text", num_merges=_BPE_NUM_MERGES,
-            sample_rows=_BPE_SAMPLE_ROWS, max_chars_per_doc=_BPE_MAX_CHARS,
-        )
         mpath = _os.path.join(
             _tempfile.mkdtemp(prefix="bpe_merges_"), "merges.json"
         )
@@ -3595,6 +3660,27 @@ def pack_sequences(
                 F.lit(None).cast("string").alias("chunk_md5"),
             )
         )
+    if "fertility" in sides:
+        from .ops.bpe import tokenizer_fertility
+
+        per_lang = tokenizer_fertility(docs, "text", "doc_id", merges, by="lang")
+        overall = tokenizer_fertility(docs, "text", "doc_id", merges).withColumn(
+            "lang", F.lit("__all__")
+        )
+        for fert in (per_lang, overall):
+            parts.append(
+                fert.select(
+                    F.lit("fertility").alias("side"),
+                    F.col("n_docs").cast("long").alias("doc_id"),
+                    F.col("lang").alias("source"),
+                    F.col("n_bpe_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_words").cast("long").alias("start_offset"),
+                    F.col("n_chars").cast("long").alias("block_id"),
+                    nul_l.alias("offset_in_block"),
+                    nul_l.alias("chunk_idx"),
+                    F.lit(None).cast("string").alias("chunk_md5"),
+                )
+            )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -4459,7 +4545,21 @@ def _curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cleaning ladder, not each stage in isolation. The oracle is unchanged:
     # it rebuilds the page from the generation formula, so any byte the WARC
     # path drops or mangles diverges the extracted text.
-    warcs = attach_warc_payload(docs, page_html_fn=_curation_page_html)
+    # The WARC CAPTURES are a cached fixture (r10 VERDICT item #3 — the
+    # `cached_fixture_dir` convention): synthesizing every capture in
+    # Python per call put fixture generation inside the benched row; the
+    # parquet round-trip changes no byte (binary column), so the hash still
+    # covers bytes → records → html → clean text → signals, and the timed
+    # work is ingest + ladder — the thing worth tracking round over round.
+    from .sources.fixtures import cached_fixture_dir
+
+    def _write_curation_warcs(src_sf_dir: str, out_dir: str) -> None:
+        attach_warc_payload(
+            _documents(spark, src_sf_dir), page_html_fn=_curation_page_html
+        ).write.mode("overwrite").parquet(out_dir)
+
+    fixture = cached_fixture_dir("curation_warc", sf_dir, _write_curation_warcs)
+    warcs = _spread(spark.read.parquet(fixture))
     pages = warc_records(warcs).select(
         "doc_id", F.col("body").cast("string").alias("html")
     )
@@ -4758,7 +4858,6 @@ def corpus_health(
             ).select(cols)
         )
     if "stream" in sides:
-        import tempfile as _tempfile
 
         from .ops.text import corpus_profile_stream
         from .sources.fixtures import (
@@ -4769,7 +4868,6 @@ def corpus_health(
         fixture = cached_fixture_dir(
             "profile_stream", sf_dir, write_profile_stream_fixture
         )
-        ckpt = _tempfile.mkdtemp(prefix="profile_stream_ckpt_")
         raw = (
             spark.readStream.schema(
                 "doc_id bigint, source string, text string, ts_ms bigint"
@@ -4791,14 +4889,15 @@ def corpus_health(
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")  # state ≈ volume
         try:
-            q = (
-                profile.writeStream.foreachBatch(capture)
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            with _ephemeral_ckpt("profile_stream_ckpt_") as ckpt:
+                q = (
+                    profile.writeStream.foreachBatch(capture)
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         stream = spark.createDataFrame(

@@ -1351,6 +1351,82 @@ def test_robots_txt_gate(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_robots_versioned_agents_grammar_corners_and_pct(spark):
+    """Round-11 robots hardening (VERDICT r10 #7 + ADVICE): (1) versioned
+    User-agent tokens match on the product token when version_tokens=True
+    (default stays exact); (2) grammar corners pinned — an ignored field
+    between two User-agent lines is NEUTRAL (one merged group), an
+    empty-valued 'User-agent:' line is ignored WHOLESALE (following rules
+    attach to the preceding group); (3) percent-encoding canonicalization —
+    hex case and unreserved-octet spellings compare equal on both the
+    pattern and URL sides, escaped reserved octets stay distinct."""
+    from debezium_connector_vitess_spark.ops.robots import (
+        canonical_pct,
+        filter_robots_allowed,
+        parse_robots_txt,
+        robots_rule_regex,
+        robots_rules,
+        select_agent_rules,
+    )
+
+    # (1) versioned product tokens, both directions
+    rules = parse_robots_txt(
+        "User-agent: TrainingBot/1.2\nDisallow: /a\n\n"
+        "User-agent: *\nDisallow: /b\n"
+    )
+    assert select_agent_rules(rules, "trainingbot") == [("disallow", "/b")]
+    assert select_agent_rules(rules, "trainingbot", version_tokens=True) == [
+        ("disallow", "/a")
+    ]
+    # crawler-side version against a bare file token
+    rules2 = parse_robots_txt("User-agent: TrainingBot\nDisallow: /a\n")
+    assert select_agent_rules(rules2, "TrainingBot/2.0", version_tokens=True) == [
+        ("disallow", "/a")
+    ]
+    assert select_agent_rules(rules2, "TrainingBot/2.0") == []
+
+    # (2a) ignored field between User-agent lines: ONE merged group
+    merged = parse_robots_txt(
+        "User-agent: a\nSitemap: https://h/s.xml\nUser-agent: b\nDisallow: /x\n"
+    )
+    assert ("a", "disallow", "/x") in merged
+    assert ("b", "disallow", "/x") in merged
+    # (2b) empty 'User-agent:' ignored wholesale — rules after it still
+    # attach to the preceding group, and it never closes a rule run
+    kept = parse_robots_txt(
+        "User-agent: a\nDisallow: /x\nUser-agent:\nDisallow: /y\n"
+    )
+    assert kept == [("a", "disallow", "/x"), ("a", "disallow", "/y")]
+
+    # (3) percent canonicalization: the pure function...
+    assert canonical_pct("/f%6fo%3c%2Fx%zz%") == "/foo%3C%2Fx%zz%"
+    assert robots_rule_regex("/a%3c") == robots_rule_regex("/a%3C")
+    assert robots_rule_regex("/%41b") == robots_rule_regex("/Ab")
+    # ...and the column twin, end to end: mixed spellings gate identically,
+    # while an escaped slash never collapses into a raw one
+    rdf = spark.createDataFrame(
+        [("h.io", "User-agent: *\nDisallow: /q%3Cz\nDisallow: /foo/bar\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (0, "https://h.io/q%3cz/1"),   # lower-hex URL vs upper-hex rule
+            (1, "https://h.io/q%3Cz/1"),   # exact spelling
+            (2, "https://h.io/%66oo/bar"), # unreserved escape decodes
+            (3, "https://h.io/foo%2Fbar"), # escaped / stays distinct -> kept
+            (4, "https://h.io/qz/1"),      # no rule matches -> kept
+        ],
+        "id long, url string",
+    )
+    out = sorted(
+        r.id
+        for r in filter_robots_allowed(
+            urls, "url", robots_rules(rdf, agent="*")
+        ).collect()
+    )
+    assert out == [3, 4]
+
+
 def test_exif_orientation_parse():
     """EXIF orientation from a genuine APP1/TIFF block, both byte orders;
     absent APP1 / absent tag -> None; corrupt TIFF blocks raise the
