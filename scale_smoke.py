@@ -317,8 +317,11 @@ def main() -> None:
     emb1 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
+    ne1 = emb1.count()
+    # fixture dir keyed by the 1x row count so runs at different SF dirs
+    # never silently reuse each other's blow-up (r11)
     emb_dir = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), f"scale_smoke_emb_{COPIES}x"
+        os.environ.get("TMPDIR", "/tmp"), f"scale_smoke_emb_{COPIES}x_{ne1}"
     )
     if not os.path.isdir(emb_dir):
         copies = spark.range(COPIES).select(F.col("id").alias("copy"))
@@ -587,6 +590,263 @@ def main() -> None:
     }
     print(f"# bucketed_join: {bucketed_join}", flush=True)
 
+    # ------------------------------------------------------------------
+    # 100x shuffle-heavy section (r11 — VERDICT r10 item #4): the five
+    # heaviest shuffle shapes measured at 100x copies (~500k docs / vecs),
+    # with plan fingerprints, total + peak-stage shuffle WRITE bytes, and a
+    # per-row-cost comparison against a SAME-STRUCTURE 10x leg. The text
+    # blow-up here bounds near-dup clusters at 10 members regardless of the
+    # copy count (group-distinct tokens spliced every 3rd token destroy
+    # cross-group shingles), so pair outputs scale LINEARLY with the corpus
+    # — growing the corpus, not the clique sizes, is the 100 TB question;
+    # the 10x sweep above keeps its original unbounded-clique structure.
+    # Expensive (minutes per op): opt-in via SPARK_GRAFT_SCALE_100X=1; a
+    # run without it carries the previous artifact's section forward.
+    # ------------------------------------------------------------------
+    smoke_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALE_SMOKE.json"
+    )
+    prev_smoke = None
+    try:
+        with open(smoke_path) as fh:
+            prev_smoke = json.load(fh)
+    except (OSError, ValueError):
+        pass
+
+    shuffle_100x: dict = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_100X", "0") == "1":
+        jvm = spark._jvm
+        store = spark._jsparkSession.sparkContext().statusStore()
+
+        def _stage_shuffle_bytes() -> dict[int, int]:
+            """stageId → shuffle write bytes from the app status store (the
+            UI-less equivalent of the Stages tab; scala default args fetched
+            via their synthesized accessors)."""
+            empty = jvm.java.util.ArrayList()
+            args = [
+                getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
+            ]
+            lst = store.stageList(empty, *args)
+            return {
+                lst.apply(i).stageId(): lst.apply(i).shuffleWriteBytes()
+                for i in range(lst.size())
+            }
+
+        def _bounded_blowup_dir(copies: int) -> str:
+            path = os.path.join(
+                os.environ.get("TMPDIR", "/tmp"),
+                f"scale_smoke_bounded_{copies}x_{n1}",
+            )
+            if not os.path.isdir(path):
+                cp = spark.range(copies).select(F.col("id").alias("copy"))
+                g = (F.col("copy") / 10).cast("long")
+                m = F.col("copy") % 10
+                toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+                regrouped = F.array_join(
+                    F.transform(
+                        toks,
+                        lambda x, i: F.when(
+                            i % 3 == 2,
+                            F.concat(x, F.lit(" zq"), g.cast("string")),
+                        ).otherwise(x),
+                    ),
+                    " ",
+                )
+                txt = F.when(g == 0, F.col("text")).otherwise(regrouped)
+                txt = F.when(m == 0, txt).otherwise(
+                    F.concat(txt, F.lit(" rev"), m.cast("string"))
+                )
+                (
+                    docs1.crossJoin(cp)
+                    .select(
+                        (F.col("doc_id") + F.col("copy") * 1_000_000).alias(
+                            "doc_id"
+                        ),
+                        "source",
+                        "lang",
+                        txt.alias("text"),
+                    )
+                    .repartition(CPUS)
+                    .write.mode("overwrite")
+                    .parquet(path)
+                )
+            return path
+
+        def _emb_blowup_dir(copies: int) -> str:
+            path = os.path.join(
+                os.environ.get("TMPDIR", "/tmp"),
+                f"scale_smoke_emb_{copies}x_{ne1}",
+            )
+            if not os.path.isdir(path):
+                cp = spark.range(copies).select(F.col("id").alias("copy"))
+                (
+                    emb1.crossJoin(cp)
+                    .select(
+                        (F.col("vec_id") + F.col("copy") * 1_000_000).alias(
+                            "vec_id"
+                        ),
+                        "embedding",
+                    )
+                    .repartition(CPUS)
+                    .write.mode("overwrite")
+                    .parquet(path)
+                )
+            return path
+
+        from debezium_connector_vitess_spark.ops.dedup import ngram_jaccard_pairs
+
+        HEAVY = {
+            "minhash_lsh": lambda d: minhash_dedup_pairs(
+                d, "text", "doc_id", threshold_num=4, threshold_den=5
+            ),
+            "ngram_allpairs": lambda d: ngram_jaccard_pairs(
+                d, "text", "doc_id", threshold_num=1, threshold_den=2
+            ),
+            "winnow": lambda d: winnow_match_pairs(
+                d, "text", "doc_id", k=25, window=10, max_doc_freq=50
+            ),
+            "duplicated_spans": lambda d: duplicated_spans(
+                d, "text", "doc_id", min_tokens=20
+            ),
+        }
+
+        def _plan_fingerprint(df) -> dict[str, int]:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return {
+                "exchanges": plan.count("Exchange"),
+                "broadcast_joins": plan.count("BroadcastHashJoin"),
+                "sort_merge_joins": plan.count("SortMergeJoin"),
+                "cartesian": plan.count("CartesianProduct"),
+                "skew_splits": plan.count("skew=true"),
+            }
+
+        def _measure_heavy(fn, frame, rows_in: int, attempts: int) -> dict:
+            runs: list[float] = []
+            rec: dict = {}
+            for a in range(attempts):
+                before = _stage_shuffle_bytes()
+                with checkpoint_scope(spark):
+                    t0 = time.time()
+                    df = fn(frame)
+                    run(df)
+                    runs.append(round(time.time() - t0, 2))
+                    if a == 0:
+                        # plan read inside the scope that owns the
+                        # localCheckpoint blocks the plan references
+                        rec["plan"] = _plan_fingerprint(df)
+                if a == 0:
+                    after = _stage_shuffle_bytes()
+                    new = {
+                        sid: b for sid, b in after.items() if sid not in before
+                    }
+                    rec["shuffle_write_bytes"] = int(sum(new.values()))
+                    rec["peak_stage_shuffle_bytes"] = int(
+                        max(new.values(), default=0)
+                    )
+                    with checkpoint_scope(spark):
+                        # fresh build: the timed df's checkpointed blocks
+                        # were reclaimed when its scope closed
+                        rec["rows_out"] = fn(frame).count()
+            rec["t_sec"] = min(runs)
+            rec["attempts"] = runs
+            rec["rows_in"] = rows_in
+            return rec
+
+        b10 = spark.read.parquet(_bounded_blowup_dir(10))
+        b100 = spark.read.parquet(_bounded_blowup_dir(100))
+        nb10, nb100 = b10.count(), b100.count()
+        e100 = spark.read.parquet(_emb_blowup_dir(100))
+        ne10, ne100 = emb10.count(), e100.count()
+
+        for name, fn in HEAVY.items():
+            leg10 = _measure_heavy(fn, b10, nb10, attempts=2)
+            leg100 = _measure_heavy(fn, b100, nb100, attempts=2)
+            per_row_ratio = round(
+                (leg100["t_sec"] / nb100) / max(leg10["t_sec"] / nb10, 1e-12), 2
+            )
+            shuffle_100x[name] = {
+                "10x": leg10,
+                "100x": leg100,
+                # per-row cost at 100x over per-row cost at 10x: ~1.0 =
+                # linear; <1 = fixed costs still amortizing; the flag fires
+                # only on genuinely super-linear per-row growth (raw wall
+                # ratios between 10x and 100x legs are dominated by fixed
+                # costs and flag every op spuriously)
+                "per_row_cost_ratio": per_row_ratio,
+                "super_linear": per_row_ratio > 1.5,
+            }
+            print(f"# 100x {name}: {shuffle_100x[name]}", flush=True)
+
+        leg10 = _measure_heavy(semdedup_op, emb10, ne10, attempts=2)
+        leg100 = _measure_heavy(semdedup_op, e100, ne100, attempts=2)
+        per_row_ratio = round(
+            (leg100["t_sec"] / ne100) / max(leg10["t_sec"] / ne10, 1e-12), 2
+        )
+        shuffle_100x["semantic_dedup"] = {
+            "10x": leg10,
+            "100x": leg100,
+            "per_row_cost_ratio": per_row_ratio,
+            "super_linear": per_row_ratio > 1.5,
+        }
+        print(f"# 100x semantic_dedup: {shuffle_100x['semantic_dedup']}", flush=True)
+
+        # AQE skew-split evidence — the straggler case: one key holds ~10%
+        # of the 100x corpus; skew thresholds are scaled DOWN to this
+        # smoke's data volume (the mechanism under test is the runtime
+        # split, which at production scale triggers at the default 256 MB)
+        # thresholds compare against COMPRESSED shuffle bytes (synthetic
+        # text compresses ~10x), so they sit well below the hot partition's
+        # compressed size at either parity SF dir
+        skew_confs = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k, None) for k in skew_confs}
+        try:
+            for k, v in skew_confs.items():
+                spark.conf.set(k, v)
+            left = b100.select(
+                F.when(F.col("doc_id") % 2 == 0, F.lit(0))
+                .otherwise(F.col("doc_id"))
+                .alias("k"),
+                "text",
+            )
+            right = spark.range(0, 1_000_000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+            with checkpoint_scope(spark):
+                t0 = time.time()
+                # keep text in the output: projecting it away lets column
+                # pruning shrink the hot partition below the skew threshold.
+                # Execute through the dataset's OWN QueryExecution (JVM-side
+                # toRdd().count()) — a sink write plans a separate execution
+                # whose final adaptive plan (where skew=true appears) is not
+                # the one this dataset's handle can read back
+                skew_df = left.join(right, "k").select("k", "text", "v")
+                jqe = skew_df._jdf.queryExecution()
+                jqe.toRdd().count()
+                t_skew = round(time.time() - t0, 2)
+                plan = jqe.executedPlan().toString()
+            shuffle_100x["aqe_skew_probe"] = {
+                "t_sec": t_skew,
+                "skew_splits": plan.count("skew=true"),
+                "note": "one key carries ~half the 100x corpus; thresholds "
+                "scaled to smoke volume; skew=true nodes are AQE's runtime "
+                "straggler split",
+            }
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        print(f"# aqe_skew_probe: {shuffle_100x['aqe_skew_probe']}", flush=True)
+    elif prev_smoke and prev_smoke.get("shuffle_100x"):
+        shuffle_100x = prev_smoke["shuffle_100x"]
+        shuffle_100x["carried_from_prev"] = True
+
     canary_after = _canary_runs()
     out = {
         "metric": "scale_smoke_ratio_max",
@@ -596,6 +856,7 @@ def main() -> None:
         "rows_1x": n1,
         "rows_10x": n10,
         "bucketed_join": bucketed_join,
+        "shuffle_100x": shuffle_100x,
         "canary": {
             "sec": min(canary_before + canary_after),
             "runs_before": canary_before,

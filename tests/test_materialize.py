@@ -764,6 +764,60 @@ def test_minhash_dedup_stream_candidates_match_batch(spark, tmp_path):
     assert {(min(i, d), max(i, d)) for (i, d) in flagged} <= batch_pairs
 
 
+def test_minhash_dedup_stream_winner_rearrival_is_silent(spark, tmp_path):
+    """Coarse-slot state fold (r11): a bucket's stored WINNER re-arriving
+    alone in a later micro-batch emits nothing (it is not a duplicate of
+    itself) while the slot's state survives the touch — a near-dup arriving
+    after that is still attributed to the original first arrival."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_connector_vitess_spark.ops.dedup import minhash_dedup_stream
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    batches = [
+        [(5, base + "alpha")],   # seeds buckets
+        [(5, base + "alpha")],   # the winner re-arrives ALONE
+        [(9, base + "alpha2")],  # near-dup: must still attribute to 5
+    ]
+    for i, rows in enumerate(batches):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        p = str(src / f"f{i}.parquet")
+        pq.write_table(t, p)
+        os.utime(p, (1_700_000_000 + i * 10,) * 2)
+    got: list[tuple[int, int, int]] = []
+
+    def cap(df, batch_id):
+        got.extend((int(batch_id), r.id, r.dup_of) for r in df.collect())
+
+    q = (
+        minhash_dedup_stream(
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            "text",
+            "doc_id",
+        )
+        .writeStream.foreachBatch(cap)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert got and all(i == 9 and d == 5 for (_b, i, d) in got)
+    assert all(b == 2 for (b, _i, _d) in got)  # batches 0 and 1 were silent
+
+
 def test_minhash_dedup_stream_idle_ttl_evicts_buckets(spark, tmp_path):
     """idle_ttl_ms: buckets idle past the TTL leave the state store, so a
     near-duplicate arriving AFTER eviction starts a fresh bucket and is NOT
