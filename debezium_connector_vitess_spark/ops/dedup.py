@@ -673,14 +673,15 @@ def minhash_dedup_stream(
     min-wise family with different buckets; don't mix the two when
     verifying stream output batch-side. Docs with no shingles (shorter
     than ``shingle_n`` tokens) are excluded, exactly as the batch groupBy
-    drops them. The hashed-shingle array crosses ONE Arrow seam before the
-    per-permutation minima: projection collapse would otherwise inline the
-    tokenize+shingle+hash subtree into all ``num_perm`` minima (the blowup
-    minhash_signature_expr documents; batch materializes with
-    localCheckpoint, which a stream cannot), and the empty-shingle filter
-    sits ABOVE that seam — below it, Catalyst pushes the predicate through
-    the projection and re-runs the full tokenize+hash subtree per row just
-    for the size() check.
+    drops them. The hashed-shingle array is built UNDER a ``shuffle()``
+    optimizer fence (non-deterministic, so the tokenize+shingle+hash
+    subtree is evaluated exactly once per row: CollapseProject cannot
+    inline it into the per-permutation minima and the empty-shingle
+    filter's size() predicate cannot be pushed below it — each re-ran the
+    subtree; batch materializes with localCheckpoint instead, which a
+    stream cannot). The array order the fence scrambles is consumed only
+    by order-invariant min folds, so no output value ever observes the
+    non-determinism.
 
     Scale: state is ONE (bhash, first_id, last_seen) entry per distinct
     non-empty bucket — ≤ bands × |docs| × 24 bytes total — but the state
@@ -736,15 +737,23 @@ def minhash_dedup_stream(
             f"ids to longs upstream (e.g. xxhash64) or use the batch "
             f"minhash_dedup_pairs, which carries any id type"
         )
+    # JVM-side optimizer fence (r11, ex Arrow identity seam): `shuffle()` is
+    # non-deterministic, so CollapseProject cannot inline the
+    # tokenize+shingle+hash subtree into downstream references and the
+    # empty-shingle filter cannot be pushed below the projection (either
+    # would re-run the subtree; the pushed size() predicate alone doubled
+    # it). The array's ORDER is irrelevant everywhere downstream — the
+    # per-permutation minima are order-invariant folds — so the
+    # non-determinism never reaches an output value, task retries included.
+    # Costs nothing (an in-place Fisher-Yates on an already-built array) and
+    # keeps the whole stage in codegen, vs. the Arrow round trip of the old
+    # mapInPandas identity barrier.
     sh = df.select(
         F.col(id_col).cast("long").alias("id"),
-        _hashed_shingle_array(F.col(text_col), shingle_n).alias("shashes"),
+        F.shuffle(_hashed_shingle_array(F.col(text_col), shingle_n)).alias(
+            "shashes"
+        ),
     )
-    # Arrow barrier: materialize the hashed-shingle array once per row; the
-    # empty-shingle filter goes ABOVE it (pushdown cannot cross MapInPandas,
-    # so the size() predicate reads the materialized array instead of
-    # re-running the tokenize+hash subtree)
-    sh = sh.mapInPandas(lambda it: it, schema="id bigint, shashes array<bigint>")
     sh = sh.filter(F.size("shashes") > 0)
     sig = sh.select("id", *_perm_min_cols(F.col("shashes"), num_perm))
     banded = minhash_band_keys(sig, num_perm=num_perm, bands=bands)
@@ -783,6 +792,7 @@ def ngram_jaccard_pairs(
     threshold_num: int = 1,
     threshold_den: int = 2,
     materialize: bool = True,
+    max_prefix_df: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold pairs at scale via prefix filtering (the
     AllPairs/PPJoin principle) — same output as the brute-force all-pairs
@@ -792,11 +802,34 @@ def ngram_jaccard_pairs(
     order (ascending document frequency, rare first — ties broken by the
     shingle's 64-bit hash); if J(A,B) ≥ τ then the two prefixes of length
     |X| − ⌈τ·|X|⌉ + 1 must share a shingle, so an equi-join on prefix
-    shingles finds every qualifying pair. Two exact prunes stack on top:
-    the length filter (τ·|A| ≤ |B| ≤ |A|/τ) and the final exact
-    intersection/union verify. Shuffles: one groupBy for shingle frequencies,
-    one per-doc aggregation, one equi-join on (rare) prefix shingles — rare
-    shingles keep the join's per-key fan-out small by construction.
+    shingles finds every qualifying pair. Three exact prunes stack on top:
+    the length filter (τ·|A| ≤ |B| ≤ |A|/τ), PPJoin's POSITIONAL filter
+    (r11), and the final exact intersection/union verify. Shuffles: one
+    groupBy for shingle frequencies, one per-doc aggregation, one equi-join
+    on (rare) prefix shingles — rare shingles keep the join's per-key
+    fan-out small by construction.
+
+    Positional filter (exact — Xiao et al.'s PPJoin, public algorithm):
+    J ≥ τ forces the overlap O ≥ α = ⌈τ·(|A|+|B|)/(1+τ)⌉. The pair's FIRST
+    shared prefix entry, at 0-based positions (i, j) of the two docs'
+    globally-ordered shingle lists, is also the first shared entry OVERALL
+    (any earlier common shingle is rarer, hence inside both prefixes,
+    contradicting firstness — the argument survives ``max_prefix_df``
+    because capped-away entries are never rarer than surviving ones), and
+    every common shingle sits at or after it in BOTH lists, so
+    O ≤ 1 + min(|A|−1−i, |B|−1−j); pairs whose bound undershoots α are
+    dropped before the verify. The per-pair (min i, min j) aggregation
+    REPLACES the candidate distinct — same shuffle, strictly fewer
+    verified pairs (measured ~2x fewer on phrase-dense synthetic text).
+
+    ``max_prefix_df`` caps the document frequency of PREFIX entries (the
+    ``winnow_match_pairs`` ``max_doc_freq`` / minhash ``max_bucket_size``
+    convention): entries with dfreq above the cap are dropped from the
+    prefix (never from the verify sets), so mid-frequency boilerplate
+    n-grams — common enough to pair up thousands of unrelated docs, rare
+    enough to rank inside τ-length prefixes — stop generating candidates.
+    Recall loss is confined to pairs whose EVERY shared shingle has
+    dfreq > cap; Default ``None`` = off (exact).
 
     Every shingle is hashed ONCE to a 64-bit key map-side and the whole
     pipeline — frequency counts, prefix ordering, candidate join, and the
@@ -806,6 +839,18 @@ def ngram_jaccard_pairs(
     guarantee only needs SOME global total order, so ordering by (dfreq,
     hash) instead of (dfreq, string) is equally valid; results equal the
     string-based brute force up to 64-bit collisions.
+
+    The verify joins EXPLODED (id, shingle) longs and partial-aggregates
+    the per-pair match count before anything shuffles (r11 — the
+    minhash_dedup_pairs verify shape). The previous formulation attached
+    each side's full shingle ARRAY to every candidate pair and took the
+    intersection per pair: fast when candidates are sparse, but the
+    per-pair ~3 KB payloads made intermediate volume ∝ pairs × |doc|, and
+    the 100x scale smoke measured that spill outgrowing a whole machine's
+    scratch disk on clique-dense data. The exploded shape pays more CPU on
+    the (pair × matching shingle) stream but its disk/memory footprint is
+    bounded by the narrow exploded frames — the trade a 1000-executor run
+    wants.
 
     Documents with no shingles (< n tokens) vacuously satisfy 0 ≥ τ·0 and
     are paired among themselves, matching the brute-force semantics.
@@ -845,13 +890,37 @@ def ngram_jaccard_pairs(
         .select(
             "id",
             "sz",
-            F.explode(
-                F.slice(F.transform("ordered", lambda s: s["shingle"]), F.lit(1), p)
-            ).alias("shingle"),
+            # 0-based position in the FULL globally-ordered list (the slice
+            # keeps the first p entries, so slice positions ARE list
+            # positions) — the positional filter's input
+            F.posexplode(F.slice(F.col("ordered"), F.lit(1), p)).alias(
+                "pos", "entry"
+            ),
         )
     )
-    a = prefix.select(F.col("id").alias("id_a"), F.col("sz").alias("psz_a"), "shingle")
-    b = prefix.select(F.col("id").alias("id_b"), F.col("sz").alias("psz_b"), "shingle")
+    if max_prefix_df is not None:
+        # cap AFTER posexplode so surviving entries keep their true
+        # positions in the full ordered list
+        prefix = prefix.filter(F.col("entry.dfreq") <= max_prefix_df)
+    prefix = prefix.select(
+        "id", "sz", "pos", F.col("entry.shingle").alias("shingle")
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("psz_a"),
+        F.col("pos").alias("pos_a"), "shingle",
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("psz_b"),
+        F.col("pos").alias("pos_b"), "shingle",
+    )
+    # per-pair (min pos_a, min pos_b) lands on the SAME first shared entry
+    # (common entries are co-monotone in both lists under one global
+    # order); the aggregation replaces the candidate distinct — same
+    # partial-aggregated shuffle, positional prune for free
+    alpha = F.expr(
+        f"(({threshold_num} * (sa + sb) + {threshold_num + threshold_den} - 1)"
+        f" div {threshold_num + threshold_den})"
+    )
     cand = (
         a.join(b, "shingle")
         .filter(
@@ -860,20 +929,60 @@ def ngram_jaccard_pairs(
             & (F.col("psz_a") * threshold_num <= F.col("psz_b") * threshold_den)
             & (F.col("psz_b") * threshold_num <= F.col("psz_a") * threshold_den)
         )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("pos_a").alias("i"), F.min("pos_b").alias("j"),
+            F.min("psz_a").alias("sa"), F.min("psz_b").alias("sb"),
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("sa") - 1 - F.col("i"), F.col("sb") - 1 - F.col("j")
+            )
+            >= alpha
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
-    va = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
-    vb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # Verify on EXPLODED longs with a partial-aggregated count — the
+    # minhash_dedup_pairs verify shape — never on per-pair array payloads:
+    # joining the (id, sh ARRAY) frame onto candidate pairs duplicates each
+    # doc's full ~3 KB shingle array once per pair per side, and the r11
+    # 100x scale smoke measured that intermediate outgrowing a whole
+    # machine's scratch disk (50x/500k docs aborted on spill) while this
+    # formulation's heavy (pair × matching-shingle) stream collapses
+    # map-side into (pair, count) rows before anything shuffles. Candidates
+    # share ≥1 prefix shingle by construction, so the inner intersection
+    # join loses no pair.
+    # The second join's equi keys are EXPLICIT via a USING join on
+    # (id_b, shingle) — expressed as separate conjuncts the planner can key
+    # on id alone and demote the shingle equality to a post-join filter,
+    # which explodes the intermediate to pairs × |A| × |B| (measured: 46 GB
+    # of shuffle at 50k docs). shuffle_hash on the corpus side: the
+    # (pair × A-shingle) stream is the big input, and a SortMergeJoin would
+    # SORT it — the dominant scratch-disk consumer at 250k+ docs. A
+    # shuffled hash join builds its map from the bounded exploded-corpus
+    # partitions and STREAMS the pair side unsorted, so nothing
+    # pair-proportional ever sorts or spills.
+    lhs = cand.join(ex.alias("ia"), cand.id_a == F.col("ia.id")).select(
+        "id_a", "id_b", F.col("ia.shingle").alias("shingle")
+    )
+    rhs = ex.select(F.col("id").alias("id_b"), "shingle").hint("shuffle_hash")
+    inter_counts = (
+        lhs.join(rhs, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sizes = nonempty.select("id", "sz")
     verified = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        inter_counts.join(sizes.alias("sa"), inter_counts.id_a == F.col("sa.id"))
+        .join(sizes.alias("sb"), inter_counts.id_b == F.col("sb.id"))
         .select(
             "id_a",
             "id_b",
-            inter.alias("inter_size"),
-            (F.col("sz_a") + F.col("sz_b") - inter).alias("union_size"),
+            "inter_size",
+            (F.col("sa.sz") + F.col("sb.sz") - F.col("inter_size")).alias(
+                "union_size"
+            ),
         )
         .filter(F.col("inter_size") * threshold_den >= F.col("union_size") * threshold_num)
     )
@@ -883,7 +992,11 @@ def ngram_jaccard_pairs(
     # pipelines drop such docs before dedup anyway
     ea = sh.filter(F.col("sz") == 0).select(F.col("id").alias("id_a"))
     eb = sh.filter(F.col("sz") == 0).select(F.col("id").alias("id_b"))
-    empty_pairs = ea.join(eb, F.col("id_a") < F.col("id_b")).select(
+    # explicit broadcast: without it, large-corpus size ESTIMATES of the
+    # (actually tiny, normally empty) short-doc side degrade the non-equi
+    # join from BNLJ to a CartesianProduct node (observed at 500k docs —
+    # 0 rows executed, but a cartesian in the plan is the wrong shape)
+    empty_pairs = ea.join(F.broadcast(eb), F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", F.lit(0).alias("inter_size"), F.lit(0).alias("union_size")
     )
     return verified.unionByName(empty_pairs)

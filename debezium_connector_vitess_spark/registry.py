@@ -1804,7 +1804,8 @@ def dedup_minhash_lsh(
     partner a band's first arrival is depends on band geometry, so the
     cross-engine contract is the verified membership set.
 
-    Scale: stream state is one long per non-empty bucket (bands × |docs|),
+    Scale: stream state is one (bhash, first_id, last_seen) entry per
+    non-empty bucket (bands × |docs|), keyed on coarse (band, slot) groups,
     RocksDB-spillable; the verify join carries only the flagged sliver."""
 
     from .ops.dedup import jaccard_pairs, minhash_dedup_pairs, minhash_dedup_stream

@@ -699,8 +699,17 @@ def main() -> None:
             "minhash_lsh": lambda d: minhash_dedup_pairs(
                 d, "text", "doc_id", threshold_num=4, threshold_den=5
             ),
+            # max_prefix_df=50 (the winnow max_doc_freq convention): the
+            # synthetic corpus reuses phrases at df~100 — rare enough to
+            # rank inside τ=1/2 prefixes, common enough that uncapped they
+            # pair up every reuse (31M candidates from 50k docs, and the
+            # verify's pairs × |doc| stream outgrew this VM's scratch at
+            # 250k). Production AllPairs at boilerplate-bearing web scale
+            # runs capped for exactly this reason; recall loss is confined
+            # to pairs sharing ONLY >cap shingles (unit-pinned).
             "ngram_allpairs": lambda d: ngram_jaccard_pairs(
-                d, "text", "doc_id", threshold_num=1, threshold_den=2
+                d, "text", "doc_id", threshold_num=1, threshold_den=2,
+                max_prefix_df=50,
             ),
             "winnow": lambda d: winnow_match_pairs(
                 d, "text", "doc_id", k=25, window=10, max_doc_freq=50
@@ -758,9 +767,21 @@ def main() -> None:
         e100 = spark.read.parquet(_emb_blowup_dir(100))
         ne10, ne100 = emb10.count(), e100.count()
 
+        # 4x the partitions for the 100x legs: at 500k docs the AllPairs /
+        # verify joins build multi-GB per-task sort buffers at 32
+        # partitions in one local JVM; 128 keeps each task's working set
+        # bounded and AQE coalesces whatever ends up small
+        prev_parts_100x = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(CPUS * 4))
+
         for name, fn in HEAVY.items():
-            leg10 = _measure_heavy(fn, b10, nb10, attempts=2)
-            leg100 = _measure_heavy(fn, b100, nb100, attempts=2)
+            try:
+                leg10 = _measure_heavy(fn, b10, nb10, attempts=2)
+                leg100 = _measure_heavy(fn, b100, nb100, attempts=2)
+            except Exception as exc:  # noqa: BLE001 — record, don't lose the sweep
+                shuffle_100x[name] = {"error": f"{type(exc).__name__}: {exc}"[:400]}
+                print(f"# 100x {name}: FAILED {type(exc).__name__}", flush=True)
+                continue
             per_row_ratio = round(
                 (leg100["t_sec"] / nb100) / max(leg10["t_sec"] / nb10, 1e-12), 2
             )
@@ -777,18 +798,31 @@ def main() -> None:
             }
             print(f"# 100x {name}: {shuffle_100x[name]}", flush=True)
 
-        leg10 = _measure_heavy(semdedup_op, emb10, ne10, attempts=2)
-        leg100 = _measure_heavy(semdedup_op, e100, ne100, attempts=2)
-        per_row_ratio = round(
-            (leg100["t_sec"] / ne100) / max(leg10["t_sec"] / ne10, 1e-12), 2
-        )
-        shuffle_100x["semantic_dedup"] = {
-            "10x": leg10,
-            "100x": leg100,
-            "per_row_cost_ratio": per_row_ratio,
-            "super_linear": per_row_ratio > 1.5,
-        }
-        print(f"# 100x semantic_dedup: {shuffle_100x['semantic_dedup']}", flush=True)
+        # SemDeDup rides its LARGE-K production path here (assignment='gemm')
+        # on BOTH legs: at 100x n_centroids scales to ~4000 and the expr
+        # path's inlined-literal assignment is the documented small-k shape
+        try:
+            leg10 = _measure_heavy(semdedup_gemm_op, emb10, ne10, attempts=2)
+            leg100 = _measure_heavy(semdedup_gemm_op, e100, ne100, attempts=2)
+            per_row_ratio = round(
+                (leg100["t_sec"] / ne100) / max(leg10["t_sec"] / ne10, 1e-12), 2
+            )
+            shuffle_100x["semantic_dedup_gemm"] = {
+                "10x": leg10,
+                "100x": leg100,
+                "per_row_cost_ratio": per_row_ratio,
+                "super_linear": per_row_ratio > 1.5,
+            }
+            print(
+                f"# 100x semantic_dedup_gemm: "
+                f"{shuffle_100x['semantic_dedup_gemm']}",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001
+            shuffle_100x["semantic_dedup_gemm"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:400]
+            }
+            print("# 100x semantic_dedup_gemm: FAILED", flush=True)
 
         # AQE skew-split evidence — the straggler case: one key holds ~10%
         # of the 100x corpus; skew thresholds are scaled DOWN to this
@@ -843,6 +877,7 @@ def main() -> None:
                 else:
                     spark.conf.set(k, v)
         print(f"# aqe_skew_probe: {shuffle_100x['aqe_skew_probe']}", flush=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts_100x)
     elif prev_smoke and prev_smoke.get("shuffle_100x"):
         shuffle_100x = prev_smoke["shuffle_100x"]
         shuffle_100x["carried_from_prev"] = True

@@ -694,6 +694,76 @@ def test_prefix_filtered_jaccard_equals_brute_force(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_prefix_filtered_jaccard_positional_and_df_cap(spark):
+    """r11 AllPairs hardening: (1) the PPJoin positional filter is EXACT —
+    pinned by the brute-force equality test above, which now runs through
+    it; here a pair sharing only DEEP-prefix entries (positional bound
+    below α) must still verify out, not produce a wrong answer. (2)
+    max_prefix_df drops mid-frequency boilerplate shingles from PREFIXES
+    only: pairs whose every shared shingle exceeds the cap disappear
+    (documented recall trade), pairs sharing one rare shingle survive with
+    EXACT inter/union (verify sets are uncapped)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_bruteforce,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    docs = spark.createDataFrame(
+        [(1, base + "one"), (2, base + "two")]
+        + [
+            (10 + i, f"u{i}a u{i}b u{i}c shared common phrase here distinct")
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    # uncapped: equal to brute force (the 30 boilerplate docs share the
+    # 'shared common phrase here' shingles — none reach J >= 1/2)
+    brute = {
+        (r.id_a, r.id_b, r.inter_size, r.union_size)
+        for r in ngram_jaccard_pairs_bruteforce(docs, "text", "doc_id")
+        .filter(F.col("inter_size") * 2 >= F.col("union_size"))
+        .collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.inter_size, r.union_size)
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id").collect()
+    }
+    assert exact == brute and (1, 2) in {(a, b) for a, b, *_ in exact}
+    # capped at 5: the df-30 boilerplate shingles leave the prefixes, the
+    # (1,2) near-dup pair (rare shingles, df=2) survives with exact counts
+    capped = {
+        (r.id_a, r.id_b, r.inter_size, r.union_size)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", max_prefix_df=5
+        ).collect()
+    }
+    assert capped == exact
+    # and a pair findable ONLY via capped-away shingles is the documented
+    # recall loss: two docs sharing exactly the boilerplate phrase
+    twins = spark.createDataFrame(
+        [(100, "shared common phrase here distinct"),
+         (101, "shared common phrase here distinct")]
+        + [(10 + i, f"u{i}a u{i}b shared common phrase here distinct")
+           for i in range(30)],
+        "doc_id long, text string",
+    )
+    uncapped_twin = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(twins, "text", "doc_id").collect()
+    }
+    capped_twin = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            twins, "text", "doc_id", max_prefix_df=5
+        ).collect()
+    }
+    assert (100, 101) in uncapped_twin
+    assert (100, 101) not in capped_twin
+
+
 def test_prefix_filtered_jaccard_empty_doc_semantics(spark):
     """Docs with < n tokens have empty shingle sets and vacuously satisfy the
     threshold among themselves, exactly like the brute-force join."""

@@ -241,10 +241,25 @@ def test_ngram_jaccard_shuffles_carry_longs_not_strings(spark, sf_dir):
     exchanges — shingle text never shuffles."""
     import re
 
-    plan = _formatted(QUERIES["dedup_pairs"](spark, sf_dir, sides=("ngram",)))
+    df = QUERIES["dedup_pairs"](spark, sf_dir, sides=("ngram",))
+    plan = _formatted(df)
     assert re.search(r"shingle#\d+L", plan), "hashed shingle key missing"
     assert not re.search(r"shingle#\d+(?!L)\b", plan), "string shingle leaked"
     assert "CartesianProduct" not in plan
+    # r11: the verify's second join must be a ShuffledHashJoin keyed on the
+    # COMPOSITE (id_b, shingle) with the corpus side as build. Keyed on id
+    # alone the intermediate explodes to pairs x |A| x |B| (measured 46 GB
+    # of shuffle at 50k docs); as a SortMergeJoin the pair-proportional
+    # stream SORTS, and its spill was the scratch-disk killer at 250k docs.
+    # (executedPlan toString — the formatted mode splits keys off the node
+    # line.)
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    shj = re.search(
+        r"ShuffledHashJoin \[id_b#\d+L, shingle#\d+L\], "
+        r"\[id_b#\d+L, shingle#\d+L\], Inner, BuildRight",
+        exec_plan,
+    )
+    assert shj, "verify join lost its composite-key shuffled-hash shape"
 
 
 def test_interpolated_perplexity_shuffle_carries_hashed_keys(spark, sf_dir):
@@ -509,3 +524,37 @@ def test_pack_bins_shuffles_scalars_only(spark, sf_dir):
     exch = plan[plan.index("Exchange"):]
     assert "text" not in exch.split("\n")[0]
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_minhash_stream_shuffle_fence_single_tokenize(spark):
+    """The streaming MinHash signature stage builds its hashed-shingle
+    array under a shuffle() optimizer fence (r11, ex Arrow identity seam):
+    the tokenize+shingle+hash subtree must appear in the physical plan
+    EXACTLY as often as one evaluation — CollapseProject must not inline it
+    into the per-permutation minima, and the empty-shingle size() filter
+    must not be pushed below it (each would re-run the subtree). Pinned on
+    a batch frame through the same expression helpers the stream uses."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.dedup import (
+        _hashed_shingle_array,
+        _perm_min_cols,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m n")], "doc_id long, text string"
+    )
+    base = df.select(
+        F.col("doc_id").alias("id"),
+        _hashed_shingle_array(F.col("text"), 3).alias("shashes"),
+    )
+    one_eval = base._jdf.queryExecution().executedPlan().toString().count("split(")
+
+    fenced = df.select(
+        F.col("doc_id").alias("id"),
+        F.shuffle(_hashed_shingle_array(F.col("text"), 3)).alias("shashes"),
+    ).filter(F.size("shashes") > 0)
+    sig = fenced.select("id", *_perm_min_cols(F.col("shashes"), 32))
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(") == one_eval  # exactly ONE subtree evaluation
+    assert "MapInPandas" not in plan  # the fence replaced the Arrow seam
