@@ -1,14 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS]. The LAST stdout line is ONE compact JSON record:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"value_by_side": {...}, "vs_prev": {...}, "sf": ..., "contended": bool};
-per-attempt timings, plan-shape fingerprints, and host load diagnostics are
-written to BENCH_DETAILS.json beside this script. value_by_side (min wall
-per (query, side)) is the same-shape comparison surface across rounds;
+on local[$SPARK_GRAFT_CPUS]. The LAST stdout line is ONE compact JSON record
+(<1.5 KB — scalars + the per-query dict only): {"metric": ..., "value": N,
+"value_core": N, "value_by_side_total": N, "vs_baseline": r, "unit": "sec",
+"queries": {...}, "sf": ..., "contended": bool, "canary_sec": N}.
+Per-attempt timings, plan-shape fingerprints, host load diagnostics, and
+the full per-side comparison blocks (value_by_side, vs_prev, vs_baseline)
+are written to BENCH_DETAILS.json beside this script. value_by_side (min
+wall per (query, side)) is the same-shape comparison surface across rounds;
 vs_prev holds canary-normalized ratios against the previous round's
-committed BENCH_DETAILS.json. contended is measured (non-stabilized
-attempts, or the canary >30% over its stored quiet-host reference).
+committed BENCH_DETAILS.json; vs_baseline is the same-side ratio against
+the static round-1 walls. contended is measured (non-stabilized attempts,
+or the canary >30% over its stored quiet-host reference, host-keyed).
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect). Times are per-query wall seconds; value = total.
@@ -294,9 +297,16 @@ def main() -> None:
     # batch-path regression can't hide under a fixed streaming-startup cost.
     # Diagnostic only — the headline number stays the full row.
     side_attempts: dict[str, dict[str, list[float]]] = {}
+    # canary stamp per side-sweep row (r12 — the r11 sliding incident): the
+    # side sweep runs AFTER the headline loop with no window stamps, so a
+    # host stall there inflated all four change_rate_windows sides (sliding
+    # 2.3×) with nothing in the artifact to attribute it. One stamp per
+    # query's side group bounds the blame radius.
+    canary_at_sides: dict[str, float] = {}
     for name, side_names in SIDES.items():
         if name not in HEADLINE:
             continue
+        canary_at_sides[name] = _canary_once()
         side_attempts[name] = {}
         for s in side_names:
             fn = QUERIES[name]
@@ -304,6 +314,18 @@ def main() -> None:
                 lambda: fn(spark, SF_DIR, sides=(s,)),
                 min_attempts=2, max_attempts=4,
             )
+    # retry side groups measured inside a stalled window, same rule and
+    # append-only convention as the headline retry pass above
+    canary_at_sides_retry: dict[str, float] = {}
+    for name in list(side_attempts):
+        if canary_at_sides[name] > max(3 * canary_floor, canary_floor + 0.5):
+            canary_at_sides_retry[name] = _canary_once()
+            fn = QUERIES[name]
+            for s in SIDES[name]:
+                side_attempts[name][s] = side_attempts[name][s] + _timed_runs(
+                    lambda: fn(spark, SF_DIR, sides=(s,)),
+                    min_attempts=2, max_attempts=4,
+                )
     canary_after = _timed_runs(_canary_df, min_attempts=3, max_attempts=6)
     canary_sec = min(canary_before + canary_after)
     load_after = os.getloadavg()
@@ -351,6 +373,42 @@ def main() -> None:
     # latter means the min may still be stall-inflated. (The old
     # any-attempt->3x rule flagged a whole artifact contended for ONE
     # exogenous VM stall in an otherwise converged query — r9 fix.)
+    # vs_baseline (VERDICT r11 item #6): the same-side comparison against the
+    # ROUND-1 bench (BENCH_r01.json, sf0.1) that the judge reconstructs by
+    # hand every round. r1's walls are static history; the mapping pairs each
+    # r1 query with the r12+ (query, side) leg computing the identical work —
+    # rows that later absorbed extra legs (wire/stream/chunk/...) compare on
+    # the original leg only. Raw wall ratio (not canary-normalized: r1
+    # predates the canary, so there is no r1 window stamp to normalize by).
+    R1_SAME_SIDE = {
+        "cdc_envelope.typed": 1.312,
+        "cdc_extract_new_state": 3.522,
+        "pricing_summary": 0.933,
+        "revenue_by_nation": 0.968,
+        "dedup_exact.batch": 0.931,
+        "dedup_minhash_lsh.batch": 2.419,
+        "dedup_clusters": 3.299,
+        "decontaminate_eval": 1.434,
+        "sample_stratified": 0.235,
+        "pack_sequences.pack": 0.407,
+    }  # sums to 15.460 — the r1 operational baseline over still-common work
+    vs_baseline: dict[str, object] = {}
+    if sf == "0.1":
+        common = {
+            k: value_by_side[k] for k in R1_SAME_SIDE if k in value_by_side
+        }
+        base_total = round(sum(R1_SAME_SIDE[k] for k in common), 3)
+        now_total = round(sum(common.values()), 3)
+        vs_baseline = {
+            "r1_total_sec": base_total,
+            "now_total_sec": now_total,
+            "ratio": round(now_total / base_total, 3) if base_total else None,
+            "per_side": {
+                k: round(common[k] / R1_SAME_SIDE[k], 3) for k in sorted(common)
+            },
+            "missing_sides": sorted(set(R1_SAME_SIDE) - set(common)),
+        }
+
     cpus = os.cpu_count() or CPUS
     noise_queries = sorted(
         n for n, r in attempts.items() if not _stabilized(r)
@@ -360,8 +418,15 @@ def main() -> None:
     # >30% over the stored quiet-host reference (the canary's min on an idle
     # host at sf0.1, commit 96b68b7 — loadavg is unusable in this VM, see the
     # adaptive-loop comment, but the canary measures the actual window).
-    QUIET_CANARY_REF = 0.156  # sec, sf0.1, idle host
-    canary_contended = sf == "0.1" and canary_sec > QUIET_CANARY_REF * 1.3
+    # The reference is HOST-KEYED (ADVICE r11): on a machine with no stored
+    # quiet reference the canary check is skipped rather than firing
+    # contended=true on every run.
+    QUIET_CANARY_REF_BY_HOST = {"vm": 0.156}  # sec, sf0.1, idle host
+    quiet_ref = QUIET_CANARY_REF_BY_HOST.get(os.uname().nodename)
+    canary_contended = (
+        sf == "0.1" and quiet_ref is not None
+        and canary_sec > quiet_ref * 1.3
+    )
     contended = bool(noise_queries) or canary_contended
     # round-6 artifact fix: round 5's single JSON line grew past the driver's
     # stdout capture once attempts + plan_stats joined it (BENCH_r05 shipped
@@ -380,12 +445,15 @@ def main() -> None:
             "runs_after": canary_after,
             "at_query": canary_at,
             "at_query_retry": canary_at_retry,
+            "at_sides": canary_at_sides,
+            "at_sides_retry": canary_at_sides_retry,
             "retried_queries": retried,
-            "quiet_ref_sec": QUIET_CANARY_REF,
+            "quiet_ref_sec": quiet_ref,
             "contended": canary_contended,
         },
         "value_by_side": value_by_side,
         "vs_prev": vs_prev,
+        "vs_baseline": vs_baseline,
         "prev_canary_sec": prev_canary,
         "sf": sf,
         "loadavg_before": [round(x, 2) for x in load_before],
@@ -402,12 +470,14 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "value_core": round(sum(timings[n] for n in CORE), 3),
-                # per-(query,side) walls + canary-normalized vs-prev ratios:
-                # the SAME-SHAPE comparison surface (row totals grow whenever
-                # a row absorbs a new leg; these don't)
-                "value_by_side": value_by_side,
+                # r11 regression fix (VERDICT r11 item #1): the per-side
+                # walls and vs_prev/vs_baseline ratio blocks live ONLY in
+                # BENCH_DETAILS.json — putting them here re-grew this line
+                # past the driver's stdout capture and BENCH_r11 shipped
+                # parsed:null, the exact r5 failure documented above. Keep
+                # this line <1.5 KB: scalars + the per-query dict only.
                 "value_by_side_total": round(sum(value_by_side.values()), 3),
-                "vs_prev": vs_prev,
+                "vs_baseline": vs_baseline.get("ratio") if vs_baseline else None,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),

@@ -695,7 +695,17 @@ def minhash_dedup_stream(
     ``state_slots`` ≥ cluster cores so every state partition carries work —
     each slot's row holds |buckets|/(bands × slots) entries, so raise slots
     on large corpora to keep per-row state small (entries per slot, not
-    total state, is the knob's trade). ``idle_ttl_ms`` (ProcessingTimeTimeout,
+    total state, is the knob's trade). **``state_slots`` is
+    CHECKPOINT-INVARIANT** (like the id type above): the value is baked
+    into every checkpointed state key as ``pmod(bhash, slots)``, so
+    resuming an existing checkpoint with a different value silently
+    mismatches buckets to slots — previously-seen buckets look new
+    (missed duplicates) while their stale entries linger in the wrong
+    slot until TTL. Pick it from the target CORPUS/state size, write it
+    down with the checkpoint, and never derive it from cluster size
+    (``defaultParallelism``-style autosizing breaks the first resume on
+    different hardware; a fresh checkpoint is the only safe way to change
+    it). ``idle_ttl_ms`` (ProcessingTimeTimeout,
     same convention as materialize_stream) evicts buckets idle past the TTL
     so state tracks the active horizon on unbounded streams — per-bucket
     entries are pruned inside live slots, and a fully-idle slot is dropped

@@ -1835,12 +1835,16 @@ def dedup_minhash_lsh(
             .option("maxFilesPerTrigger", 1)
             .parquet(fixture)
         )
-        # state_slots sized to cores: Python calls per micro-batch are
-        # bands × slots (≤ 512 here), never bands × |docs| — the coarse-key
-        # design minhash_dedup_stream documents (r10 VERDICT item #1)
-        n_slots = max(8, min(64, spark.sparkContext.defaultParallelism * 2))
+        # state_slots is a FIXED constant, not derived from cluster size:
+        # the value is baked into every checkpointed state key (see the
+        # CHECKPOINT-INVARIANT note in minhash_dedup_stream's docstring),
+        # so autosizing from defaultParallelism would corrupt a resumed
+        # query on different hardware. 64 bounds Python calls per
+        # micro-batch at bands × slots = 512 (never bands × |docs|) and
+        # fans out across ≥ 64 cores' state partitions. Safe to pick per
+        # deployment — but only at FIRST start of a checkpoint.
         cands = minhash_dedup_stream(
-            raw, "text", "doc_id", num_perm=32, bands=8, state_slots=n_slots
+            raw, "text", "doc_id", num_perm=32, bands=8, state_slots=64
         ).select("id", "dup_of")
         collected: list = []
 

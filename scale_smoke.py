@@ -719,8 +719,8 @@ def main() -> None:
             ),
         }
 
-        def _plan_fingerprint(df) -> dict[str, int]:
-            plan = df._jdf.queryExecution().executedPlan().toString()
+        def _plan_fingerprint(jqe) -> dict[str, int]:
+            plan = jqe.executedPlan().toString()
             return {
                 "exchanges": plan.count("Exchange"),
                 "broadcast_joins": plan.count("BroadcastHashJoin"),
@@ -737,12 +737,22 @@ def main() -> None:
                 with checkpoint_scope(spark):
                     t0 = time.time()
                     df = fn(frame)
-                    run(df)
+                    # execute through the dataset's OWN QueryExecution
+                    # (ADVICE r11): a sink write plans a SEPARATE execution,
+                    # so reading executedPlan() off the un-executed handle
+                    # recorded AQE's initial static estimate, not the
+                    # runtime shape (skew_splits always 0, broadcast/SMJ
+                    # counts pre-reopt). toRdd().count() runs the full DAG
+                    # on this QueryExecution and its executedPlan() is the
+                    # final adaptive plan — same convention as the skew
+                    # probe below.
+                    jqe = df._jdf.queryExecution()
+                    jqe.toRdd().count()
                     runs.append(round(time.time() - t0, 2))
                     if a == 0:
                         # plan read inside the scope that owns the
                         # localCheckpoint blocks the plan references
-                        rec["plan"] = _plan_fingerprint(df)
+                        rec["plan"] = _plan_fingerprint(jqe)
                 if a == 0:
                     after = _stage_shuffle_bytes()
                     new = {
@@ -773,111 +783,118 @@ def main() -> None:
         # bounded and AQE coalesces whatever ends up small
         prev_parts_100x = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(CPUS * 4))
+        # restore in try/finally (ADVICE r11): an uncaught failure in
+        # the 100x body must not leave partitions at CPUS*4 for the
+        # rest of the run (canary_after + carried artifact skew)
+        try:
 
-        for name, fn in HEAVY.items():
+            for name, fn in HEAVY.items():
+                try:
+                    leg10 = _measure_heavy(fn, b10, nb10, attempts=2)
+                    leg100 = _measure_heavy(fn, b100, nb100, attempts=2)
+                except Exception as exc:  # noqa: BLE001 — record, don't lose the sweep
+                    shuffle_100x[name] = {"error": f"{type(exc).__name__}: {exc}"[:400]}
+                    print(f"# 100x {name}: FAILED {type(exc).__name__}", flush=True)
+                    continue
+                per_row_ratio = round(
+                    (leg100["t_sec"] / nb100) / max(leg10["t_sec"] / nb10, 1e-12), 2
+                )
+                shuffle_100x[name] = {
+                    "10x": leg10,
+                    "100x": leg100,
+                    # per-row cost at 100x over per-row cost at 10x: ~1.0 =
+                    # linear; <1 = fixed costs still amortizing; the flag fires
+                    # only on genuinely super-linear per-row growth (raw wall
+                    # ratios between 10x and 100x legs are dominated by fixed
+                    # costs and flag every op spuriously)
+                    "per_row_cost_ratio": per_row_ratio,
+                    "super_linear": per_row_ratio > 1.5,
+                }
+                print(f"# 100x {name}: {shuffle_100x[name]}", flush=True)
+
+            # SemDeDup rides its LARGE-K production path here (assignment='gemm')
+            # on BOTH legs: at 100x n_centroids scales to ~4000 and the expr
+            # path's inlined-literal assignment is the documented small-k shape
             try:
-                leg10 = _measure_heavy(fn, b10, nb10, attempts=2)
-                leg100 = _measure_heavy(fn, b100, nb100, attempts=2)
-            except Exception as exc:  # noqa: BLE001 — record, don't lose the sweep
-                shuffle_100x[name] = {"error": f"{type(exc).__name__}: {exc}"[:400]}
-                print(f"# 100x {name}: FAILED {type(exc).__name__}", flush=True)
-                continue
-            per_row_ratio = round(
-                (leg100["t_sec"] / nb100) / max(leg10["t_sec"] / nb10, 1e-12), 2
-            )
-            shuffle_100x[name] = {
-                "10x": leg10,
-                "100x": leg100,
-                # per-row cost at 100x over per-row cost at 10x: ~1.0 =
-                # linear; <1 = fixed costs still amortizing; the flag fires
-                # only on genuinely super-linear per-row growth (raw wall
-                # ratios between 10x and 100x legs are dominated by fixed
-                # costs and flag every op spuriously)
-                "per_row_cost_ratio": per_row_ratio,
-                "super_linear": per_row_ratio > 1.5,
-            }
-            print(f"# 100x {name}: {shuffle_100x[name]}", flush=True)
+                leg10 = _measure_heavy(semdedup_gemm_op, emb10, ne10, attempts=2)
+                leg100 = _measure_heavy(semdedup_gemm_op, e100, ne100, attempts=2)
+                per_row_ratio = round(
+                    (leg100["t_sec"] / ne100) / max(leg10["t_sec"] / ne10, 1e-12), 2
+                )
+                shuffle_100x["semantic_dedup_gemm"] = {
+                    "10x": leg10,
+                    "100x": leg100,
+                    "per_row_cost_ratio": per_row_ratio,
+                    "super_linear": per_row_ratio > 1.5,
+                }
+                print(
+                    f"# 100x semantic_dedup_gemm: "
+                    f"{shuffle_100x['semantic_dedup_gemm']}",
+                    flush=True,
+                )
+            except Exception as exc:  # noqa: BLE001
+                shuffle_100x["semantic_dedup_gemm"] = {
+                    "error": f"{type(exc).__name__}: {exc}"[:400]
+                }
+                print("# 100x semantic_dedup_gemm: FAILED", flush=True)
 
-        # SemDeDup rides its LARGE-K production path here (assignment='gemm')
-        # on BOTH legs: at 100x n_centroids scales to ~4000 and the expr
-        # path's inlined-literal assignment is the documented small-k shape
-        try:
-            leg10 = _measure_heavy(semdedup_gemm_op, emb10, ne10, attempts=2)
-            leg100 = _measure_heavy(semdedup_gemm_op, e100, ne100, attempts=2)
-            per_row_ratio = round(
-                (leg100["t_sec"] / ne100) / max(leg10["t_sec"] / ne10, 1e-12), 2
-            )
-            shuffle_100x["semantic_dedup_gemm"] = {
-                "10x": leg10,
-                "100x": leg100,
-                "per_row_cost_ratio": per_row_ratio,
-                "super_linear": per_row_ratio > 1.5,
+            # AQE skew-split evidence — the straggler case: one key holds ~10%
+            # of the 100x corpus; skew thresholds are scaled DOWN to this
+            # smoke's data volume (the mechanism under test is the runtime
+            # split, which at production scale triggers at the default 256 MB)
+            # thresholds compare against COMPRESSED shuffle bytes (synthetic
+            # text compresses ~10x), so they sit well below the hot partition's
+            # compressed size at either parity SF dir
+            skew_confs = {
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
             }
-            print(
-                f"# 100x semantic_dedup_gemm: "
-                f"{shuffle_100x['semantic_dedup_gemm']}",
-                flush=True,
-            )
-        except Exception as exc:  # noqa: BLE001
-            shuffle_100x["semantic_dedup_gemm"] = {
-                "error": f"{type(exc).__name__}: {exc}"[:400]
-            }
-            print("# 100x semantic_dedup_gemm: FAILED", flush=True)
-
-        # AQE skew-split evidence — the straggler case: one key holds ~10%
-        # of the 100x corpus; skew thresholds are scaled DOWN to this
-        # smoke's data volume (the mechanism under test is the runtime
-        # split, which at production scale triggers at the default 256 MB)
-        # thresholds compare against COMPRESSED shuffle bytes (synthetic
-        # text compresses ~10x), so they sit well below the hot partition's
-        # compressed size at either parity SF dir
-        skew_confs = {
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-            "spark.sql.autoBroadcastJoinThreshold": "-1",
-        }
-        saved = {k: spark.conf.get(k, None) for k in skew_confs}
-        try:
-            for k, v in skew_confs.items():
-                spark.conf.set(k, v)
-            left = b100.select(
-                F.when(F.col("doc_id") % 2 == 0, F.lit(0))
-                .otherwise(F.col("doc_id"))
-                .alias("k"),
-                "text",
-            )
-            right = spark.range(0, 1_000_000).select(
-                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
-            )
-            with checkpoint_scope(spark):
-                t0 = time.time()
-                # keep text in the output: projecting it away lets column
-                # pruning shrink the hot partition below the skew threshold.
-                # Execute through the dataset's OWN QueryExecution (JVM-side
-                # toRdd().count()) — a sink write plans a separate execution
-                # whose final adaptive plan (where skew=true appears) is not
-                # the one this dataset's handle can read back
-                skew_df = left.join(right, "k").select("k", "text", "v")
-                jqe = skew_df._jdf.queryExecution()
-                jqe.toRdd().count()
-                t_skew = round(time.time() - t0, 2)
-                plan = jqe.executedPlan().toString()
-            shuffle_100x["aqe_skew_probe"] = {
-                "t_sec": t_skew,
-                "skew_splits": plan.count("skew=true"),
-                "note": "one key carries ~half the 100x corpus; thresholds "
-                "scaled to smoke volume; skew=true nodes are AQE's runtime "
-                "straggler split",
-            }
-        finally:
-            for k, v in saved.items():
-                if v is None:
-                    spark.conf.unset(k)
-                else:
+            saved = {k: spark.conf.get(k, None) for k in skew_confs}
+            try:
+                for k, v in skew_confs.items():
                     spark.conf.set(k, v)
-        print(f"# aqe_skew_probe: {shuffle_100x['aqe_skew_probe']}", flush=True)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts_100x)
+                left = b100.select(
+                    F.when(F.col("doc_id") % 2 == 0, F.lit(0))
+                    .otherwise(F.col("doc_id"))
+                    .alias("k"),
+                    "text",
+                )
+                right = spark.range(0, 1_000_000).select(
+                    F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+                )
+                with checkpoint_scope(spark):
+                    t0 = time.time()
+                    # keep text in the output: projecting it away lets column
+                    # pruning shrink the hot partition below the skew threshold.
+                    # Execute through the dataset's OWN QueryExecution (JVM-side
+                    # toRdd().count()) — a sink write plans a separate execution
+                    # whose final adaptive plan (where skew=true appears) is not
+                    # the one this dataset's handle can read back
+                    skew_df = left.join(right, "k").select("k", "text", "v")
+                    jqe = skew_df._jdf.queryExecution()
+                    jqe.toRdd().count()
+                    t_skew = round(time.time() - t0, 2)
+                    plan = jqe.executedPlan().toString()
+                shuffle_100x["aqe_skew_probe"] = {
+                    "t_sec": t_skew,
+                    "skew_splits": plan.count("skew=true"),
+                    "note": "one key carries ~half the 100x corpus; thresholds "
+                    "scaled to smoke volume; skew=true nodes are AQE's runtime "
+                    "straggler split",
+                }
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+            print(f"# aqe_skew_probe: {shuffle_100x['aqe_skew_probe']}", flush=True)
+        finally:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", prev_parts_100x
+            )
     elif prev_smoke and prev_smoke.get("shuffle_100x"):
         shuffle_100x = prev_smoke["shuffle_100x"]
         shuffle_100x["carried_from_prev"] = True
