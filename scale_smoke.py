@@ -633,21 +633,52 @@ def main() -> None:
             }
 
         def _bounded_blowup_dir(copies: int) -> str:
+            # v2 (r12): the spliced token is DOC-dependent, not just
+            # group-dependent. v1 spliced the same " zq{g}" into every doc
+            # of a group, which destroyed cross-group 3-token shingles (the
+            # minhash goal) but CREATED cross-base 25-char winnow grams —
+            # two unrelated docs sharing any 3-token fragment (~18 chars,
+            # below winnow's k=25 on its own) suddenly shared
+            # "frag zq7" ≥ 25 chars, and winnow's min_shared=1 pair output
+            # grew 51x for 10x input (measured r11→r12; same-group
+            # cross-base pairs were 94% of the blow-up). A doc-keyed token
+            # breaks cross-group shingles identically while sharing NOTHING
+            # across base docs, so pair output tracks the within-clique
+            # structure (linear in corpus size). Trade documented in
+            # SCALING.md: spliced groups also lose ORIGINAL ≥25-char
+            # cross-base phrase matches (every 3rd-token splice caps clean
+            # runs below k), so only the unspliced group contributes those.
             path = os.path.join(
                 os.environ.get("TMPDIR", "/tmp"),
-                f"scale_smoke_bounded_{copies}x_{n1}",
+                f"scale_smoke_bounded_v3_{copies}x_{n1}",
             )
             if not os.path.isdir(path):
                 cp = spark.range(copies).select(F.col("id").alias("copy"))
                 g = (F.col("copy") / 10).cast("long")
                 m = F.col("copy") % 10
+                # the doc key MUST be staged as its own column BEFORE the
+                # id-shift projection: inside that select, F.col("doc_id")
+                # resolves to the ALIASED output (base + copy*1e6), which
+                # varies per copy and gave every variant a unique splice —
+                # zero cliques anywhere (caught v2: minhash 100x rows_out
+                # collapsed to the 10x count)
+                base = docs1.withColumn(
+                    "__dk", F.pmod(F.col("doc_id"), F.lit(9973))
+                )
+                doc_key = F.col("__dk")
                 toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
                 regrouped = F.array_join(
                     F.transform(
                         toks,
                         lambda x, i: F.when(
                             i % 3 == 2,
-                            F.concat(x, F.lit(" zq"), g.cast("string")),
+                            F.concat(
+                                x,
+                                F.lit(" zq"),
+                                g.cast("string"),
+                                F.lit("d"),
+                                doc_key.cast("string"),
+                            ),
                         ).otherwise(x),
                     ),
                     " ",
@@ -656,15 +687,19 @@ def main() -> None:
                 txt = F.when(m == 0, txt).otherwise(
                     F.concat(txt, F.lit(" rev"), m.cast("string"))
                 )
+                # two steps, no alias shadowing anywhere: the text expr is
+                # bound by withColumn (inputs only — "doc_id" can't capture
+                # the shifted alias), THEN the id shift projects
                 (
-                    docs1.crossJoin(cp)
+                    base.crossJoin(cp)
+                    .withColumn("__txt", txt)
                     .select(
                         (F.col("doc_id") + F.col("copy") * 1_000_000).alias(
                             "doc_id"
                         ),
                         "source",
                         "lang",
-                        txt.alias("text"),
+                        F.col("__txt").alias("text"),
                     )
                     .repartition(CPUS)
                     .write.mode("overwrite")
