@@ -271,20 +271,35 @@ def main() -> None:
         attempts[name] = runs
         timings[name] = min(runs)
 
+    # r12 measurement fix: a POST-query canary stamp joins the pre-query one.
+    # This round's before-run caught a stall window that covered all three
+    # attempts of one query (walls 3× its sides' sum) while the PRE stamp,
+    # taken before the stall began, read near-quiet (0.279 s) — so the retry
+    # pass never fired and the reported min stayed stall-inflated. A stall
+    # long enough to inflate every attempt is, with high probability, still
+    # running when the query ends; stamping both edges bounds the window
+    # from both sides. The retry floor is the min over ALL canary samples
+    # taken so far (canary_before ran 2.2× quiet in that same run, which
+    # also inflated the old threshold).
+    canary_at_post: dict[str, float] = {}
     for name in HEADLINE:
         canary_at[name] = _canary_once()
         _time_query(name)
+        canary_at_post[name] = _canary_once()
 
-    # per-query retry pass: queries whose canary stamp showed a slow window
-    # get one full re-timing in a later window. Retry runs are APPENDED to
-    # attempts[name] (never replacing the first pass — the artifact must
-    # contain the run that produced the reported min; ADVICE r10) and the
-    # retry window gets its own canary stamp.
-    canary_floor = min(canary_before)
+    # per-query retry pass: queries whose canary stamps (either edge) showed
+    # a slow window get one full re-timing in a later window. Retry runs are
+    # APPENDED to attempts[name] (never replacing the first pass — the
+    # artifact must contain the run that produced the reported min; ADVICE
+    # r10) and the retry window gets its own canary stamp.
+    canary_floor = min(
+        canary_before + list(canary_at.values()) + list(canary_at_post.values())
+    )
     retried: list[str] = []
     canary_at_retry: dict[str, float] = {}
     for name in HEADLINE:
-        if canary_at[name] > max(3 * canary_floor, canary_floor + 0.5):
+        stamp = max(canary_at[name], canary_at_post[name])
+        if stamp > max(3 * canary_floor, canary_floor + 0.5):
             first_runs = attempts[name]
             canary_at_retry[name] = _canary_once()
             _time_query(name)
@@ -303,6 +318,7 @@ def main() -> None:
     # 2.3×) with nothing in the artifact to attribute it. One stamp per
     # query's side group bounds the blame radius.
     canary_at_sides: dict[str, float] = {}
+    canary_at_sides_post: dict[str, float] = {}
     for name, side_names in SIDES.items():
         if name not in HEADLINE:
             continue
@@ -314,11 +330,13 @@ def main() -> None:
                 lambda: fn(spark, SF_DIR, sides=(s,)),
                 min_attempts=2, max_attempts=4,
             )
-    # retry side groups measured inside a stalled window, same rule and
-    # append-only convention as the headline retry pass above
+        canary_at_sides_post[name] = _canary_once()
+    # retry side groups measured inside a stalled window, same rule (both
+    # stamp edges, r12) and append-only convention as the headline retry
     canary_at_sides_retry: dict[str, float] = {}
     for name in list(side_attempts):
-        if canary_at_sides[name] > max(3 * canary_floor, canary_floor + 0.5):
+        stamp = max(canary_at_sides[name], canary_at_sides_post[name])
+        if stamp > max(3 * canary_floor, canary_floor + 0.5):
             canary_at_sides_retry[name] = _canary_once()
             fn = QUERIES[name]
             for s in SIDES[name]:
@@ -444,8 +462,10 @@ def main() -> None:
             "runs_before": canary_before,
             "runs_after": canary_after,
             "at_query": canary_at,
+            "at_query_post": canary_at_post,
             "at_query_retry": canary_at_retry,
             "at_sides": canary_at_sides,
+            "at_sides_post": canary_at_sides_post,
             "at_sides_retry": canary_at_sides_retry,
             "retried_queries": retried,
             "quiet_ref_sec": quiet_ref,

@@ -885,6 +885,150 @@ def doc_perplexity_interpolated(
     )
 
 
+def doc_perplexity_multi(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    uni_lm: DataFrame,
+    bi_lms: "list[tuple[str, DataFrame, float]]",
+) -> DataFrame:
+    """Score the unigram LM AND several sentinel-format bigram LMs over ONE
+    corpus pass — the fused form of :func:`doc_perplexity` +
+    N × :func:`doc_perplexity_interpolated` for models trained on the same
+    corpus.
+
+    ``bi_lms`` is ``[(name, bi_lm, lam), ...]`` where each ``bi_lm`` is a
+    sentinel-format table (:func:`bigram_logprobs` /
+    :func:`kn_bigram_logprobs` output) and ``lam`` its Jelinek-Mercer
+    weight. Returns one row per non-empty document::
+
+        (id, n_tokens, avg_neg_logp, perplexity,          -- unigram
+         <name>_avg_neg_logp, <name>_perplexity, ...)     -- per bigram LM
+
+    Why fused: scored separately, each scorer EXPLODES the corpus into its
+    token/bigram stream and aggregates per doc — for the registry's
+    three-model row that is three corpus-sized explodes, three
+    groupBy(id) aggregations, and two doc-id joins to reassemble the
+    frame. All three models consume the SAME (prev, token) position
+    stream, so one explode + one 128-bit-hash-keyed join against the
+    UNION of the observed tables + one groupBy(id) computes every score
+    (guide §2.3/§2.4: aggregate once, don't re-shuffle what you already
+    shuffled). At 100 TB the corpus explode IS the cost; the observed
+    tables are bigram-type-sized and merge with aggregate-frame-sized
+    joins.
+
+    Value contract: every per-token term is the SAME expression the
+    standalone scorers build — the unigram logp is the identical broadcast
+    join + OOV coalesce, each bigram p the identical
+    ``lam·exp(lp_b) + (1−lam)·exp(lp_u)`` over the identically-joined
+    table values — so per-doc sums differ from the separate composition
+    only by float reduction order (~1e-13 relative), inside the margins
+    the quantized outputs are pinned to
+    (test_perplexity_quantization_margins). The observed tables are merged
+    with FULL OUTER joins on the same 128-bit composite key the scorer
+    joins on: a key absent from one table scores that table's per-context
+    sentinel via the same ``coalesce`` the standalone scorer applies, so
+    the fusion is value-preserving even for models with different observed
+    key sets."""
+    from ..cache import eager_localcheckpoint
+
+    uni_lm, _r = eager_localcheckpoint(uni_lm)
+    floor = uni_lm.select((F.min("logp") + F.log(F.lit(0.5))).alias("__oov"))
+
+    staged = df.select(
+        F.col(id_col), tokens_expr(F.lower(F.col(text_col))).alias("__toks")
+    )
+    n = F.size("__toks")
+    pairs = (
+        staged.filter(n > 0)  # empty docs dropped (perplexity undefined);
+        # zip_with pads the shorter side with null, so an empty token array
+        # would otherwise fabricate one phantom (null, null) position
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.concat(
+                        F.array(F.lit(None).cast("string")),
+                        F.slice(F.col("__toks"), 1, F.greatest(n - 1, F.lit(0))),
+                    ),
+                    F.col("__toks"),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("token")),
+                )
+            ).alias("g"),
+        )
+        .select(id_col, "g.prev", "g.token")
+    )
+
+    # broadcast-attach everything vocabulary-sized: the unigram logp, each
+    # model's per-context default, each model's global default, the OOV
+    # floor — all map-side. Then drop the strings: the one real shuffle
+    # carries (id, 128-bit key, doubles), never word strings (the
+    # doc_perplexity_interpolated key discipline).
+    narrow = pairs.join(F.broadcast(uni_lm), on="token", how="left").withColumnRenamed(
+        "logp", "__lp_u"
+    )
+    sel = [
+        F.col(id_col),
+        F.when(F.col("prev").isNotNull(), F.xxhash64("prev", "token")).alias("__bh"),
+        F.when(
+            F.col("prev").isNotNull(), F.xxhash64(F.lit(1), "prev", "token")
+        ).alias("__bh2"),
+        F.coalesce(F.col("__lp_u"), F.col("__oov")).alias("__lpu"),
+    ]
+    merged_btab = None
+    for name, bi_lm, _lam in bi_lms:
+        bi_lm, _ri = eager_localcheckpoint(bi_lm)
+        observed = bi_lm.filter(F.col("token").isNotNull())
+        ctx_default = bi_lm.filter(
+            F.col("token").isNull() & F.col("prev").isNotNull()
+        ).select("prev", F.col("logp").alias(f"__ctx0_{name}"))
+        global_default = bi_lm.filter(F.col("prev").isNull()).select(
+            F.col("logp").alias(f"__glob0_{name}")
+        )
+        narrow = narrow.join(F.broadcast(ctx_default), on="prev", how="left")
+        narrow = narrow.crossJoin(F.broadcast(global_default))
+        sel.append(
+            F.coalesce(F.col(f"__ctx0_{name}"), F.col(f"__glob0_{name}")).alias(
+                f"__lpb0_{name}"
+            )
+        )
+        btab = observed.select(
+            F.xxhash64("prev", "token").alias("__bh"),
+            F.xxhash64(F.lit(1), "prev", "token").alias("__bh2"),
+            F.col("logp").alias(f"__lp_b_{name}"),
+        )
+        merged_btab = (
+            btab
+            if merged_btab is None
+            else merged_btab.join(btab, on=["__bh", "__bh2"], how="full_outer")
+        )
+    narrow = narrow.crossJoin(F.broadcast(floor)).select(*sel)
+
+    scored = (
+        narrow.join(merged_btab, on=["__bh", "__bh2"], how="left")
+        if merged_btab is not None
+        else narrow
+    )
+    per_tok_cols = [F.col(id_col), F.col("__lpu")]
+    for name, _bi, lam in bi_lms:
+        lp_b = F.coalesce(F.col(f"__lp_b_{name}"), F.col(f"__lpb0_{name}"))
+        p = F.when(F.col("__bh").isNull(), F.exp(F.col("__lpu"))).otherwise(
+            F.lit(lam) * F.exp(lp_b) + F.lit(1.0 - lam) * F.exp(F.col("__lpu"))
+        )
+        per_tok_cols.append(F.log(p).alias(f"__lp_{name}"))
+    per_tok = scored.select(*per_tok_cols)
+
+    aggs = [
+        F.count("*").alias("n_tokens"),
+        (-F.avg("__lpu")).alias("avg_neg_logp"),
+        F.exp(-F.avg("__lpu")).alias("perplexity"),
+    ]
+    for name, _bi, _lam in bi_lms:
+        aggs.append((-F.avg(f"__lp_{name}")).alias(f"{name}_avg_neg_logp"))
+        aggs.append(F.exp(-F.avg(f"__lp_{name}")).alias(f"{name}_perplexity"))
+    return per_tok.groupBy(id_col).agg(*aggs)
+
+
 def perplexity_buckets(
     df: DataFrame,
     ppl_col: str,

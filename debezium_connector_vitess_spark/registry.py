@@ -69,6 +69,25 @@ import shutil as _shutil
 import tempfile as _tmpmod
 
 
+def _ckpt_scratch_base() -> str | None:
+    """Base dir for EPHEMERAL streaming-checkpoint scratch: RAM-backed
+    (`/dev/shm`) when present, overridable via $SPARK_GRAFT_STREAM_SCRATCH.
+
+    These checkpoints are bounded fixture replays that drain in one
+    ``availableNow`` run and are deleted immediately after — never resumed.
+    Their offset/commit/state files are written and fsynced per MICRO-BATCH,
+    so on multi-batch replays the scratch medium is a fixed per-batch tax
+    (measured at sf0.1: the minhash stream leg's wall dropped ~10% and its
+    run-to-run variance halved on tmpfs vs /tmp). A production deployment
+    points checkpointLocation at DURABLE shared storage for recovery — this
+    knob is harness scratch placement only and has no production analogue.
+    """
+    base = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if base:
+        return base
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
 @_contextlib.contextmanager
 def _ephemeral_ckpt(prefix: str):
     """Streaming-checkpoint scratch dir, removed when the query finishes.
@@ -79,7 +98,7 @@ def _ephemeral_ckpt(prefix: str):
     /tmp (ADVICE r10). A production deployment points checkpointLocation at
     durable storage instead — this helper is harness scratch management,
     not an operator concern."""
-    path = _tmpmod.mkdtemp(prefix=prefix)
+    path = _tmpmod.mkdtemp(prefix=prefix, dir=_ckpt_scratch_base())
     try:
         yield path
     finally:
@@ -249,13 +268,18 @@ def cdc_envelope(
         spark.catalog.dropTempView(sink) if sink in [
             t.name for t in spark.catalog.listTables()
         ] else None
-        q = (
-            out.writeStream.format("memory")
-            .queryName(sink)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # explicit ephemeral checkpoint (RAM-backed scratch): without it the
+        # memory sink allocates a temp checkpoint on java.io.tmpdir and pays
+        # disk fsyncs per micro-batch for a never-resumed replay
+        with _ephemeral_ckpt("cdc_envelope_wire_ckpt_") as ckpt:
+            q = (
+                out.writeStream.format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         parts.append(spark.table(sink))
 
     res = parts[0]
@@ -1846,12 +1870,18 @@ def dedup_minhash_lsh(
         cands = minhash_dedup_stream(
             raw, "text", "doc_id", num_perm=32, bands=8, state_slots=64
         ).select("id", "dup_of")
-        collected: list = []
+        collected: set = set()
 
         def capture(df, _batch_id) -> None:
             # candidates only: bounded by bands × |late arrivals| (+ the
-            # batch-0 intra-bucket dups), never corpus-sized
-            collected.extend(df.collect())
+            # batch-0 intra-bucket dups), never corpus-sized. Dedup the
+            # (dup_of, id) pairs driver-side as they arrive (a doc collides
+            # in up to `bands` buckets → ~8× duplicate pairs): the set
+            # replaces a distinct-shuffle over rows that are already on the
+            # driver anyway
+            collected.update(
+                (r["dup_of"], r["id"]) for r in df.collect()
+            )
 
         # state partitions are baked into the checkpoint at first start —
         # size them to the stream's volume (the dedup_exact convention).
@@ -1873,10 +1903,8 @@ def dedup_minhash_lsh(
                 q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        pairs = spark.createDataFrame(
-            [(r["dup_of"], r["id"]) for r in collected],
-            "id_a bigint, id_b bigint",
-        ).distinct()
+        pair_rows = sorted(collected)  # deterministic order for the plan
+        pairs = spark.createDataFrame(pair_rows, "id_a bigint, id_b bigint")
         corpus = spark.read.parquet(fixture)
         # verify reads only the FLAGGED sliver: semi-filter the corpus to
         # ids appearing in candidate pairs before shingling (the candidate
@@ -1889,10 +1917,11 @@ def dedup_minhash_lsh(
         # it saves costs less here than the eager checkpoint write; at
         # 100 TB sliver sizes that trade flips — the materialize knob
         # exists on jaccard_pairs for exactly that)
-        flagged_ids = (
-            pairs.select(F.col("id_a").alias("doc_id"))
-            .union(pairs.select(F.col("id_b").alias("doc_id")))
-            .distinct()
+        # flagged ids derived driver-side from the same collected pair set
+        # (replaces a union+distinct shuffle over driver-resident rows)
+        flagged_ids = spark.createDataFrame(
+            [(x,) for x in sorted({i for ab in pair_rows for i in ab})],
+            "doc_id bigint",
         )
         sliver = _spread(corpus.join(F.broadcast(flagged_ids), "doc_id"))
         verified = jaccard_pairs(sliver, "text", "doc_id", pairs).filter(
@@ -2994,15 +3023,19 @@ def tx_meta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink = f"tx_meta_stream_{scenario}_sink"
         if sink in [t.name for t in spark.catalog.listTables()]:
             spark.catalog.dropTempView(sink)
-        q = (
-            op(raw)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # explicit ephemeral checkpoint (RAM-backed scratch) — same rationale
+        # as the cdc_envelope wire sink: never-resumed replay, per-batch fsync
+        with _ephemeral_ckpt(f"tx_meta_stream_{scenario}_ckpt_") as ckpt:
+            q = (
+                op(raw)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         parts.append(spark.table(sink).select(F.lit(scenario).alias("scenario"), "*"))
     return parts[0].unionByName(parts[1])
 
@@ -4027,8 +4060,7 @@ def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test_perplexity_quantization_margins pins it at both SFs)."""
     from .ops.pipeline import (
         bigram_logprobs,
-        doc_perplexity,
-        doc_perplexity_interpolated,
+        doc_perplexity_multi,
         kn_bigram_logprobs,
         ngram_count_frames,
         unigram_logprobs,
@@ -4040,41 +4072,36 @@ def doc_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni_counts, bi_counts = ngram_count_frames(docs, "text")
     counts = (uni_counts, bi_counts)
     lm = unigram_logprobs(docs, "text", alpha=0.5, counts=uni_counts)
-    uni = doc_perplexity(docs, "text", "doc_id", lm).select(
+    bi = bigram_logprobs(docs, "text", alpha=0.5, counts=counts)
+    kn = kn_bigram_logprobs(docs, "text", discount=0.75, beta=0.5, counts=counts)
+    # r12: all three models scored in ONE corpus pass (doc_perplexity_multi)
+    # — the separate scorers exploded the corpus three times and re-joined
+    # the three per-doc frames on doc_id (two SMJs). Per-token terms are the
+    # identical expressions, so the quantized outputs are unchanged (the
+    # margin test pins the rounding distance at both SFs; fused-vs-separate
+    # equality is pinned by test_doc_perplexity_multi_matches_separate).
+    joined = doc_perplexity_multi(
+        docs, "text", "doc_id", lm,
+        [("interp", bi, 0.7), ("kn", kn, 1.0)],
+    ).select(
         "doc_id",
         "n_tokens",
         F.round(F.col("avg_neg_logp") * 10000, 0).cast("long")
             .alias("avg_neg_logp_q4"),
         F.round(F.col("perplexity") * 100, 0).cast("long")
             .alias("perplexity_q2"),
-    )
-    bi = bigram_logprobs(docs, "text", alpha=0.5, counts=counts)
-    interp = doc_perplexity_interpolated(
-        docs, "text", "doc_id", lm, bi, lam=0.7, alpha=0.5
-    ).select(
-        "doc_id",
-        F.round(F.col("avg_neg_logp") * 10000, 0).cast("long")
+        F.round(F.col("interp_avg_neg_logp") * 10000, 0).cast("long")
             .alias("interp_neg_logp_q4"),
-        F.round(F.col("perplexity") * 100, 0).cast("long")
+        F.round(F.col("interp_perplexity") * 100, 0).cast("long")
             .alias("interp_perplexity_q2"),
-    )
-    kn = kn_bigram_logprobs(docs, "text", discount=0.75, beta=0.5, counts=counts)
-    kn_score = doc_perplexity_interpolated(
-        docs, "text", "doc_id", lm, kn, lam=1.0, alpha=0.5
-    ).select(
-        "doc_id",
-        F.round(F.col("avg_neg_logp") * 10000, 0).cast("long")
+        F.round(F.col("kn_avg_neg_logp") * 10000, 0).cast("long")
             .alias("kn_neg_logp_q4"),
-        F.round(F.col("perplexity") * 100, 0).cast("long")
+        F.round(F.col("kn_perplexity") * 100, 0).cast("long")
             .alias("kn_perplexity_q2"),
     )
     from .ops.pipeline import perplexity_buckets
 
-    joined = (
-        uni.join(interp, "doc_id")
-        .join(kn_score, "doc_id")
-        .join(docs.select("doc_id", "source"), "doc_id")
-    )
+    joined = joined.join(docs.select("doc_id", "source"), "doc_id")
     return perplexity_buckets(
         joined, "interp_perplexity_q2", domain_col="source", exact=True
     ).select(

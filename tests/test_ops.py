@@ -4512,6 +4512,66 @@ def test_perplexity_quantization_margins(spark):
                 )
 
 
+def test_doc_perplexity_multi_matches_separate(spark):
+    """doc_perplexity_multi (r12: the registry's fused one-pass scorer)
+    must reproduce the separate doc_perplexity +
+    doc_perplexity_interpolated composition exactly on the quantization
+    grid the driver hashes (q4 log-space / q2 perplexity) — the per-token
+    terms are the identical expressions, so only float reduction order may
+    differ, and the margin test above guarantees the grid absorbs that."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_vitess_spark.ops.pipeline import (
+        bigram_logprobs,
+        doc_perplexity,
+        doc_perplexity_interpolated,
+        doc_perplexity_multi,
+        kn_bigram_logprobs,
+        unigram_logprobs,
+    )
+
+    def q(col, scale):
+        return F.round(F.col(col) * scale, 0).cast("long")
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = unigram_logprobs(docs, "text", alpha=0.5)
+    bi = bigram_logprobs(docs, "text", alpha=0.5)
+    kn = kn_bigram_logprobs(docs, "text", discount=0.75, beta=0.5)
+
+    fused = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in doc_perplexity_multi(
+            docs, "text", "doc_id", lm, [("interp", bi, 0.7), ("kn", kn, 1.0)]
+        )
+        .select(
+            "doc_id", "n_tokens",
+            q("avg_neg_logp", 10000), q("perplexity", 100),
+            q("interp_avg_neg_logp", 10000), q("interp_perplexity", 100),
+            q("kn_avg_neg_logp", 10000), q("kn_perplexity", 100),
+        )
+        .collect()
+    }
+    uni_s = doc_perplexity(docs, "text", "doc_id", lm).select(
+        "doc_id", "n_tokens", q("avg_neg_logp", 10000).alias("l"),
+        q("perplexity", 100).alias("p"),
+    )
+    int_s = doc_perplexity_interpolated(
+        docs, "text", "doc_id", lm, bi, lam=0.7, alpha=0.5
+    ).select("doc_id", q("avg_neg_logp", 10000).alias("il"),
+             q("perplexity", 100).alias("ip"))
+    kn_s = doc_perplexity_interpolated(
+        docs, "text", "doc_id", lm, kn, lam=1.0, alpha=0.5
+    ).select("doc_id", q("avg_neg_logp", 10000).alias("kl"),
+             q("perplexity", 100).alias("kp"))
+    separate = {
+        r["doc_id"]: (r["n_tokens"], r["l"], r["p"], r["il"], r["ip"],
+                      r["kl"], r["kp"])
+        for r in uni_s.join(int_s, "doc_id").join(kn_s, "doc_id").collect()
+    }
+    assert fused == separate and len(fused) > 0
+
+
 def _semdedup_expected(rows, n_centroids, threshold, keep):
     """Independent Python recomputation of semantic_dedup: sequential-fold
     double cosine (the identical left-fold both engines use, so comparisons
