@@ -56,6 +56,28 @@ def eager_localcheckpoint(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]
     return out, release
 
 
+def lazy_localcheckpoint(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
+    """``df.localCheckpoint(eager=False)`` plus the same ``release()`` as
+    :func:`eager_localcheckpoint`.
+
+    The checkpoint materializes during the CALLER'S next action, so a
+    probe-and-materialize round costs ONE job instead of two (the eager
+    form pays a dedicated checkpoint job before the caller's action can
+    run). The caller's first action over the frame must touch EVERY
+    partition — a full-pass aggregate does; a short-circuit action
+    (``limit``/``take``) would leave unvisited partitions to recompute
+    from the untruncated lineage on the next consumer."""
+    spark = df.sparkSession
+    before = _persistent_ids(spark)
+    out = df.localCheckpoint(eager=False)
+    created = _persistent_ids(spark) - before
+
+    def release() -> None:
+        _unpersist_ids(spark, created)
+
+    return out, release
+
+
 @contextmanager
 def checkpoint_scope(spark: SparkSession) -> Iterator[None]:
     """Release every RDD persisted inside the scope on exit.

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..cache import eager_localcheckpoint
+from ..cache import eager_localcheckpoint, lazy_localcheckpoint
 from .text import (
     normalize_text_expr,
     shingles_from_tokens_expr,
@@ -1162,15 +1162,21 @@ def connected_components(
                 F.col("cluster_id"),
             )
         )
-        # one materialization per round: the convergence probe and the next
-        # round's labels both read the checkpointed frame; once it exists the
+        # ONE job per round (r12 VERDICT item #4): the convergence probe IS
+        # the materializing action — a full-pass aggregate over the lazily
+        # localCheckpointed frame computes and persists every partition AND
+        # returns the changed count, where the old shape paid an eager
+        # checkpoint job plus a separate probe job per round. The next
+        # round's labels read the persisted blocks. Once materialized the
         # PREVIOUS round's blocks are dead and released immediately, so the
-        # loop holds O(1) checkpoints instead of O(rounds)
-        updated, release = eager_localcheckpoint(updated)
+        # loop still holds O(1) checkpoints instead of O(rounds).
+        updated, release = lazy_localcheckpoint(updated)
+        changed = updated.agg(
+            F.count(F.when(F.col("new_label") != F.col("cluster_id"), True))
+        ).first()[0]
         if release_prev is not None:
             release_prev()
         release_prev = release
-        changed = updated.filter(F.col("new_label") != F.col("cluster_id")).limit(1).count()
         labels = updated.select(F.col(id_col), F.col("new_label").alias("cluster_id"))
         if changed == 0:
             break

@@ -932,6 +932,17 @@ def doc_perplexity_multi(
     key sets."""
     from ..cache import eager_localcheckpoint
 
+    # names become per-model column suffixes (__lp_b_<name>, __ctx0_<name>):
+    # duplicates or empties would surface as an ambiguous-column
+    # AnalysisException far from the call site (ADVICE r12)
+    names = [name for name, _bi, _lam in bi_lms]
+    if len(set(names)) != len(names) or not all(
+        n and n.isidentifier() for n in names
+    ):
+        raise ValueError(
+            f"bi_lms names must be unique, non-empty identifiers (got {names!r})"
+        )
+
     uni_lm, _r = eager_localcheckpoint(uni_lm)
     floor = uni_lm.select((F.min("logp") + F.log(F.lit(0.5))).alias("__oov"))
 

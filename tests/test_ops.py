@@ -6068,3 +6068,24 @@ def test_kn_bigram_logprobs(spark, sf_dir):
         kn_bigram_logprobs(docs, "text", discount=1.5)
     with _pytest.raises(ValueError, match="beta"):
         kn_bigram_logprobs(docs, "text", beta=0.0)
+
+
+def test_minhash_stream_spill_cap_matches_driver_path(spark, sf_dir, monkeypatch):
+    """The minhash stream verify's driver-side candidate set is bounded by
+    MINHASH_STREAM_PAIR_CAP (r12 VERDICT item #2): past the cap, batches
+    spill to a parquet staging dir and pairs/flagged ids are derived
+    distributed. Forcing cap=0 (every batch spills, including the flush of
+    the batch-0 set) must produce the identical verified drop list."""
+    from debezium_connector_vitess_spark import registry
+
+    def rows(df):
+        return sorted(
+            (r["side"], r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
+            for r in df.collect()
+        )
+
+    base = rows(registry.dedup_minhash_lsh(spark, sf_dir, sides=("stream",)))
+    assert base, "stream side must emit a non-empty drop list"
+    monkeypatch.setattr(registry, "MINHASH_STREAM_PAIR_CAP", 0)
+    spilled = rows(registry.dedup_minhash_lsh(spark, sf_dir, sides=("stream",)))
+    assert spilled == base

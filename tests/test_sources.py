@@ -206,7 +206,7 @@ def test_max_records_per_batch_caps_on_tx_boundaries(tmp_path):
     for s, e in zip(starts, ends):
         parts = reader.partitions({"0": s}, {"0": e})
         for p in parts:
-            rows = list(reader.read(p))
+            rows = list(reader.read_rows(p))
             seen_rows += sum(1 for r in rows if r[0] == "ROW")
     assert seen_rows == 10
 
@@ -712,7 +712,7 @@ def test_mid_tx_heartbeat_boundary_agrees_with_buffer(tmp_path):
     end = reader.latestOffset()
     assert end == {"0": 3}  # the heartbeat closed the interrupted tx
     rows = list(
-        reader.read(ReplayPartition("0", os.path.join(d, "0.jsonl"), 0, 3))
+        reader.read_rows(ReplayPartition("0", os.path.join(d, "0.jsonl"), 0, 3))
     )
     kinds = [r[0] for r in rows]
     assert kinds == ["BEGIN", "ROW", "HEARTBEAT"]  # no pending error
@@ -735,7 +735,7 @@ def test_wire_fixture_without_wireformat_option_errors_clearly(tmp_path):
     reader.initialOffset()
     end = reader.latestOffset()
     with pytest.raises(ValueError, match="wireFormat"):
-        list(reader.read(ReplayPartition("0", os.path.join(d, "0.jsonl"), 0, end["0"])))
+        list(reader.read_rows(ReplayPartition("0", os.path.join(d, "0.jsonl"), 0, end["0"])))
 
 
 def test_byte_range_read_equals_line_skip_read(tmp_path):
@@ -757,9 +757,9 @@ def test_byte_range_read_equals_line_skip_read(tmp_path):
     assert len(parts) == 1
     p = parts[0]
     assert p.start_byte is not None and p.end_byte is not None and p.start_byte > 0
-    fast = list(reader.read(p))
+    fast = list(reader.read_rows(p))
     slow = list(
-        reader.read(
+        reader.read_rows(
             ReplayPartition("0", p.file_path, p.start_line, p.end_line)
         )
     )
@@ -776,3 +776,58 @@ def test_wire_field_prefix_matches_any_json_spacing(tmp_path):
     assert _FIELD_LINE_RE.search(compact)
     assert _FIELD_LINE_RE.search(spaced)
     assert not _FIELD_LINE_RE.search(json.dumps({"type": "ROW"}))
+
+
+def test_replay_arrow_batches_match_rows(tmp_path):
+    """read() ships Arrow RecordBatches (r13): their content must be
+    byte-identical to what the Spark worker would build from the read_rows
+    tuple path via its per-value converters — both serde shapes (plain and
+    wire), including nested row_changes/fields and the timestamp column."""
+    import pyarrow as pa
+    from pyspark.sql.conversion import LocalDataToArrowConversion
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from debezium_connector_vitess_spark.decode import RAW_EVENT_SCHEMA
+    from debezium_connector_vitess_spark.sources.fixtures import (
+        write_wire_replay_fixture,
+    )
+    from debezium_connector_vitess_spark.sources.replay import (
+        VitessReplayStreamReader,
+    )
+
+    pa_schema = to_arrow_schema(RAW_EVENT_SCHEMA)
+    convs = [
+        LocalDataToArrowConversion._create_converter(f.dataType)
+        for f in RAW_EVENT_SCHEMA.fields
+    ]
+
+    def reference_batch(rows):
+        pylist = [[] for _ in range(len(convs))]
+        for r in rows:
+            for c, conv in enumerate(convs):
+                pylist[c].append(conv(r[c]))
+        return pa.RecordBatch.from_arrays(pylist, schema=pa_schema)
+
+    def check(d, opts):
+        reader = VitessReplayStreamReader(opts)
+        reader.initialOffset()
+        parts = reader.partitions(
+            {s: 0 for s in reader._files}, reader.latestOffset()
+        )
+        for p in parts:
+            rows = list(reader.read_rows(p))
+            batches = list(VitessReplayStreamReader(opts).read(p))
+            assert all(isinstance(b, pa.RecordBatch) for b in batches)
+            assert sum(b.num_rows for b in batches) == len(rows)
+            if rows:
+                got = pa.Table.from_batches(batches)
+                want = pa.Table.from_batches([reference_batch(rows)])
+                assert got.equals(want)
+
+    plain = str(tmp_path / "plain")
+    _write_tx_file(plain, "0", [(i, 3) for i in range(1, 5)])
+    check(plain, {"path": plain})
+
+    wire = str(tmp_path / "wire")
+    write_wire_replay_fixture("/root/testdata/sf0.001", wire, tx_size=5)
+    check(wire, {"path": wire, "wireFormat": "true"})
