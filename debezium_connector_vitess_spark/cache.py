@@ -56,6 +56,19 @@ def eager_localcheckpoint(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]
     return out, release
 
 
+def materialize_if_derived(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
+    """:func:`eager_localcheckpoint` unless the frame is already a LEAF
+    (LocalRelation / LogicalRDD — a driver literal or an earlier
+    checkpoint): re-checkpointing a leaf buys no lineage cut and no shared
+    compute, it just pays one copy job. Used where an operator materializes
+    a caller-supplied frame that is sometimes a literal (e.g. a fixed
+    weight table) and sometimes an expensive derivation."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    if plan.children().isEmpty():
+        return df, lambda: None
+    return eager_localcheckpoint(df)
+
+
 def lazy_localcheckpoint(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
     """``df.localCheckpoint(eager=False)`` plus the same ``release()`` as
     :func:`eager_localcheckpoint`.

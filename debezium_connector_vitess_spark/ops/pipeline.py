@@ -1558,9 +1558,12 @@ def _quality_from_features(
 ) -> DataFrame:
     """Quality-scoring tail over a (id, bucket, cnt, x) feature frame —
     shared by :func:`score_quality` and :func:`curation_gram_signals`."""
-    from ..cache import eager_localcheckpoint
+    from ..cache import materialize_if_derived
 
-    weights, _release = eager_localcheckpoint(weights)
+    # trained weight tables carry ``iters`` rounds of lineage and feed two
+    # branches (bias + table) — materialize those; a FIXED literal table
+    # (the curation row) is already a leaf and skips the copy job
+    weights, _release = materialize_if_derived(weights)
     bias = weights.filter(F.col("bucket") == -1).select(
         F.col("weight").alias("__bias")
     )
