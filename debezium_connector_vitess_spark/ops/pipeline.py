@@ -509,6 +509,11 @@ def ngram_count_frames(df: DataFrame, text_col: str) -> tuple[DataFrame, DataFra
     bi = _bigram_pairs(staged).groupBy("prev", "token").agg(
         F.count("*").alias("bcnt")
     )
+    # EAGER on purpose (r13 A/B): these are corpus-sized explodes consumed
+    # by several CONCURRENT broadcast-exchange jobs downstream — a lazy
+    # checkpoint lets those jobs race and compute the explode twice before
+    # either persists it (measured: lazy was a wall regression here, while
+    # the vocab-sized frames in doc_perplexity_multi go lazy safely)
     uni, _r1 = eager_localcheckpoint(uni)
     bi, _r2 = eager_localcheckpoint(bi)
     return uni, bi
@@ -930,7 +935,14 @@ def doc_perplexity_multi(
     sentinel via the same ``coalesce`` the standalone scorer applies, so
     the fusion is value-preserving even for models with different observed
     key sets."""
-    from ..cache import eager_localcheckpoint
+    # LAZY checkpoints (r13): the LM frames here are vocab-sized
+    # derivations of the already-eager count frames, and every first
+    # consumer (floor aggregate, ctx/global-default broadcast collects) is
+    # a full-pass job — folding materialization into it drops one
+    # scheduling barrier per frame (3 jobs/row; interleaved A/B measured
+    # wall flat-to-better, jobs 50 -> 47) with no recompute risk: block
+    # locks serialize concurrent consumers of a lazily-persisted partition
+    from ..cache import lazy_localcheckpoint
 
     # names become per-model column suffixes (__lp_b_<name>, __ctx0_<name>):
     # duplicates or empties would surface as an ambiguous-column
@@ -943,7 +955,7 @@ def doc_perplexity_multi(
             f"bi_lms names must be unique, non-empty identifiers (got {names!r})"
         )
 
-    uni_lm, _r = eager_localcheckpoint(uni_lm)
+    uni_lm, _r = lazy_localcheckpoint(uni_lm)
     floor = uni_lm.select((F.min("logp") + F.log(F.lit(0.5))).alias("__oov"))
 
     staged = df.select(
@@ -988,7 +1000,7 @@ def doc_perplexity_multi(
     ]
     merged_btab = None
     for name, bi_lm, _lam in bi_lms:
-        bi_lm, _ri = eager_localcheckpoint(bi_lm)
+        bi_lm, _ri = lazy_localcheckpoint(bi_lm)
         observed = bi_lm.filter(F.col("token").isNotNull())
         ctx_default = bi_lm.filter(
             F.col("token").isNull() & F.col("prev").isNotNull()
