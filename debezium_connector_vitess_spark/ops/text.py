@@ -1423,29 +1423,47 @@ def corpus_datasheet(
     is O(top_n) rows — a summary IS driver-sized by definition.
     """
     base = with_text_metrics(df, text_col, include_grams=False)
-    g = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
-        F.sum(F.length(text_col).cast("long")).alias("n_chars"),
-        F.avg("quality_score").alias("mean_quality"),
-        F.count_distinct("fingerprint").alias("distinct_content"),
-        F.expr("percentile(n_tokens, array(0.5, 0.95, 0.99))").alias("pcts"),
-        F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0)).alias("n_empty"),
-    ).collect()[0]
 
-    def mix(col: str) -> list[dict]:
-        if not g["n_docs"]:
-            return []
-        rows = (
+    def _global_agg():
+        return base.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
+            F.sum(F.length(text_col).cast("long")).alias("n_chars"),
+            F.avg("quality_score").alias("mean_quality"),
+            F.count_distinct("fingerprint").alias("distinct_content"),
+            F.expr("percentile(n_tokens, array(0.5, 0.95, 0.99))").alias("pcts"),
+            F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0)).alias("n_empty"),
+        ).collect()[0]
+
+    def _mix_rows(col: str) -> list:
+        return (
             df.groupBy(col)
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc(col))
             .limit(top_n)
             .collect()
         )
+
+    # the three summary actions are independent full passes — overlap them
+    # (guide §2.6: concurrent jobs back-fill each other's stragglers); the
+    # values are unchanged, only the serialized job latency goes away
+    from concurrent.futures import ThreadPoolExecutor
+
+    mix_cols = [domain_col] + ([lang_col] if lang_col is not None else [])
+    with ThreadPoolExecutor(max_workers=1 + len(mix_cols)) as pool:
+        g_f = pool.submit(_global_agg)
+        mix_f = {c: pool.submit(_mix_rows, c) for c in mix_cols}
+        g = g_f.result()
+        mix_collected = {c: f.result() for c, f in mix_f.items()}
+
+    def mix(col: str) -> list[dict]:
+        # empty corpus: the grouped rows are necessarily empty too, but the
+        # guard keeps the share division total and the r6 contract explicit
+        if not g["n_docs"]:
+            return []
         return [
             {"value": r[col], "n_docs": r["n"], "share": r["n"] / g["n_docs"]}
-            for r in rows
+            for r in mix_collected[col]
         ]
 
     pcts = g["pcts"] if g["pcts"] is not None else [None, None, None]

@@ -458,16 +458,33 @@ def cdc_materialize(
         )
 
     parts = []
+    # r13 (guide §2.4 — share one pass): when BOTH shapes are requested the
+    # snapshot is a FREE filter of the checkpointed SCD2 history
+    # (``history WHERE is_current ≡ latest``, asserted by
+    # tests/test_materialize.py), so the second changelog explode+key scan
+    # and the max_by shuffle+checkpoint disappear from the row. A
+    # latest-only consumer (the bench side leg, entry flagship) keeps the
+    # partial-aggregable max_by path — at 100 TB its exchange ships ~|live
+    # keys| while the window ships every version, so the agg is strictly
+    # cheaper when history isn't wanted anyway.
+    hist_multi = (
+        sorted(materialize_history_multi(raw, schemas).items())
+        if "history" in sides
+        else None
+    )
     if "latest" in sides:
-        parts += [
-            flatten(df, "latest", hist=False)
-            for _, df in sorted(materialize_latest_multi(raw, schemas).items())
-        ]
+        if hist_multi is not None:
+            parts += [
+                flatten(df.filter(F.col("is_current")), "latest", hist=False)
+                for _, df in hist_multi
+            ]
+        else:
+            parts += [
+                flatten(df, "latest", hist=False)
+                for _, df in sorted(materialize_latest_multi(raw, schemas).items())
+            ]
     if "history" in sides:
-        parts += [
-            flatten(df, "history", hist=True)
-            for _, df in sorted(materialize_history_multi(raw, schemas).items())
-        ]
+        parts += [flatten(df, "history", hist=True) for _, df in hist_multi]
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
@@ -1373,6 +1390,8 @@ def tx_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``event_count``/``begin_ts_ms``/``end_ts_ms``/``end_gtid`` (T1):
       transaction boundary summaries, joined back per event.
     """
+    from pyspark.sql import Window
+
     from .cache import eager_localcheckpoint
     from .txmeta.batch import epoch_batch, rank_expr, with_tx_order
 
@@ -1409,14 +1428,24 @@ def tx_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx_col="tx_id",
     ).select("event_id", "shard", "transaction_epoch")
 
+    # T8 + T1 fused (r13, guide §2.4): the boundary summaries are
+    # whole-partition window aggregates over the SAME tx_id partitioning the
+    # total_order window establishes, so they ride that one exchange instead
+    # of a separate groupBy(tx) + an event-sized join back on tx_id — two
+    # exchanges of the full event stream removed; per-event values are the
+    # group aggregates by definition (count/min/max/max_by over the whole
+    # partition). transaction_boundaries stays the standalone T1 operator.
+    w_all = Window.partitionBy("tx_id")
     ordered = with_tx_order(raw).select(
-        "event_id", "tx_id", "total_order", "data_collection_order"
+        "event_id", "tx_id", "total_order", "data_collection_order",
+        F.count("*").over(w_all).alias("event_count"),
+        F.min(F.unix_millis("ts")).over(w_all).alias("begin_ts_ms"),
+        F.max(F.unix_millis("ts")).over(w_all).alias("end_ts_ms"),
+        F.max_by("gtid", F.col("event_id")).over(w_all).alias("end_gtid"),
     )
-    bounds = transaction_boundaries(raw)
     return (
         ordered.join(ranked, "event_id")
         .join(epochd, "event_id")
-        .join(bounds, "tx_id")
         .select(
             "event_id", "shard", "transaction_epoch", "transaction_rank",
             "tx_id", "total_order", "data_collection_order",

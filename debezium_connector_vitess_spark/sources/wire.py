@@ -28,6 +28,7 @@ Reference semantics re-expressed here:
 from __future__ import annotations
 
 import base64
+import binascii
 import json
 from dataclasses import dataclass, field as dc_field
 from datetime import datetime, timezone
@@ -42,7 +43,7 @@ from .vstream import VStreamConfig, VStreamFlags, VStreamRule, build_flags
 # ---------------------------------------------------------------------------
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class WireRow:
     """``query.Row``: lengths (sint64, -1 ⇒ NULL) + concatenated value bytes."""
 
@@ -50,7 +51,7 @@ class WireRow:
     values: bytes
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class WireRowChange:
     """``binlogdata.RowChange``: before/after packed images."""
 
@@ -58,7 +59,7 @@ class WireRowChange:
     after: Optional[WireRow] = None
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class WireRowEvent:
     """``binlogdata.RowEvent``."""
 
@@ -68,7 +69,7 @@ class WireRowEvent:
     shard: str = ""
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class WireField:
     """``query.Field`` (the subset the decoder consumes)."""
 
@@ -78,7 +79,7 @@ class WireField:
     flags: int = 0
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class WireFieldEvent:
     """``binlogdata.FieldEvent``."""
 
@@ -89,7 +90,7 @@ class WireFieldEvent:
     enum_set_string_values: bool = False
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class WireVgtid:
     """``binlogdata.VGtid``: list of per-shard positions."""
 
@@ -99,7 +100,7 @@ class WireVgtid:
         return Vgtid.of(*self.shard_gtids)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class WireVEvent:
     """``binlogdata.VEvent``. ``timestamp`` is epoch seconds, ``current_time``
     epoch nanos — both as in the proto; decode prefers ``current_time`` for
@@ -129,7 +130,7 @@ class VStreamRequest:
     headers: tuple[tuple[str, str], ...] = ()
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class VStreamResponse:
     """``vtgate.VStreamResponse``: a batch of VEvents."""
 
@@ -275,11 +276,41 @@ class WireDecoder:
                 f"ROW event for {keyspace}.{table} (shard {shard}) arrived "
                 f"before its FIELD event: no schema cached"
             )
-        cells = unpack_row(row, len(fams))
-        return {
-            name: cell_to_transport_str(cell, family)
-            for (name, family), cell in zip(fams, cells)
-        }
+        # fused unpack + transport-string loop (hot path: one call per row
+        # image) — same validation and output as
+        # unpack_row + cell_to_transport_str per cell, without the
+        # intermediate cells list and two function calls per column
+        lengths, values = row.lengths, row.values
+        if len(lengths) != len(fams):
+            raise ValueError(
+                f"The number of columns in the ROW event ({len(lengths)}) is "
+                f"different from the in-memory table schema ({len(fams)})."
+            )
+        nvalues = len(values)
+        binary_families = _BINARY_FAMILIES
+        b64encode = base64.b64encode
+        out: dict[str, Optional[str]] = {}
+        off = 0
+        for (name, family), ln in zip(fams, lengths):
+            if ln == -1:
+                out[name] = None
+                continue
+            end = off + ln
+            if end > nvalues:
+                raise ValueError(
+                    f"packed row truncated: need {end} bytes, have {nvalues}"
+                )
+            cell = values[off:end]
+            off = end
+            if family in binary_families:
+                out[name] = b64encode(cell).decode("ascii")
+            else:
+                out[name] = cell.decode("utf-8")
+        if off != nvalues:
+            raise ValueError(
+                f"packed row has {nvalues - off} trailing bytes not claimed by lengths"
+            )
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -634,8 +665,12 @@ def vevent_to_json(ev: WireVEvent) -> str:
 def _row_from_json(d: Optional[dict]) -> Optional[WireRow]:
     if d is None:
         return None
+    # binascii.a2b_base64 IS base64.b64decode's core (b64decode merely
+    # ASCII-encodes str input and delegates); calling it directly skips the
+    # wrapper on the replay hot path — identical bytes out
     return WireRow(
-        lengths=tuple(d["lengths"]), values=base64.b64decode(d["values"])
+        lengths=tuple(d["lengths"]),
+        values=binascii.a2b_base64(d["values"].encode("ascii")),
     )
 
 
@@ -697,18 +732,21 @@ def vevent_from_json(raw: str) -> WireVEvent:
 def raw_event_tuple(d: dict, default_shard: Optional[str] = None) -> tuple:
     """Decoded event dict → decode.RAW_EVENT_SCHEMA tuple (tx id = the entire
     VGTID string, VStreamOutputMessageDecoder.java:121-150)."""
+    # direct indexing: every decode_flush dict carries all of these keys
+    # (the only producers are decode_flush and its transport twin)
+    vg = d["vgtid"]
     return (
         d["kind"],
-        d.get("keyspace"),
-        d.get("shard") or default_shard,
-        d.get("table"),
-        d.get("gtid"),
-        d.get("vgtid"),
-        d.get("vgtid"),
-        d.get("ts"),
-        d.get("row_changes"),
-        d.get("statement"),
-        d.get("fields"),
+        d["keyspace"],
+        d["shard"] or default_shard,
+        d["table"],
+        d["gtid"],
+        vg,
+        vg,
+        d["ts"],
+        d["row_changes"],
+        d["statement"],
+        d["fields"],
     )
 
 
