@@ -112,20 +112,42 @@ def _train_from_texts(
     end_marker: str = END,
 ) -> list[tuple[str, str]]:
     """The pure Sennrich fold over an in-memory sample: words as symbol
-    tuples, repeatedly merge the most frequent adjacent pair (lexicographic
-    tie-break for determinism). Shared by :func:`train_bpe` (Spark sample)
-    and the registry's oracle-constants helper (pyarrow sample) — one fold
-    definition, two independently-built samples."""
+    sequences, repeatedly merge the most frequent adjacent pair
+    (lexicographic tie-break for determinism). Shared by :func:`train_bpe`
+    (Spark sample) and the registry's oracle-constants helper (pyarrow
+    sample) — one fold definition, two independently-built samples.
+
+    Incremental formulation (r13): the textbook fold recounts EVERY
+    adjacent pair and rewrites EVERY word per merge — O(merges × total
+    symbols), which at a real GB-scale sample with thousands of merges is
+    the difference between minutes and hours of driver time. Here the pair
+    counter is maintained incrementally: each merge touches only the words
+    that contain the chosen pair (tracked in an occurrence index), so a
+    round costs O(|distinct pairs| argmax + affected words). Counts are
+    exact integers updated by exact deltas, and the selection rule (max
+    count, then lexicographically smallest) is unchanged, so the returned
+    merge list is IDENTICAL to the naive fold's — pinned by
+    test_bpe_incremental_matches_naive."""
     wf = _word_freqs(texts, lowercase)
-    words: dict[tuple[str, ...], int] = {
-        tuple(w) + (end_marker,): c for w, c in wf.items()
-    }
+    words: list[list[str]] = []
+    counts: list[int] = []
+    for w, c in wf.items():
+        words.append(list(w) + [end_marker])
+        counts.append(c)
+    pairs: Counter = Counter()
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, sym in enumerate(words):
+        c = counts[idx]
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            pairs[p] += c
+            s = where.get(p)
+            if s is None:
+                where[p] = {idx}
+            else:
+                s.add(idx)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs: Counter = Counter()
-        for sym, c in words.items():
-            for i in range(len(sym) - 1):
-                pairs[(sym[i], sym[i + 1])] += c
         if not pairs:
             break
         best_count = max(pairs.values())
@@ -135,23 +157,44 @@ def _train_from_texts(
         best_pair = min(p for p, c in pairs.items() if c == best_count)
         merges.append(best_pair)
         merged = "".join(best_pair)
-        new_words: dict[tuple[str, ...], int] = {}
-        for sym, c in words.items():
-            out = []
+        left, right = best_pair
+        for idx in sorted(where.get(best_pair, ())):
+            sym = words[idx]
+            c = counts[idx]
+            # retract the word's old adjacencies (exact inverse of the
+            # additions below — the index stays precise, never stale)
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                left_over = pairs[p] - c
+                if left_over:
+                    pairs[p] = left_over
+                else:
+                    del pairs[p]
+                s = where.get(p)
+                if s is not None:
+                    s.discard(idx)
+                    if not s:
+                        del where[p]
+            # left-to-right non-overlapping merge, same as the naive fold
+            out: list[str] = []
             i = 0
-            while i < len(sym):
-                if (
-                    i < len(sym) - 1
-                    and sym[i] == best_pair[0]
-                    and sym[i + 1] == best_pair[1]
-                ):
+            n = len(sym)
+            while i < n:
+                if i < n - 1 and sym[i] == left and sym[i + 1] == right:
                     out.append(merged)
                     i += 2
                 else:
                     out.append(sym[i])
                     i += 1
-            new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
-        words = new_words
+            words[idx] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pairs[p] += c
+                s = where.get(p)
+                if s is None:
+                    where[p] = {idx}
+                else:
+                    s.add(idx)
     return merges
 
 

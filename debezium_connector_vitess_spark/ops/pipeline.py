@@ -1630,19 +1630,26 @@ def curation_gram_signals(
     - target histogram: the same, filtered to ``target`` rows;
     - log-ratio table: :func:`_logratios_from_counts` (the exact
       :func:`dsir_logratios` math);
-    - importance: :func:`_importance_from_exploded` (broadcast log-ratio
-      join, per-doc sum);
-    - quality: per-(id, bq) counts → normalized x → broadcast weight join
-      (:func:`_quality_from_features`, the exact :func:`score_quality`
-      math).
+    - importance + quality: ONE fused groupBy(id) over the occurrence
+      frame (r13). Both weight tables are vocabulary-sized broadcasts, so
+      each occurrence can carry its quality weight (w[bq], 0 when unseen)
+      and its DSIR log-ratio (lr[bd], sentinel default when unseen)
+      map-side, and one aggregate produces all three per-doc sums: gram
+      count, Σw, Σlr. The quality margin Σ w_b·(cnt_b/total) equals
+      (Σ_occurrences w)/total — the per-bucket normalize-then-weight of
+      :func:`score_quality` reassociated, identical up to float reduction
+      order. The separate tails needed a groupBy(id, bq), a per-doc
+      normalization window, TWO per-doc aggregations, and a doc-id join —
+      four occurrence-frame exchanges where this needs one
+      partial-aggregated groupBy (guide §2.3/§2.4).
 
     Bucket hashes equal the standalone ops' hashes exactly (same md5-salt
     scheme via :func:`_gram_bucket_transform`), so results match the
     separate-pass composition up to float reduction order — the curation
     driver row's rounding grid + margin test absorb that, as they do for
-    any partitioning change. The quality↔importance combine is ONE doc-id
-    join instead of the two the separate ops need downstream."""
-    from ..cache import eager_localcheckpoint
+    any partitioning change (pinned at 1e-9 rtol by
+    test_curation_gram_signals_equals_separate_ops)."""
+    from ..cache import eager_localcheckpoint, lazy_localcheckpoint, materialize_if_derived
 
     toks = tokens_expr(F.lower(F.col(text_col)))
     staged = df.select(
@@ -1671,24 +1678,44 @@ def curation_gram_signals(
         .agg(F.count("*").alias("ct"))
     )
     lr = _logratios_from_counts(ct, cr, dim=dim_d, alpha=alpha)
-    imp = _importance_from_exploded(
-        ex.select(F.col(id_col), F.col("bd").alias("bucket")), id_col, lr
+    # lazy: the first consumer (the broadcast-exchange build below) is a
+    # full-pass collect of the vocab-sized frame, so the dedicated
+    # checkpoint job is free (the doc_perplexity r13 convention)
+    lr, _r_lr = lazy_localcheckpoint(lr)
+    lr_default = lr.filter(F.col("bucket") == DSIR_DEFAULT_BUCKET).select(
+        F.col("log_ratio").alias("__default_lr")
+    )
+    lr_table = lr.filter(F.col("bucket") != DSIR_DEFAULT_BUCKET).select(
+        F.col("bucket").alias("bd"), "log_ratio"
     )
 
-    counts = ex.groupBy(id_col, F.col("bq").alias("bucket")).agg(
-        F.count("*").alias("cnt")
+    weights, _r_w = materialize_if_derived(weights)
+    bias = weights.filter(F.col("bucket") == -1).select(
+        F.col("weight").alias("__bias")
     )
-    wdoc = Window.partitionBy(id_col)
-    feats = counts.select(
+    wtab = weights.filter(F.col("bucket") != -1).select(
+        F.col("bucket").alias("bq"), "weight"
+    )
+    per_id = (
+        ex.join(F.broadcast(wtab), on="bq", how="left")
+        .join(F.broadcast(lr_table), on="bd", how="left")
+        .crossJoin(F.broadcast(lr_default))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("q_grams"),
+            F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("__sw"),
+            F.sum(
+                F.coalesce(F.col("log_ratio"), F.col("__default_lr"))
+            ).alias("log_weight"),
+        )
+    )
+    margin = F.col("__sw") / F.col("q_grams").cast("double") + F.col("__bias")
+    return per_id.crossJoin(F.broadcast(bias)).select(
         id_col,
-        "bucket",
-        "cnt",
-        (F.col("cnt").cast("double") / F.sum("cnt").over(wdoc)).alias("x"),
+        "q_grams",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("quality_prob"),
+        "log_weight",
     )
-    qual = _quality_from_features(feats, weights, id_col)
-    return qual.select(
-        id_col, F.col("n_grams").alias("q_grams"), "quality_prob"
-    ).join(imp.select(id_col, "log_weight"), id_col)
 
 
 def packing_efficiency(

@@ -4721,6 +4721,16 @@ def _curation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted = pages.select(
         "doc_id", html_to_text_expr(F.col("html")).alias("text")
     )
+    # materialize the extracted text ONCE (r13): drop_duplicate_paragraphs
+    # consumes its input twice (the hashed-coordinates pass and the
+    # paragraph-rebuild join), and without the barrier each consumer
+    # re-runs the WARC record decode + the whole regex extraction ladder —
+    # a second full ingest pass at 100 TB. LAZY: the first consumer is the
+    # coords eager checkpoint inside drop_duplicate_paragraphs, a full-pass
+    # derivation, so the dedicated copy job is free.
+    from .cache import lazy_localcheckpoint
+
+    extracted, _release_ex = lazy_localcheckpoint(extracted)
     cleaned = drop_duplicate_paragraphs(extracted, "text", "doc_id", min_chars=20)
     base = cleaned.join(docs.select("doc_id", "source", "lang"), "doc_id")
     # materialize the cleaned corpus ONCE: five downstream stages (quality,

@@ -3569,6 +3569,89 @@ def test_bpe_train_and_encode(spark):
         bpe_encode(df, "text", "doc_id", merges, output="wat")
 
 
+def test_bpe_incremental_matches_naive():
+    """The r13 incremental trainer (pair counter updated by exact deltas,
+    only pair-containing words rewritten per merge) must return the
+    IDENTICAL merge list to the textbook full-recount fold on every input:
+    same counts, same (max count, lexicographically smallest) selection,
+    same early stops. Pinned on the Sennrich corpus, adversarial
+    overlapping-run/tie inputs, and seeded random samples."""
+    import random
+
+    from collections import Counter as _Counter
+
+    from debezium_connector_vitess_spark.ops.bpe import END, _train_from_texts
+
+    def naive(texts, num_merges, end_marker=END):
+        # the pre-r13 textbook fold, verbatim
+        wf: _Counter = _Counter()
+        for t in texts:
+            if t:
+                for w in t.lower().split():
+                    wf[w] += 1
+        words = {tuple(w) + (end_marker,): c for w, c in wf.items()}
+        merges = []
+        for _ in range(num_merges):
+            pairs: _Counter = _Counter()
+            for sym, c in words.items():
+                for i in range(len(sym) - 1):
+                    pairs[(sym[i], sym[i + 1])] += c
+            if not pairs:
+                break
+            best_count = max(pairs.values())
+            if best_count < 2:
+                break
+            best_pair = min(p for p, c in pairs.items() if c == best_count)
+            merges.append(best_pair)
+            merged = "".join(best_pair)
+            new_words: dict = {}
+            for sym, c in words.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if (
+                        i < len(sym) - 1
+                        and sym[i] == best_pair[0]
+                        and sym[i + 1] == best_pair[1]
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+            words = new_words
+        return merges
+
+    cases = [
+        ["low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3] * 4,
+        # overlapping runs: (a,a) merges must count/retract exactly
+        ["aaaa aaa aa a aaaaa"] * 3,
+        # post-merge tuple collisions: 'ab c' meets 'a b c' after (a,b)
+        ["ab c " * 4 + "a b c " * 4],
+        # frequency ties everywhere: lexicographic tie-break exercised
+        ["xy xz yx zy zx yz"] * 2,
+        [],  # empty corpus: zero merges
+        ["a b c d"],  # every pair unique: early stop
+    ]
+    rng = random.Random(13)
+    alphabet = "abcdef"
+    for _ in range(6):
+        docs = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+                for _ in range(rng.randint(1, 60))
+            )
+            for _ in range(rng.randint(1, 10))
+        ]
+        cases.append(docs)
+    for texts in cases:
+        for nm in (1, 7, 40):
+            assert _train_from_texts(texts, nm) == naive(texts, nm), (
+                texts,
+                nm,
+            )
+
+
 def test_bpe_encode_is_map_only(spark, sf_dir):
     """The distributed half is one Arrow seam with no shuffle at any size."""
     from debezium_connector_vitess_spark.ops.bpe import bpe_encode, train_bpe
