@@ -3822,12 +3822,28 @@ def pack_sequences(
             )
         )
     if "fertility" in sides:
+        from .cache import eager_localcheckpoint
         from .ops.bpe import tokenizer_fertility
 
-        per_lang = tokenizer_fertility(docs, "text", "doc_id", merges, by="lang")
-        overall = tokenizer_fertility(docs, "text", "doc_id", merges).withColumn(
-            "lang", F.lit("__all__")
+        # ONE corpus encode pass (r13): the global row's sums are exact
+        # INTEGER totals, so Σ per-lang == global identically — derive
+        # '__all__' from the materialized per-lang aggregate instead of
+        # re-running the whole bpe_encode Arrow seam over the corpus a
+        # second time (guide §2.3: aggregate once). The oracle still
+        # computes BOTH groupings independently from its import-time
+        # constants, so the cross-engine reconciliation is untouched; a
+        # wrong per-lang sum now reddens the '__all__' row too.
+        per_lang, _release_fert = eager_localcheckpoint(
+            tokenizer_fertility(docs, "text", "doc_id", merges, by="lang")
         )
+        overall = per_lang.agg(
+            # empty corpus: the old global groupBy().count() gave 0 (sums
+            # NULL) — coalesce keeps that exact shape
+            F.coalesce(F.sum("n_docs"), F.lit(0).cast("long")).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        ).withColumn("lang", F.lit("__all__"))
         for fert in (per_lang, overall):
             parts.append(
                 fert.select(
